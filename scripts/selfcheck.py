@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
+matching oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the raw
+test tables, and compares: schema (column names sorted), row count, and
+values (columns sorted by name, rows sorted by all columns, exact match
+after canonicalization).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and representation noise
+        if v == 0:
+            return 0.0
+        return float(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (int, bool, str, bytes)):
+        return v
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(
+        (x is None, str(type(x)), x if not isinstance(x, tuple) else str(x)) for x in t))
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    only = set(sys.argv[3:])
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        rd = out_dir / name
+        if not rd.exists():
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        tbl = pq.read_table(rd)
+        s_cols = list(tbl.column_names)
+        s_rows = [tuple(r.values()) for r in tbl.to_pylist()]
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(s_cols, s_rows)
+        dc, dr = norm_rows(d_cols, d_rows)
+        if sc != dc:
+            print(f"FAIL {name}: schema spark={sc} duck={dc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(dr):
+            print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
+            n_fail += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first @{i}:")
+            print(f"  cols : {sc}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an implemented operator from SURVEY.md §2;
+  * entries with an exact ANSI-SQL equivalent also appear in [[oracleSql]]
+  * (DuckDB-checked by the driver at sf0.01).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q02BandDistribution(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_overview"          -> (CoreQueries.q01Overview(_, _)),
+    "q02_band_distribution" -> (CoreQueries.q02BandDistribution(_, _)),
+    "q03_hourly_trend"      -> (CoreQueries.q03HourlyTrend(_, _)),
+    "q04_peak_traffic"      -> (CoreQueries.q04PeakTraffic(_, _)),
+    "q05_corridors"         -> (CoreQueries.q05Corridors(_, _)),
+    "q06_anomaly_zscore"    -> (CoreQueries.q06AnomalyZscore(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (see TESTDATA.md).
+  *
+  * All readers take the scale-factor directory so the same query code runs at
+  * sf0.001 (smoke), sf0.01 (DuckDB-oracle correctness) and sf0.1 (bench) — and,
+  * unchanged, against a cluster-scale partitioned layout (the path is just a
+  * parquet directory; partition discovery & pruning are native).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects by default. We read nanos as a plain long (legacy conf,
+    * runtime-settable) and expose BOTH:
+    *   - `ts_ns`: exact epoch-nanos long (DuckDB parity: `epoch_ns(ts)`)
+    *   - `ts`:    micro-precision TimestampType for date_trunc/date_format
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}
