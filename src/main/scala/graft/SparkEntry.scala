@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.CoreQueries
+import graft.analytics.{CoreQueries, JoinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,21 @@ object SparkEntry {
     "q04_peak_traffic"      -> (CoreQueries.q04PeakTraffic(_, _)),
     "q05_corridors"         -> (CoreQueries.q05Corridors(_, _)),
     "q06_anomaly_zscore"    -> (CoreQueries.q06AnomalyZscore(_, _)),
+    "q07_segment_performance" -> (JoinQueries.q07SegmentPerformance(_, _)),
+    "q08_nearest_match"     -> (JoinQueries.q08NearestMatch(_, _)),
+    "q09_temporal_patterns" -> (JoinQueries.q09TemporalPatterns(_, _)),
+    "q10_quality_trend"     -> (JoinQueries.q10QualityTrend(_, _)),
+    "q11_top_per_segment"   -> (JoinQueries.q11TopPerSegment(_, _)),
+    "q12_rollup_orders"     -> (JoinQueries.q12RollupOrders(_, _)),
+    "q13_price_histogram"   -> (JoinQueries.q13PriceHistogram(_, _)),
+    "q14_props_json"        -> (JoinQueries.q14PropsJson(_, _)),
+    "q15_approx_distinct"   -> (JoinQueries.q15ApproxDistinct(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (q15_approx_distinct: HLL sketch values differ engine-to-engine;
+    * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle
+    CoreQueries.oracle ++ JoinQueries.oracle
 }

@@ -1,0 +1,302 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Join-centric and rollup operators (SURVEY.md §2.3 J1-J5, §2.4 A5-A11,
+  * §2.5 W2/W7), re-expressed over the driver test tables.
+  *
+  * Scale notes (100 TB design):
+  *   - nation/region/supplier are true dimensions → always `broadcast()`
+  *     (the reference's aircraft_reference / airports tables, J1/J2).
+  *   - customer is a midsize dimension: left to Catalyst/AQE, which picks
+  *     broadcast at small SF and shuffled hash join at scale — no hint that
+  *     would force a 100 GB broadcast.
+  *   - the range join (q08) broadcasts the small side and keeps the range
+  *     predicate as a bounding prefilter, exactly the reference's
+  *     ±1°-bounding-box-then-distance shape (05:191-195).
+  */
+object JoinQueries {
+
+  /** Q7-shape (reference 05:13-137): fact ⋈ dimensions → per-group agg →
+    * multiple rank windows → composite score → top-N. */
+  def q07SegmentPerformance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val perNation = joined.groupBy(col("r_name"), col("n_name")).agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      Exprs.dround(Exprs.sumExact(col("o_totalprice"), 6), 2).as("total_value"),
+      Exprs.avgExact(col("o_totalprice"), 6, 4).as("avg_value"),
+      count(when(col("o_orderstatus") === "F", 1)).as("n_finished"))
+    val byValue = Window.orderBy(col("total_value").desc, col("n_name"))
+    val byVolume = Window.orderBy(col("n_orders").desc, col("n_name"))
+    perNation
+      .withColumn("value_rank", rank().over(byValue))
+      .withColumn("volume_rank", rank().over(byVolume))
+      .withColumn("fill_rate", Exprs.dround(col("n_finished") / col("n_orders"), 4))
+      .filter(col("value_rank") <= 50)
+      .orderBy(col("value_rank"))
+  }
+
+  /** Q8-shape (reference 05:145-308 spatial join, J2+J3): range join with a
+    * cheap bounding prefilter, then top-1-nearest per left row (the QUALIFY
+    * ROW_NUMBER()=1 idiom, 07:266), then per-right-side aggregation.
+    * customer×supplier on |acctbal delta| ≤ 100 stands in for the ±1° box. */
+  def q08NearestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val dist = abs(col("c_acctbal") - col("s_acctbal"))
+    val paired = c.join(broadcast(s),
+        col("s_acctbal").between(col("c_acctbal") - 100, col("c_acctbal") + 100))
+      .withColumn("dist", dist)
+    val byNearest = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("dist"), col("s_suppkey"))
+    val nearest = paired
+      .withColumn("rn", row_number().over(byNearest))
+      .filter(col("rn") === 1)
+    nearest.groupBy(col("s_suppkey"), col("s_name")).agg(
+        count(lit(1)).as("n_customers"),
+        Exprs.avgExact(col("dist"), 2, 4).as("avg_dist"),
+        Exprs.dround(min(col("dist")), 2).as("min_dist"))
+      .filter(col("n_customers") >= 3)
+      .orderBy(col("n_customers").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  /** Q9-shape (reference 05:316-466): time-of-day × day-type behavioral
+    * rollup with ranking. Weekend test is engine-specific DOW — Spark
+    * dayofweek() is 1=Sun..7=Sat; oracle uses DuckDB dow 0=Sun..6=Sat. */
+  def q09TemporalPatterns(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hod = hour(col("ts"))
+    val bucketed = e
+      .withColumn("day_type",
+        when(dayofweek(col("ts")).isin(1, 7), "weekend").otherwise("weekday"))
+      .withColumn("period",
+        when(hod < 6, "night").when(hod < 12, "morning")
+          .when(hod < 18, "afternoon").otherwise("evening"))
+    val agg = bucketed.groupBy(col("day_type"), col("period")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      Exprs.avgExact2(col("value"), 4).as("avg_value"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    agg
+      .withColumn("activity_rank",
+        rank().over(Window.orderBy(col("n").desc, col("day_type"), col("period"))))
+      .withColumn("purchase_rate", Exprs.dround(col("n_purchases") / col("n"), 6))
+      .orderBy(col("activity_rank"))
+  }
+
+  /** Q10-shape (reference 05:474-657): daily quality trend — day agg → LAG
+    * delta → weighted health score → letter grade. */
+  def q10QualityTrend(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day")).agg(
+      count(lit(1)).as("n"),
+      Exprs.dround(count(when(col("event_type") === "error", 1)) / count(lit(1)), 6)
+        .as("error_rate"),
+      Exprs.avgExact2(col("value"), 4).as("avg_value"),
+      countDistinct(col("user_id")).as("n_users"))
+    val byDay = Window.orderBy(col("day"))
+    val health = Exprs.dround(lit(100.0) * (lit(1.0) - col("error_rate")), 4)
+    daily
+      .withColumn("prev_error_rate", lag(col("error_rate"), 1).over(byDay))
+      .withColumn("error_delta",
+        Exprs.dround(col("error_rate") - col("prev_error_rate"), 6))
+      .withColumn("health_score", health)
+      .withColumn("grade",
+        when(health >= 95, "A").when(health >= 85, "B")
+          .when(health >= 70, "C").when(health >= 50, "D").otherwise("F"))
+      .orderBy(col("day"))
+  }
+
+  /** W2/W7-shape (reference 07:296-299,315-318): per-group top-N via
+    * ROW_NUMBER over a partitioned window (QUALIFY idiom). */
+  def q11TopPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        Exprs.dround(col("o_totalprice"), 2).as("o_totalprice"), col("c_name"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** A9 rollup (reference 07:359-443 stacked hour→day CTEs, expressed as a
+    * true ROLLUP): orders by (year, month) with subtotal + grand-total rows. */
+  def q12RollupOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .rollup(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"),
+        Exprs.dround(Exprs.sumExact(col("o_totalprice"), 6), 2).as("total_value"))
+      .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)
+  }
+
+  /** A6 histogram (reference 07:163-164): equi-width 20-bucket histogram via
+    * a broadcast 1-row global min/max — no single-partition window, scales to
+    * any fact size. */
+  def q13PriceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("bucket", Exprs.bucketIdx(col("l_extendedprice"), col("lo"), col("hi"), 20))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n"),
+        Exprs.dround(min(col("l_extendedprice")), 2).as("bucket_min"),
+        Exprs.dround(max(col("l_extendedprice")), 2).as("bucket_max"))
+      .orderBy(col("bucket"))
+  }
+
+  /** JSON scalar extraction (reference parses JSON payloads everywhere, §2.8):
+    * pull `props.k`, bucket it, aggregate. */
+  def q14PropsJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", (col("k") - (col("k") % 10)))
+      .groupBy(col("k_bucket")).agg(
+        count(lit(1)).as("n"),
+        Exprs.avgExact2(col("value"), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** A5 approximate distinct (reference 07:132-133 APPROX_COUNT_DISTINCT):
+    * HLL++ sketch — no DuckDB oracle (different sketch); spec asserts ≤5%
+    * relative error vs exact. */
+  def q15ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q07_segment_performance" ->
+      """WITH per_nation AS (
+        |  SELECT r_name, n_name,
+        |    count(*) AS n_orders,
+        |    count(DISTINCT o_custkey) AS n_customers,
+        |    round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE, 2) AS total_value,
+        |    round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE / count(o_totalprice), 4) AS avg_value,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |ranked AS (
+        |  SELECT *,
+        |    rank() OVER (ORDER BY total_value DESC, n_name) AS value_rank,
+        |    rank() OVER (ORDER BY n_orders DESC, n_name) AS volume_rank
+        |  FROM per_nation)
+        |SELECT r_name, n_name, n_orders, n_customers, total_value, avg_value, n_finished,
+        |  value_rank, volume_rank,
+        |  round(n_finished / n_orders, 4) AS fill_rate
+        |FROM ranked WHERE value_rank <= 50 ORDER BY value_rank""".stripMargin,
+
+    "q08_nearest_match" ->
+      """WITH paired AS (
+        |  SELECT c_custkey, s_suppkey, s_name,
+        |         abs(c_acctbal - s_acctbal) AS dist
+        |  FROM customer JOIN supplier
+        |    ON s_acctbal BETWEEN c_acctbal - 100 AND c_acctbal + 100),
+        |nearest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY dist, s_suppkey) AS rn
+        |  FROM paired)
+        |SELECT s_suppkey, s_name, count(*) AS n_customers,
+        |  round(sum(dist::DECIMAL(25,2))::DOUBLE / count(dist), 4) AS avg_dist,
+        |  round(min(dist), 2) AS min_dist
+        |FROM nearest WHERE rn = 1
+        |GROUP BY s_suppkey, s_name HAVING count(*) >= 3
+        |ORDER BY n_customers DESC, s_suppkey LIMIT 25""".stripMargin,
+
+    "q09_temporal_patterns" ->
+      """WITH bucketed AS (
+        |  SELECT *,
+        |    CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend' ELSE 'weekday' END AS day_type,
+        |    CASE WHEN extract(hour FROM ts) < 6 THEN 'night'
+        |         WHEN extract(hour FROM ts) < 12 THEN 'morning'
+        |         WHEN extract(hour FROM ts) < 18 THEN 'afternoon'
+        |         ELSE 'evening' END AS period
+        |  FROM events),
+        |agg AS (
+        |  SELECT day_type, period, count(*) AS n,
+        |    count(DISTINCT user_id) AS n_users,
+        |    round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS avg_value,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM bucketed GROUP BY day_type, period)
+        |SELECT day_type, period, n, n_users, avg_value, n_purchases,
+        |  rank() OVER (ORDER BY n DESC, day_type, period) AS activity_rank,
+        |  round(n_purchases / n, 6) AS purchase_rate
+        |FROM agg ORDER BY activity_rank""".stripMargin,
+
+    "q10_quality_trend" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        |    round(count(CASE WHEN event_type = 'error' THEN 1 END) / count(*), 6) AS error_rate,
+        |    round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS avg_value,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, error_rate, avg_value, n_users,
+        |  lag(error_rate, 1) OVER (ORDER BY day) AS prev_error_rate,
+        |  round(error_rate - lag(error_rate, 1) OVER (ORDER BY day), 6) AS error_delta,
+        |  round(100.0 * (1.0 - error_rate), 4) AS health_score,
+        |  CASE WHEN round(100.0 * (1.0 - error_rate), 4) >= 95 THEN 'A'
+        |       WHEN round(100.0 * (1.0 - error_rate), 4) >= 85 THEN 'B'
+        |       WHEN round(100.0 * (1.0 - error_rate), 4) >= 70 THEN 'C'
+        |       WHEN round(100.0 * (1.0 - error_rate), 4) >= 50 THEN 'D'
+        |       ELSE 'F' END AS grade
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "q11_top_per_segment" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    o_orderkey, round(o_totalprice, 2) AS o_totalprice, c_name
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT * FROM ranked WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q12_rollup_orders" ->
+      """SELECT extract(year FROM o_orderdate)::INT AS y,
+        |       extract(month FROM o_orderdate)::INT AS m,
+        |       count(*) AS n,
+        |       round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE, 2) AS total_value
+        |FROM orders GROUP BY ROLLUP (y, m)
+        |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin,
+
+    "q13_price_histogram" ->
+      """WITH bounds AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)::INT AS bucket,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 2) AS bucket_min,
+        |  round(max(l_extendedprice), 2) AS bucket_max
+        |FROM lineitem CROSS JOIN bounds
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q14_props_json" ->
+      """WITH parsed AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value
+        |  FROM events)
+        |SELECT k - (k % 10) AS k_bucket, count(*) AS n,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS avg_value
+        |FROM parsed GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+  )
+}

@@ -76,13 +76,19 @@ object Exprs {
     * depending on partition/accumulation order, which flips `round` at a
     * half boundary (e.g. avg 620.02/16 = 38.75125 exactly). DuckDB parity:
     * `sum(x::DECIMAL(18,2))::DOUBLE`. */
-  def sumExact2(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
+  def sumExact2(c: Column): Column = sumExact(c, 2)
 
   /** Order-independent average of a 2-dp double column, rounded to `s`.
     * DuckDB parity: `round(sum(x::DECIMAL(18,2))::DOUBLE / count(x), s)`. */
-  def avgExact2(c: Column, s: Int): Column =
-    dround(sumExact2(c) / count(c), s)
+  def avgExact2(c: Column, s: Int): Column = avgExact(c, 2, s)
+
+  /** General fixed-scale exact sum: use the smallest scale that makes the
+    * column exact (e.g. 6 for o_totalprice = Σ 2dp×(1+2dp)×(1-2dp) products). */
+  def sumExact(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(25,$scale)")).cast("double")
+
+  def avgExact(c: Column, scale: Int, r: Int): Column =
+    dround(sumExact(c, scale) / count(c), r)
 
   /** Double rounding with DuckDB-compatible semantics.
     *

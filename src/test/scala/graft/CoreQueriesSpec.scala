@@ -16,8 +16,9 @@ class CoreQueriesSpec extends SparkSpecBase {
   }
 
   test("every queries entry has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // keep this list empty unless an op is genuinely not SQL-expressible
+    // ops that are genuinely not DuckDB-reproducible (sketches, seeded hashing)
+    val rowsOnly = Set("q15_approx_distinct")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

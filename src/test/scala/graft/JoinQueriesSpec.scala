@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.JoinQueries
+
+class JoinQueriesSpec extends SparkSpecBase {
+
+  test("q08 nearest match: each customer contributes to exactly one supplier") {
+    val total = JoinQueries.q08NearestMatch(spark, Sf001)
+      .agg(sum("n_customers")).head().getLong(0)
+    // top-25 suppliers only, so bounded above by customer count
+    val nCust = Tables.customer(spark, Sf001).count()
+    assert(total <= nCust)
+  }
+
+  test("q12 rollup includes grand total row equal to orders count") {
+    val rows = JoinQueries.q12RollupOrders(spark, Sf001).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n") === Tables.orders(spark, Sf001).count())
+  }
+
+  test("q13 histogram buckets cover all rows and are contiguous-bounded") {
+    val rows = JoinQueries.q13PriceHistogram(spark, Sf001).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.lineitem(spark, Sf001).count())
+    assert(rows.forall(r => r.getAs[Double]("bucket_min") <= r.getAs[Double]("bucket_max")))
+  }
+
+  test("q15 approx_count_distinct within 5% of exact") {
+    JoinQueries.q15ApproxDistinct(spark, Sf001).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q07 uses broadcast joins for nation and region dimensions") {
+    val plan = JoinQueries.q07SegmentPerformance(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast join in plan")
+  }
+}
