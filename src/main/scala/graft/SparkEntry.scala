@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, JoinQueries}
+import graft.ts.TimeSeries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +34,11 @@ object SparkEntry {
     "q13_price_histogram"   -> (JoinQueries.q13PriceHistogram(_, _)),
     "q14_props_json"        -> (JoinQueries.q14PropsJson(_, _)),
     "q15_approx_distinct"   -> (JoinQueries.q15ApproxDistinct(_, _)),
+    "q16_dedup_best"        -> (TimeSeries.q16DedupBest(_, _)),
+    "q17_forward_fill"      -> (TimeSeries.q17ForwardFill(_, _)),
+    "q18_interpolate"       -> (TimeSeries.q18Interpolate(_, _)),
+    "q19_rates"             -> (TimeSeries.q19Rates(_, _)),
+    "q20_cum_distance"      -> (TimeSeries.q20CumDistance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +46,5 @@ object SparkEntry {
     * (q15_approx_distinct: HLL sketch values differ engine-to-engine;
     * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ JoinQueries.oracle
+    CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle
 }

@@ -1,0 +1,257 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Per-key ordered time-series operators (SURVEY.md §2.5 W8-W11, §2.7 dedup).
+  *
+  * The reference runs these per-aircraft (`sort by ['icao24','timestamp']`,
+  * reference `src/lambda/etl/data_transformer.py:279`); here the key is
+  * `events.user_id` ordered by `ts`. All windows are PARTITIONed by the key —
+  * the shuffle is one hash-partition by user_id, reused across every window
+  * in the same stage, and scales linearly with key cardinality (no global
+  * windows on the fact table).
+  *
+  * Nulls for the gap-filling ops are injected deterministically
+  * (`event_type = 'view'` rows are masked), mirroring the reference's
+  * missing-position semantics, so the DuckDB oracle can reproduce them.
+  */
+object TimeSeries {
+
+  private def tsUs: Column = expr("ts_ns div 1000")
+
+  /** Per-key ordered window. Ordering is (micros, event_id) — micros because
+    * that is the resolution the DuckDB oracle sees, event_id as tiebreak — so
+    * both engines order identically even on equal timestamps. */
+  private def keyWin = Window.partitionBy(col("user_id"))
+    .orderBy(expr("ts_ns div 1000"), col("event_id"))
+
+  /** Masked measurement: the reference's nullable position/altitude analog. */
+  private def masked: Column =
+    when(col("event_type") =!= "view", col("value"))
+
+  // ── Public reusable per-key operators (call these on your own data) ──
+
+  /** Forward-fill `valueCol` within each key, ordered by `ord`. */
+  def forwardFill(df: DataFrame, key: Seq[Column], ord: Seq[Column],
+                  valueCol: Column): Column = {
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last(valueCol, ignoreNulls = true).over(w)
+  }
+
+  /** Backward-fill `valueCol` within each key, ordered by `ord`. */
+  def backwardFill(df: DataFrame, key: Seq[Column], ord: Seq[Column],
+                   valueCol: Column): Column = {
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    first(valueCol, ignoreNulls = true).over(w)
+  }
+
+  /** Per-key linear interpolation of nulls in `v` against numeric time `t`
+    * (pandas `interpolate(limit_direction='both')` semantics): interior nulls
+    * get a time-weighted blend of the surrounding anchors, edge nulls take
+    * the nearest anchor. Pure window expressions — no UDF, stays codegen'd. */
+  def interpolateLinear(key: Seq[Column], ord: Seq[Column],
+                        t: Column, v: Column): Column = {
+    val base = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(wb)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(wb)
+    val nv = first(v, ignoreNulls = true).over(wf)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(wf)
+    when(v.isNotNull, v)
+      .when(pv.isNull, nv)
+      .when(nv.isNull, pv)
+      .otherwise(pv + (nv - pv) * ((t - pt) / (nt - pt)))
+  }
+
+  /** §2.7 dedup `best_quality`-keep: one row per (user_id, hour), keeping
+    * max value with event_id tiebreak (reference data_transformer.py:612-659),
+    * then a per-user rollup to keep the verify output compact. */
+  def q16DedupBest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val hourKey = date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+    val w = Window.partitionBy(col("user_id"), hourKey)
+      .orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_kept"),
+        Exprs.dround(Exprs.sumExact2(col("value")), 2).as("sum_value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W9 forward-fill: `last(ignoreNulls)` over an unbounded-preceding frame
+    * per key (reference data_transformer.py:331-335). */
+  def q17ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("vm", masked)
+      .withColumn("filled", forwardFill(e,
+        Seq(col("user_id")), Seq(expr("ts_ns div 1000"), col("event_id")), col("vm")))
+      .groupBy(col("user_id")).agg(
+        count(when(col("vm").isNull, 1)).as("n_masked"),
+        count(when(col("vm").isNull && col("filled").isNotNull, 1)).as("n_filled"),
+        Exprs.dround(Exprs.sumExact2(col("filled")), 2).as("sum_filled"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W8 per-key linear interpolation, pandas `limit_direction='both'`
+    * semantics (reference data_transformer.py:324-329): interior gaps get
+    * time-weighted linear blend between the previous and next anchors;
+    * leading/trailing gaps take the nearest anchor. Composed entirely from
+    * built-in window expressions — stays in whole-stage codegen. */
+  def q18Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val interp = interpolateLinear(
+      Seq(col("user_id")), Seq(expr("ts_ns div 1000"), col("event_id")),
+      col("t_us"), col("vm"))
+    e.withColumn("t_us", tsUs)
+      .withColumn("vm", masked)
+      .withColumn("vi", Exprs.dround(interp, 4))
+      .groupBy(col("user_id")).agg(
+        count(when(col("vm").isNull, 1)).as("n_interpolated"),
+        Exprs.dround(Exprs.sumExact(col("vi"), 4), 2).as("sum_interp"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W11 per-key rates: Δvalue/Δt via LAG (reference
+    * data_transformer.py:474-521, climb rate / acceleration). Per-row rates
+    * are rounded before the exact-decimal aggregation so the per-user average
+    * is summation-order independent. */
+  def q19Rates(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val dv = col("value") - lag(col("value"), 1).over(keyWin)
+    val dtS = (col("t_us") - lag(col("t_us"), 1).over(keyWin)) / lit(1000000.0)
+    val rate = when(dtS > 0, dv / dtS)
+    e.withColumn("t_us", tsUs)
+      .withColumn("rate", Exprs.dround(rate, 4))
+      .groupBy(col("user_id")).agg(
+        count(col("rate")).as("n_rates"),
+        Exprs.dround(Exprs.sumExact(abs(col("rate")), 4) / count(col("rate")), 4)
+          .as("avg_abs_rate"),
+        Exprs.dround(max(col("rate")), 4).as("max_rate"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W10 consecutive-point haversine + per-key cumulative distance (reference
+    * data_transformer.py:409-472). Synthetic coordinates are derived
+    * deterministically from value / props.k so the oracle can reproduce them:
+    * lat = value - 50 ∈ [-50, 50], lon = 3.6 * k - 180 ∈ [-180, 176.4]. */
+  def q20CumDistance(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val lat = col("value") - 50
+    val lon = get_json_object(col("props"), "$.k").cast("int") * lit(3.6) - 180
+    val step = Exprs.haversineKm(
+      lag(col("lat"), 1).over(keyWin), lag(col("lon"), 1).over(keyWin),
+      col("lat"), col("lon"))
+    e.withColumn("lat", lat).withColumn("lon", lon)
+      .withColumn("step_km", Exprs.dround(step, 6))
+      .groupBy(col("user_id")).agg(
+        count(col("step_km")).as("n_legs"),
+        Exprs.dround(Exprs.sumExact(col("step_km"), 6), 4).as("total_km"),
+        Exprs.dround(max(col("step_km")), 6).as("max_leg_km"))
+      .orderBy(col("user_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q16_dedup_best" ->
+      """WITH ranked AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_kept,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+        |FROM ranked WHERE rn = 1 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q17_forward_fill" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'view' THEN value END AS vm
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, vm,
+        |    last_value(vm IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM m)
+        |SELECT user_id,
+        |  count(CASE WHEN vm IS NULL THEN 1 END) AS n_masked,
+        |  count(CASE WHEN vm IS NULL AND filled IS NOT NULL THEN 1 END) AS n_filled,
+        |  round(sum(filled::DECIMAL(18,2))::DOUBLE, 2) AS sum_filled
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_interpolate" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+        |    CASE WHEN event_type <> 'view' THEN value END AS vm
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, t_us, vm,
+        |    last_value(vm IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN vm IS NOT NULL THEN t_us END IGNORE NULLS) OVER wb AS pt,
+        |    first_value(vm IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN vm IS NOT NULL THEN t_us END IGNORE NULLS) OVER wf AS nt
+        |  FROM m
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |i AS (
+        |  SELECT user_id, vm,
+        |    round((CASE WHEN vm IS NOT NULL THEN vm
+        |                WHEN pv IS NULL THEN nv
+        |                WHEN nv IS NULL THEN pv
+        |                ELSE pv + (nv - pv) * ((t_us - pt) / (nt - pt))
+        |           END) * 10000) / 10000 AS vi
+        |  FROM a)
+        |SELECT user_id,
+        |  count(CASE WHEN vm IS NULL THEN 1 END) AS n_interpolated,
+        |  round(sum(vi::DECIMAL(25,4))::DOUBLE, 2) AS sum_interp
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19_rates" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, value,
+        |    value - lag(value, 1) OVER w AS dv,
+        |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) / 1000000.0 AS dt_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |r AS (
+        |  SELECT user_id,
+        |    round((CASE WHEN dt_s > 0 THEN dv / dt_s END) * 10000) / 10000 AS rate
+        |  FROM d)
+        |SELECT user_id, count(rate) AS n_rates,
+        |  round(sum(abs(rate)::DECIMAL(25,4))::DOUBLE / count(rate), 4) AS avg_abs_rate,
+        |  round(max(rate), 4) AS max_rate
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q20_cum_distance" ->
+      """WITH pts AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+        |    value - 50 AS lat,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |  FROM events),
+        |legs AS (
+        |  SELECT user_id,
+        |    lag(lat, 1) OVER w AS plat, lag(lon, 1) OVER w AS plon, lat, lon
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |steps AS (
+        |  SELECT user_id,
+        |    round((2 * 6371.0 * asin(sqrt(
+        |      pow(sin(radians(lat - plat) / 2), 2) +
+        |      cos(radians(plat)) * cos(radians(lat)) *
+        |      pow(sin(radians(lon - plon) / 2), 2)))) * 1000000) / 1000000 AS step_km
+        |  FROM legs)
+        |SELECT user_id, count(step_km) AS n_legs,
+        |  round(sum(step_km::DECIMAL(25,6))::DOUBLE, 4) AS total_km,
+        |  round(max(step_km), 6) AS max_leg_km
+        |FROM steps GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

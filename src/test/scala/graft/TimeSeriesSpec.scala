@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.TimeSeries
+
+class TimeSeriesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // (key, t, v) — nulls are the gaps to fill
+  private def frame = Seq(
+    ("a", 0L, Some(10.0)), ("a", 10L, None), ("a", 20L, None), ("a", 40L, Some(50.0)),
+    ("a", 50L, None), // trailing gap
+    ("b", 0L, None),  // leading gap
+    ("b", 10L, Some(4.0)),
+    ("c", 0L, None)   // all-null key
+  ).toDF("k", "t", "v")
+
+  test("interpolateLinear: interior gaps are time-weighted, edges clamp to nearest anchor") {
+    val out = frame.withColumn("vi",
+        TimeSeries.interpolateLinear(Seq(col("k")), Seq(col("t")), col("t"), col("v")))
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val expected = Seq(
+      ("a", 0L, Some(10.0)),
+      ("a", 10L, Some(20.0)),  // 10 + (50-10) * 10/40
+      ("a", 20L, Some(30.0)),  // 10 + (50-10) * 20/40
+      ("a", 40L, Some(50.0)),
+      ("a", 50L, Some(50.0)),  // trailing → previous anchor
+      ("b", 0L, Some(4.0)),    // leading → next anchor
+      ("b", 10L, Some(4.0)),
+      ("c", 0L, None)          // nothing to anchor on
+    )
+    assert(out.toSeq === expected)
+  }
+
+  test("forwardFill and backwardFill") {
+    val out = frame
+      .withColumn("ff", TimeSeries.forwardFill(frame, Seq(col("k")), Seq(col("t")), col("v")))
+      .withColumn("bf", TimeSeries.backwardFill(frame, Seq(col("k")), Seq(col("t")), col("v")))
+      .orderBy("k", "t").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val ff = out.map(d(_, 3)).toSeq
+    val bf = out.map(d(_, 4)).toSeq
+    assert(ff === Seq(Some(10.0), Some(10.0), Some(10.0), Some(50.0), Some(50.0), None, Some(4.0), None))
+    assert(bf === Seq(Some(10.0), Some(50.0), Some(50.0), Some(50.0), None, Some(4.0), Some(4.0), None))
+  }
+
+  test("q18 interpolation leaves no nulls when every user has an anchor (sf0.001)") {
+    val out = TimeSeries.q18Interpolate(spark, Sf0001)
+    assert(out.filter(col("sum_interp").isNull).count() === 0)
+  }
+
+  test("q20 cumulative distance is nonnegative and max leg <= total") {
+    TimeSeries.q20CumDistance(spark, Sf0001).collect().foreach { r =>
+      val total = r.getAs[Double]("total_km")
+      val maxLeg = r.getAs[Double]("max_leg_km")
+      assert(total >= 0 && maxLeg <= total + 1e-9, s"user ${r.get(0)}: $maxLeg > $total")
+    }
+  }
+}
