@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, JoinQueries}
+import graft.sim.Similarity
+import graft.text.TextOps
 import graft.ts.TimeSeries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -39,6 +41,13 @@ object SparkEntry {
     "q18_interpolate"       -> (TimeSeries.q18Interpolate(_, _)),
     "q19_rates"             -> (TimeSeries.q19Rates(_, _)),
     "q20_cum_distance"      -> (TimeSeries.q20CumDistance(_, _)),
+    "q21_text_stats"        -> (TextOps.q21TextStats(_, _)),
+    "q22_lang_id"           -> (TextOps.q22LangId(_, _)),
+    "q23_normalized_dedup"  -> (TextOps.q23NormalizedDedup(_, _)),
+    "q24_ngram_jaccard"     -> (TextOps.q24NgramJaccard(_, _)),
+    "q25_minhash_lsh"       -> (TextOps.q25MinhashLsh(_, _)),
+    "q26_cosine_topk"       -> (Similarity.q26CosineTopK(_, _)),
+    "q27_ann_lsh"           -> (Similarity.q27AnnLsh(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +55,6 @@ object SparkEntry {
     * (q15_approx_distinct: HLL sketch values differ engine-to-engine;
     * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle
+    CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
+      TextOps.oracle ++ Similarity.oracle
 }

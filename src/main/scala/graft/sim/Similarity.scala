@@ -1,0 +1,119 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Similarity search over an embedding column (SURVEY builder brief:
+  * ANN as a first-class training-data-pipeline operator).
+  *
+  *   - [[q26CosineTopK]]: brute-force cosine top-k — the exactness baseline.
+  *     The probe side is broadcast; the corpus side streams, so the plan is
+  *     one broadcast-nested-loop + a per-query top-k window. At 100 TB you
+  *     shard the corpus and keep the same plan per shard.
+  *   - [[q27AnnLsh]]: random-hyperplane LSH — 12 deterministic hyperplanes
+  *     (sin-derived, reproducible with no RNG state) bucket the corpus; only
+  *     same-bucket pairs get exact cosine. The bucket join is a hash
+  *     shuffle on the signature, the scale path when N² is unaffordable.
+  *
+  * All dot products are left-fold double `aggregate` expressions in array
+  * order — deterministic, codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in index order, double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** q26: exact top-3 cosine neighbors for each probe vector (vec_id ≤ 50). */
+  def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") <= 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn"), col("cid"), Exprs.dround(col("sim_raw"), 6).as("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane signature: bit p is the sign of
+    * Σ_d e[d]·sin(131·p + 17·d). No RNG state → reproducible across runs,
+    * executors, and engines. `offset` shifts the plane index so independent
+    * hash tables draw disjoint hyperplanes. */
+  def lshSignature(e: Column, planes: Int, offset: Column = lit(0)): Column =
+    aggregate(
+      transform(sequence(offset, offset + lit(planes - 1)), p =>
+        when(aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
+            (x, d) => x.cast("double") * sin(lit(131.0) * p.cast("double") + lit(17.0) * d.cast("double"))),
+          lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, bit) => acc * 2 + bit)
+
+  /** q27: ANN via hyperplane LSH, 4 independent tables × 5 planes
+    * (OR-amplified: candidate if any table's bucket matches) — per-probe
+    * candidate count and recall@3 against the exact q26 neighbours.
+    * Rows-only (bit signatures are engine-specific); spec asserts mean
+    * recall clears a floor. */
+  def q27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = 5; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    // per-table bucket key: table id folded in so buckets never collide
+    // across tables; each table draws its own disjoint hyperplanes
+    val sigs = transform(sequence(lit(0), lit(tables - 1)),
+      t => t * lit(1000L) + lshSignature(col("embedding"), planes, t * lit(planes)))
+    val signed = e.withColumn("sigs", sigs)
+    val exploded = signed.select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
+    val probes = exploded.filter(col("vec_id") <= 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
+    val corpus = exploded.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig").as("csig"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    val annTop = corpus.join(broadcast(probes), col("qsig") === col("csig") && col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qe"), col("ce")).distinct()
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+    val perProbe = annTop.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_candidates"),
+      max(when(col("rn") <= 3, Exprs.dround(col("sim_raw"), 6))).as("best_sim"))
+    val exact = q26CosineTopK(spark, dir)
+      .groupBy(col("qid")).agg(collect_set(col("cid")).as("exact_ids"))
+    val annIds = annTop.filter(col("rn") <= 3)
+      .groupBy(col("qid")).agg(collect_set(col("cid")).as("ann_ids"))
+    exact.join(perProbe, Seq("qid"), "left")
+      .join(annIds, Seq("qid"), "left")
+      .withColumn("recall3",
+        Exprs.dround(size(array_intersect(
+          coalesce(col("ann_ids"), array().cast("array<long>")), col("exact_ids"))) / lit(3.0), 4))
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_sim"), col("recall3"))
+      .orderBy(col("qid"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q26_cosine_topk" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <= 50 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT qid, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs)
+        |SELECT qid, rn, cid, round(sim_raw * 1000000) / 1000000 AS sim
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,228 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Text-analysis and document-dedup operators for large-scale training-data
+  * pipelines: token counting, quality scoring, language-ID heuristic,
+  * normalized exact dedup, n-gram Jaccard near-dup.
+  *
+  * Everything is built from codegen'd collection expressions (split/filter/
+  * transform/aggregate) — no UDFs — so the operators scale with the scan and
+  * survive whole-stage codegen. The n-gram Jaccard join is the explode-join
+  * formulation; at 100 TB you run q25's MinHash/LSH first and feed only
+  * candidate pairs into the exact-Jaccard verifier (same `jaccardPairs` code).
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties dropped (parity with the DuckDB oracle's
+    * list_filter(string_split(...))). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word n-gram shingles (distinct), empty when the doc is shorter than n. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  private val stopwords = Seq("the", "a")
+
+  /** q21: per-source token statistics + composite quality score (reference
+    * quality-score shape Q1 applied to text: length, stopword-, type-token
+    * ratios; per-doc ratios rounded before exact-decimal aggregation). */
+  def q21TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+    val nDistinct = size(array_distinct(t))
+    val ttr = Exprs.dround(nDistinct / nTok.cast("double"), 6)
+    val stopRatio = Exprs.dround(nStop / nTok.cast("double"), 6)
+    val lenScore = least(lit(1.0), nTok / lit(50.0))
+    val quality = Exprs.dround(
+      lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - stopRatio) + lit(0.3) * ttr, 6)
+    d.withColumn("n_tokens", nTok)
+      .withColumn("ttr", ttr)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("quality", quality)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Exprs.dround(sum(col("n_tokens")) / count(lit(1)), 4).as("avg_tokens"),
+        Exprs.dround(Exprs.sumExact(col("ttr"), 6) / count(lit(1)), 6).as("avg_ttr"),
+        Exprs.dround(Exprs.sumExact(col("stop_ratio"), 6) / count(lit(1)), 6).as("avg_stop_ratio"),
+        Exprs.dround(Exprs.sumExact(col("quality"), 6) / count(lit(1)), 6).as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** q22: marker-stopword language-ID heuristic (density CASE ladder) vs the
+    * labeled `lang` — confusion-matrix output. On this synthetic corpus every
+    * language shares one English-ish vocabulary, so the interesting part is
+    * the deterministic heuristic, not the accuracy. */
+  def q22LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val enMarkers = size(filter(t, x => x.isin("the", "a", "of", "and")))
+    val density = enMarkers / nTok.cast("double")
+    val guessed = when(nTok === 0, "unknown")
+      .when(density >= 0.05, "en")
+      .when(density > 0, "en_low_conf")
+      .otherwise("unknown")
+    d.withColumn("guessed", guessed)
+      .groupBy(col("lang"), col("guessed"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("guessed"))
+  }
+
+  /** q23: normalized exact dedup — cluster key is md5 of the sorted token
+    * bag, so docs equal up to word order collapse (reference §2.7 dedup,
+    * generalized to documents). Hash-groupBy: one shuffle on the 128-bit key,
+    * scales to any corpus. */
+  def q23NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val key = md5(concat_ws(" ", array_sort(tokens(col("text")))))
+    val clusters = d.withColumn("k", key)
+      .groupBy(col("source"), col("k")).agg(count(lit(1)).as("sz"))
+    clusters.groupBy(col("source")).agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("n_dups"))
+      .orderBy(col("source"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all candidate pairs (docs sharing at
+    * least one shingle). Returns (doc1, doc2, common, jaccard). */
+  def jaccardPairs(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val sh = toks.select(col("doc_id"), explode(wordShingles(col("t"), n)).as("s"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("c").as("c2")), "d2")
+      .withColumn("jaccard",
+        Exprs.dround(col("common") / (col("c1") + col("c2") - col("common")), 6))
+  }
+
+  /** q24: top-20 most similar doc pairs by word-3-gram Jaccard. */
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(spark, dir), 3)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(20)
+
+  /** MinHash signature: k permutations approximated by seeded xxhash64 of
+    * each shingle; signature[i] = min over shingles. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys: hash of each r-length signature slice. A pair of docs
+    * lands in the same (band, key) bucket iff that band's signature rows all
+    * match — the classic bandwise AND/bucket OR. */
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rows + lit(1), lit(rows))), b))
+
+  /** q25: MinHash+LSH dedup plumbing over documents — 16 minhashes, 4 bands ×
+    * 4 rows; emits per-band bucket stats (buckets, docs, candidate pairs).
+    * Rows-only (seeded xxhash64 is not reproducible in DuckDB SQL); the spec
+    * checks identical docs always collide and the q24 Jaccard top pair is
+    * recalled. At scale this is the pre-filter feeding `jaccardPairs`. */
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sh = wordShingles(tokens(col("text")), 3)
+    val sig = minhashSignature(col("sh"), 16)
+    val bandKeys = lshBandKeys(col("sig"), 4, 4)
+    d.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sig)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        sum(expr("sz * (sz - 1) div 2")).as("n_candidate_pairs"))
+      .orderBy(col("band"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q21_text_stats" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT source, len(toks) AS n_tokens,
+        |    round(len(list_distinct(toks)) / len(toks)::DOUBLE * 1000000) / 1000000 AS ttr,
+        |    round(len(list_filter(toks, x -> x IN ('the', 'a'))) / len(toks)::DOUBLE * 1000000) / 1000000 AS stop_ratio
+        |  FROM t),
+        |scored AS (
+        |  SELECT source, n_tokens, ttr, stop_ratio,
+        |    round((0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - stop_ratio) + 0.3 * ttr) * 1000000) / 1000000 AS quality
+        |  FROM per_doc)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_tokens) AS total_tokens,
+        |  round(sum(n_tokens) / count(*), 4) AS avg_tokens,
+        |  round(sum(ttr::DECIMAL(25,6))::DOUBLE / count(*), 6) AS avg_ttr,
+        |  round(sum(stop_ratio::DECIMAL(25,6))::DOUBLE / count(*), 6) AS avg_stop_ratio,
+        |  round(sum(quality::DECIMAL(25,6))::DOUBLE / count(*), 6) AS avg_quality
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    "q22_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN len(toks) = 0 THEN 'unknown'
+        |         WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and')))
+        |              / len(toks)::DOUBLE >= 0.05 THEN 'en'
+        |         WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) > 0
+        |              THEN 'en_low_conf'
+        |         ELSE 'unknown' END AS guessed
+        |  FROM t)
+        |SELECT lang, guessed, count(*) AS n
+        |FROM g GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin,
+
+    "q23_normalized_dedup" ->
+      """WITH keyed AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_sort(list_filter(string_split(text, ' '), x -> x <> '')), ' ')) AS k
+        |  FROM documents),
+        |clusters AS (
+        |  SELECT source, k, count(*) AS sz FROM keyed GROUP BY source, k)
+        |SELECT source, sum(sz) AS n_docs, count(*) AS n_clusters,
+        |  sum(sz - 1) AS n_dups
+        |FROM clusters GROUP BY source ORDER BY source""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT d1, d2, common,
+        |  round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS jaccard
+        |FROM pairs
+        |JOIN counts c1 ON c1.doc_id = d1
+        |JOIN counts c2 ON c2.doc_id = d2
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 20""".stripMargin,
+  )
+}

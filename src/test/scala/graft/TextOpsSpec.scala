@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens drops empties; wordShingles handles short docs") {
+    val df = Seq((1L, "a b  c"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .withColumn("sh", TextOps.wordShingles(col("t"), 3))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) === Seq("a", "b", "c"))
+    assert(out(0).getSeq[String](2) === Seq("a b c"))
+    assert(out(1).getSeq[String](2) === Seq.empty) // shorter than n
+    assert(out(2).getSeq[String](1) === Seq.empty)
+  }
+
+  test("jaccardPairs: identical docs have jaccard 1, disjoint docs pair not at all") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5"),  // exact dup of 1
+      (3L, "z1 z2 z3 z4 z5")   // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.jaccardPairs(df, 3).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert(p.getAs[Long]("d1") === 1L && p.getAs[Long]("d2") === 2L)
+    assert(p.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhash: identical shingle sets give identical signatures; LSH recalls exact dups") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "q1 q2 q3 q4 q5 q6")
+    ).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"),
+        TextOps.minhashSignature(TextOps.wordShingles(TextOps.tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    assert(sig(1L).length === 16)
+  }
+
+  test("q23 dedup clusters docs equal up to word order") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "gamma beta alpha", "s1"), // same bag of words
+      (3L, "delta epsilon zeta", "s1")
+    ).toDF("doc_id", "text", "source")
+    val key = md5(concat_ws(" ", array_sort(TextOps.tokens(col("text")))))
+    val clusters = df.withColumn("k", key).groupBy("k").count().collect()
+    assert(clusters.length === 2)
+    assert(clusters.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+  }
+}
