@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, JoinQueries}
+import graft.quality.Quality
 import graft.sim.Similarity
 import graft.text.TextOps
 import graft.ts.TimeSeries
@@ -48,6 +49,11 @@ object SparkEntry {
     "q25_minhash_lsh"       -> (TextOps.q25MinhashLsh(_, _)),
     "q26_cosine_topk"       -> (Similarity.q26CosineTopK(_, _)),
     "q27_ann_lsh"           -> (Similarity.q27AnnLsh(_, _)),
+    "q28_quality_score"     -> (Quality.q28QualityScore(_, _)),
+    "q29_quarantine_split"  -> (Quality.q29QuarantineSplit(_, _)),
+    "q30_stuck_detection"   -> (Quality.q30StuckDetection(_, _)),
+    "q31_geofence"          -> (Quality.q31Geofence(_, _)),
+    "q32_teleport"          -> (Quality.q32Teleport(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +62,5 @@ object SparkEntry {
     * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
-      TextOps.oracle ++ Similarity.oracle
+      TextOps.oracle ++ Similarity.oracle ++ Quality.oracle
 }
