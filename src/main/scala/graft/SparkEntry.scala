@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, JoinQueries}
+import graft.flight.Flight
 import graft.quality.Quality
 import graft.sim.Similarity
 import graft.text.TextOps
@@ -54,6 +55,7 @@ object SparkEntry {
     "q30_stuck_detection"   -> (Quality.q30StuckDetection(_, _)),
     "q31_geofence"          -> (Quality.q31Geofence(_, _)),
     "q32_teleport"          -> (Quality.q32Teleport(_, _)),
+    "q33_flight_enrich"     -> (Flight.q33FlightEnrich(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +64,5 @@ object SparkEntry {
     * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
-      TextOps.oracle ++ Similarity.oracle ++ Quality.oracle
+      TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle
 }

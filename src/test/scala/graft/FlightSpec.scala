@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.flight.Flight
+
+class FlightSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // one raw OpenSky-shaped response: 17-element positional states
+  private val rawJson =
+    """{"time": 1704067200, "states": [
+      |["abc123", "UAL123  ", "United States", 1704067190, 1704067195, -87.9, 41.97, 3500.5, false, 250.0, 90.0, 5.2, null, 3600.0, "7700", false, 0],
+      |["def456", null, "Germany", null, 1704067195, null, null, null, true, 0.0, null, null, null, null, null, false, 0],
+      |["", "BAD", "Nowhere", 1, 2, 3, 4, 5, false, 6, 7, 8, null, 9, "0", false, 0],
+      |["short1", "X"]
+      |]}""".stripMargin.replace("\n", " ")
+
+  private lazy val rawDir = {
+    val d = Files.createTempDirectory("flight_raw")
+    Files.writeString(d.resolve("batch1.json"), rawJson)
+    d.toString
+  }
+
+  test("explodeStates: drops short and empty-icao24 states, names 17 fields") {
+    val out = Flight.explodeStates(Flight.readRaw(spark, rawDir))
+    val rows = out.orderBy("icao24").collect()
+    assert(rows.length === 2) // "" icao24 and len-2 state dropped
+    val r = rows.head
+    assert(r.getAs[String]("icao24") === "abc123")
+    assert(r.getAs[Double]("baro_altitude") === 3500.5)
+    assert(r.getAs[Boolean]("on_ground") === false)
+    assert(r.getAs[Int]("position_source") === 0)
+  }
+
+  test("enrich: unit conversions, truthiness nulls, presence flags, airline code") {
+    val out = Flight.enrich(Flight.explodeStates(Flight.readRaw(spark, rawDir)))
+      .orderBy("icao24").collect()
+    val ual = out(0)
+    assert(ual.getAs[Double]("baro_altitude_ft") === math.rint(3500.5 * 3.28084 * 100) / 100)
+    assert(ual.getAs[Double]("velocity_knots") === math.rint(250.0 * 1.94384 * 100) / 100)
+    assert(ual.getAs[String]("callsign_normalized") === "UAL123")
+    assert(ual.getAs[String]("airline_code") === "UAL")
+    assert(ual.getAs[Boolean]("has_position"))
+    assert(ual.getAs[String]("region") === "NORTH_AMERICA")
+    val ground = out(1)
+    // velocity 0.0 → Python-falsy → null knots (reference quirk mirrored)
+    assert(ground.isNullAt(ground.fieldIndex("velocity_knots")))
+    assert(!ground.getAs[Boolean]("has_position"))
+    assert(ground.getAs[String]("region") === "UNKNOWN")
+  }
+
+  // the reference's parameterized flight-phase truth table
+  // (tests/unit/test_data_transformer.py:294 shape)
+  private val phaseCases = Seq(
+    // (alt_ft, speed_kn, climb_fpm, expected)
+    (50.0, 3.0, 0.0, "GROUND"),
+    (50.0, 20.0, 0.0, "TAXI"),
+    (50.0, 100.0, 0.0, "TAKEOFF"),
+    (2000.0, 160.0, 800.0, "TAKEOFF"),   // climbing below 3000
+    (5000.0, 250.0, 800.0, "CLIMB"),
+    (2000.0, 140.0, -400.0, "APPROACH"), // descending below 3000
+    (20000.0, 400.0, -400.0, "DESCENT"),
+    (35000.0, 450.0, 0.0, "CRUISE"),
+    (5000.0, 120.0, 0.0, "APPROACH"),    // slow, mid-altitude
+    (5000.0, 300.0, 0.0, "CRUISE")
+  )
+
+  test("flightPhase truth table") {
+    val df = phaseCases.toDF("alt", "spd", "clm", "expected")
+      .withColumn("phase", Flight.flightPhase(col("alt"), col("spd"), col("clm")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("phase") === r.getAs[String]("expected"),
+        s"alt=${r.getDouble(0)} spd=${r.getDouble(1)} clm=${r.getDouble(2)}")
+    }
+  }
+
+  test("estimatedPhase: on_ground wins; null alt/speed unknown; bands") {
+    val cases = Seq(
+      (true, Some(30000.0), Some(400.0), Some(0.0), "GROUND"),
+      (false, None, Some(400.0), Some(0.0), "UNKNOWN"),
+      (false, Some(500.0), Some(100.0), Some(10.0), "TAKEOFF"),
+      (false, Some(500.0), Some(100.0), Some(-10.0), "LANDING"),
+      (false, Some(30000.0), Some(400.0), Some(0.0), "CRUISE"),
+      (false, Some(10000.0), Some(250.0), Some(800.0), "CLIMB"),
+      (false, Some(10000.0), Some(250.0), Some(0.0), "LEVEL_FLIGHT"))
+    val df = cases.toDF("og", "alt", "spd", "vr", "expected")
+      .withColumn("phase",
+        Flight.estimatedPhase(col("og"), col("alt"), col("spd"), col("vr")))
+    df.collect().foreach { r =>
+      assert(r.getAs[String]("phase") === r.getAs[String]("expected"), r.toString)
+    }
+  }
+
+  test("ingest + writePartitioned round-trip with hour partitions") {
+    val out = Files.createTempDirectory("flight_out").toString
+    Flight.writePartitioned(Flight.ingest(spark, rawDir), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.columns.contains("hour"))
+    assert(back.select("flight_phase").distinct().count() >= 1)
+  }
+}
