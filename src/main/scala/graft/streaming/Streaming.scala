@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference's "streaming" is scheduled micro-batching: a 30 s
+  * EventBridge tick drops one JSON file per batch, S3 events drive per-file
+  * ETL, and late/duplicate data is handled by keyed dedup + timeliness
+  * scoring rather than true watermarks (reference README.md:127-140,
+  * src/lambda/etl/main_etl_processor.py:148-229,
+  * data_transformer.py:109-126). The Spark-native equivalents:
+  *
+  *   - file-drop landing zone → `readStream` file source, one batch per
+  *     trigger (`maxFilesPerTrigger`), `Trigger.ProcessingTime("30 seconds")`
+  *   - (icao24, timestamp) dedup with 5 s tolerance →
+  *     `withWatermark + dropDuplicates` (exactly-once keyed dedup with
+  *     bounded state)
+  *   - hour-bucket aggregations → tumbling `window($"ts", ...)` with the
+  *     watermark bounding state
+  *   - per-aircraft rolling history (stuck detection) →
+  *     `flatMapGroupsWithState` keeping the last k positions per key
+  *
+  * State sizing at scale: dedup state is O(keys in watermark horizon) and
+  * the stuck-detector state is O(k · aircraft) — both bounded, both
+  * partitioned by key, no global state.
+  */
+object Streaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Landing-zone file source: one JSON file ≈ one micro-batch. */
+  def readEventStream(spark: SparkSession, landingDir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(landingDir)
+
+  /** Keyed dedup with event-time watermark (reference 5 s-tolerance dedup on
+    * (icao24, timestamp) — data_transformer.py:109-114). */
+  def dedup(events: DataFrame, watermark: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(Seq("user_id", "ts"))
+
+  /** Tumbling-window aggregation (the reference's hour-bucket GROUP BYs as a
+    * real event-time window; watermark bounds the state). */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Obs(userId: Long, tsMs: Long, value: Double)
+  case class StuckEvent(userId: Long, tsMs: Long, nObs: Int, spread: Double)
+
+  /** Stateful per-key rolling history: keep the last `k` observations per
+    * key; emit an event whenever all of them lie within `maxSpread` of each
+    * other (the stuck-aircraft shape, reference anomaly_detector.py:466-520,
+    * per-aircraft in-memory histories :656-677). Uses ProcessingTimeTimeout
+    * state with a bounded buffer — O(k) per key. */
+  def stuckDetector(obs: Dataset[Obs], k: Int = 3, maxSpread: Double = 5.0)
+                   (implicit spark: SparkSession): Dataset[StuckEvent] = {
+    import spark.implicits._
+    obs.groupByKey(_.userId)
+      .flatMapGroupsWithState[List[Obs], StuckEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[List[Obs]]) =>
+          var hist = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[StuckEvent]()
+          rows.toSeq.sortBy(_.tsMs).foreach { o =>
+            hist = (hist :+ o).takeRight(k)
+            if (hist.size == k) {
+              val vs = hist.map(_.value)
+              val spread = vs.max - vs.min
+              if (spread <= maxSpread)
+                out += StuckEvent(userId, o.tsMs, k, spread)
+            }
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
+  /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
+    * template year=/month=/day=/hour=), with the batch id available for
+    * idempotent side channels. */
+  def writePartitioned(events: DataFrame, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("year", year(col("ts")))
+          .withColumn("month", month(col("ts")))
+          .withColumn("day", dayofmonth(col("ts")))
+          .withColumn("hour", hour(col("ts")))
+          .write.mode("append")
+          .partitionBy("year", "month", "day", "hour")
+          .parquet(outDir)
+      }
+      .start()
+}

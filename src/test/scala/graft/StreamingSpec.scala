@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Obs, StuckEvent}
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("dedup drops duplicate (user_id, ts) pairs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedup(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // dup key
+      Ev(3, ts("2024-01-01 10:00:05"), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, ts("2024-01-01 10:00:00"), 1, "click", 9.9)) // dup again, later batch
+    q.processAllAvailable()
+    val n = spark.sql("select count(*) from dedup_out").head().getLong(0)
+    q.stop()
+    assert(n === 2)
+  }
+
+  test("tumblingCounts aggregates into event-time windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(in.toDF(), width = "1 hour")
+      .writeStream.format("memory").queryName("windows_out")
+      .outputMode("complete").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Ev(3, ts("2024-01-01 11:05:00"), 3, "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select window_start, n, sum_value from windows_out order by window_start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(1) === 2 && rows(0).getDouble(2) === 3.0)
+    assert(rows(1).getLong(1) === 1 && rows(1).getDouble(2) === 4.0)
+  }
+
+  test("stuckDetector emits when the last k observations stay within the spread") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Obs]
+    val q = Streaming.stuckDetector(in.toDS(), k = 3, maxSpread = 5.0)
+      .writeStream.format("memory").queryName("stuck_out")
+      .outputMode("append").start()
+    in.addData(
+      Obs(1, 1000, 10.0), Obs(1, 2000, 11.0), Obs(1, 3000, 12.0),  // stuck (spread 2)
+      Obs(2, 1000, 10.0), Obs(2, 2000, 80.0), Obs(2, 3000, 12.0))  // moving
+    q.processAllAvailable()
+    // state persists across batches: one more close obs keeps user 1 stuck
+    in.addData(Obs(1, 4000, 12.5))
+    q.processAllAvailable()
+    val rows = spark.sql("select userId, tsMs from stuck_out order by tsMs").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 1L))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(3000L, 4000L))
+  }
+
+  test("writePartitioned lands hour-partitioned parquet via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Files.createTempDirectory("stream_out").toString
+    val chk = Files.createTempDirectory("stream_chk").toString
+    val q = Streaming.writePartitioned(in.toDF(), out, chk)
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:05:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() === 2)
+    assert(back.select("hour").distinct().count() === 2)
+  }
+}
