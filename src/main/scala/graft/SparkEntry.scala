@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, JoinQueries}
 import graft.flight.Flight
+import graft.multimodal.Multimodal
 import graft.quality.Quality
 import graft.sim.Similarity
 import graft.text.TextOps
@@ -56,6 +57,7 @@ object SparkEntry {
     "q31_geofence"          -> (Quality.q31Geofence(_, _)),
     "q32_teleport"          -> (Quality.q32Teleport(_, _)),
     "q33_flight_enrich"     -> (Flight.q33FlightEnrich(_, _)),
+    "q34_multimodal_stats"  -> (Multimodal.q34MultimodalStats(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +66,6 @@ object SparkEntry {
     * its spec asserts ≤5% relative error instead). */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
-      TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle
+      TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
+      Multimodal.oracle
 }

@@ -1,0 +1,115 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Multimodal columns: image/audio/video as opaque `binary` content plus a
+  * typed metadata struct, with decode / feature-extract / frame-sample
+  * plumbing (builder brief: the media codecs are not in this container, so
+  * the decode kernel is a clearly-marked deterministic stub — the Spark-side
+  * schema, batch shape, and partitioning behavior are real and tested).
+  *
+  * Layout decisions that matter at 100 TB:
+  *   - content is a single `binary` column → parquet keeps it out of the way
+  *     of metadata-only scans (column pruning skips the blobs entirely);
+  *     metadata predicates push down to row-group stats.
+  *   - decode runs via `mapPartitions` on a typed Dataset — one JVM-side
+  *     batch per partition, no shuffle (the plan keeps the upstream
+  *     partitioning), mirroring a `mapInPandas` batch shape.
+  *   - frame sampling is an `explode` of a lazily-generated index sequence —
+  *     fan-out happens after partition-local filtering, never before.
+  */
+object Multimodal {
+
+  case class MediaMeta(width: Int, height: Int, durationMs: Int, codec: String)
+  case class MediaRecord(mediaId: Long, kind: String, content: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
+                           contentHash: String, brightness: Double)
+
+  /** Deterministic media table derived from documents (content = utf8 text
+    * bytes) — stands in for a real blob store at test scale. */
+  def synthesize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        (col("n_chars") % 1920).cast("int").as("width"),
+        (col("n_chars") % 1080).cast("int").as("height"),
+        (col("n_chars") * 40).cast("int").as("durationMs"),
+        lit("stub").as("codec")).as("meta"))
+
+  /** STUB decode kernel — stands in for an image/audio decoder (no codec
+    * libs in this container). Deterministic: features derive only from the
+    * bytes. A real implementation swaps the body, keeping the signature
+    * (Iterator-to-Iterator, partition-local, zero shuffle). */
+  def decodeStub(content: Array[Byte]): (String, Double) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hash = md.digest(content).map("%02x".format(_)).mkString
+    // "brightness": mean unsigned byte value — a stand-in for a decoded-pixel stat
+    val brightness = if (content.isEmpty) 0.0
+      else content.map(b => (b & 0xff).toDouble).sum / content.length
+    (hash, brightness)
+  }
+
+  /** Feature extraction over the media table: typed mapPartitions with an
+    * Iterator→Iterator body (the mapInPandas batch shape). The partition
+    * count and ordering of the input are preserved — `.explain` shows no
+    * Exchange between the scan and this operator. */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id").as("mediaId"), col("kind"), col("content"), col("meta"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val (hash, brightness) = decodeStub(r.content)
+          MediaFeatures(r.mediaId, r.kind, r.content.length, hash,
+            math.rint(brightness * 10000) / 10000)
+        }
+      }
+  }
+
+  /** Frame-sample plumbing: one output row per sampled frame index
+    * (every `everyMs` of the metadata duration), content untouched. */
+  def frameSample(media: DataFrame, everyMs: Int): DataFrame =
+    media.withColumn("frame_ms",
+        explode(sequence(lit(0), greatest(col("meta.durationMs") - 1, lit(0)), lit(everyMs))))
+      .select(col("media_id"), col("kind"), col("frame_ms"))
+
+  /** q34: metadata + content stats per kind. The aggregation path uses pure
+    * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
+    * asserts the mapPartitions decode path agrees with it row-for-row. */
+  def q34MultimodalStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = synthesize(spark, dir)
+    m.withColumn("n_bytes", octet_length(col("content")))
+      .withColumn("content_hash", md5(col("content")))
+      .groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("content_hash")).as("n_distinct"),
+        Exprs.dround(avg(col("meta.width").cast("double")), 4).as("avg_width"),
+        max(col("meta.durationMs")).as("max_duration_ms"))
+      .orderBy(col("kind"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q34_multimodal_stats" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    text AS content,  -- blob = utf8(text); DuckDB md5/octet_length read the same bytes via VARCHAR
+        |    (n_chars % 1920)::INT AS width,
+        |    (n_chars * 40)::INT AS duration_ms
+        |  FROM documents)
+        |SELECT kind, count(*) AS n_media,
+        |  sum(octet_length(encode(content))) AS total_bytes,
+        |  count(DISTINCT md5(content)) AS n_distinct,
+        |  round(avg(width::DOUBLE), 4) AS avg_width,
+        |  max(duration_ms) AS max_duration_ms
+        |FROM media GROUP BY kind ORDER BY kind""".stripMargin,
+  )
+}
