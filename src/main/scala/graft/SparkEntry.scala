@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CoreQueries, JoinQueries}
+import graft.analytics.{CoreQueries, Dashboard, JoinQueries}
 import graft.flight.Flight
 import graft.multimodal.Multimodal
 import graft.quality.Quality
@@ -58,6 +58,10 @@ object SparkEntry {
     "q32_teleport"          -> (Quality.q32Teleport(_, _)),
     "q33_flight_enrich"     -> (Flight.q33FlightEnrich(_, _)),
     "q34_multimodal_stats"  -> (Multimodal.q34MultimodalStats(_, _)),
+    "q35_dashboard_stats"   -> (Dashboard.q35DashboardStats(_, _)),
+    "q36_imputation_values" -> (Dashboard.q36ImputationValues(_, _)),
+    "q37_fingerprints"      -> (TextOps.q37Fingerprints(_, _)),
+    "q38_embedding_dedup"   -> (Similarity.q38EmbeddingDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,5 +71,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
-      Multimodal.oracle
+      Multimodal.oracle ++ Dashboard.oracle
 }

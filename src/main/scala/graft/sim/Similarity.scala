@@ -100,7 +100,40 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q38: embedding-cosine near-dup dedup, keep-first semantics — a vector
+    * is a duplicate iff an earlier (lower-id) vector is within cosine ≥ 0.4.
+    * Output: per-label dedup accounting. The pairwise stage is the N² scan
+    * at test scale; at 100 TB the q27 LSH buckets pre-filter the pairs and
+    * this marking logic is unchanged. */
+  def q38EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("label"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val dupIds = a.join(b, col("j") < col("i"))
+      .filter(cosine(col("ea"), col("eb")) >= 0.4)
+      .select(col("i")).distinct()
+    a.join(dupIds.withColumn("is_dup", lit(true)), Seq("i"), "left")
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("is_dup"), 1)).as("n_dups"))
+      .orderBy(col("label"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q38_embedding_dedup" ->
+      """WITH dup_ids AS (
+        |  SELECT DISTINCT a.vec_id AS i
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.4),
+        |marked AS (
+        |  SELECT e.vec_id, e.label, (d.i IS NOT NULL) AS is_dup
+        |  FROM embeddings e LEFT JOIN dup_ids d ON e.vec_id = d.i)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN is_dup THEN 1 END) AS n_dups
+        |FROM marked GROUP BY label ORDER BY label""".stripMargin,
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

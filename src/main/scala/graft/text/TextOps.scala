@@ -23,12 +23,16 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Word n-gram shingles in document order; empty when shorter than n. */
+  def wordShinglesOrdered(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingles (distinct), empty when the doc is shorter than n. */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(wordShinglesOrdered(toks, n))
 
   private val stopwords = Seq("the", "a")
 
@@ -153,6 +157,52 @@ object TextOps {
         sum(col("sz")).as("n_docs"),
         sum(expr("sz * (sz - 1) div 2")).as("n_candidate_pairs"))
       .orderBy(col("band"))
+  }
+
+  /** 64-bit SimHash over tokens: bit j is the sign of Σ_tokens ±1 weighted
+    * by bit j of the token's hash. Near-identical docs land within a small
+    * Hamming distance (`bit_count(a ^ b)`). Built from 64 independent bit
+    * expressions with literal shift amounts — pure codegen, no UDF. */
+  def simhash64(toks: Column): Column = {
+    val hs = transform(toks, t => xxhash64(t))
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hs, lit(0),
+        (a, h) => a + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum >= 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _) // disjoint powers of two: addition == bitwise OR
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Winnowing document fingerprints (rolling k-gram hashes, min per
+    * w-window, distinct): robust selection of representative hashes — the
+    * local-min guarantee means any shared substring of length ≥ w+k-1
+    * contributes at least one shared fingerprint. */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column = {
+    val hs = transform(wordShinglesOrdered(toks, k), s => xxhash64(s))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(0), size(hs) - w),
+        i => array_min(slice(hs, i + lit(1), lit(w))))))
+      .when(size(hs) > 0, array(array_min(hs)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** q37: per-source fingerprint stats — winnowing fingerprints (k=3, w=4)
+    * + SimHash. Rows-only (seeded hashes are engine-specific); the spec
+    * asserts near-dup docs share fingerprints and sit at small Hamming
+    * distance while unrelated docs do not. */
+  def q37Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val fps = d
+      .withColumn("fps", winnowFingerprints(t, 3, 4))
+      .withColumn("simhash", simhash64(t))
+    fps.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        Exprs.dround(avg(size(col("fps"))), 4).as("avg_fps"),
+        countDistinct(col("simhash")).as("n_distinct_simhash"))
+      .orderBy(col("source"))
   }
 
   val oracle: Map[String, String] = Map(

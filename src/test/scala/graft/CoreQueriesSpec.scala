@@ -17,7 +17,8 @@ class CoreQueriesSpec extends SparkSpecBase {
 
   test("every queries entry has an oracle or is explicitly rows-only") {
     // ops that are genuinely not DuckDB-reproducible (sketches, seeded hashing)
-    val rowsOnly = Set("q15_approx_distinct", "q25_minhash_lsh", "q27_ann_lsh")
+    val rowsOnly = Set("q15_approx_distinct", "q25_minhash_lsh", "q27_ann_lsh",
+      "q37_fingerprints")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

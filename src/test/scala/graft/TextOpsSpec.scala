@@ -44,6 +44,31 @@ class TextOpsSpec extends SparkSpecBase {
     assert(sig(1L).length === 16)
   }
 
+  test("simhash: near-dup docs sit close in Hamming space, unrelated docs far") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val nearDup = base.replace("gamma", "gomma")
+    val unrelated = "one two three four five six seven eight nine ten " * 5
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val h = df.select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 12, s"near-dup hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 12, s"unrelated hamming ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+  }
+
+  test("winnowing: near-dup docs share fingerprints, identical docs share all") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val nearDup = base.replace("theta", "thete")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup)).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        TextOps.winnowFingerprints(TextOps.tokens(col("text")), 3, 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) === fp(2L))
+    val overlap = fp(1L).intersect(fp(3L)).size.toDouble / fp(1L).size
+    assert(overlap >= 0.3, s"near-dup fingerprint overlap $overlap")
+  }
+
   test("q23 dedup clusters docs equal up to word order") {
     val df = Seq(
       (1L, "alpha beta gamma", "s1"),
