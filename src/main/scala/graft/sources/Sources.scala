@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Tables
+
+/** Source/sink utilities (SURVEY.md §2.1 S3/S6/S7/S8, §2.2 P3).
+  *
+  * Partition-layout contract: fact data lands hour-partitioned
+  * (`year=/month=/day=/hour=`), so "newest partition" resolution and
+  * dashboard snapshots never scan history — partition pruning keeps the
+  * read proportional to one hour of data regardless of total size. */
+object Sources {
+
+  /** S6: single-file "latest" snapshot for the dashboard — overwrite-in-place
+    * (the reference's latest.json side output). */
+  def writeLatestSnapshot(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** S8: read only the newest hour partition of a partitioned dataset.
+    * The max-partition probe aggregates partition columns only (no data
+    * columns → Parquet reads nothing but metadata/dictionary pages), then
+    * the main read prunes to that single partition. */
+  def readNewestPartition(spark: SparkSession, rootDir: String): DataFrame = {
+    val all = spark.read.parquet(rootDir)
+    val newest = all
+      .select(struct(col("year"), col("month"), col("day"), col("hour")).as("p"))
+      .agg(max(col("p")).as("p"))
+      .head().getStruct(0)
+    all.filter(
+      col("year") === newest.getInt(0) && col("month") === newest.getInt(1) &&
+      col("day") === newest.getInt(2) && col("hour") === newest.getInt(3))
+  }
+
+  /** S3: sample-based schema inference mirroring the converter's
+    * infer_schema_sample_size (reference optimized_converter.py:417-466) —
+    * infer on a bounded sample, then apply the frozen schema to the full
+    * read so one bad late file cannot flip column types mid-stream.
+    * `sampleRatio` defaults to full-read; drop it to ~0.001 at scale where
+    * sampling a fraction of files is the point. */
+  def inferSchemaFromSample(spark: SparkSession, jsonPath: String,
+                            sampleRatio: Double = 1.0): StructType =
+    spark.read
+      .option("samplingRatio", sampleRatio)
+      .json(jsonPath)
+      .schema
+
+  /** S7 + P3: register all test tables as temp views plus the reference's
+    * column-pruned convenience views (07:57-70 efficient_flight_overview
+    * shape) — pruned projections that keep dashboard scans narrow. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(n => Tables.table(spark, dir, n).createOrReplaceTempView(n))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    // column-pruned views: only what the dashboard reads
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW efficient_event_overview AS
+        |SELECT event_id, ts, event_type, value FROM events""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW high_value_events AS
+        |SELECT event_id, ts, user_id, value FROM events WHERE value > 90""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW recent_orders AS
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 7 DAYS FROM orders)""".stripMargin)
+  }
+}

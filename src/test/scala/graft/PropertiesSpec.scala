@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.Exprs
+import graft.quality.Quality
+import graft.ts.TimeSeries
+
+/** Property tests (SURVEY §5 plan): ScalaCheck generates the sample sets,
+  * one DataFrame per property evaluates the column expressions in bulk. */
+class PropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val latGen = Gen.choose(-89.9, 89.9)
+  private val lonGen = Gen.choose(-180.0, 180.0)
+  private val pointPairGen = for {
+    a <- latGen; b <- lonGen; c <- latGen; d <- lonGen
+  } yield (a, b, c, d)
+
+  test("haversine: symmetric, nonnegative, bounded by half circumference") {
+    val df = samples(pointPairGen).toDF("lat1", "lon1", "lat2", "lon2")
+      .withColumn("ab", Exprs.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .withColumn("ba", Exprs.haversineKm(col("lat2"), col("lon2"), col("lat1"), col("lon1")))
+    df.collect().foreach { r =>
+      val (ab, ba) = (r.getAs[Double]("ab"), r.getAs[Double]("ba"))
+      assert(math.abs(ab - ba) < 1e-9)
+      assert(ab >= 0.0 && ab <= math.Pi * Exprs.EarthRadiusKm + 1e-6)
+    }
+  }
+
+  test("haversine agrees with equirectangular for nearby points") {
+    val nearGen = for {
+      lat <- Gen.choose(-60.0, 60.0); lon <- Gen.choose(-170.0, 170.0)
+      dlat <- Gen.choose(-0.05, 0.05); dlon <- Gen.choose(-0.05, 0.05)
+    } yield (lat, lon, lat + dlat, lon + dlon)
+    val df = samples(nearGen).toDF("lat1", "lon1", "lat2", "lon2")
+      .withColumn("hv", Exprs.haversineMi(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .withColumn("eq", Exprs.equirectMi(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+    df.collect().foreach { r =>
+      val (hv, eq) = (r.getAs[Double]("hv"), r.getAs[Double]("eq"))
+      assert(math.abs(hv - eq) <= math.max(0.15, hv * 0.05), s"hv=$hv eq=$eq")
+    }
+  }
+
+  test("quality score always lands in [0,1] with a consistent grade") {
+    val rowGen = for {
+      uid <- Gen.option(Gen.choose(-5L, 100L))
+      v <- Gen.option(Gen.choose(-100.0, 1500.0))
+      et <- Gen.oneOf("click", "view", "purchase", "signup", "error", "bogus")
+      props <- Gen.oneOf("""{"k": 1}""", "not-json", null)
+      ageS <- Gen.choose(0L, 100000L)
+    } yield (1L, (Quality.RefNowEpoch - ageS) * 1000000000L,
+      uid.map(Long.box).orNull, et, v.map(Double.box).orNull, props)
+    val df = samples(rowGen).toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    val scoredDf = Quality.scoreColumns().foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    scoredDf.collect().foreach { r =>
+      val s = r.getAs[Double]("quality_score")
+      assert(s >= 0.0 && s <= 1.0, s"score $s out of range")
+      val g = r.getAs[String]("grade")
+      val expected = if (s >= 0.95) "A" else if (s >= 0.85) "B"
+        else if (s >= 0.70) "C" else if (s >= 0.50) "D" else "F"
+      assert(g === expected)
+    }
+  }
+
+  test("dround is idempotent and matches BigDecimal half-up at scale 4") {
+    val df = samples(Gen.choose(-10000.0, 10000.0), 500).toDF("x")
+      .withColumn("r1", Exprs.dround(col("x"), 4))
+      .withColumn("r2", Exprs.dround(Exprs.dround(col("x"), 4), 4))
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("r1") === r.getAs[Double]("r2"))
+    }
+  }
+
+  test("interpolation preserves anchors and stays within anchor bounds") {
+    val seriesGen = for {
+      vs <- Gen.listOfN(12, Gen.option(Gen.choose(0.0, 100.0)))
+    } yield vs
+    val series = samples(seriesGen, 60).zipWithIndex.flatMap { case (vs, key) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        (key.toLong, i.toLong, v.map(Double.box).orNull)
+      }
+    }
+    val df = series.toDF("k", "t", "v")
+      .withColumn("vi", TimeSeries.interpolateLinear(Seq(col("k")), Seq(col("t")), col("t"), col("v")))
+    df.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val anchors = rows.filter(!_.isNullAt(2)).map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      if (anchors.nonEmpty) {
+        val (lo, hi) = (anchors.values.min, anchors.values.max)
+        rows.foreach { r =>
+          val vi = r.getAs[Double]("vi")
+          anchors.get(r.getLong(1)).foreach(a => assert(vi === a, "anchor changed"))
+          assert(vi >= lo - 1e-9 && vi <= hi + 1e-9, "interpolant outside anchor bounds")
+        }
+      } else rows.foreach(r => assert(r.isNullAt(3)))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val partedDir = {
+    val d = Files.createTempDirectory("parted").toString + "/data"
+    Seq(
+      (1L, 2024, 1, 1, 10, "old"),
+      (2L, 2024, 1, 1, 11, "old"),
+      (3L, 2024, 1, 2, 9, "newest"),
+      (4L, 2024, 1, 2, 9, "newest"))
+      .toDF("id", "year", "month", "day", "hour", "tag")
+      .write.partitionBy("year", "month", "day", "hour").parquet(d)
+    d
+  }
+
+  test("readNewestPartition reads only the max (y,m,d,h) partition") {
+    val out = Sources.readNewestPartition(spark, partedDir)
+    val rows = out.collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getAs[String]("tag") === "newest"))
+    // partition pruning visible in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition filters in scan")
+  }
+
+  test("writeLatestSnapshot produces exactly one data file, overwrite-safe") {
+    val d = Files.createTempDirectory("latest").toString + "/latest"
+    Sources.writeLatestSnapshot(Seq((1, "a"), (2, "b")).toDF("id", "v"), d)
+    Sources.writeLatestSnapshot(Seq((3, "c")).toDF("id", "v"), d)
+    val files = new java.io.File(d).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length === 1)
+    assert(spark.read.json(d).count() === 1) // second write replaced the first
+  }
+
+  test("inferSchemaFromSample freezes a schema from a bounded sample") {
+    val d = Files.createTempDirectory("infer").toString
+    Files.writeString(java.nio.file.Path.of(d, "a.json"),
+      """{"x": 1, "y": "s"}""" + "\n" + """{"x": 2, "y": "t"}""")
+    val schema = Sources.inferSchemaFromSample(spark, d)
+    assert(schema.fieldNames.toSet === Set("x", "y"))
+  }
+
+  test("registerViews exposes tables and pruned views; pruned view reads narrow schema") {
+    Sources.registerViews(spark, Sf0001)
+    assert(spark.catalog.tableExists("efficient_event_overview"))
+    val plan = spark.sql("SELECT event_type, count(*) FROM efficient_event_overview GROUP BY 1")
+      .queryExecution.executedPlan.toString
+    // scan must not read user_id/props — the view prunes to 4 columns and
+    // the aggregation to fewer still
+    assert(!plan.contains("user_id") && !plan.contains("props"), plan)
+    assert(spark.sql("SELECT * FROM recent_orders").count() > 0)
+  }
+}
