@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.analytics.{CoreQueries, Dashboard, JoinQueries}
 import graft.flight.Flight
 import graft.multimodal.Multimodal
-import graft.quality.Quality
+import graft.quality.{BatchChecks, Quality}
 import graft.sim.Similarity
 import graft.text.TextOps
 import graft.ts.TimeSeries
@@ -62,6 +62,9 @@ object SparkEntry {
     "q36_imputation_values" -> (Dashboard.q36ImputationValues(_, _)),
     "q37_fingerprints"      -> (TextOps.q37Fingerprints(_, _)),
     "q38_embedding_dedup"   -> (Similarity.q38EmbeddingDedup(_, _)),
+    "q39_peak_hours"        -> (BatchChecks.q39PeakHours(_, _)),
+    "q40_iqr_outliers"      -> (BatchChecks.q40IqrOutliers(_, _)),
+    "q41_batch_check_suite" -> (BatchChecks.q41BatchCheckSuite(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +74,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
-      Multimodal.oracle ++ Dashboard.oracle
+      Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle
 }

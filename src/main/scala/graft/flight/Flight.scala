@@ -159,6 +159,10 @@ object Flight {
     df.withColumn("year", year(ts)).withColumn("month", month(ts))
       .withColumn("day", dayofmonth(ts)).withColumn("hour", hour(ts))
       .write.mode("append")
+      // S4 writer layout (reference 03:112-116): snappy + dictionary encoding,
+      // 128 MB row groups so one group ≈ one task read at scale
+      .option("compression", "snappy")
+      .option("parquet.block.size", (128 * 1024 * 1024).toString)
       .partitionBy("year", "month", "day", "hour")
       .parquet(outDir)
   }

@@ -141,16 +141,23 @@ object TextOps {
     * 4 rows; emits per-band bucket stats (buckets, docs, candidate pairs).
     * Rows-only (seeded xxhash64 is not reproducible in DuckDB SQL); the spec
     * checks identical docs always collide and the q24 Jaccard top pair is
-    * recalled. At scale this is the pre-filter feeding `jaccardPairs`. */
+    * recalled. At scale this is the pre-filter feeding `jaccardPairs`.
+    *
+    * Shape: explode shingles → one hash-aggregate computing all 16 minima —
+    * fully codegen'd and linear. (The array-HOF formulation
+    * ([[minhashSignature]]) is kept for per-row use, but nested lambdas are
+    * interpreted and Catalyst's projection collapse re-inlines the shingle
+    * construction into every one of the 16×4 references: 60× slower at
+    * sf0.1.) */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val sh = wordShingles(tokens(col("text")), 3)
-    val sig = minhashSignature(col("sh"), 16)
-    val bandKeys = lshBandKeys(col("sig"), 4, 4)
-    d.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", sig)
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val sh = d.select(col("doc_id"),
+      explode(wordShingles(tokens(col("text")), 3)).as("s"))
+    val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bandKeys = (0 until 4).map(b =>
+      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*), lit(b)))
+    sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
       .groupBy(col("band"), col("key")).agg(count(lit(1)).as("sz"))
       .groupBy(col("band")).agg(
         count(lit(1)).as("n_buckets"),

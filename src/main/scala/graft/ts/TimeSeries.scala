@@ -36,6 +36,16 @@ object TimeSeries {
 
   // ── Public reusable per-key operators (call these on your own data) ──
 
+  /** §2.7 dedup strategies (reference data_transformer.py:109-126,612-659):
+    * keep exactly one row per key, chosen by `order` — ascending order is
+    * keep-first, a desc timestamp is keep-last, a desc quality score is
+    * keep-best. One shuffle on the key columns. */
+  def dedupKeep(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Forward-fill `valueCol` within each key, ordered by `ord`. */
   def forwardFill(df: DataFrame, key: Seq[Column], ord: Seq[Column],
                   valueCol: Column): Column = {

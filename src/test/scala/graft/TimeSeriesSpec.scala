@@ -45,6 +45,19 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(bf === Seq(Some(10.0), Some(50.0), Some(50.0), Some(50.0), None, Some(4.0), Some(4.0), None))
   }
 
+  test("dedupKeep strategies: first, last, best") {
+    val df = Seq(
+      ("k1", 1L, 5.0), ("k1", 2L, 9.0), ("k1", 3L, 7.0),
+      ("k2", 1L, 2.0)
+    ).toDF("k", "t", "q")
+    def ids(order: Seq[org.apache.spark.sql.Column]) =
+      TimeSeries.dedupKeep(df, Seq(col("k")), order)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ids(Seq(col("t"))) === Seq(("k1", 1L), ("k2", 1L)))            // keep-first
+    assert(ids(Seq(col("t").desc)) === Seq(("k1", 3L), ("k2", 1L)))       // keep-last
+    assert(ids(Seq(col("q").desc, col("t"))) === Seq(("k1", 2L), ("k2", 1L))) // keep-best
+  }
+
   test("q18 interpolation leaves no nulls when every user has an anchor (sf0.001)") {
     val out = TimeSeries.q18Interpolate(spark, Sf0001)
     assert(out.filter(col("sum_interp").isNull).count() === 0)
