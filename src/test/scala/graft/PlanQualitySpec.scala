@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{CoreQueries, JoinQueries}
+
+/** Plan-shape regression guards: the optimizations the engine relies on at
+  * scale must be visible in the physical plan at any SF. */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter on a scanned column reaches the parquet scan (PushedFilters)") {
+    val p = plan(Tables.events(spark, Sf001).filter(col("value") > 90)
+      .select("event_id", "value"))
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,90.0)]"), p)
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val p = plan(Tables.lineitem(spark, Sf001).select("l_orderkey", "l_quantity"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("q02 percent-of-total uses a broadcast 1-row aggregate, not a global window") {
+    val p = plan(CoreQueries.q02BandDistribution(spark, Sf001))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("WindowExec"), "q02 must not contain any window")
+  }
+
+  test("q07 dimension joins broadcast nation/region") {
+    val p = plan(JoinQueries.q07SegmentPerformance(spark, Sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected >=2 broadcast hash joins:\n$p")
+  }
+
+  test("q08 range join broadcasts the small side (nested loop, not cartesian shuffle)") {
+    val p = plan(JoinQueries.q08NearestMatch(spark, Sf001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("per-key window queries partition by key (no single-partition window over facts)") {
+    val p = plan(graft.ts.TimeSeries.q18Interpolate(spark, Sf001))
+    assert(p.contains("Window") && p.contains("partitionBy") ||
+      !p.contains("Window [") || p.contains("user_id"), p)
+    // the window spec must carry the user_id partition key
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")) || p.contains("user_id"))
+  }
+
+  test("whole-stage codegen covers the quality scoring projection") {
+    val df = graft.quality.Quality.q28QualityScore(spark, Sf001)
+    df.collect() // AQE only finalizes (and annotates codegen) after execution
+    val p = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages print as "*(n) Operator" in the simple plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+}
