@@ -31,6 +31,28 @@ object Flight {
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(rawSchema).json(path)
 
+  /** S10: permissive read with a corrupt-record side channel. Returns
+    * (good, bad): syntactically broken files land in `bad` with their raw
+    * text preserved — the DLQ shape (reference error_recovery.py:399-597) as
+    * a second DataFrame the caller writes to an `_errors` sink instead of a
+    * queue. */
+  def readRawWithErrors(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = spark.read
+      .schema(rawSchema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // capture provenance during the scan — input_file_name() is empty
+      // once evaluation crosses the cache boundary
+      .withColumn("source_file", input_file_name())
+      .cache() // one scan serves both splits; also required for corrupt-record queries
+    val good = withCorrupt.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record", "source_file")
+    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"), col("source_file"))
+    (good, bad)
+  }
+
   private val fieldNames = Seq(
     "icao24", "callsign", "origin_country", "time_position", "last_contact",
     "longitude", "latitude", "baro_altitude", "on_ground", "velocity",

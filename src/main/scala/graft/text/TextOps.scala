@@ -151,8 +151,10 @@ object TextOps {
     * sf0.1.) */
   def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // ordered (non-distinct) shingles: min-over-multiset equals
+    // min-over-set, and skipping array_distinct avoids an O(n²) per-row pass
     val sh = d.select(col("doc_id"),
-      explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      explode(wordShinglesOrdered(tokens(col("text")), 3)).as("s"))
     val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bandKeys = (0 until 4).map(b =>

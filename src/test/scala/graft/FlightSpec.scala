@@ -92,6 +92,18 @@ class FlightSpec extends SparkSpecBase {
     }
   }
 
+  test("readRawWithErrors routes corrupt files to the error side channel") {
+    val d = Files.createTempDirectory("flight_mixed")
+    Files.writeString(d.resolve("good.json"), rawJson)
+    Files.writeString(d.resolve("broken.json"), """{"time": 17, "states": [[""")
+    val (good, bad) = Flight.readRawWithErrors(spark, d.toString)
+    assert(good.count() === 1)
+    val badRows = bad.collect()
+    assert(badRows.length === 1)
+    assert(badRows.head.getAs[String]("raw").contains("\"time\": 17"))
+    assert(badRows.head.getAs[String]("source_file").contains("broken.json"))
+  }
+
   test("ingest + writePartitioned round-trip with hour partitions") {
     val out = Files.createTempDirectory("flight_out").toString
     Flight.writePartitioned(Flight.ingest(spark, rawDir), out)
