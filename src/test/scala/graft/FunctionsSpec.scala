@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GeoMath, GraftFunctions}
+import graft.ops.Exprs
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("haversine_km SQL function registers and evaluates") {
+    GraftFunctions.register(spark)
+    val d = spark.sql("SELECT haversine_km(0.0, 0.0, 0.0, 1.0) AS d").head().getDouble(0)
+    assert(math.abs(d - 111.19) < 0.1, s"1 degree at equator ≈ 111.19 km, got $d")
+    // null propagation
+    assert(spark.sql("SELECT haversine_km(NULL, 0.0, 0.0, 1.0) AS d").head().isNullAt(0))
+  }
+
+  test("native expression agrees with the composed column tree") {
+    GraftFunctions.register(spark)
+    val pts = (1 to 500).map { i =>
+      (i * 0.17 % 180 - 90, i * 0.37 % 360 - 180, i * 0.23 % 180 - 90, i * 0.53 % 360 - 180)
+    }.toDF("lat1", "lon1", "lat2", "lon2")
+    pts.createOrReplaceTempView("pts")
+    val both = spark.sql(
+      "SELECT haversine_km(lat1, lon1, lat2, lon2) AS fused FROM pts")
+      .withColumn("id", monotonically_increasing_id())
+      .join(
+        pts.select(Exprs.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")).as("composed"))
+          .withColumn("id", monotonically_increasing_id()), "id")
+    both.collect().foreach { r =>
+      val (f, c) = (r.getAs[Double]("fused"), r.getAs[Double]("composed"))
+      assert(math.abs(f - c) < 1e-9, s"fused=$f composed=$c")
+    }
+  }
+
+  test("fused expression participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = Tables.events(spark, Sf0001)
+      .selectExpr("haversine_km(value - 50, 0.0, 0.0, 0.0) AS d")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
+  test("kernel matches a known distance (JFK-LAX)") {
+    val d = GeoMath.haversineKm(40.6413, -73.7781, 33.9416, -118.4085)
+    assert(d > 3950 && d < 4000, s"JFK-LAX: $d")
+  }
+}
