@@ -65,6 +65,7 @@ object SparkEntry {
     "q39_peak_hours"        -> (BatchChecks.q39PeakHours(_, _)),
     "q40_iqr_outliers"      -> (BatchChecks.q40IqrOutliers(_, _)),
     "q41_batch_check_suite" -> (BatchChecks.q41BatchCheckSuite(_, _)),
+    "q42_sessionize"        -> (TimeSeries.q42Sessionize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -169,7 +169,56 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** q42: gap-based sessionization — a new session starts when the gap to
+    * the previous event of the same user exceeds 30 minutes; session id is
+    * the running count of session starts (the lag-gap + cumulative-sum
+    * idiom: two windows over ONE hash partition by user). Output: per-user
+    * session stats. */
+  def q42Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val gapUs = 30L * 60 * 1000000 // 30 min in micros
+    val prevT = lag(expr("ts_ns div 1000"), 1).over(keyWin)
+    val isStart = when(prevT.isNull || (expr("ts_ns div 1000") - prevT) > gapUs, 1)
+      .otherwise(0)
+    val cum = keyWin.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = e
+      .withColumn("session_id", sum(isStart).over(cum))
+      .groupBy(col("user_id"), col("session_id")).agg(
+        count(lit(1)).as("n_events"),
+        // integer-floor division on both engines (Spark div, DuckDB //)
+        expr("(max(ts_ns div 1000) - min(ts_ns div 1000)) div 1000000")
+          .as("duration_s"))
+    sessions.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        Exprs.dround(avg(col("n_events")), 4).as("avg_session_events"),
+        max(col("duration_s")).as("max_session_s"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q42_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+        |marked AS (
+        |  SELECT user_id, t_us,
+        |    CASE WHEN lag(t_us, 1) OVER w IS NULL
+        |           OR t_us - lag(t_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |sessioned AS (
+        |  SELECT user_id, t_us,
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    (max(t_us) - min(t_us)) // 1000000 AS duration_s
+        |  FROM sessioned GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  round(avg(n_events), 4) AS avg_session_events,
+        |  max(duration_s) AS max_session_s
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q16_dedup_best" ->
       """WITH ranked AS (
         |  SELECT user_id, value,
