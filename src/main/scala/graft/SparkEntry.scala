@@ -66,6 +66,8 @@ object SparkEntry {
     "q40_iqr_outliers"      -> (BatchChecks.q40IqrOutliers(_, _)),
     "q41_batch_check_suite" -> (BatchChecks.q41BatchCheckSuite(_, _)),
     "q42_sessionize"        -> (TimeSeries.q42Sessionize(_, _)),
+    "q43_ann_ivf"           -> (Similarity.q43AnnIvf(_, _)),
+    "q44_token_counts"      -> (TextOps.q44TokenCounts(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

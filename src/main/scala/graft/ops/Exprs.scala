@@ -90,6 +90,23 @@ object Exprs {
   def avgExact(c: Column, scale: Int, r: Int): Column =
     dround(sumExact(c, scale) / count(c), r)
 
+  /** Two-stage salted aggregation for skewed keys (builder brief: salting).
+    * Stage 1 aggregates on (key, salt) — spreading one hot key over
+    * `saltBuckets` reducers — stage 2 merges partials per key. Works for any
+    * algebraic aggregate expressed as (partial, merge) column pairs; the
+    * common count/sum case is provided. At 100 TB this is the fallback when
+    * AQE skew-join splitting isn't applicable (aggregation skew, not join
+    * skew). */
+  def saltedCountSum(df: org.apache.spark.sql.DataFrame, key: Column,
+                     valueCol: Column, saltBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+    salted.groupBy(key.as("k"), col("__salt"))
+      .agg(count(lit(1)).as("__c"), sum(valueCol).as("__s"))
+      .groupBy(col("k"))
+      .agg(sum(col("__c")).as("n"), sum(col("__s")).as("total"))
+  }
+
   /** Double rounding with DuckDB-compatible semantics.
     *
     * DuckDB's `round(x, s)` computes `round(x * 10^s) / 10^s` in binary

@@ -100,6 +100,81 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** IVF index: k-means-lite centroids (deterministic init = first k vectors
+    * by id, `iters` Lloyd rounds). Centroid state is k×dim doubles — tiny —
+    * so updates round-trip through the driver like every Spark k-means; the
+    * assignment pass is the only distributed work (broadcast centroids,
+    * argmax cosine). */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroid(emb, centroids)
+      val flat = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      val rebuilt = flat.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+      centroids = rebuilt.toDF("cid", "ce")
+    }
+    centroids
+  }
+
+  /** Assign each vector to its max-cosine centroid (broadcast + argmax). */
+  def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** q43: IVF ANN — 16 clusters, 2 Lloyd rounds, nprobe=2: each probe scans
+    * only its 2 nearest clusters (~1/8 of the corpus), exact cosine inside.
+    * Rows-only (iterative centroids aren't SQL-expressible); spec asserts
+    * recall@3 ≥ floor vs the exact q26 baseline. */
+  def q43AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e, k = 16, iters = 2)
+    val assigned = assignToCentroid(e, centroids)
+      .select(col("vec_id").as("cid_vec"), col("embedding").as("ce2"), col("cid"))
+    // probe: top-2 centroids per query
+    val probes = e.filter(col("vec_id") <= 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeClusters = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid_vec"))
+    val annTop = probeClusters.join(assigned, "cid")
+      .filter(col("qid") =!= col("cid_vec"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce2")))
+      .withColumn("rn", row_number().over(wS))
+    val perProbe = annTop.groupBy(col("qid")).agg(
+      count(lit(1)).as("n_candidates"),
+      max(when(col("rn") <= 3, Exprs.dround(col("sim_raw"), 6))).as("best_sim"))
+    val exact = q26CosineTopK(spark, dir)
+      .groupBy(col("qid")).agg(collect_set(col("cid")).as("exact_ids"))
+    val annIds = annTop.filter(col("rn") <= 3)
+      .groupBy(col("qid")).agg(collect_set(col("cid_vec")).as("ann_ids"))
+    exact.join(perProbe, Seq("qid"), "left")
+      .join(annIds, Seq("qid"), "left")
+      .withColumn("recall3",
+        Exprs.dround(size(array_intersect(
+          coalesce(col("ann_ids"), array().cast("array<long>")), col("exact_ids"))) / lit(3.0), 4))
+      .select(col("qid"), coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_sim"), col("recall3"))
+      .orderBy(col("qid"))
+  }
+
   /** q38: embedding-cosine near-dup dedup, keep-first semantics — a vector
     * is a duplicate iff an earlier (lower-id) vector is within cosine ≥ 0.4.
     * Output: per-label dedup accounting. The pairwise stage is the N² scan

@@ -214,7 +214,40 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q44: token counting three ways (brief: whitespace + a BPE-ish regex) —
+    * whitespace tokens, regex subword-ish tokens (letter runs / digit runs /
+    * single other-glyphs, the GPT-2-style pre-tokenizer shape), characters.
+    * Per-source totals so the oracle stays compact. */
+  def q44TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val wsTokens = size(tokens(col("text")))
+    val bpeish = size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    d.withColumn("n_ws", wsTokens)
+      .withColumn("n_bpeish", bpeish)
+      .withColumn("n_chars_m", length(col("text")))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpeish")).as("bpeish_tokens"),
+        sum(col("n_chars_m")).as("chars"),
+        Exprs.dround(sum(col("n_bpeish")) / sum(col("n_ws")), 4).as("bpe_per_ws"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q44_token_counts" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+        |    length(text) AS n_chars_m
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_ws) AS ws_tokens,
+        |  sum(n_bpeish) AS bpeish_tokens,
+        |  sum(n_chars_m) AS chars,
+        |  round(sum(n_bpeish) / sum(n_ws), 4) AS bpe_per_ws
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q21_text_stats" ->
       """WITH t AS (
         |  SELECT source,

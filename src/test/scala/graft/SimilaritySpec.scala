@@ -36,6 +36,16 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q43 IVF ANN recall@3 clears the floor with bounded candidate sets") {
+    val df = Similarity.q43AnnIvf(spark, Sf001).collect()
+    val meanRecall = df.map(_.getAs[Double]("recall3")).sum / df.length
+    assert(meanRecall >= 0.3, s"mean recall3 = $meanRecall")
+    // nprobe=2 of 16 clusters: candidates must stay well under the corpus
+    val nVecs = Tables.embeddings(spark, Sf001).count()
+    val maxCand = df.map(_.getAs[Long]("n_candidates")).max
+    assert(maxCand < nVecs / 2, s"candidates $maxCand not sub-linear vs $nVecs")
+  }
+
   test("q27 ANN recall@3 clears the floor (multi-table LSH)") {
     val df = Similarity.q27AnnLsh(spark, Sf001).collect()
     val meanRecall = df.map(_.getAs[Double]("recall3")).sum / df.length
