@@ -48,6 +48,17 @@ class ExprsSpec extends SparkSpecBase {
     assert(eval1(Exprs.dround(lit(1.005), 2)) === 1.0) // 1.005 double is below half
   }
 
+  test("saltedCountSum matches the direct aggregation") {
+    val df = Seq(("hot", 1.0), ("hot", 2.0), ("hot", 3.0), ("cold", 4.0))
+      .flatMap { case (k, v) => Seq.fill(25)((k, v)) }
+      .toDF("k", "v")
+    val salted = Exprs.saltedCountSum(df, col("k"), col("v"), saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = df.groupBy("k").agg(count(lit(1)), sum("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === direct)
+  }
+
   test("avgExact2 is exact on 2-dp inputs") {
     val df = Seq(6.55, 12.31, 1.63).toDF("v")
     val r = df.agg(Exprs.avgExact2(col("v"), 4)).head().getDouble(0)
