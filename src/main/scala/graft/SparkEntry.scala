@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CoreQueries, Dashboard, JoinQueries}
+import graft.analytics.{CoreQueries, Dashboard, JoinQueries, Summaries}
 import graft.flight.Flight
 import graft.multimodal.Multimodal
 import graft.quality.{BatchChecks, Quality}
@@ -68,6 +68,7 @@ object SparkEntry {
     "q42_sessionize"        -> (TimeSeries.q42Sessionize(_, _)),
     "q43_ann_ivf"           -> (Similarity.q43AnnIvf(_, _)),
     "q44_token_counts"      -> (TextOps.q44TokenCounts(_, _)),
+    "q45_daily_via_hourly"  -> (Summaries.q45DailyViaHourly(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +78,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
-      Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle
+      Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
+      Summaries.oracle
 }

@@ -1,0 +1,58 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Pre-aggregated summary reuse (SURVEY.md §4 "cacheable views", reference
+  * 06 views + 07:489-511 completed-day caching): the hourly rollup is
+  * computed once and every coarser grain derives from it — daily from
+  * hourly, not from the fact table. At 100 TB the hourly summary is ~5
+  * orders of magnitude smaller than the facts, so daily/weekly/dashboard
+  * queries never rescan raw data. Counts and decimal-exact sums re-aggregate
+  * losslessly; avg is derived at read time from (sum, n). */
+object Summaries {
+
+  /** One row per (day, hour, event_type): the reusable base grain. */
+  def hourlySummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).as("hr"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        // kept DECIMAL (not double) so coarser grains re-sum exactly —
+        // a double here would reintroduce summation-order sensitivity
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users_hour"))
+
+  /** Daily grain derived purely from the hourly summary (no fact rescan).
+    * n_users is intentionally absent: distincts don't merge across grains —
+    * the summary carries per-hour distincts, exact daily distincts need the
+    * facts (or a mergeable HLL sketch column). */
+  def dailyFromHourly(hourly: DataFrame): DataFrame =
+    hourly.groupBy(col("day"), col("event_type"))
+      .agg(
+        sum(col("n")).as("n"),
+        Exprs.dround(sum(col("sum_value")).cast("double"), 2).as("sum_value"),
+        Exprs.dround(sum(col("sum_value")).cast("double") / sum(col("n")), 4)
+          .as("avg_value"))
+
+  /** q45: daily rollup via the hourly summary — result identical to
+    * aggregating the facts directly, which is exactly what the oracle does. */
+  def q45DailyViaHourly(spark: SparkSession, dir: String): DataFrame =
+    dailyFromHourly(hourlySummary(spark, dir))
+      .orderBy(col("day"), col("event_type"))
+
+  val oracle: Map[String, String] = Map(
+    "q45_daily_via_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+  )
+}
