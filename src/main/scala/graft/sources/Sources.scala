@@ -47,6 +47,19 @@ object Sources {
       .json(jsonPath)
       .schema
 
+  /** Bucketed co-located tables (builder brief: bucketing for co-located
+    * joins). Writing both sides bucketed by the join key into the catalog
+    * lets every subsequent equi-join on that key skip its shuffle — the
+    * exchange disappears from the plan. At 100 TB this converts the
+    * fact-to-fact join (orders ⋈ lineitem) from the dominant shuffle into a
+    * local zip per bucket. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** S7 + P3: register all test tables as temp views plus the reference's
     * column-pruned convenience views (07:57-70 efficient_flight_overview
     * shape) — pruned projections that keep dashboard scans narrow. */

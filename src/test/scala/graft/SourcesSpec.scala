@@ -46,6 +46,19 @@ class SourcesSpec extends SparkSpecBase {
     assert(schema.fieldNames.toSet === Set("x", "y"))
   }
 
+  test("bucketed tables join without a shuffle on the bucketed key") {
+    Sources.writeBucketed(Tables.orders(spark, Sf0001), "orders_b", "o_orderkey", 8)
+    Sources.writeBucketed(
+      Tables.lineitem(spark, Sf0001).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 8)
+    val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n${p.take(1500)}")
+    assert(joined.count() === Tables.lineitem(spark, Sf0001).count())
+  }
+
   test("registerViews exposes tables and pruned views; pruned view reads narrow schema") {
     Sources.registerViews(spark, Sf0001)
     assert(spark.catalog.tableExists("efficient_event_overview"))
