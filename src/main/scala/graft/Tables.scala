@@ -25,6 +25,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Deterministic synthetic coordinates for the geo operators (q20/q30-q32):
+    * lat = value - 50 ∈ [-50, 50], lon = 3.6·k - 180 ∈ [-180, 176.4]. ONE
+    * source for the formula — the oracle SQL strings replicate it verbatim,
+    * and the stuck/teleport thresholds are tuned against this grid. */
+  def withSyntheticPositions(df: DataFrame): DataFrame = df
+    .withColumn("lat", col("value") - 50)
+    .withColumn("lon",
+      get_json_object(col("props"), "$.k").cast("int") * lit(3.6) - 180)
+
   /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects by default. We read nanos as a plain long (legacy conf,
     * runtime-settable) and expose BOTH:

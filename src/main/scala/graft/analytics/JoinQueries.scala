@@ -114,9 +114,7 @@ object JoinQueries {
       .withColumn("error_delta",
         Exprs.dround(col("error_rate") - col("prev_error_rate"), 6))
       .withColumn("health_score", health)
-      .withColumn("grade",
-        when(health >= 95, "A").when(health >= 85, "B")
-          .when(health >= 70, "C").when(health >= 50, "D").otherwise("F"))
+      .withColumn("grade", Exprs.gradeOf(health / 100))
       .orderBy(col("day"))
   }
 

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSession
+
+/** Vector kernels shared by interpreted eval and generated code. */
+object VecMath {
+  /** Cosine similarity, accumulating in double in index order — the exact
+    * semantics of the DuckDB-oracle formula (left-fold double sum). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Mixed-element-type variant: accessor chosen per side (e.g. float probe
+    * vectors against double centroids). */
+  def cosineG(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Native codegen cosine similarity over two float/double arrays.
+  *
+  * Why a custom Expression (builder-brief path (b)): there is no built-in
+  * vector dot product, and the `aggregate(zip_with(...))` formulation runs
+  * interpreted (HigherOrderFunction lambdas never reach codegen) — on an
+  * N²-pair dedup scan that was ~40× slower than this fused loop. Sum order
+  * and double accumulation exactly match the DuckDB oracle's
+  * `list_sum(list_transform(list_zip(...)))` formula. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private lazy val (lF, rF) = (isFloat(left.dataType), isFloat(right.dataType))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.cosineG(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], lF, rF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      if (lF && rF) s"graft.functions.VecMath.cosineF($a, $b)"
+      else if (!lF && !rF) s"graft.functions.VecMath.cosineD($a, $b)"
+      else s"graft.functions.VecMath.cosineG($a, $b, $lF, $rF)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimFunction {
+  val info = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "cosine_sim(a, b)")
+      CosineSim(exprs.head, exprs.last)
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}

@@ -77,7 +77,10 @@ object Multimodal {
     * (every `everyMs` of the metadata duration), content untouched. */
   def frameSample(media: DataFrame, everyMs: Int): DataFrame =
     media.withColumn("frame_ms",
-        explode(sequence(lit(0), greatest(col("meta.durationMs") - 1, lit(0)), lit(everyMs))))
+        // zero-duration media has no frames — explode drops the empty array
+        explode(when(col("meta.durationMs") > 0,
+          sequence(lit(0), col("meta.durationMs") - 1, lit(everyMs)))
+          .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("kind"), col("frame_ms"))
 
   /** q34: metadata + content stats per kind. The aggregation path uses pure

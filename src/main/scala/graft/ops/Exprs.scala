@@ -90,6 +90,13 @@ object Exprs {
   def avgExact(c: Column, scale: Int, r: Int): Column =
     dround(sumExact(c, scale) / count(c), r)
 
+  /** The reference's letter-grade ladder over a [0,1] score
+    * (quality_validator.py:89-96: A≥.95 B≥.85 C≥.70 D≥.50) — single source
+    * for q10/q28/q41; keep oracle SQL CASE ladders in sync with this. */
+  def gradeOf(score: Column): Column =
+    when(score >= 0.95, "A").when(score >= 0.85, "B")
+      .when(score >= 0.70, "C").when(score >= 0.50, "D").otherwise("F")
+
   /** Two-stage salted aggregation for skewed keys (builder brief: salting).
     * Stage 1 aggregates on (key, salt) — spreading one hot key over
     * `saltBuckets` reducers — stage 2 merges partials per key. Works for any

@@ -78,11 +78,7 @@ object BatchChecks {
         col("completeness_value") * 0.2 + col("completeness_user") * 0.1 +
         col("validity_range") * 0.25 + col("validity_domain") * 0.15 +
         col("uniqueness_id") * 0.2 + col("timestamp_sanity") * 0.1, 6))
-      .withColumn("grade",
-        when(col("overall_score") >= 0.95, "A")
-          .when(col("overall_score") >= 0.85, "B")
-          .when(col("overall_score") >= 0.70, "C")
-          .when(col("overall_score") >= 0.50, "D").otherwise("F"))
+      .withColumn("grade", Exprs.gradeOf(col("overall_score")))
   }
 
   val oracle: Map[String, String] = Map(

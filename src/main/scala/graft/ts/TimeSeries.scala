@@ -46,8 +46,9 @@ object TimeSeries {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Forward-fill `valueCol` within each key, ordered by `ord`. */
-  def forwardFill(df: DataFrame, key: Seq[Column], ord: Seq[Column],
+  /** Forward-fill `valueCol` within each key, ordered by `ord` (pure
+    * Column — apply it to the frame the key/ord/value columns resolve in). */
+  def forwardFill(key: Seq[Column], ord: Seq[Column],
                   valueCol: Column): Column = {
     val w = Window.partitionBy(key: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -55,7 +56,7 @@ object TimeSeries {
   }
 
   /** Backward-fill `valueCol` within each key, ordered by `ord`. */
-  def backwardFill(df: DataFrame, key: Seq[Column], ord: Seq[Column],
+  def backwardFill(key: Seq[Column], ord: Seq[Column],
                    valueCol: Column): Column = {
     val w = Window.partitionBy(key: _*).orderBy(ord: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -102,7 +103,7 @@ object TimeSeries {
   def q17ForwardFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     e.withColumn("vm", masked)
-      .withColumn("filled", forwardFill(e,
+      .withColumn("filled", forwardFill(
         Seq(col("user_id")), Seq(expr("ts_ns div 1000"), col("event_id")), col("vm")))
       .groupBy(col("user_id")).agg(
         count(when(col("vm").isNull, 1)).as("n_masked"),
@@ -155,12 +156,10 @@ object TimeSeries {
     * lat = value - 50 ∈ [-50, 50], lon = 3.6 * k - 180 ∈ [-180, 176.4]. */
   def q20CumDistance(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val lat = col("value") - 50
-    val lon = get_json_object(col("props"), "$.k").cast("int") * lit(3.6) - 180
     val step = Exprs.haversineKm(
       lag(col("lat"), 1).over(keyWin), lag(col("lon"), 1).over(keyWin),
       col("lat"), col("lon"))
-    e.withColumn("lat", lat).withColumn("lon", lon)
+    Tables.withSyntheticPositions(e)
       .withColumn("step_km", Exprs.dround(step, 6))
       .groupBy(col("user_id")).agg(
         count(col("step_km")).as("n_legs"),
@@ -201,13 +200,13 @@ object TimeSeries {
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
         |marked AS (
-        |  SELECT user_id, t_us,
+        |  SELECT user_id, t_us, event_id,
         |    CASE WHEN lag(t_us, 1) OVER w IS NULL
         |           OR t_us - lag(t_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_start
         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
         |sessioned AS (
         |  SELECT user_id, t_us,
-        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us
+        |    sum(is_start) OVER (PARTITION BY user_id ORDER BY t_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked),
         |sessions AS (

@@ -28,16 +28,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
-  test("frameSample emits ceil(duration/every) frames per media") {
+  test("frameSample emits ceil(duration/every) frames; zero-duration yields none") {
+    import spark.implicits._
     val media = Multimodal.synthesize(spark, Sf0001)
     val sampled = Multimodal.frameSample(media, everyMs = 1000)
-    val perMedia = sampled.groupBy("media_id").count()
-      .join(media.select(col("media_id"), col("meta.durationMs").as("d")), "media_id")
+    val perMedia = media.select(col("media_id"), col("meta.durationMs").as("d"))
+      .join(sampled.groupBy("media_id").count(), Seq("media_id"), "left")
       .collect()
     perMedia.foreach { r =>
-      val expect = math.max((r.getAs[Int]("d") + 999) / 1000, 1)
-      assert(r.getAs[Long]("count") === expect, s"media ${r.get(0)} duration ${r.get(2)}")
+      val d = r.getAs[Int]("d")
+      val got = if (r.isNullAt(2)) 0L else r.getLong(2)
+      val expect = if (d <= 0) 0L else (d + 999) / 1000
+      assert(got === expect, s"media ${r.get(0)} duration $d")
     }
+    // crafted zero-duration media row produces no frames
+    val zero = Seq((99L, "image", Array[Byte](), (0, 0, 0, "stub")))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", col("meta").cast("struct<width:int,height:int,durationMs:int,codec:string>"))
+    assert(Multimodal.frameSample(zero, 1000).count() === 0)
   }
 
   test("decodeStub is deterministic and empty-safe") {

@@ -6,15 +6,20 @@ import graft.sim.Similarity
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+  test("cosine: orthogonal=0, identical=1, opposite=-1 (native and composed)") {
+    Similarity.ensureRegistered(spark)
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f), 1.0),
       (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)
     ).toDF("a", "b", "expected")
-    df.withColumn("sim", Similarity.cosine(col("a"), col("b"))).collect().foreach { r =>
-      assert(math.abs(r.getAs[Double]("sim") - r.getAs[Double]("expected")) < 1e-9)
-    }
+    df.withColumn("sim", Similarity.cosine(col("a"), col("b")))
+      .withColumn("simc", Similarity.cosineComposed(col("a"), col("b")))
+      .collect().foreach { r =>
+        assert(math.abs(r.getAs[Double]("sim") - r.getAs[Double]("expected")) < 1e-9)
+        // native kernel and composed tree agree bit-for-bit (same fold order)
+        assert(r.getAs[Double]("sim") === r.getAs[Double]("simc"))
+      }
   }
 
   test("lshSignature: deterministic and within [0, 2^planes)") {

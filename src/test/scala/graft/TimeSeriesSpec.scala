@@ -35,8 +35,8 @@ class TimeSeriesSpec extends SparkSpecBase {
 
   test("forwardFill and backwardFill") {
     val out = frame
-      .withColumn("ff", TimeSeries.forwardFill(frame, Seq(col("k")), Seq(col("t")), col("v")))
-      .withColumn("bf", TimeSeries.backwardFill(frame, Seq(col("k")), Seq(col("t")), col("v")))
+      .withColumn("ff", TimeSeries.forwardFill(Seq(col("k")), Seq(col("t")), col("v")))
+      .withColumn("bf", TimeSeries.backwardFill(Seq(col("k")), Seq(col("t")), col("v")))
       .orderBy("k", "t").collect()
     def d(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val ff = out.map(d(_, 3)).toSeq
