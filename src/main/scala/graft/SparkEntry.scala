@@ -69,6 +69,7 @@ object SparkEntry {
     "q43_ann_ivf"           -> (Similarity.q43AnnIvf(_, _)),
     "q44_token_counts"      -> (TextOps.q44TokenCounts(_, _)),
     "q45_daily_via_hourly"  -> (Summaries.q45DailyViaHourly(_, _)),
+    "q46_approx_percentiles" -> (Dashboard.q46ApproxPercentiles(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

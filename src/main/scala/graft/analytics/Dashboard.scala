@@ -67,6 +67,20 @@ object Dashboard {
     modes.join(means, "user_id").orderBy(col("user_id"))
   }
 
+  /** q46 (A4 approximate path, reference 07:114-185 APPROX_PERCENTILE):
+    * approximate percentiles next to their exact counterparts — sketches
+    * differ across engines so this is rows-only; the spec bounds the
+    * relative error against the exact values computed in the same pass. */
+  def q46ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type")).agg(
+        Exprs.dround(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        Exprs.dround(expr("percentile_approx(value, 0.5, 1000)"), 4).as("approx_p50"),
+        Exprs.dround(expr("percentile(value, 0.95)"), 4).as("exact_p95"),
+        Exprs.dround(expr("percentile_approx(value, 0.95, 1000)"), 4).as("approx_p95"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q35_dashboard_stats" ->
       """WITH top_types AS (

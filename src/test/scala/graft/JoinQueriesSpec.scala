@@ -36,6 +36,17 @@ class JoinQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q46 approximate percentiles track the exact values within 5%") {
+    graft.analytics.Dashboard.q46ApproxPercentiles(spark, Sf001).collect().foreach { r =>
+      Seq(("exact_p50", "approx_p50"), ("exact_p95", "approx_p95")).foreach {
+        case (e, a) =>
+          val (ev, av) = (r.getAs[Double](e), r.getAs[Double](a))
+          assert(math.abs(ev - av) <= math.max(0.05 * math.abs(ev), 1.0),
+            s"${r.getString(0)} $a=$av vs $e=$ev")
+      }
+    }
+  }
+
   test("q07 uses broadcast joins for nation and region dimensions") {
     val plan = JoinQueries.q07SegmentPerformance(spark, Sf001)
       .queryExecution.executedPlan.toString
