@@ -70,6 +70,7 @@ object SparkEntry {
     "q44_token_counts"      -> (TextOps.q44TokenCounts(_, _)),
     "q45_daily_via_hourly"  -> (Summaries.q45DailyViaHourly(_, _)),
     "q46_approx_percentiles" -> (Dashboard.q46ApproxPercentiles(_, _)),
+    "q47_cube_activity"     -> (JoinQueries.q47CubeActivity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

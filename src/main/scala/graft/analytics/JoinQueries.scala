@@ -145,6 +145,19 @@ object JoinQueries {
       .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)
   }
 
+  /** CUBE over (day_type, event_type): every subtotal combination in one
+    * pass (survey §2.4 noted cube/grouping-sets as trivially available —
+    * this makes it real and oracle-checked). */
+  def q47CubeActivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("day_type",
+        when(dayofweek(col("ts")).isin(1, 7), "weekend").otherwise("weekday"))
+      .cube(col("day_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Exprs.avgExact2(col("value"), 4).as("avg_value"))
+      .orderBy(col("day_type").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
   /** A6 histogram (reference 07:163-164): equi-width 20-bucket histogram via
     * a broadcast 1-row global min/max — no single-partition window, scales to
     * any fact size. */
@@ -278,6 +291,14 @@ object JoinQueries {
         |       round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE, 2) AS total_value
         |FROM orders GROUP BY ROLLUP (y, m)
         |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin,
+
+    "q47_cube_activity" ->
+      """SELECT CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend'
+        |            ELSE 'weekday' END AS day_type,
+        |       event_type, count(*) AS n,
+        |       round(sum(value::DECIMAL(18,2))::DOUBLE / count(value), 4) AS avg_value
+        |FROM events GROUP BY CUBE (day_type, event_type)
+        |ORDER BY day_type NULLS FIRST, event_type NULLS FIRST""".stripMargin,
 
     "q13_price_histogram" ->
       """WITH bounds AS (
