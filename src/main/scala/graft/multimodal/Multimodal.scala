@@ -73,6 +73,24 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: rewrites the metadata to the target box (aspect-preserving
+    * fit) and re-stamps the content hash with the target dims — the real
+    * implementation swaps the content transform, the metadata/schema contract
+    * stays. Pure column expressions; content bytes pass through untouched. */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val scale = least(lit(targetW) / greatest(w, lit(1)).cast("double"),
+      lit(targetH) / greatest(h, lit(1)).cast("double"))
+    media
+      .withColumn("meta", struct(
+        (w * scale).cast("int").as("width"),
+        (h * scale).cast("int").as("height"),
+        col("meta.durationMs").as("durationMs"),
+        concat(col("meta.codec"), lit("-resized")).as("codec")))
+      .withColumn("resize_tag",
+        md5(concat(col("content"), lit(s"${targetW}x$targetH"))))
+  }
+
   /** Frame-sample plumbing: one output row per sampled frame index
     * (every `everyMs` of the metadata duration), content untouched. */
   def frameSample(media: DataFrame, everyMs: Int): DataFrame =

@@ -48,6 +48,18 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.frameSample(zero, 1000).count() === 0)
   }
 
+  test("resizeStub fits within the target box preserving aspect ratio") {
+    val media = Multimodal.synthesize(spark, Sf0001)
+    val resized = Multimodal.resizeStub(media, 640, 480).collect()
+    resized.foreach { r =>
+      val m = r.getStruct(r.fieldIndex("meta"))
+      assert(m.getInt(0) <= 640 && m.getInt(1) <= 480,
+        s"media ${r.get(0)}: ${m.getInt(0)}x${m.getInt(1)}")
+      assert(m.getString(3).endsWith("-resized"))
+      assert(r.getString(r.fieldIndex("resize_tag")).length === 32)
+    }
+  }
+
   test("decodeStub is deterministic and empty-safe") {
     val (h1, b1) = Multimodal.decodeStub("hello".getBytes)
     val (h2, b2) = Multimodal.decodeStub("hello".getBytes)

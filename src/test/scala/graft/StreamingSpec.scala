@@ -32,6 +32,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(n === 2)
   }
 
+  test("dedup drops late data beyond the watermark even for unseen keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedup(in.toDF(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance event time well past the watermark horizon
+    in.addData(Ev(2, ts("2024-01-01 11:00:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    // a never-seen key arriving 55 min late (< 10:55 watermark) must be dropped
+    in.addData(Ev(3, ts("2024-01-01 10:00:30"), 3, "click", 3.0))
+    q.processAllAvailable()
+    val n = spark.sql("select count(*) from late_out").head().getLong(0)
+    q.stop()
+    assert(n === 2, s"late row beyond watermark should be dropped, got $n rows")
+  }
+
   test("tumblingCounts aggregates into event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
