@@ -105,6 +105,29 @@ object Flight {
       when(length(trim(col("callsign"))) >= 3, substring(trim(col("callsign")), 1, 3)))
     .withColumn("region", regionOf(col("longitude"), col("latitude")))
 
+  /** Q3 validity formats (reference quality_validator.py:66-74,334-522):
+    * icao24 is 6 lowercase hex chars; squawk is 4 octal digits; coordinates
+    * must be finite and in range; altitude/velocity/vrate sane. All
+    * null-safe (null → false, the validator's failed-check semantics). */
+  def icao24Valid(c: Column): Column =
+    coalesce(c.rlike("^[0-9a-f]{6}$"), lit(false))
+
+  def squawkValid(c: Column): Column =
+    coalesce(c.rlike("^[0-7]{4}$"), lit(false))
+
+  def coordsValid(lon: Column, lat: Column): Column =
+    coalesce(lon.between(-180, 180) && lat.between(-90, 90) &&
+      !isnan(lon) && !isnan(lat), lit(false))
+
+  def altitudeFtValid(altFt: Column): Column =
+    coalesce(altFt.between(-1000, 60000), lit(false))
+
+  def velocityKnValid(kn: Column): Column =
+    coalesce(kn.between(0, 800), lit(false))
+
+  def verticalRateFpmValid(fpm: Column): Column =
+    coalesce(abs(fpm) <= 8000, lit(false))
+
   /** Geographic region CASE (reference flight_data_processor.py:166-179). */
   def regionOf(lon: Column, lat: Column): Column =
     when(lon.isNull || lat.isNull, "UNKNOWN")

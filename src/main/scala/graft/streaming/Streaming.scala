@@ -62,6 +62,18 @@ object Streaming {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Gap-based sessions via the native `session_window` (the streaming/
+    * batch-shared form of TimeSeries.q42's manual lag+cumsum idiom): windows
+    * merge while events arrive within `gap` of each other. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   case class Obs(userId: Long, tsMs: Long, value: Double)
   case class StuckEvent(userId: Long, tsMs: Long, nObs: Int, spread: Double)
 

@@ -92,6 +92,39 @@ class FlightSpec extends SparkSpecBase {
     }
   }
 
+  // reference quality_validator.py icao24/format truth tables (:208 shape)
+  test("validity format checks: icao24, squawk, coordinates, ranges") {
+    val icaoCases = Seq(
+      ("abc123", true), ("ABC123", false), ("aaaaaa", true), ("12345", false),
+      ("1234567", false), ("ghijkl", false), (null, false))
+    val df = icaoCases.toDF("s", "expected")
+      .withColumn("got", Flight.icao24Valid(col("s")))
+    df.collect().foreach(r =>
+      assert(r.getBoolean(2) === r.getBoolean(1), s"icao24 '${r.get(0)}'"))
+
+    val sq = Seq(("7700", true), ("0000", true), ("7800", false), ("77", false), (null, false))
+      .toDF("s", "expected").withColumn("got", Flight.squawkValid(col("s")))
+    sq.collect().foreach(r =>
+      assert(r.getBoolean(2) === r.getBoolean(1), s"squawk '${r.get(0)}'"))
+
+    val coords = Seq(
+      (0.0, 0.0, true), (-180.0, 90.0, true), (181.0, 0.0, false),
+      (0.0, -91.0, false), (Double.NaN, 0.0, false))
+      .toDF("lon", "lat", "expected")
+      .withColumn("got", Flight.coordsValid(col("lon"), col("lat")))
+    coords.collect().foreach(r =>
+      assert(r.getBoolean(3) === r.getBoolean(2), s"coords ${r.get(0)},${r.get(1)}"))
+
+    assert(Seq(Tuple1(60001.0)).toDF("a")
+      .select(Flight.altitudeFtValid(col("a"))).head().getBoolean(0) === false)
+    assert(Seq(Tuple1(-500.0)).toDF("a")
+      .select(Flight.altitudeFtValid(col("a"))).head().getBoolean(0) === true)
+    assert(Seq(Tuple1(801.0)).toDF("v")
+      .select(Flight.velocityKnValid(col("v"))).head().getBoolean(0) === false)
+    assert(Seq(Tuple1(-8001.0)).toDF("r")
+      .select(Flight.verticalRateFpmValid(col("r"))).head().getBoolean(0) === false)
+  }
+
   test("readRawWithErrors routes corrupt files to the error side channel") {
     val d = Files.createTempDirectory("flight_mixed")
     Files.writeString(d.resolve("good.json"), rawJson)

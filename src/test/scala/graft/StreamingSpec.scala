@@ -70,6 +70,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(1).getLong(1) === 1 && rows(1).getDouble(2) === 4.0)
   }
 
+  test("sessionCounts merges events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(in.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("complete").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0), // same session (5 min gap)
+      Ev(3, ts("2024-01-01 10:30:00"), 1, "click", 4.0), // new session (25 min gap)
+      Ev(4, ts("2024-01-01 10:02:00"), 2, "view", 8.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select user_id, n_events, sum_value from sessions_out order by user_id, n_events desc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
   test("stuckDetector emits when the last k observations stay within the spread") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
