@@ -303,7 +303,7 @@ object JoinQueries {
     "q13_price_histogram" ->
       """WITH bounds AS (
         |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
-        |SELECT least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19)::INT AS bucket,
+        |SELECT greatest(least(floor((l_extendedprice - lo) / ((hi - lo) / 20)), 19), 0)::INT AS bucket,
         |  count(*) AS n,
         |  round(min(l_extendedprice), 2) AS bucket_min,
         |  round(max(l_extendedprice), 2) AS bucket_max

@@ -15,19 +15,26 @@ import graft.ops.Exprs
   * losslessly; avg is derived at read time from (sum, n). */
 object Summaries {
 
-  /** One row per (day, hour, event_type): the reusable base grain. */
-  def hourlySummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  /** One row per (day, hour, event_type): the reusable base grain.
+    * `withUserCounts` adds an exact per-hour distinct-user count — off by
+    * default because it is the most expensive aggregate in the rollup and
+    * distincts cannot merge into coarser grains anyway. */
+  def hourlySummary(spark: SparkSession, dir: String,
+                    withUserCounts: Boolean = false): DataFrame = {
+    val base = Tables.events(spark, dir)
       .groupBy(
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         hour(col("ts")).as("hr"),
         col("event_type"))
-      .agg(
-        count(lit(1)).as("n"),
-        // kept DECIMAL (not double) so coarser grains re-sum exactly —
-        // a double here would reintroduce summation-order sensitivity
-        sum(col("value").cast("decimal(18,2)")).as("sum_value"),
-        countDistinct(col("user_id")).as("n_users_hour"))
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      // kept DECIMAL (not double) so coarser grains re-sum exactly —
+      // a double here would reintroduce summation-order sensitivity
+      sum(col("value").cast("decimal(18,2)")).as("sum_value")) ++
+      (if (withUserCounts) Seq(countDistinct(col("user_id")).as("n_users_hour"))
+       else Nil)
+    base.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Daily grain derived purely from the hourly summary (no fact rescan).
     * n_users is intentionally absent: distincts don't merge across grains —

@@ -10,38 +10,31 @@ import org.apache.spark.sql.SparkSession
 /** Vector kernels shared by interpreted eval and generated code. */
 object VecMath {
   /** Cosine similarity, accumulating in double in index order — the exact
-    * semantics of the DuckDB-oracle formula (left-fold double sum). */
-  def cosineF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+    * semantics of the DuckDB-oracle formula: the dot product runs over the
+    * common prefix (list_zip's null-padded products are ignored by
+    * list_sum), each norm over its FULL array. For equal-length inputs (the
+    * normal case) all three loops fuse into one pass. */
+  def cosineF(a: ArrayData, b: ArrayData): Double =
+    cosineG(a, b, aFloat = true, bFloat = true)
 
-  def cosineD(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  def cosineD(a: ArrayData, b: ArrayData): Double =
+    cosineG(a, b, aFloat = false, bFloat = false)
 
-  /** Mixed-element-type variant: accessor chosen per side (e.g. float probe
-    * vectors against double centroids). */
+  /** General variant: accessor chosen per side (e.g. float probe vectors
+    * against double centroids). */
   def cosineG(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
     while (i < n) {
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
+      dot += x * y; sa += x * x; sb += y * y; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    while (i < na) { val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i); sa += x * x; i += 1 }
+    i = n
+    while (i < nb) { val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i); sb += y * y; i += 1 }
+    dot / (math.sqrt(sa) * math.sqrt(sb))
   }
 }
 
@@ -85,7 +78,15 @@ object CosineSimFunction {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => {
       require(exprs.length == 2, "cosine_sim(a, b)")
-      CosineSim(exprs.head, exprs.last)
+      // coerce anything that is not already a float/double array to
+      // array<double> — int arrays would otherwise be read with misaligned
+      // accessors, and non-arrays fail analysis inside the Cast
+      def coerce(e: Expression): Expression = e.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(
+          e, ArrayType(DoubleType))
+      }
+      CosineSim(coerce(exprs.head), coerce(exprs.last))
     })
 
   def register(spark: SparkSession): Unit =

@@ -60,10 +60,11 @@ object Exprs {
   def gridCell(coord: Column, sizeDeg: Double): Column =
     (round(coord / sizeDeg, 0) * sizeDeg).cast("double")
 
-  /** Equi-width histogram bucket index in [0, nBuckets-1] given global min/max. */
+  /** Equi-width histogram bucket index clamped to [0, nBuckets-1] given
+    * global min/max (below-min values land in bucket 0, not -1). */
   def bucketIdx(x: Column, min: Column, max: Column, nBuckets: Int): Column = {
     val w = (max - min) / nBuckets
-    least(floor((x - min) / w), lit(nBuckets - 1)).cast("int")
+    greatest(least(floor((x - min) / w), lit(nBuckets - 1)), lit(0)).cast("int")
   }
 
   /** 100 * x / total, the percent-of-total shape (reference 04:102). */

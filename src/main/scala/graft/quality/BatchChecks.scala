@@ -72,8 +72,10 @@ object BatchChecks {
         col("event_type").isin("click", "view", "purchase", "signup", "error"), 1))), 6)
         .as("validity_domain"),
       Exprs.dround(ratio(countDistinct(col("event_id"))), 6).as("uniqueness_id"),
-      Exprs.dround(ratio(count(when(col("ts").isNotNull &&
-        col("ts") <= to_timestamp(lit("2024-02-01")), 1))), 6).as("timestamp_sanity"))
+      // cutoff on exact epoch nanos, not a session-timezone-parsed literal
+      Exprs.dround(ratio(count(when(
+        col("ts_ns") <= lit(1706745600L * 1000000000L), 1))), 6) // 2024-02-01T00Z
+        .as("timestamp_sanity"))
     checks.withColumn("overall_score", Exprs.dround(
         col("completeness_value") * 0.2 + col("completeness_user") * 0.1 +
         col("validity_range") * 0.25 + col("validity_domain") * 0.15 +
@@ -118,7 +120,7 @@ object BatchChecks {
         |    round(count(CASE WHEN value BETWEEN 0 AND 1000 THEN 1 END) / count(*), 6) AS validity_range,
         |    round(count(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 END) / count(*), 6) AS validity_domain,
         |    round(count(DISTINCT event_id) / count(*), 6) AS uniqueness_id,
-        |    round(count(CASE WHEN ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01' THEN 1 END) / count(*), 6) AS timestamp_sanity
+        |    round(count(CASE WHEN epoch_us(ts) <= 1706745600000000 THEN 1 END) / count(*), 6) AS timestamp_sanity
         |  FROM events)
         |SELECT *,
         |  round(completeness_value * 0.2 + completeness_user * 0.1 +

@@ -45,11 +45,22 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(landingDir)
 
-  /** Keyed dedup with event-time watermark (reference 5 s-tolerance dedup on
-    * (icao24, timestamp) — data_transformer.py:109-114). */
-  def dedup(events: DataFrame, watermark: String = "5 minutes"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicates(Seq("user_id", "ts"))
+  /** Keyed dedup with event-time watermark. `toleranceSeconds = 0` is exact
+    * (user_id, ts) dedup; a positive tolerance buckets event time first so
+    * observations within the same tolerance bucket collapse — the reference's
+    * 5 s-tolerance dedup on (icao24, timestamp) (data_transformer.py:109-114;
+    * bucketing approximates "within 5 s" the same way the reference's
+    * rounded-timestamp key does). */
+  def dedup(events: DataFrame, watermark: String = "5 minutes",
+            toleranceSeconds: Int = 0): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    if (toleranceSeconds <= 0) wm.dropDuplicates(Seq("user_id", "ts"))
+    else wm
+      .withColumn("ts_bucket",
+        (unix_timestamp(col("ts")) / toleranceSeconds).cast("long"))
+      .dropDuplicates(Seq("user_id", "ts_bucket"))
+      .drop("ts_bucket")
+  }
 
   /** Tumbling-window aggregation (the reference's hour-bucket GROUP BYs as a
     * real event-time window; watermark bounds the state). */
@@ -81,27 +92,38 @@ object Streaming {
     * key; emit an event whenever all of them lie within `maxSpread` of each
     * other (the stuck-aircraft shape, reference anomaly_detector.py:466-520,
     * per-aircraft in-memory histories :656-677). Uses ProcessingTimeTimeout
-    * state with a bounded buffer — O(k) per key. */
-  def stuckDetector(obs: Dataset[Obs], k: Int = 3, maxSpread: Double = 5.0)
+    * state with a bounded buffer — O(k) per key, and keys idle longer than
+    * `idleTimeout` are evicted so state stays bounded under key churn.
+    * Pass `idleTimeout = None` only in tests: `processAllAvailable` never
+    * idles under ProcessingTimeTimeout because timeout-check batches keep
+    * the query busy. */
+  def stuckDetector(obs: Dataset[Obs], k: Int = 3, maxSpread: Double = 5.0,
+                    idleTimeout: Option[String] = Some("1 hour"))
                    (implicit spark: SparkSession): Dataset[StuckEvent] = {
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     obs.groupByKey(_.userId)
       .flatMapGroupsWithState[List[Obs], StuckEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (userId, rows, state: GroupState[List[Obs]]) =>
-          var hist = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[StuckEvent]()
-          rows.toSeq.sortBy(_.tsMs).foreach { o =>
-            hist = (hist :+ o).takeRight(k)
-            if (hist.size == k) {
-              val vs = hist.map(_.value)
-              val spread = vs.max - vs.min
-              if (spread <= maxSpread)
-                out += StuckEvent(userId, o.tsMs, k, spread)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var hist = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer[StuckEvent]()
+            rows.toSeq.sortBy(_.tsMs).foreach { o =>
+              hist = (hist :+ o).takeRight(k)
+              if (hist.size == k) {
+                val vs = hist.map(_.value)
+                val spread = vs.max - vs.min
+                if (spread <= maxSpread)
+                  out += StuckEvent(userId, o.tsMs, k, spread)
+              }
             }
+            state.update(hist)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(hist)
-          out.iterator
       }
   }
 

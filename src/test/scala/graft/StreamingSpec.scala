@@ -93,7 +93,9 @@ class StreamingSpec extends SparkSpecBase {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Obs]
-    val q = Streaming.stuckDetector(in.toDS(), k = 3, maxSpread = 5.0)
+    // idleTimeout = None: processAllAvailable never idles under
+    // ProcessingTimeTimeout (timeout-check batches keep the query busy)
+    val q = Streaming.stuckDetector(in.toDS(), k = 3, maxSpread = 5.0, idleTimeout = None)
       .writeStream.format("memory").queryName("stuck_out")
       .outputMode("append").start()
     in.addData(
