@@ -71,6 +71,8 @@ object SparkEntry {
     "q45_daily_via_hourly"  -> (Summaries.q45DailyViaHourly(_, _)),
     "q46_approx_percentiles" -> (Dashboard.q46ApproxPercentiles(_, _)),
     "q47_cube_activity"     -> (JoinQueries.q47CubeActivity(_, _)),
+    "q48_quality_filter"    -> (TextOps.q48QualityFilter(_, _)),
+    "q49_decontaminate"     -> (TextOps.q49Decontaminate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -282,7 +282,95 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q48: C4-style document cleaning rules — each rule is an independent
+    * boolean column, the verdict their conjunction, accounting per source
+    * (the keep/drop split every training-data pipeline reports). Rules are
+    * deliberately simple ratios: min/max length, mean word length band,
+    * symbol ratio cap, repetition cap (distinct/total floor). */
+  def q48QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val meanWordLen = (length(col("text")) - (nTok - 1)) / nTok.cast("double")
+    val symbolRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))) / length(col("text")).cast("double")
+    val repRatio = size(array_distinct(t)) / nTok.cast("double")
+    val rLen = nTok.between(10, 1000)
+    val rWordLen = meanWordLen.between(2.0, 12.0)
+    val rSymbol = symbolRatio <= 0.1
+    val rRep = repRatio >= 0.1
+    val keep = rLen && rWordLen && rSymbol && rRep
+    d.withColumn("keep", keep)
+      .withColumn("fail_len", !rLen).withColumn("fail_wordlen", !rWordLen)
+      .withColumn("fail_symbol", !rSymbol).withColumn("fail_rep", !rRep)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        count(when(col("fail_len"), 1)).as("n_fail_len"),
+        count(when(col("fail_wordlen"), 1)).as("n_fail_wordlen"),
+        count(when(col("fail_symbol"), 1)).as("n_fail_symbol"),
+        count(when(col("fail_rep"), 1)).as("n_fail_rep"))
+      .orderBy(col("source"))
+  }
+
+  /** q49: benchmark decontamination — flag corpus docs sharing any 5-gram
+    * with the "benchmark" set (doc_id < 10 stands in for the eval set).
+    * The join is benchmark-shingles (tiny, broadcast) against corpus
+    * shingles — at 100 TB the benchmark side is always the broadcast side
+    * and the corpus side streams, so decontamination costs one scan. */
+  def q49Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val corpusSh = shingleRows(d.filter(col("doc_id") >= 10), 5)
+    val benchSh = shingleRows(d.filter(col("doc_id") < 10), 5)
+      .select(col("s")).distinct()
+    val contaminated = corpusSh.join(broadcast(benchSh), "s")
+      .select(col("doc_id")).distinct()
+    d.filter(col("doc_id") >= 10)
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("contaminated"), 1)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q48_quality_filter" ->
+      """WITH t AS (
+        |  SELECT source, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |rules AS (
+        |  SELECT source,
+        |    len(toks) BETWEEN 10 AND 1000 AS r_len,
+        |    (length(text) - (len(toks) - 1)) / len(toks)::DOUBLE BETWEEN 2.0 AND 12.0 AS r_wordlen,
+        |    (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |      / length(text)::DOUBLE <= 0.1 AS r_symbol,
+        |    len(list_distinct(toks)) / len(toks)::DOUBLE >= 0.1 AS r_rep
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN r_len AND r_wordlen AND r_symbol AND r_rep THEN 1 END) AS n_kept,
+        |  count(CASE WHEN NOT r_len THEN 1 END) AS n_fail_len,
+        |  count(CASE WHEN NOT r_wordlen THEN 1 END) AS n_fail_wordlen,
+        |  count(CASE WHEN NOT r_symbol THEN 1 END) AS n_fail_symbol,
+        |  count(CASE WHEN NOT r_rep THEN 1 END) AS n_fail_rep
+        |FROM rules GROUP BY source ORDER BY source""".stripMargin,
+
+    "q49_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+        |contaminated AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 10)
+        |SELECT d.source, count(*) AS n_docs,
+        |  count(CASE WHEN c.doc_id IS NOT NULL THEN 1 END) AS n_contaminated
+        |FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id >= 10
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q44_token_counts" ->
       """WITH t AS (
         |  SELECT source,
