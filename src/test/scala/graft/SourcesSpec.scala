@@ -51,6 +51,10 @@ class SourcesSpec extends SparkSpecBase {
     Sources.writeBucketed(
       Tables.lineitem(spark, Sf0001).withColumnRenamed("l_orderkey", "o_orderkey"),
       "lineitem_b", "o_orderkey", 8)
+    // sorted variant: bucket files pre-sorted by the join key
+    Sources.writeBucketed(Tables.orders(spark, Sf0001), "orders_bs", "o_orderkey", 8,
+      sortCol = Some("o_orderkey"))
+    assert(spark.table("orders_bs").count() === Tables.orders(spark, Sf0001).count())
     val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
     joined.collect()
     val p = joined.queryExecution.executedPlan.toString

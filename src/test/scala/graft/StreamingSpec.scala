@@ -14,6 +14,42 @@ class StreamingSpec extends SparkSpecBase {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
+  test("readEventStream consumes landing-zone files one per micro-batch") {
+    val landing = Files.createTempDirectory("landing")
+    def writeBatch(name: String, rows: String*): Unit =
+      Files.writeString(landing.resolve(name), rows.mkString("\n"))
+    writeBatch("b1.json",
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00Z", "user_id": 1, "event_type": "click", "value": 1.0}""",
+      """{"event_id": 2, "ts": "2024-01-01T10:01:00Z", "user_id": 2, "event_type": "view", "value": 2.0}""")
+    val q = Streaming.readEventStream(spark, landing.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("landing_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    writeBatch("b2.json",
+      """{"event_id": 3, "ts": "2024-01-01T10:02:00Z", "user_id": 3, "event_type": "error", "value": 3.0}""")
+    q.processAllAvailable()
+    val rows = spark.sql("select event_id, event_type from landing_out order by event_id").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("click", "view", "error"))
+  }
+
+  test("dedup with tolerance collapses near-duplicate timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedup(in.toDF(), toleranceSeconds = 5)
+      .writeStream.format("memory").queryName("tol_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:00:02"), 1, "click", 1.0), // within 5 s bucket → dup
+      Ev(3, ts("2024-01-01 10:00:07"), 1, "click", 2.0)) // next bucket → kept
+    q.processAllAvailable()
+    val n = spark.sql("select count(*) from tol_out").head().getLong(0)
+    q.stop()
+    assert(n === 2)
+  }
+
   test("dedup drops duplicate (user_id, ts) pairs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
