@@ -73,6 +73,8 @@ object SparkEntry {
     "q47_cube_activity"     -> (JoinQueries.q47CubeActivity(_, _)),
     "q48_quality_filter"    -> (TextOps.q48QualityFilter(_, _)),
     "q49_decontaminate"     -> (TextOps.q49Decontaminate(_, _)),
+    "q50_arg_extrema"       -> (JoinQueries.q50ArgExtrema(_, _)),
+    "q51_semi_anti"         -> (JoinQueries.q51SemiAnti(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -174,6 +174,44 @@ object JoinQueries {
       .orderBy(col("bucket"))
   }
 
+  /** min_by/max_by argument-extrema aggregates (the SQL form of the
+    * reference's keep-best dedup idea): per segment, which customer holds
+    * the extreme balance. Ties broken deterministically by folding the key
+    * into the ordering struct. */
+  def q50ArgExtrema(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    // deterministic arg-extremum: order by (value, key) so ties cannot
+    // pick different rows across engines
+    c.groupBy(col("c_mktsegment")).agg(
+        count(lit(1)).as("n"),
+        max(struct(col("c_acctbal"), col("c_custkey"))).getField("c_custkey")
+          .as("richest_cust"),
+        min(struct(col("c_acctbal"), col("c_custkey"))).getField("c_custkey")
+          .as("poorest_cust"),
+        Exprs.dround(max(col("c_acctbal")), 2).as("max_bal"),
+        Exprs.dround(min(col("c_acctbal")), 2).as("min_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Semi/anti joins (absent from the reference, present for API
+    * completeness — a user migrating real workloads needs them): customers
+    * with vs without high-priority orders, per segment. */
+  def q51SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val withUrgent = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_urgent"))
+    val withoutUrgent = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_urgent"))
+    withUrgent.join(withoutUrgent, Seq("c_mktsegment"), "outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_urgent"), lit(0L)).as("n_with_urgent"),
+        coalesce(col("n_without_urgent"), lit(0L)).as("n_without_urgent"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** JSON scalar extraction (reference parses JSON payloads everywhere, §2.8):
     * pull `props.k`, bucket it, aggregate. */
   def q14PropsJson(spark: SparkSession, dir: String): DataFrame = {
@@ -291,6 +329,30 @@ object JoinQueries {
         |       round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE, 2) AS total_value
         |FROM orders GROUP BY ROLLUP (y, m)
         |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin,
+
+    "q50_arg_extrema" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rd,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal ASC, c_custkey ASC) AS ra
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  max(CASE WHEN rd = 1 THEN c_custkey END) AS richest_cust,
+        |  max(CASE WHEN ra = 1 THEN c_custkey END) AS poorest_cust,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(min(c_acctbal), 2) AS min_bal
+        |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q51_semi_anti" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_mktsegment,
+        |  count(CASE WHEN u.o_custkey IS NOT NULL THEN 1 END) AS n_with_urgent,
+        |  count(CASE WHEN u.o_custkey IS NULL THEN 1 END) AS n_without_urgent
+        |FROM customer c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q47_cube_activity" ->
       """SELECT CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 'weekend'

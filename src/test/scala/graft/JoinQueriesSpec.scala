@@ -47,6 +47,12 @@ class JoinQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q51 semi+anti partition the customer set exactly") {
+    val rows = JoinQueries.q51SemiAnti(spark, Sf001).collect()
+    val total = rows.map(r => r.getAs[Long]("n_with_urgent") + r.getAs[Long]("n_without_urgent")).sum
+    assert(total === Tables.customer(spark, Sf001).count())
+  }
+
   test("q07 uses broadcast joins for nation and region dimensions") {
     val plan = JoinQueries.q07SegmentPerformance(spark, Sf001)
       .queryExecution.executedPlan.toString

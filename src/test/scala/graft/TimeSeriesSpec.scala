@@ -58,6 +58,16 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(ids(Seq(col("q").desc, col("t"))) === Seq(("k1", 2L), ("k2", 1L))) // keep-best
   }
 
+  test("dedupKeep is idempotent") {
+    val df = Seq(
+      ("k1", 1L, 5.0), ("k1", 2L, 9.0), ("k2", 1L, 2.0), ("k2", 9L, 2.0)
+    ).toDF("k", "t", "q")
+    val once = TimeSeries.dedupKeep(df, Seq(col("k")), Seq(col("q").desc, col("t")))
+    val twice = TimeSeries.dedupKeep(once, Seq(col("k")), Seq(col("q").desc, col("t")))
+    assert(once.collect().sortBy(_.getString(0)).toSeq ===
+      twice.collect().sortBy(_.getString(0)).toSeq)
+  }
+
   test("q18 interpolation leaves no nulls when every user has an anchor (sf0.001)") {
     val out = TimeSeries.q18Interpolate(spark, Sf0001)
     assert(out.filter(col("sum_interp").isNull).count() === 0)
