@@ -15,7 +15,35 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def typename(t):
+    """Canonical arrow type name. Int-vs-decimal-vs-float is significant:
+    the driver's hash passes int32-vs-int64 (q04 rank() green in r02) but
+    fails BIGINT-vs-HUGEINT (q21/q23/q34/q44 red), because DuckDB HUGEINT
+    surfaces as decimal128 and canonicalizes to a different value repr.
+    String width variants and timestamp unit/tz are not significant."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{typename(t.value_type)}>"
+    return str(t)
+
+
+def schema_sig(tbl):
+    return sorted((f.name, typename(f.type)) for f in tbl.schema)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -71,11 +99,18 @@ def main():
         s_cols = list(tbl.column_names)
         s_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         try:
-            res = con.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_tbl = con.execute(sql).fetch_arrow_table()
+            d_cols = list(d_tbl.column_names)
+            d_rows = [tuple(r.values()) for r in d_tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        s_sig, d_sig = schema_sig(tbl), schema_sig(d_tbl)
+        if s_sig != d_sig:
+            diff = [(a, b) for a, b in zip(s_sig, d_sig) if a != b]
+            print(f"FAIL {name}: type mismatch spark={diff and [d[0] for d in diff]} "
+                  f"duck={diff and [d[1] for d in diff]}")
             n_fail += 1
             continue
         sc, sr = norm_rows(s_cols, s_rows)

@@ -13,21 +13,32 @@ object Bench {
     // warmup: absorb JIT/codegen/IO-cache startup outside the timed loop
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
     // force every output column: a bare count() lets column pruning delete
-    // the very expressions being benchmarked (windows, scores)
-    import org.apache.spark.sql.functions.{col, struct, xxhash64}
+    // the very expressions being benchmarked (windows, scores).
+    // bit_xor (not sum) folds the per-row hashes: xxhash64 spans the full
+    // Long range, so sum() overflows under ANSI mode and aborts the job.
+    import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(org.apache.spark.sql.functions.sum("h")).collect()
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val err =
+        try {
+          val df = fn(spark, sfDir)
+          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+            .agg(bit_xor(col("h"))).collect()
+          None
+        } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val failed = results.filter(_._3.isDefined)
+    val qs = results
+      .map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed
+      .map { case (k, _, e) => s"\"" + k + "\":\"" + e.get.replace("\\", "/").replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs}""")
+    failed.foreach { case (k, _, e) => System.err.println(s"BENCH FAIL $k: ${e.get}") }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -127,7 +127,7 @@ object Multimodal {
         |    (n_chars * 40)::INT AS duration_ms
         |  FROM documents)
         |SELECT kind, count(*) AS n_media,
-        |  sum(octet_length(encode(content))) AS total_bytes,
+        |  sum(octet_length(encode(content)))::BIGINT AS total_bytes,
         |  count(DISTINCT md5(content)) AS n_distinct,
         |  round(avg(width::DOUBLE), 4) AS avg_width,
         |  max(duration_ms) AS max_duration_ms

@@ -379,9 +379,9 @@ object TextOps {
         |    length(text) AS n_chars_m
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
-        |  sum(n_ws) AS ws_tokens,
-        |  sum(n_bpeish) AS bpeish_tokens,
-        |  sum(n_chars_m) AS chars,
+        |  sum(n_ws)::BIGINT AS ws_tokens,
+        |  sum(n_bpeish)::BIGINT AS bpeish_tokens,
+        |  sum(n_chars_m)::BIGINT AS chars,
         |  round(sum(n_bpeish) / sum(n_ws), 4) AS bpe_per_ws
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q21_text_stats" ->
@@ -399,7 +399,7 @@ object TextOps {
         |    round((0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - stop_ratio) + 0.3 * ttr) * 1000000) / 1000000 AS quality
         |  FROM per_doc)
         |SELECT source, count(*) AS n_docs,
-        |  sum(n_tokens) AS total_tokens,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
         |  round(sum(n_tokens) / count(*), 4) AS avg_tokens,
         |  round(sum(ttr::DECIMAL(25,6))::DOUBLE / count(*), 6) AS avg_ttr,
         |  round(sum(stop_ratio::DECIMAL(25,6))::DOUBLE / count(*), 6) AS avg_stop_ratio,
@@ -430,8 +430,8 @@ object TextOps {
         |  FROM documents),
         |clusters AS (
         |  SELECT source, k, count(*) AS sz FROM keyed GROUP BY source, k)
-        |SELECT source, sum(sz) AS n_docs, count(*) AS n_clusters,
-        |  sum(sz - 1) AS n_dups
+        |SELECT source, sum(sz)::BIGINT AS n_docs, count(*) AS n_clusters,
+        |  sum(sz - 1)::BIGINT AS n_dups
         |FROM clusters GROUP BY source ORDER BY source""".stripMargin,
 
     "q24_ngram_jaccard" ->
