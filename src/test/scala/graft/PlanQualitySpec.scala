@@ -47,6 +47,14 @@ class PlanQualitySpec extends SparkSpecBase {
       .forall(_.contains("user_id")) || p.contains("user_id"))
   }
 
+  test("q38 exact dedup distributes pairs via hash join — no cartesian/nested-loop") {
+    val p = plan(graft.sim.Similarity.q38EmbeddingDedup(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("whole-stage codegen covers the quality scoring projection") {
     val df = graft.quality.Quality.q28QualityScore(spark, Sf001)
     df.collect() // AQE only finalizes (and annotates codegen) after execution

@@ -56,4 +56,42 @@ class SimilaritySpec extends SparkSpecBase {
     val meanRecall = df.map(_.getAs[Double]("recall3")).sum / df.length
     assert(meanRecall >= 0.2, s"mean recall3 = $meanRecall")
   }
+
+  test("exactPairsBlocked enumerates every unordered pair exactly once") {
+    val e = Seq.tabulate(40)(i => (i.toLong, Array.fill(4)(i * 0.1f + 1f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.exactPairsBlocked(e, nBlocks = 5)
+      .select(least(col("i"), col("j")).as("a"), greatest(col("i"), col("j")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === 40 * 39 / 2, s"got ${pairs.length} pairs")
+    assert(pairs.distinct.length === pairs.length, "duplicate pair emitted")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("approx dedup: planted near-dups recalled, candidates far below N²/2") {
+    // 60 well-separated base vectors + a planted near-dup (tiny rotation,
+    // cosine ≈ 0.999) for every third base — the regime where LSH is sound
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(60) { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v, 0)
+    }
+    val dups = bases.filter(_._1 % 3 == 0).map { case (id, v, _) =>
+      (1000L + id, v.zipWithIndex.map { case (x, d) => x + 0.01f * (d % 2) }, 1)
+    }
+    val e = (bases ++ dups).toDF("vec_id", "embedding", "label")
+    val marked = Similarity.approxEmbeddingDedup(e, threshold = 0.95).collect()
+    val flagged = marked.filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("vec_id")).toSet
+    // every planted dup has id 1000+base > base, so it is the marked side
+    val planted = dups.map(_._1).toSet
+    val recall = planted.count(flagged).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall over ${planted.size} planted dups")
+    assert(flagged.subsetOf(planted), s"false positives: ${flagged -- planted}")
+    // the LSH bucket join must prune: candidates ≪ N²/2 even counting
+    // per-table repeats
+    val n = bases.size + dups.size
+    val nCand = Similarity.lshCandidatePairs(e, tables = 6, planes = 8).count()
+    assert(nCand < n.toLong * (n - 1) / 4,
+      s"$nCand candidates not ≪ ${n.toLong * (n - 1) / 2}")
+  }
 }

@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(n === 2)
   }
 
+  test("tolerance-dedup state is evicted once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedup(in.toDF(), watermark = "5 minutes", toleranceSeconds = 5)
+      .writeStream.format("memory").queryName("tol_evict_out")
+      .outputMode("append").start()
+    in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // advance the watermark to 10:55 (11:00 - 5 min delay)
+    in.addData(Ev(2, ts("2024-01-01 11:00:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    // next batch runs with the advanced watermark: user 1's bucket (expires
+    // 10:00 + 5 min = 10:05 < 10:55) must be dropped from the state store
+    in.addData(Ev(3, ts("2024-01-01 11:01:00"), 3, "click", 3.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows === 2,
+      s"expected only the 2 in-horizon keys in dedup state, got $stateRows")
+  }
+
   test("dedup drops duplicate (user_id, ts) pairs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

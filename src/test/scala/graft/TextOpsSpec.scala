@@ -30,6 +30,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(p.getAs[Double]("jaccard") === 1.0)
   }
 
+  test("jaccardPairs df-cap bounds hot-shingle pair fan-out, keeps cool pairs exact") {
+    // 30 docs all share the hot shingle "h1 h2 h3"; docs 1 and 2 also share
+    // a doc-specific tail. Uncapped, the hot shingle alone yields C(30,2)=435
+    // candidate pairs; with maxDf=5 it is dropped and only the genuine pair
+    // survives — with its denominator still counting ALL its shingles.
+    val docs = (1L to 30L).map { i =>
+      val tail = if (i <= 2) "t1 t2 t3" else s"u$i v$i w$i"
+      (i, s"h1 h2 h3 $tail")
+    }.toDF("doc_id", "text")
+    val capped = TextOps.jaccardPairs(docs, 3, maxDf = 5).collect()
+    assert(capped.length === 1, s"expected only the genuine pair, got ${capped.length}")
+    val p = capped.head
+    assert(p.getAs[Long]("d1") === 1L && p.getAs[Long]("d2") === 2L)
+    // each doc has 4 distinct shingles ("h1 h2 h3","h2 h3 X","h3 X Y","X Y Z");
+    // docs 1,2 are identical, so they share all 4 — the hot one is dropped
+    // from the JOIN (common=3) but still counts in both denominators (c=4):
+    // jaccard = 3 / (4 + 4 - 3) = 0.6, exact under the cap rule
+    assert(p.getAs[Long]("common") === 3L)
+    assert(math.abs(p.getAs[Double]("jaccard") - 0.6) < 1e-6)
+    val uncapped = TextOps.jaccardPairs(docs, 3).collect()
+    assert(uncapped.length === 30 * 29 / 2, "uncapped control should pair everything")
+  }
+
   test("minhash: identical shingle sets give identical signatures; LSH recalls exact dups") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
