@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, Dashboard, JoinQueries, Summaries}
 import graft.flight.Flight
+import graft.geo.Geo
 import graft.multimodal.Multimodal
 import graft.quality.{BatchChecks, Quality}
 import graft.sim.Similarity
@@ -75,6 +76,8 @@ object SparkEntry {
     "q49_decontaminate"     -> (TextOps.q49Decontaminate(_, _)),
     "q50_arg_extrema"       -> (JoinQueries.q50ArgExtrema(_, _)),
     "q51_semi_anti"         -> (JoinQueries.q51SemiAnti(_, _)),
+    "q52_airport_proximity" -> (Geo.q52AirportProximity(_, _)),
+    "q55_corridor_classify" -> (Geo.q55CorridorClassify(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +88,5 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
-      Summaries.oracle
+      Summaries.oracle ++ Geo.oracle
 }

@@ -44,13 +44,18 @@ object Exprs {
       pow(lit(69.1) * (lat2 - lat1), 2) +
       pow(lit(69.1) * (lon2 - lon1) * cos(radians(lat1)), 2))
 
-  /** Compass octant (N/NE/.../NW) of the bearing from point 1 to point 2,
-    * as a CASE ladder over the angle — reference 05:171-181. */
-  def bearingOctant(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+  /** Initial great-circle bearing from point 1 to point 2 in [0, 360). */
+  def bearingDeg(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
     val y = sin(radians(lon2 - lon1)) * cos(radians(lat2))
     val x = cos(radians(lat1)) * sin(radians(lat2)) -
       sin(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2 - lon1))
-    val brg = (degrees(atan2(y, x)) + 360.0) % 360.0
+    (degrees(atan2(y, x)) + 360.0) % 360.0
+  }
+
+  /** Compass octant (N/NE/.../NW) of the bearing from point 1 to point 2,
+    * as a CASE ladder over the angle — reference 05:171-181. */
+  def bearingOctant(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val brg = bearingDeg(lat1, lon1, lat2, lon2)
     when(brg < 22.5, "N").when(brg < 67.5, "NE").when(brg < 112.5, "E")
       .when(brg < 157.5, "SE").when(brg < 202.5, "S").when(brg < 247.5, "SW")
       .when(brg < 292.5, "W").when(brg < 337.5, "NW").otherwise("N")
