@@ -77,7 +77,10 @@ object SparkEntry {
     "q50_arg_extrema"       -> (JoinQueries.q50ArgExtrema(_, _)),
     "q51_semi_anti"         -> (JoinQueries.q51SemiAnti(_, _)),
     "q52_airport_proximity" -> (Geo.q52AirportProximity(_, _)),
+    "q53_realtime_metrics"  -> (Dashboard.q53RealtimeMetrics(_, _)),
+    "q54_quality_dashboard" -> (Dashboard.q54QualityDashboard(_, _)),
     "q55_corridor_classify" -> (Geo.q55CorridorClassify(_, _)),
+    "q56_sampling_estimate" -> (Dashboard.q56SamplingEstimate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

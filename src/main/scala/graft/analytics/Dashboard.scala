@@ -1,11 +1,12 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.Exprs
+import graft.quality.Quality
 
 /** Dashboard/API read path (SURVEY.md §3.4) and imputation (§2.4 A10).
   *
@@ -81,7 +82,271 @@ object Dashboard {
       .orderBy(col("event_type"))
   }
 
+  /** Pinned dashboard "now" INSIDE the data window (2024-01-30 23:30:00 UTC,
+    * 27 min before the last event) so current-hour/prev-hour/rolling-window
+    * metrics are non-empty and deterministic. The reference views use
+    * `current_timestamp` (06_analytics_views.sql:336,516); here it is a
+    * parameter, matching the SURVEY §7 rule that "now" never comes from the
+    * engine clock. */
+  val DashNowEpoch = 1706657400L
+  private val HourStart  = 1706655600L // 2024-01-30 23:00:00
+  private val PrevStart  = 1706652000L // 2024-01-30 22:00:00
+  private val DayStart   = 1706572800L // 2024-01-30 00:00:00
+
+  /** q53: real-time metrics view — reference
+    * `sql/athena/06_analytics_views.sql:329-495` (realtime_flight_metrics):
+    * current-hour snapshot, previous-hour trend context and today-cumulative
+    * context as three single-row aggregates combined ON 1=1, plus the
+    * trend/intensity/health CASE ladders. Three partition-pruned scans at
+    * scale (hour-partitioned sink), each collapsing to one row — the
+    * cross joins are broadcast-trivial. */
+  def q53RealtimeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val tsS = expr("ts_ns div 1000000000")
+    val k = get_json_object(col("props"), "$.k").cast("int")
+
+    val cur = e.filter(tsS >= HourStart && tsS < HourStart + 3600).agg(
+      count(lit(1)).as("current_hour_events"),
+      countDistinct(col("user_id")).as("current_hour_users"),
+      count(when(col("event_type") =!= "error", 1)).as("active_events"),
+      count(when(col("event_type") === "error", 1)).as("error_events"),
+      Exprs.avgExact2(col("value"), 2).as("avg_value"),
+      max(col("value")).as("max_value"),
+      count(when(col("event_type") === "click", 1)).as("n_click"),
+      count(when(col("event_type") === "view", 1)).as("n_view"),
+      count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+      count(when(col("event_type") === "signup", 1)).as("n_signup"),
+      countDistinct(k).as("distinct_cells"),
+      count(when(tsS >= DashNowEpoch - 300, 1)).as("fresh_events"),
+      count(when(col("value") > 400, 1)).as("high_value_events"))
+
+    val prev = e.filter(tsS >= PrevStart && tsS < HourStart).agg(
+      count(lit(1)).as("prev_hour_events"),
+      count(when(col("event_type") =!= "error", 1)).as("prev_active"),
+      Exprs.avgExact2(col("value"), 2).as("prev_avg_value"))
+
+    val day = e.filter(tsS >= DayStart && tsS < DayStart + 86400).agg(
+      count(lit(1)).as("today_events"),
+      countDistinct(col("user_id")).as("today_users"),
+      max(col("value")).as("today_max_value"))
+
+    cur.crossJoin(broadcast(prev)).crossJoin(broadcast(day))
+      .withColumn("current_hour_label", lit("2024-01-30 23:00"))
+      .withColumn("events_per_minute",
+        Exprs.dround(col("current_hour_events") / lit(60.0), 2))
+      .withColumn("active_pct",
+        Exprs.pctOf(col("active_events"), col("current_hour_events"), 1))
+      .withColumn("hourly_change",
+        col("current_hour_events") - col("prev_hour_events"))
+      // ±10% trend band in exact integer arithmetic: 1.1*prev as a double
+      // literal product sits exactly on the comparison boundary when
+      // 10*cur == 11*prev, and DuckDB's 1.1 is DECIMAL — integers dodge both
+      .withColumn("traffic_trend",
+        when(col("current_hour_events") * 10 > col("prev_hour_events") * 11,
+          "Increasing")
+          .when(col("current_hour_events") * 10 < col("prev_hour_events") * 9,
+            "Decreasing")
+          .otherwise("Stable"))
+      .withColumn("active_change", col("active_events") - col("prev_active"))
+      .withColumn("hour_share_of_day",
+        Exprs.pctOf(col("current_hour_events"), col("today_events"), 1))
+      .withColumn("freshness_pct",
+        Exprs.pctOf(col("fresh_events"), col("current_hour_events"), 1))
+      .withColumn("system_health",
+        when(col("freshness_pct") >= 80, "Excellent")
+          .when(col("freshness_pct") >= 60, "Good")
+          .when(col("freshness_pct") >= 40, "Fair")
+          .otherwise("Poor"))
+      .withColumn("traffic_intensity",
+        when(col("current_hour_events") > 30, "Peak Traffic")
+          .when(col("current_hour_events") > 20, "High Traffic")
+          .when(col("current_hour_events") > 12, "Moderate Traffic")
+          .when(col("current_hour_events") > 6, "Light Traffic")
+          .otherwise("Minimal Traffic"))
+  }
+
+  /** q54: data-quality dashboard view — reference
+    * `sql/athena/06_analytics_views.sql:497-575` (data_quality_dashboard):
+    * 4-hour rolling quality window + current-hour snapshot + completeness /
+    * validity counters + alert booleans, all conditional aggregates in ONE
+    * scan of the last-24h slice (partition-pruned at scale). Per-row score
+    * comes from the same pinned-now scoring pass as q28/q29. */
+  def q54QualityDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val now = DashNowEpoch
+    val tsS = expr("ts_ns div 1000000000")
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val scored = Quality.scoreColumns(lit(now))
+      .foldLeft(Tables.events(spark, dir)) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+      .filter(tsS >= now - 86400)
+    val in4h = tsS >= now - 14400
+    val inHour = tsS >= HourStart && tsS < HourStart + 3600
+    def cnt(c: Column) = count(when(c, 1))
+    val s = col("quality_score")
+    scored.agg(
+        count(lit(1)).as("total_records"),
+        Exprs.dround(Exprs.sumExact(when(in4h, s), 6) / cnt(in4h), 6)
+          .as("last_4h_avg_quality"),
+        Exprs.dround(min(when(in4h, s)), 6).as("last_4h_min_quality"),
+        cnt(in4h && s < 0.7).as("last_4h_poor_count"),
+        cnt(in4h).as("last_4h_total"),
+        Exprs.dround(Exprs.sumExact(when(inHour, s), 6) / cnt(inHour), 6)
+          .as("current_hour_avg_quality"),
+        cnt(inHour && s >= 0.9).as("current_hour_excellent"),
+        cnt(inHour).as("current_hour_total"),
+        cnt(col("user_id").isNull).as("missing_user_count"),
+        cnt(col("value").isNull || k.isNull).as("missing_position_count"),
+        cnt(col("props").isNull).as("missing_props_count"),
+        cnt(col("value") < 0 || col("value") > 1000).as("invalid_value_count"),
+        cnt(col("event_type").isNotNull && !col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"))
+          .as("invalid_type_count"))
+      .withColumn("dashboard_date", lit("2024-01-30"))
+      .withColumn("last_4h_poor_pct",
+        Exprs.pctOf(col("last_4h_poor_count"), col("last_4h_total"), 2))
+      .withColumn("current_hour_excellent_pct",
+        Exprs.pctOf(col("current_hour_excellent"), col("current_hour_total"), 2))
+      .withColumn("missing_user_pct",
+        Exprs.pctOf(col("missing_user_count"), col("total_records"), 3))
+      .withColumn("missing_position_pct",
+        Exprs.pctOf(col("missing_position_count"), col("total_records"), 3))
+      .withColumn("quality_status_flag",
+        when(col("last_4h_avg_quality") >= 0.9, "EXCELLENT")
+          .when(col("last_4h_avg_quality") >= 0.8, "GOOD")
+          .when(col("last_4h_avg_quality") >= 0.7, "FAIR")
+          .when(col("last_4h_avg_quality") >= 0.6, "POOR")
+          .otherwise("CRITICAL"))
+      .withColumn("quality_alert",
+        col("last_4h_poor_count") * 10 > col("last_4h_total"))
+      .withColumn("missing_data_alert",
+        col("missing_user_count") * 50 > col("total_records"))
+  }
+
+  /** q56: API sampling scale-up estimation — the reference API answers from
+    * a ≤5000-record sample and multiplies counts back by the sampling factor
+    * (`get_flight_data.py:260-270,319-326`). Sample membership is
+    * `event_id % 10 = 0` — deterministic and engine-portable, unlike
+    * `rand()`/`TABLESAMPLE` — and estimates sit next to exact counts from
+    * the SAME single scan so the estimation error is itself part of the
+    * contract. At scale only the sampled aggregates would run (that is the
+    * point of sampling); the exact side here is the verification harness. */
+  def q56SamplingEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val inSample = col("event_id") % 10 === 0
+    e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("actual_n"),
+        count(when(inSample, 1)).as("sampled_n"),
+        Exprs.avgExact2(col("value"), 2).as("actual_avg_value"),
+        Exprs.dround(
+          Exprs.sumExact2(when(inSample, col("value"))) /
+            count(when(inSample, col("value"))), 2).as("sampled_avg_value"))
+      .withColumn("sampling_factor", lit(10))
+      .withColumn("estimated_n", col("sampled_n") * 10)
+      .withColumn("estimate_err_pct", Exprs.dround(
+        lit(100.0) * (col("estimated_n") - col("actual_n")) / col("actual_n"), 2))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q56_sampling_estimate" ->
+      """SELECT event_type, count(*) AS actual_n,
+        |  count(CASE WHEN event_id % 10 = 0 THEN 1 END) AS sampled_n,
+        |  round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 100) / 100 AS actual_avg_value,
+        |  round(sum((CASE WHEN event_id % 10 = 0 THEN value END)::DECIMAL(25,2))::DOUBLE /
+        |    count(CASE WHEN event_id % 10 = 0 THEN value END) * 100) / 100 AS sampled_avg_value,
+        |  10 AS sampling_factor,
+        |  count(CASE WHEN event_id % 10 = 0 THEN 1 END) * 10 AS estimated_n,
+        |  round(100.0 * (count(CASE WHEN event_id % 10 = 0 THEN 1 END) * 10 - count(*)) / count(*) * 100) / 100 AS estimate_err_pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q53_realtime_metrics" ->
+      """WITH cur AS (
+        |  SELECT count(*) AS current_hour_events,
+        |    count(DISTINCT user_id) AS current_hour_users,
+        |    count(CASE WHEN event_type <> 'error' THEN 1 END) AS active_events,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error_events,
+        |    round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 100) / 100 AS avg_value,
+        |    max(value) AS max_value,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |    count(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER)) AS distinct_cells,
+        |    count(CASE WHEN epoch_us(ts) // 1000000 >= 1706657100 THEN 1 END) AS fresh_events,
+        |    count(CASE WHEN value > 400 THEN 1 END) AS high_value_events
+        |  FROM events
+        |  WHERE epoch_us(ts) // 1000000 >= 1706655600 AND epoch_us(ts) // 1000000 < 1706659200),
+        |prev AS (
+        |  SELECT count(*) AS prev_hour_events,
+        |    count(CASE WHEN event_type <> 'error' THEN 1 END) AS prev_active,
+        |    round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 100) / 100 AS prev_avg_value
+        |  FROM events
+        |  WHERE epoch_us(ts) // 1000000 >= 1706652000 AND epoch_us(ts) // 1000000 < 1706655600),
+        |today AS (
+        |  SELECT count(*) AS today_events,
+        |    count(DISTINCT user_id) AS today_users,
+        |    max(value) AS today_max_value
+        |  FROM events
+        |  WHERE epoch_us(ts) // 1000000 >= 1706572800 AND epoch_us(ts) // 1000000 < 1706659200)
+        |SELECT c.*, p.*, d.*,
+        |  '2024-01-30 23:00' AS current_hour_label,
+        |  round(current_hour_events / 60.0 * 100) / 100 AS events_per_minute,
+        |  round(100.0 * active_events / current_hour_events * 10) / 10 AS active_pct,
+        |  current_hour_events - prev_hour_events AS hourly_change,
+        |  CASE WHEN current_hour_events * 10 > prev_hour_events * 11 THEN 'Increasing'
+        |       WHEN current_hour_events * 10 < prev_hour_events * 9 THEN 'Decreasing'
+        |       ELSE 'Stable' END AS traffic_trend,
+        |  active_events - prev_active AS active_change,
+        |  round(100.0 * current_hour_events / today_events * 10) / 10 AS hour_share_of_day,
+        |  round(100.0 * fresh_events / current_hour_events * 10) / 10 AS freshness_pct,
+        |  CASE WHEN round(100.0 * fresh_events / current_hour_events * 10) / 10 >= 80 THEN 'Excellent'
+        |       WHEN round(100.0 * fresh_events / current_hour_events * 10) / 10 >= 60 THEN 'Good'
+        |       WHEN round(100.0 * fresh_events / current_hour_events * 10) / 10 >= 40 THEN 'Fair'
+        |       ELSE 'Poor' END AS system_health,
+        |  CASE WHEN current_hour_events > 30 THEN 'Peak Traffic'
+        |       WHEN current_hour_events > 20 THEN 'High Traffic'
+        |       WHEN current_hour_events > 12 THEN 'Moderate Traffic'
+        |       WHEN current_hour_events > 6 THEN 'Light Traffic'
+        |       ELSE 'Minimal Traffic' END AS traffic_intensity
+        |FROM cur c CROSS JOIN prev p CROSS JOIN today d""".stripMargin,
+
+    "q54_quality_dashboard" ->
+      s"""WITH ${Quality.scoreCte(DashNowEpoch)},
+        |win AS (
+        |  SELECT * FROM scored WHERE epoch_us(ts) // 1000000 >= 1706571000),
+        |agged AS (
+        |  SELECT count(*) AS total_records,
+        |    round(sum((CASE WHEN epoch_us(ts) // 1000000 >= 1706643000 THEN quality_score END)::DECIMAL(25,6))::DOUBLE /
+        |      count(CASE WHEN epoch_us(ts) // 1000000 >= 1706643000 THEN 1 END) * 1000000) / 1000000 AS last_4h_avg_quality,
+        |    round(min(CASE WHEN epoch_us(ts) // 1000000 >= 1706643000 THEN quality_score END) * 1000000) / 1000000 AS last_4h_min_quality,
+        |    count(CASE WHEN epoch_us(ts) // 1000000 >= 1706643000 AND quality_score < 0.7 THEN 1 END) AS last_4h_poor_count,
+        |    count(CASE WHEN epoch_us(ts) // 1000000 >= 1706643000 THEN 1 END) AS last_4h_total,
+        |    round(sum((CASE WHEN epoch_us(ts) // 1000000 >= 1706655600 AND epoch_us(ts) // 1000000 < 1706659200 THEN quality_score END)::DECIMAL(25,6))::DOUBLE /
+        |      count(CASE WHEN epoch_us(ts) // 1000000 >= 1706655600 AND epoch_us(ts) // 1000000 < 1706659200 THEN 1 END) * 1000000) / 1000000 AS current_hour_avg_quality,
+        |    count(CASE WHEN epoch_us(ts) // 1000000 >= 1706655600 AND epoch_us(ts) // 1000000 < 1706659200 AND quality_score >= 0.9 THEN 1 END) AS current_hour_excellent,
+        |    count(CASE WHEN epoch_us(ts) // 1000000 >= 1706655600 AND epoch_us(ts) // 1000000 < 1706659200 THEN 1 END) AS current_hour_total,
+        |    count(CASE WHEN user_id IS NULL THEN 1 END) AS missing_user_count,
+        |    count(CASE WHEN value IS NULL OR CAST(json_extract_string(props, '$$.k') AS INTEGER) IS NULL THEN 1 END) AS missing_position_count,
+        |    count(CASE WHEN props IS NULL THEN 1 END) AS missing_props_count,
+        |    count(CASE WHEN value < 0 OR value > 1000 THEN 1 END) AS invalid_value_count,
+        |    count(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup','error') THEN 1 END) AS invalid_type_count
+        |  FROM win)
+        |SELECT *,
+        |  '2024-01-30' AS dashboard_date,
+        |  round(100.0 * last_4h_poor_count / last_4h_total * 100) / 100 AS last_4h_poor_pct,
+        |  round(100.0 * current_hour_excellent / current_hour_total * 100) / 100 AS current_hour_excellent_pct,
+        |  round(100.0 * missing_user_count / total_records * 1000) / 1000 AS missing_user_pct,
+        |  round(100.0 * missing_position_count / total_records * 1000) / 1000 AS missing_position_pct,
+        |  CASE WHEN last_4h_avg_quality >= 0.9 THEN 'EXCELLENT'
+        |       WHEN last_4h_avg_quality >= 0.8 THEN 'GOOD'
+        |       WHEN last_4h_avg_quality >= 0.7 THEN 'FAIR'
+        |       WHEN last_4h_avg_quality >= 0.6 THEN 'POOR'
+        |       ELSE 'CRITICAL' END AS quality_status_flag,
+        |  last_4h_poor_count * 10 > last_4h_total AS quality_alert,
+        |  missing_user_count * 50 > total_records AS missing_data_alert
+        |FROM agged""".stripMargin,
+
     "q35_dashboard_stats" ->
       """WITH top_types AS (
         |  SELECT 'top_type' AS stat, event_type AS key, count(*)::DOUBLE AS v

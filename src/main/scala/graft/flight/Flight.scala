@@ -64,6 +64,57 @@ object Flight {
     (good, bad)
   }
 
+  /** S10 DLQ replay (reference `error_recovery.py:399-597`,
+    * `process_dlq_records` + the retry-strategy ladder): run the captured
+    * corrupt records through a CONSTANT ladder of deterministic fix-up
+    * strategies, re-parse after each, and split into (recovered, dead).
+    *
+    * Each attempt is a pure column transform + `from_json` over the bad
+    * side — one scan per strategy, no driver-side iteration over records,
+    * so replay cost is O(strategies × |DLQ|), and the DLQ is tiny by
+    * construction. Dead records carry the reference's error classification
+    * (`ErrorClassifier.classify_error`, :266-310) and the attempt count.
+    *
+    * Returns (recovered: raw/source_file/fixed_raw/strategy/attempt +
+    * parsed payload, dead: raw/source_file/error_type/attempts). */
+  def reprocessErrors(bad: DataFrame): (DataFrame, DataFrame) = {
+    val parseSchema = rawSchema.add(StructField("_corrupt_record", StringType))
+    val strategies: Seq[(String, Column => Column)] = Seq(
+      // transient-failure analog: parse again unchanged
+      "as_is_retry" -> identity,
+      // common producer bug: trailing comma before a closing bracket
+      "strip_trailing_commas" ->
+        (c => regexp_replace(c, ",\\s*([\\]\\}])", "$1")),
+      // salvage the outermost JSON object from surrounding garbage
+      "extract_json_object" -> (c => regexp_extract(c, "(\\{.*\\})", 1)))
+    val empty = bad.sparkSession.emptyDataFrame
+    val (recoveredOpt, remaining) =
+      strategies.zipWithIndex.foldLeft(
+        (Option.empty[DataFrame], bad)) {
+        case ((acc, rem), ((name, fix), i)) =>
+          val fixed = rem.withColumn("fixed_raw", fix(col("raw")))
+            .withColumn("parsed", from_json(col("fixed_raw"), parseSchema,
+              Map("mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "_corrupt_record")))
+          val ok = col("parsed").isNotNull &&
+            col("parsed._corrupt_record").isNull &&
+            col("parsed.states").isNotNull
+          val rec = fixed.filter(ok)
+            .select(col("raw"), col("source_file"), col("fixed_raw"),
+              lit(name).as("strategy"), lit(i + 1).as("attempt"),
+              col("parsed.time").as("time"), col("parsed.states").as("states"))
+          val next = fixed.filter(!ok).drop("fixed_raw", "parsed")
+          (Some(acc.fold(rec)(_.unionByName(rec))), next)
+      }
+    val dead = remaining
+      .withColumn("error_type",
+        when(!col("raw").rlike("^\\s*\\{"), "NOT_JSON")
+          .when(!col("raw").rlike("\\}\\s*$"), "TRUNCATED")
+          .otherwise("PARSE_ERROR"))
+      .withColumn("attempts", lit(strategies.size))
+    (recoveredOpt.getOrElse(empty), dead)
+  }
+
   private val fieldNames = Seq(
     "icao24", "callsign", "origin_country", "time_position", "last_contact",
     "longitude", "latitude", "baro_altitude", "on_ground", "velocity",

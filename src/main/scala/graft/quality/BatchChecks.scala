@@ -56,30 +56,141 @@ object BatchChecks {
       .orderBy(col("event_type"))
   }
 
-  /** q41 (Q12): the batch check suite as one aggregation — completeness,
-    * validity, uniqueness, accuracy-ish ratios + weighted overall + grade,
-    * one output row per batch (here: per table load). */
+  /** q41 (Q12): the FULL batch check suite — all 16 checks of the reference
+    * validator (`data_quality_validator.py:34-52,80-843`) re-expressed over
+    * the events domain, in two scans:
+    *   pass 1 (tiny result): quartiles + exact-decimal sums for mean/stddev
+    *     of value and of the per-leg rate — broadcast as one row;
+    *   pass 2: every check is a conditional-count aggregate over the
+    *     window-derived legs, so 16 checks cost one shuffle-free projection
+    *     plus one single-row aggregation regardless of check count.
+    *
+    * Check analogs (events domain ↔ reference flight domain):
+    *   completeness/validity/consistency/uniqueness/accuracy/timeliness
+    *   (:80-374 verbatim shapes), value_range ↔ altitude_range 3×IQR
+    *   (:376-435), rate_range ↔ speed_range (:437-495), coordinate_validity
+    *   incl. null-island + lat==lon suspicion (:497-554), id_format ↔
+    *   callsign_format (:556-591), domain ↔ country_code (:593-625),
+    *   ts_consistency (:627-666), precision ↔ position_accuracy ≤N-decimals
+    *   (:668-710), value_jump ↔ altitude_consistency |Δ|≤bound (:712-751),
+    *   type_value ↔ speed_consistency phase rules (:753-796), anomaly 3σ on
+    *   value AND rate (:798-843). Mean/stddev come from exact decimal sums
+    *   (sample variance, ddof=1 like pandas .std()) because distributed
+    *   stddev of doubles is accumulation-order-dependent.
+    */
   def q41BatchCheckSuite(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    def ratio(c: Column) = c.cast("double") / count(lit(1))
-    val checks = e.agg(
-      count(lit(1)).as("n_rows"),
-      Exprs.dround(ratio(count(col("value"))), 6).as("completeness_value"),
-      Exprs.dround(ratio(count(col("user_id"))), 6).as("completeness_user"),
-      Exprs.dround(ratio(count(when(col("value").between(0, 1000), 1))), 6)
-        .as("validity_range"),
-      Exprs.dround(ratio(count(when(
-        col("event_type").isin("click", "view", "purchase", "signup", "error"), 1))), 6)
-        .as("validity_domain"),
-      Exprs.dround(ratio(countDistinct(col("event_id"))), 6).as("uniqueness_id"),
-      // cutoff on exact epoch nanos, not a session-timezone-parsed literal
-      Exprs.dround(ratio(count(when(
-        col("ts_ns") <= lit(1706745600L * 1000000000L), 1))), 6) // 2024-02-01T00Z
-        .as("timestamp_sanity"))
-    checks.withColumn("overall_score", Exprs.dround(
-        col("completeness_value") * 0.2 + col("completeness_user") * 0.1 +
-        col("validity_range") * 0.25 + col("validity_domain") * 0.15 +
-        col("uniqueness_id") * 0.2 + col("timestamp_sanity") * 0.1, 6))
+    val refNow = Quality.RefNowEpoch
+    val eBase = Tables.withSyntheticPositions(Tables.events(spark, dir))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
+    val tsS = expr("ts_ns div 1000000000")
+    val dtS = (expr("ts_ns div 1000") - lag(expr("ts_ns div 1000"), 1).over(w)) /
+      lit(1000000.0)
+    val dv = col("value") - lag(col("value"), 1).over(w)
+    val e = eBase
+      .withColumn("dv_r", Exprs.dround(dv, 2))
+      .withColumn("rate_r", Exprs.dround(when(dtS > 0, dv / dtS), 6))
+    val stats = e.agg(
+      expr("percentile(value, 0.25)").as("v_q1"),
+      expr("percentile(value, 0.75)").as("v_q3"),
+      count(col("value")).as("v_n"),
+      Exprs.sumExact(col("value"), 2).as("v_sum"),
+      Exprs.sumExact(col("value") * col("value"), 4).as("v_sum2"),
+      count(col("rate_r")).as("r_n"),
+      Exprs.sumExact(col("rate_r"), 6).as("r_sum"),
+      Exprs.sumExact(col("rate_r") * col("rate_r"), 12).as("r_sum2"))
+    val j = e.crossJoin(broadcast(stats))
+
+    val validTypes = Seq("click", "view", "purchase", "signup", "error")
+    val n = count(lit(1))
+    def cnt(c: Column) = count(when(c, 1))
+    def r6(c: Column) = Exprs.dround(c, 6)
+    val iqr = col("v_q3") - col("v_q1")
+    val vLo = col("v_q1") - lit(3.0) * iqr
+    val vHi = col("v_q3") + lit(3.0) * iqr
+    val vMean = col("v_sum") / col("v_n")
+    val vStd = sqrt(greatest(
+      (col("v_sum2") - col("v_sum") * col("v_sum") / col("v_n")) /
+        (col("v_n") - 1), lit(0.0)))
+    val rMean = col("r_sum") / col("r_n")
+    val rStd = sqrt(greatest(
+      (col("r_sum2") - col("r_sum") * col("r_sum") / col("r_n")) /
+        (col("r_n") - 1), lit(0.0)))
+    val age = lit(refNow) - tsS
+
+    val agged = j.agg(
+      n.as("n_rows"),
+      r6((count(col("value")) + count(col("user_id")) + count(col("props"))) /
+        (lit(3) * n)).as("completeness_score"),
+      r6(greatest(lit(0.0), lit(1.0) -
+        (cnt(col("value") < 0 || col("value") > 1000) +
+         cnt(col("lat") > 90 || col("lat") < -90) +
+         cnt(col("lon") > 180 || col("lon") < -180) +
+         cnt(col("user_id") < 0) +
+         cnt(col("event_type").isNotNull &&
+             !col("event_type").isin(validTypes: _*))) / (lit(5) * n)))
+        .as("validity_score"),
+      r6(lit(1.0) -
+        (cnt(col("event_type") === "purchase" && col("value") <= 0) +
+         cnt(col("event_type") === "error" && col("value") > 500)) / n)
+        .as("consistency_score"),
+      r6(countDistinct(col("event_id")) / n).as("uniqueness_score"),
+      r6((cnt(col("lat").isNotNull && col("lon").isNotNull) +
+          count(col("value")) + count(col("props"))) / (lit(3) * n))
+        .as("accuracy_score"),
+      r6(cnt(age <= 604800L) / n).as("timeliness_score"),
+      Exprs.dround(sum(age) / n, 1).as("avg_age_s"),
+      r6(greatest(lit(0.0), lit(1.0) -
+        (cnt(col("value") < -1000) + cnt(col("value") > 60000) +
+         cnt(col("value") < vLo || col("value") > vHi)) / count(col("value"))))
+        .as("value_range_score"),
+      r6(lit(1.0) - cnt(abs(col("rate_r")) > 0.5) / count(col("rate_r")))
+        .as("rate_range_score"),
+      r6(lit(1.0) -
+        // lat==lon via tolerance: DuckDB's 3.6 literal is DECIMAL, so its
+        // lon is the exact value while Spark's is the double product — a
+        // 1-ulp gap that flips exact equality on mathematically-equal rows
+        cnt(col("lat").isNotNull && col("lon").isNotNull &&
+            (abs(col("lat")) > 90 || abs(col("lon")) > 180 ||
+             (abs(col("lat")) < 0.1 && abs(col("lon")) < 0.1) ||
+             abs(col("lat") - col("lon")) < 1e-9)) /
+          cnt(col("lat").isNotNull && col("lon").isNotNull))
+        .as("coordinate_score"),
+      r6(cnt(col("props").rlike("^\\{.*\\}$")) / count(col("props")))
+        .as("id_format_score"),
+      r6(cnt(col("event_type").isin(validTypes: _*)) / count(col("event_type")))
+        .as("domain_score"),
+      r6(cnt(tsS <= refNow && tsS >= refNow - 3888000L) / n)
+        .as("ts_consistency_score"),
+      r6(cnt(Exprs.dround(col("value"), 2) === col("value")) / count(col("value")))
+        .as("precision_score"),
+      r6(cnt(abs(col("dv_r")) <= 400) / count(col("dv_r")))
+        .as("value_jump_score"),
+      r6((cnt(col("event_type") === "signup" && col("value") < 100) +
+          cnt(col("event_type") =!= "signup" && col("value") >= 0.01)) / n)
+        .as("type_value_score"),
+      r6(greatest(lit(0.0), lit(1.0) -
+        (cnt(abs(col("value") - vMean) > lit(3.0) * vStd) +
+         cnt(abs(col("rate_r") - rMean) > lit(3.0) * rStd)) / n))
+        .as("anomaly_score"))
+
+    val scoreCols = Seq(
+      "completeness_score" -> 0.8, "validity_score" -> 0.9,
+      "consistency_score" -> 0.85, "uniqueness_score" -> 0.95,
+      "accuracy_score" -> 0.7, "timeliness_score" -> 0.8,
+      "value_range_score" -> 0.95, "rate_range_score" -> 0.95,
+      "coordinate_score" -> 0.98, "id_format_score" -> 0.9,
+      "domain_score" -> 0.95, "ts_consistency_score" -> 0.9,
+      "precision_score" -> 0.95, "value_jump_score" -> 0.8,
+      "type_value_score" -> 0.8, "anomaly_score" -> 0.95)
+    val passed = scoreCols.map { case (c, thr) => (col(c) >= thr).cast("int") }
+      .reduce(_ + _)
+    val overall = Exprs.dround(
+      scoreCols.map { case (c, _) => col(c) }.reduce(_ + _) / lit(16.0), 6)
+    agged
+      .withColumn("passed_checks", passed)
+      .withColumn("total_checks", lit(16))
+      .withColumn("overall_score", overall)
       .withColumn("grade", Exprs.gradeOf(col("overall_score")))
   }
 
@@ -113,32 +224,102 @@ object BatchChecks {
         |FROM fenced GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q41_batch_check_suite" ->
-      """WITH checks AS (
+      """WITH base AS (
+        |  SELECT *, epoch_us(ts) AS t_us, epoch_us(ts) // 1000000 AS ts_s,
+        |    value - 50 AS lat,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |  FROM events),
+        |legs AS (
+        |  SELECT *, lag(value) OVER w AS pvalue, lag(t_us) OVER w AS pt_us
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |derived AS (
+        |  SELECT *,
+        |    round((value - pvalue) * 100) / 100 AS dv_r,
+        |    round(CASE WHEN (t_us - pt_us) / 1000000.0 > 0
+        |      THEN (value - pvalue) / ((t_us - pt_us) / 1000000.0) END * 1000000) / 1000000 AS rate_r
+        |  FROM legs),
+        |stats AS (
+        |  SELECT quantile_cont(value, 0.25) AS v_q1, quantile_cont(value, 0.75) AS v_q3,
+        |    count(value) AS v_n,
+        |    sum(value::DECIMAL(25,2))::DOUBLE AS v_sum,
+        |    sum((value * value)::DECIMAL(25,4))::DOUBLE AS v_sum2,
+        |    count(rate_r) AS r_n,
+        |    sum(rate_r::DECIMAL(25,6))::DOUBLE AS r_sum,
+        |    sum((rate_r * rate_r)::DECIMAL(25,12))::DOUBLE AS r_sum2
+        |  FROM derived),
+        |agged AS (
         |  SELECT count(*) AS n_rows,
-        |    round(count(value) / count(*), 6) AS completeness_value,
-        |    round(count(user_id) / count(*), 6) AS completeness_user,
-        |    round(count(CASE WHEN value BETWEEN 0 AND 1000 THEN 1 END) / count(*), 6) AS validity_range,
-        |    round(count(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 END) / count(*), 6) AS validity_domain,
-        |    round(count(DISTINCT event_id) / count(*), 6) AS uniqueness_id,
-        |    round(count(CASE WHEN epoch_us(ts) <= 1706745600000000 THEN 1 END) / count(*), 6) AS timestamp_sanity
-        |  FROM events)
+        |    round((count(value) + count(user_id) + count(props)) / (3 * count(*)) * 1000000) / 1000000 AS completeness_score,
+        |    round(greatest(0.0, 1.0 -
+        |      (count(CASE WHEN value < 0 OR value > 1000 THEN 1 END) +
+        |       count(CASE WHEN lat > 90 OR lat < -90 THEN 1 END) +
+        |       count(CASE WHEN lon > 180 OR lon < -180 THEN 1 END) +
+        |       count(CASE WHEN user_id < 0 THEN 1 END) +
+        |       count(CASE WHEN event_type IS NOT NULL AND event_type NOT IN ('click','view','purchase','signup','error') THEN 1 END)
+        |      ) / (5 * count(*))) * 1000000) / 1000000 AS validity_score,
+        |    round((1.0 -
+        |      (count(CASE WHEN event_type = 'purchase' AND value <= 0 THEN 1 END) +
+        |       count(CASE WHEN event_type = 'error' AND value > 500 THEN 1 END)
+        |      ) / count(*)) * 1000000) / 1000000 AS consistency_score,
+        |    round(count(DISTINCT event_id) / count(*) * 1000000) / 1000000 AS uniqueness_score,
+        |    round((count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN 1 END) +
+        |       count(value) + count(props)) / (3 * count(*)) * 1000000) / 1000000 AS accuracy_score,
+        |    round(count(CASE WHEN 1706659200 - ts_s <= 604800 THEN 1 END) / count(*) * 1000000) / 1000000 AS timeliness_score,
+        |    round(sum(1706659200 - ts_s)::BIGINT / count(*) * 10) / 10 AS avg_age_s,
+        |    round(greatest(0.0, 1.0 -
+        |      (count(CASE WHEN value < -1000 THEN 1 END) +
+        |       count(CASE WHEN value > 60000 THEN 1 END) +
+        |       count(CASE WHEN value < v_q1 - 3.0 * (v_q3 - v_q1) OR value > v_q3 + 3.0 * (v_q3 - v_q1) THEN 1 END)
+        |      ) / count(value)) * 1000000) / 1000000 AS value_range_score,
+        |    round((1.0 - count(CASE WHEN abs(rate_r) > 0.5 THEN 1 END) / count(rate_r)) * 1000000) / 1000000 AS rate_range_score,
+        |    round((1.0 -
+        |      count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL AND
+        |        (abs(lat) > 90 OR abs(lon) > 180 OR (abs(lat) < 0.1 AND abs(lon) < 0.1) OR abs(lat - lon) < 1e-9) THEN 1 END) /
+        |      count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN 1 END)) * 1000000) / 1000000 AS coordinate_score,
+        |    round(count(CASE WHEN regexp_matches(props, '^\{.*\}$') THEN 1 END) / count(props) * 1000000) / 1000000 AS id_format_score,
+        |    round(count(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 END) / count(event_type) * 1000000) / 1000000 AS domain_score,
+        |    round(count(CASE WHEN ts_s <= 1706659200 AND ts_s >= 1706659200 - 3888000 THEN 1 END) / count(*) * 1000000) / 1000000 AS ts_consistency_score,
+        |    round(count(CASE WHEN round(value * 100) / 100 = value THEN 1 END) / count(value) * 1000000) / 1000000 AS precision_score,
+        |    round(count(CASE WHEN abs(dv_r) <= 400 THEN 1 END) / count(dv_r) * 1000000) / 1000000 AS value_jump_score,
+        |    round((count(CASE WHEN event_type = 'signup' AND value < 100 THEN 1 END) +
+        |       count(CASE WHEN event_type <> 'signup' AND value >= 0.01 THEN 1 END)) / count(*) * 1000000) / 1000000 AS type_value_score,
+        |    round(greatest(0.0, 1.0 -
+        |      (count(CASE WHEN abs(value - v_sum / v_n) > 3.0 * sqrt(greatest((v_sum2 - v_sum * v_sum / v_n) / (v_n - 1), 0.0)) THEN 1 END) +
+        |       count(CASE WHEN abs(rate_r - r_sum / r_n) > 3.0 * sqrt(greatest((r_sum2 - r_sum * r_sum / r_n) / (r_n - 1), 0.0)) THEN 1 END)
+        |      ) / count(*)) * 1000000) / 1000000 AS anomaly_score
+        |  FROM derived CROSS JOIN stats),
+        |scored AS (
+        |  SELECT *,
+        |    (CASE WHEN completeness_score >= 0.8 THEN 1 ELSE 0 END +
+        |     CASE WHEN validity_score >= 0.9 THEN 1 ELSE 0 END +
+        |     CASE WHEN consistency_score >= 0.85 THEN 1 ELSE 0 END +
+        |     CASE WHEN uniqueness_score >= 0.95 THEN 1 ELSE 0 END +
+        |     CASE WHEN accuracy_score >= 0.7 THEN 1 ELSE 0 END +
+        |     CASE WHEN timeliness_score >= 0.8 THEN 1 ELSE 0 END +
+        |     CASE WHEN value_range_score >= 0.95 THEN 1 ELSE 0 END +
+        |     CASE WHEN rate_range_score >= 0.95 THEN 1 ELSE 0 END +
+        |     CASE WHEN coordinate_score >= 0.98 THEN 1 ELSE 0 END +
+        |     CASE WHEN id_format_score >= 0.9 THEN 1 ELSE 0 END +
+        |     CASE WHEN domain_score >= 0.95 THEN 1 ELSE 0 END +
+        |     CASE WHEN ts_consistency_score >= 0.9 THEN 1 ELSE 0 END +
+        |     CASE WHEN precision_score >= 0.95 THEN 1 ELSE 0 END +
+        |     CASE WHEN value_jump_score >= 0.8 THEN 1 ELSE 0 END +
+        |     CASE WHEN type_value_score >= 0.8 THEN 1 ELSE 0 END +
+        |     CASE WHEN anomaly_score >= 0.95 THEN 1 ELSE 0 END) AS passed_checks,
+        |    16 AS total_checks,
+        |    round((completeness_score + validity_score + consistency_score +
+        |      uniqueness_score + accuracy_score + timeliness_score +
+        |      value_range_score + rate_range_score + coordinate_score +
+        |      id_format_score + domain_score + ts_consistency_score +
+        |      precision_score + value_jump_score + type_value_score +
+        |      anomaly_score) / 16.0 * 1000000) / 1000000 AS overall_score
+        |  FROM agged)
         |SELECT *,
-        |  round(completeness_value * 0.2 + completeness_user * 0.1 +
-        |        validity_range * 0.25 + validity_domain * 0.15 +
-        |        uniqueness_id * 0.2 + timestamp_sanity * 0.1, 6) AS overall_score,
-        |  CASE WHEN round(completeness_value * 0.2 + completeness_user * 0.1 +
-        |        validity_range * 0.25 + validity_domain * 0.15 +
-        |        uniqueness_id * 0.2 + timestamp_sanity * 0.1, 6) >= 0.95 THEN 'A'
-        |       WHEN round(completeness_value * 0.2 + completeness_user * 0.1 +
-        |        validity_range * 0.25 + validity_domain * 0.15 +
-        |        uniqueness_id * 0.2 + timestamp_sanity * 0.1, 6) >= 0.85 THEN 'B'
-        |       WHEN round(completeness_value * 0.2 + completeness_user * 0.1 +
-        |        validity_range * 0.25 + validity_domain * 0.15 +
-        |        uniqueness_id * 0.2 + timestamp_sanity * 0.1, 6) >= 0.70 THEN 'C'
-        |       WHEN round(completeness_value * 0.2 + completeness_user * 0.1 +
-        |        validity_range * 0.25 + validity_domain * 0.15 +
-        |        uniqueness_id * 0.2 + timestamp_sanity * 0.1, 6) >= 0.50 THEN 'D'
+        |  CASE WHEN overall_score >= 0.95 THEN 'A'
+        |       WHEN overall_score >= 0.85 THEN 'B'
+        |       WHEN overall_score >= 0.70 THEN 'C'
+        |       WHEN overall_score >= 0.50 THEN 'D'
         |       ELSE 'F' END AS grade
-        |FROM checks""".stripMargin,
+        |FROM scored""".stripMargin,
   )
 }

@@ -181,7 +181,12 @@ object Quality {
       .orderBy(col("user_id"))
   }
 
-  private val scoreSqlCte =
+  /** The per-row score CTE with "now" substituted — q28/q29 pin RefNowEpoch,
+    * the q54 dashboard pins an in-data now (Dashboard.DashNowEpoch). */
+  private[graft] def scoreCte(now: Long = RefNowEpoch): String =
+    scoreSqlTemplate.replace("1706659200", now.toString)
+
+  private val scoreSqlTemplate =
     """scored AS (
       |  SELECT *,
       |    round((greatest(0.0, 1.0
@@ -206,7 +211,7 @@ object Quality {
 
   val oracle: Map[String, String] = Map(
     "q28_quality_score" ->
-      s"""WITH $scoreSqlCte,
+      s"""WITH ${scoreCte()},
         |graded AS (
         |  SELECT *,
         |    CASE WHEN quality_score >= 0.95 THEN 'A'
@@ -224,7 +229,7 @@ object Quality {
         |FROM graded GROUP BY grade ORDER BY grade""".stripMargin,
 
     "q29_quarantine_split" ->
-      s"""WITH $scoreSqlCte,
+      s"""WITH ${scoreCte()},
         |routed AS (
         |  SELECT *,
         |    CASE WHEN quality_score < 0.30 OR invalid_core

@@ -137,6 +137,39 @@ class FlightSpec extends SparkSpecBase {
     assert(badRows.head.getAs[String]("source_file").contains("broken.json"))
   }
 
+  test("reprocessErrors: fix-up ladder recovers fixable records, classifies dead") {
+    val d = Files.createTempDirectory("flight_dlq")
+    Files.writeString(d.resolve("good.json"), rawJson)
+    // trailing comma before ]] — recoverable by strip_trailing_commas
+    Files.writeString(d.resolve("fixable.json"),
+      """{"time": 18, "states": [["aaa111", "X", "C", 1, 2, 3.0, 4.0, 5.0, false, 6.0, 7.0, 8.0, null, 9.0, "0", false, 0],]}""")
+    // wrapped in log-line garbage — recoverable by extract_json_object
+    Files.writeString(d.resolve("wrapped.json"),
+      """WARN retry {"time": 19, "states": [["bbb222", "Y", "C", 1, 2, 3.0, 4.0, 5.0, false, 6.0, 7.0, 8.0, null, 9.0, "0", false, 0]]} end""")
+    // truncated mid-array — dead
+    Files.writeString(d.resolve("truncated.json"), """{"time": 20, "states": [[""")
+    // not JSON at all — dead
+    Files.writeString(d.resolve("garbage.json"), """not json at all""")
+    val (_, bad) = Flight.readRawWithErrors(spark, d.toString)
+    assert(bad.count() === 4)
+    val (recovered, dead) = Flight.reprocessErrors(bad)
+    val rec = recovered.orderBy("time").collect()
+    assert(rec.length === 2)
+    assert(rec(0).getAs[Long]("time") === 18L)
+    assert(rec(0).getAs[String]("strategy") === "strip_trailing_commas")
+    assert(rec(1).getAs[Long]("time") === 19L)
+    assert(rec(1).getAs[String]("strategy") === "extract_json_object")
+    // recovered payload is immediately explodable downstream
+    val replayed = Flight.explodeStates(recovered.select("time", "states"))
+    assert(replayed.count() === 2)
+    val deadRows = dead.orderBy("raw").collect()
+    assert(deadRows.length === 2)
+    val types = deadRows.map(r =>
+      r.getAs[String]("raw") -> r.getAs[String]("error_type")).toMap
+    assert(types.values.toSet === Set("NOT_JSON", "TRUNCATED"))
+    assert(deadRows.forall(_.getAs[Int]("attempts") === 3))
+  }
+
   test("ingest + writePartitioned round-trip with hour partitions") {
     val out = Files.createTempDirectory("flight_out").toString
     Flight.writePartitioned(Flight.ingest(spark, rawDir), out)
