@@ -91,6 +91,30 @@ object Streaming {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Hopping-window realtime metrics — the streaming form of the q53
+    * realtime dashboard view (reference 06_analytics_views.sql:329-495):
+    * every `slide`, emit a snapshot of the trailing `width` of activity
+    * (total/active/error split, peak value). Distinct users use
+    * `approx_count_distinct` — exact distinct is unsupported in streaming
+    * aggregation and HLL state is O(sketch) per window instead of O(users),
+    * which is also the right trade at scale. Watermark bounds the number of
+    * open windows; state is O(open windows), not O(events). */
+  def slidingMetrics(events: DataFrame, width: String = "1 hour",
+                     slide: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(when(col("event_type") =!= "error", 1)).as("active_events"),
+        count(when(col("event_type") === "error", 1)).as("error_events"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"),
+        col("approx_users"), col("active_events"), col("error_events"),
+        col("max_value"))
+
   case class Obs(userId: Long, tsMs: Long, value: Double)
   case class StuckEvent(userId: Long, tsMs: Long, nObs: Int, spread: Double)
 

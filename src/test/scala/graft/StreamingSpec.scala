@@ -127,6 +127,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(1).getLong(1) === 1 && rows(1).getDouble(2) === 4.0)
   }
 
+  test("slidingMetrics emits overlapping hopping-window snapshots") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.slidingMetrics(in.toDF(), width = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("complete").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:40:00"), 2, "error", 9.0),
+      Ev(3, ts("2024-01-01 11:10:00"), 1, "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      """select window_start, n_events, active_events, error_events, max_value
+        |from sliding_out order by window_start""".stripMargin).collect()
+    q.stop()
+    // events at 10:05, 10:40, 11:10 with 1h windows every 30 min:
+    // [09:30,10:30): e1 | [10:00,11:00): e1,e2 | [10:30,11:30): e2,e3 | [11:00,12:00): e3
+    assert(rows.length === 4)
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L, 2L, 1L))
+    assert(rows(1).getLong(2) === 1 && rows(1).getLong(3) === 1) // active/error split
+    assert(rows(2).getDouble(4) === 9.0) // peak carries across the hop
+  }
+
   test("sessionCounts merges events within the gap and splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
