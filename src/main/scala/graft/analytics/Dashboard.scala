@@ -104,8 +104,13 @@ object Dashboard {
     val e = Tables.events(spark, dir)
     val tsS = expr("ts_ns div 1000000000")
     val k = get_json_object(col("props"), "$.k").cast("int")
+    // range filters on the RAW ts_ns column (not the derived div expression)
+    // so they reach the parquet scan as PushedFilters — the whole point of a
+    // "current hour" view at 100 TB is reading one hour, not the corpus
+    def tsRange(fromS: Long, untilS: Long): Column =
+      col("ts_ns") >= fromS * 1000000000L && col("ts_ns") < untilS * 1000000000L
 
-    val cur = e.filter(tsS >= HourStart && tsS < HourStart + 3600).agg(
+    val cur = e.filter(tsRange(HourStart, HourStart + 3600)).agg(
       count(lit(1)).as("current_hour_events"),
       countDistinct(col("user_id")).as("current_hour_users"),
       count(when(col("event_type") =!= "error", 1)).as("active_events"),
@@ -120,12 +125,12 @@ object Dashboard {
       count(when(tsS >= DashNowEpoch - 300, 1)).as("fresh_events"),
       count(when(col("value") > 400, 1)).as("high_value_events"))
 
-    val prev = e.filter(tsS >= PrevStart && tsS < HourStart).agg(
+    val prev = e.filter(tsRange(PrevStart, HourStart)).agg(
       count(lit(1)).as("prev_hour_events"),
       count(when(col("event_type") =!= "error", 1)).as("prev_active"),
       Exprs.avgExact2(col("value"), 2).as("prev_avg_value"))
 
-    val day = e.filter(tsS >= DayStart && tsS < DayStart + 86400).agg(
+    val day = e.filter(tsRange(DayStart, DayStart + 86400)).agg(
       count(lit(1)).as("today_events"),
       countDistinct(col("user_id")).as("today_users"),
       max(col("value")).as("today_max_value"))
@@ -179,7 +184,7 @@ object Dashboard {
       .foldLeft(Tables.events(spark, dir)) {
         case (df, (name, c)) => df.withColumn(name, c)
       }
-      .filter(tsS >= now - 86400)
+      .filter(col("ts_ns") >= (now - 86400) * 1000000000L) // pushed to scan
     val in4h = tsS >= now - 14400
     val inHour = tsS >= HourStart && tsS < HourStart + 3600
     def cnt(c: Column) = count(when(c, 1))

@@ -62,4 +62,24 @@ class PlanQualitySpec extends SparkSpecBase {
     // whole-stage-codegen stages print as "*(n) Operator" in the simple plan
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(2000))
   }
+
+  test("q53 hour/day range filters reach every parquet scan (raw ts_ns ranges)") {
+    val p = plan(graft.analytics.Dashboard.q53RealtimeMetrics(spark, Sf001))
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.size === 3, s"expected 3 pruned scans:\n${p.take(3000)}")
+    assert(scans.forall(_.contains("GreaterThanOrEqual(ts,")),
+      "every scan must push its lower time bound")
+  }
+
+  test("q54 24h rolling filter reaches the parquet scan") {
+    val p = plan(graft.analytics.Dashboard.q54QualityDashboard(spark, Sf001))
+    assert(p.contains("GreaterThanOrEqual(ts,1706571000000000000)"), p.take(3000))
+  }
+
+  test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
+    val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
