@@ -81,6 +81,7 @@ object SparkEntry {
     "q54_quality_dashboard" -> (Dashboard.q54QualityDashboard(_, _)),
     "q55_corridor_classify" -> (Geo.q55CorridorClassify(_, _)),
     "q56_sampling_estimate" -> (Dashboard.q56SamplingEstimate(_, _)),
+    "q57_repetition_filter" -> (TextOps.q57RepetitionFilter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -348,7 +348,97 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q57: Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    * paper; also the reference-free half of every modern corpus filter) —
+    * duplicate-word fraction, top-word fraction and top-bigram fraction per
+    * document, flags at corpus-tuned thresholds, keep = no flag.
+    *
+    * Scale shape: posexplode → two hash aggregations keyed by (doc_id,
+    * gram); bigram adjacency is a lead window partitioned by doc_id —
+    * every stage is keyed on doc_id (or finer), so the plan is
+    * embarrassingly parallel and no stage ever sees a whole-corpus key.
+    * No array higher-order functions (they never reach codegen — CLAUDE.md
+    * perf rules); everything is row-based. */
+  def q57RepetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val words = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+    val wordCounts = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val wordStats = wordCounts.groupBy(col("doc_id")).agg(
+      sum(col("n")).as("total_words"),
+      count(lit(1)).as("distinct_words"),
+      max(col("n")).as("top_word_n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigramCounts = words
+      .withColumn("nxt", lead(col("word"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("word"), col("nxt")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val bigramStats = bigramCounts.groupBy(col("doc_id")).agg(
+      max(col("n")).as("top_bigram_n"),
+      sum(col("n")).as("total_bigrams"))
+    val scored = wordStats.join(bigramStats, "doc_id")
+      .withColumn("dup_word_frac", Exprs.dround(
+        lit(1.0) - col("distinct_words") / col("total_words"), 6))
+      .withColumn("top_word_frac", Exprs.dround(
+        col("top_word_n") / col("total_words"), 6))
+      .withColumn("top_bigram_frac", Exprs.dround(
+        col("top_bigram_n") / col("total_bigrams"), 6))
+    val fDup = col("dup_word_frac") > 0.65
+    val fWord = col("top_word_frac") > 0.13
+    val fBigram = col("top_bigram_frac") > 0.06
+    scored
+      .withColumn("flag_dup_words", fDup)
+      .withColumn("flag_top_word", fWord)
+      .withColumn("flag_top_bigram", fBigram)
+      .withColumn("keep", !fDup && !fWord && !fBigram)
+      .select(col("doc_id"), col("total_words"), col("distinct_words"),
+        col("dup_word_frac"), col("top_word_frac"), col("top_bigram_frac"),
+        col("flag_dup_words"), col("flag_top_word"), col("flag_top_bigram"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q57_repetition_filter" ->
+      """WITH words0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |words AS (SELECT * FROM words0 WHERE word <> ''),
+        |wc AS (SELECT doc_id, word, count(*) AS n FROM words GROUP BY 1, 2),
+        |wstats AS (
+        |  SELECT doc_id, sum(n)::BIGINT AS total_words,
+        |    count(*) AS distinct_words, max(n) AS top_word_n
+        |  FROM wc GROUP BY 1),
+        |bi AS (
+        |  SELECT doc_id, word,
+        |    lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM words),
+        |bc AS (
+        |  SELECT doc_id, word || ' ' || nxt AS bigram, count(*) AS n
+        |  FROM bi WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |bstats AS (
+        |  SELECT doc_id, max(n) AS top_bigram_n, sum(n)::BIGINT AS total_bigrams
+        |  FROM bc GROUP BY 1),
+        |scored AS (
+        |  SELECT doc_id, total_words, distinct_words,
+        |    round((1.0 - distinct_words / total_words) * 1000000) / 1000000 AS dup_word_frac,
+        |    round(top_word_n / total_words * 1000000) / 1000000 AS top_word_frac,
+        |    round(top_bigram_n / total_bigrams * 1000000) / 1000000 AS top_bigram_frac
+        |  FROM wstats JOIN bstats USING (doc_id))
+        |SELECT doc_id, total_words, distinct_words,
+        |  dup_word_frac, top_word_frac, top_bigram_frac,
+        |  dup_word_frac > 0.65 AS flag_dup_words,
+        |  top_word_frac > 0.13 AS flag_top_word,
+        |  top_bigram_frac > 0.06 AS flag_top_bigram,
+        |  NOT (dup_word_frac > 0.65) AND NOT (top_word_frac > 0.13)
+        |    AND NOT (top_bigram_frac > 0.06) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
     "q48_quality_filter" ->
       """WITH t AS (
         |  SELECT source, text,
