@@ -82,6 +82,7 @@ object SparkEntry {
     "q55_corridor_classify" -> (Geo.q55CorridorClassify(_, _)),
     "q56_sampling_estimate" -> (Dashboard.q56SamplingEstimate(_, _)),
     "q57_repetition_filter" -> (TextOps.q57RepetitionFilter(_, _)),
+    "q58_asof_join"         -> (TimeSeries.q58AsofJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

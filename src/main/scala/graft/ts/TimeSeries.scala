@@ -195,7 +195,89 @@ object TimeSeries {
       .orderBy(col("user_id"))
   }
 
+  /** Generic as-of join: attach to every left row the LATEST right row with
+    * `rightTime <= leftTime` for the same key — the time-series join Spark
+    * has no operator for (builder brief §custom operators; DuckDB/kdb have
+    * it natively, and DuckDB's `ASOF JOIN` is exactly the oracle).
+    *
+    * Implementation is the union + running-last idiom, NOT a range join:
+    * tag both sides, union, and take `last(right_payload, ignoreNulls)`
+    * over (key, time, side) with side ordering right-before-left so a right
+    * row at the exact left timestamp qualifies (ASOF's `>=`). ONE shuffle
+    * on the key, state O(1) per row — a range join would explode to
+    * |left|×|matching right| intermediates and then re-aggregate them away.
+    *
+    * Right rows must be unique per (key, time) — dedupe first (see q58) —
+    * otherwise "the" latest row at a timestamp is not well-defined in any
+    * engine. Left columns pass through; each `valueCols` c returns as
+    * `asof_c` (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val rv = struct(valueCols.map(col): _*)
+    val rvType = right.select(rv.as("__rv")).schema("__rv").dataType
+    val r2 = right.select(keys.map(col) :+ col(timeCol) :+ rv.as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    val l2 = left
+      .withColumn("__rv", lit(null).cast(rvType))
+      .withColumn("__side", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        valueCols.map(c => col("__last_rv").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /** q58: as-of join on events — every purchase gets the user's most recent
+    * click at-or-before it (the "state at decision time" join every
+    * feature/training pipeline needs). Clicks are deduped to one per
+    * (user, timestamp) first so the latest row is well-defined; the DuckDB
+    * oracle is a native ASOF LEFT JOIN over the identical inputs. */
+  def q58AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = dedupKeep(
+      e.filter(col("event_type") === "click")
+        .select(col("user_id"), tsUs.as("t_us"), col("event_id"), col("value")),
+      keys = Seq(col("user_id"), col("t_us")),
+      order = Seq(col("event_id").desc))
+      .select(col("user_id"), col("t_us"),
+        col("t_us").as("click_t_us"), col("value").as("click_value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("t_us"),
+        col("value").as("purchase_value"))
+    asofJoin(purchases, clicks, keys = Seq("user_id"), timeCol = "t_us",
+        valueCols = Seq("click_t_us", "click_value"))
+      .withColumn("gap_us", col("t_us") - col("asof_click_t_us"))
+      .withColumn("value_delta",
+        Exprs.dround(col("purchase_value") - col("asof_click_value"), 2))
+      .select(col("event_id"), col("user_id"), col("purchase_value"),
+        col("asof_click_value").as("click_value"), col("gap_us"),
+        col("value_delta"))
+      .orderBy(col("event_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q58_asof_join" ->
+      """WITH clicks0 AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+        |                       ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |clicks AS (
+        |  SELECT user_id, t_us, value AS click_value FROM clicks0 WHERE rn = 1),
+        |purchases AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.purchase_value,
+        |  c.click_value,
+        |  p.t_us - c.t_us AS gap_us,
+        |  round((p.purchase_value - c.click_value) * 100) / 100 AS value_delta
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.t_us >= c.t_us
+        |ORDER BY p.event_id""".stripMargin,
+
     "q42_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),

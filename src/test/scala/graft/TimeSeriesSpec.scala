@@ -58,6 +58,25 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(ids(Seq(col("q").desc, col("t"))) === Seq(("k1", 2L), ("k2", 1L))) // keep-best
   }
 
+  test("asofJoin: latest-at-or-before semantics, exact-ts tie included, null when none") {
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 50L, 500.0))
+      .toDF("user_id", "t", "rv")
+    val left = Seq(
+      (11L, 1L, 5L),   // before any right row → null
+      (12L, 1L, 10L),  // exact tie with right t=10 → 100.0 (ASOF >=)
+      (13L, 1L, 15L),  // between → 100.0
+      (14L, 1L, 99L),  // after all → 200.0 (latest, not first)
+      (15L, 2L, 60L),  // other key isolated → 500.0
+      (16L, 3L, 60L)   // key with no right rows → null
+    ).toDF("event_id", "user_id", "t")
+    val out = TimeSeries.asofJoin(left, right, Seq("user_id"), "t", Seq("rv"))
+      .orderBy("event_id").collect()
+    val got = out.map(r =>
+      if (r.isNullAt(r.fieldIndex("asof_rv"))) None
+      else Some(r.getAs[Double]("asof_rv"))).toSeq
+    assert(got === Seq(None, Some(100.0), Some(100.0), Some(200.0), Some(500.0), None))
+  }
+
   test("dedupKeep is idempotent") {
     val df = Seq(
       ("k1", 1L, 5.0), ("k1", 2L, 9.0), ("k2", 1L, 2.0), ("k2", 9L, 2.0)
