@@ -37,6 +37,26 @@ object Streaming {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** S1: the REST poll source (reference
+    * `src/lambda/data_ingestion/flight_data_ingestion.py` — a scheduled tick
+    * fetches one API response and drops it as one file). The fetcher is
+    * injected (this library never talks to a network); each response lands
+    * via temp-file + atomic rename so `readEventStream`'s file source never
+    * observes a partial write — the one correctness requirement a
+    * landing-zone producer must meet. Returns the landed paths. */
+  def pollToLandingZone(fetch: Int => String, landingDir: java.nio.file.Path,
+                        ticks: Int,
+                        nameOf: Int => String = i => f"batch_$i%06d.json")
+      : Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, StandardCopyOption}
+    (0 until ticks).map { i =>
+      val tmp = Files.createTempFile(landingDir, ".landing", ".tmp")
+      Files.writeString(tmp, fetch(i))
+      Files.move(tmp, landingDir.resolve(nameOf(i)),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** Landing-zone file source: one JSON file ≈ one micro-batch. */
   def readEventStream(spark: SparkSession, landingDir: String,
                       maxFilesPerTrigger: Int = 1): DataFrame =

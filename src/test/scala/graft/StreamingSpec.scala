@@ -34,6 +34,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.map(_.getString(1)).toSeq === Seq("click", "view", "error"))
   }
 
+  test("pollToLandingZone lands atomic files the stream source consumes") {
+    val landing = Files.createTempDirectory("poll_landing")
+    val paths = Streaming.pollToLandingZone(
+      i => s"""{"event_id": $i, "ts": "2024-01-01T10:0$i:00Z", "user_id": $i, "event_type": "click", "value": $i.0}""",
+      landing, ticks = 3)
+    assert(paths.map(_.getFileName.toString) ===
+      Seq("batch_000000.json", "batch_000001.json", "batch_000002.json"))
+    // no temp files left behind — partial writes are never visible
+    assert(!Files.list(landing).toArray.map(_.toString).exists(_.endsWith(".tmp")))
+    val q = Streaming.readEventStream(spark, landing.toString, maxFilesPerTrigger = 10)
+      .writeStream.format("memory").queryName("poll_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n = spark.sql("select count(*) from poll_out").head().getLong(0)
+    q.stop()
+    assert(n === 3)
+  }
+
   test("dedup with tolerance collapses near-duplicate timestamps") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
