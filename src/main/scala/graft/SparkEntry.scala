@@ -83,6 +83,7 @@ object SparkEntry {
     "q56_sampling_estimate" -> (Dashboard.q56SamplingEstimate(_, _)),
     "q57_repetition_filter" -> (TextOps.q57RepetitionFilter(_, _)),
     "q58_asof_join"         -> (TimeSeries.q58AsofJoin(_, _)),
+    "q59_dup_clusters"      -> (TextOps.q59DupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -402,7 +402,85 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q59: near-dup cluster assignment + canonical selection — the last mile
+    * of corpus dedup: pair detection (q24/q25/q38) only yields edges; the
+    * pipeline needs each doc's connected component so ONE canonical doc per
+    * component survives. Components via iterative min-label propagation:
+    * every round each doc takes the min label in its neighborhood; fixpoint
+    * = components labeled by their min doc_id. Each round is one keyed join
+    * + one min-aggregation (both hash-partitioned, no global state), with
+    * `localCheckpoint` truncating the growing lineage — the same
+    * driver-orchestrated iteration contract as k-means (q43). At 100-TB
+    * scale the round count is bounded by component diameter; for web-scale
+    * graphs swap in the large-star/small-star alternation (same per-round
+    * plan shape, O(log n) rounds) — components here are tiny (≤3).
+    *
+    * Oracle: transitive closure via WITH RECURSIVE + min per doc —
+    * identical component labels, independently derived. */
+  def q59DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(Tables.documents(spark, dir), 3)
+      .filter(col("jaccard") >= 0.4)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val lbl = labels.select(col("doc_id").as("ldoc"), col("label"))
+      val nbrMin = edges.join(lbl, col("dst") === col("ldoc"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+            .as("new_label"),
+          labels("label").as("old_label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") =!= col("old_label")).count()
+      labels = next.select(col("doc_id"), col("new_label").as("label"))
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster_id")).agg(
+        count(lit(1)).as("sz"),
+        concat_ws(",", array_sort(collect_list(col("doc_id")))
+          .cast("array<string>")).as("members"))
+      .withColumn("n_dups", col("sz") - 1)
+      .orderBy(col("cluster_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q59_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |scored AS (
+        |  SELECT d1, d2,
+        |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS j
+        |  FROM pairs JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM scored WHERE j >= 0.4
+        |  UNION ALL SELECT d2, d1 FROM scored WHERE j >= 0.4),
+        |reach AS (
+        |  SELECT DISTINCT src AS a, src AS b FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+        |SELECT cluster_id, count(*) AS sz,
+        |  string_agg(doc_id, ',' ORDER BY doc_id) AS members,
+        |  count(*) - 1 AS n_dups
+        |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     "q57_repetition_filter" ->
       """WITH words0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
