@@ -6,6 +6,7 @@ import graft.analytics.{CoreQueries, Dashboard, JoinQueries, Summaries}
 import graft.flight.Flight
 import graft.geo.Geo
 import graft.multimodal.Multimodal
+import graft.prep.DataPrep
 import graft.quality.{BatchChecks, Quality}
 import graft.sim.Similarity
 import graft.text.TextOps
@@ -84,6 +85,9 @@ object SparkEntry {
     "q57_repetition_filter" -> (TextOps.q57RepetitionFilter(_, _)),
     "q58_asof_join"         -> (TimeSeries.q58AsofJoin(_, _)),
     "q59_dup_clusters"      -> (TextOps.q59DupClusters(_, _)),
+    "q60_stratified_sample" -> (DataPrep.q60StratifiedSample(_, _)),
+    "q61_dataset_split"     -> (DataPrep.q61DatasetSplit(_, _)),
+    "q62_token_packing"     -> (DataPrep.q62TokenPacking(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +98,5 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
-      Summaries.oracle ++ Geo.oracle
+      Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle
 }

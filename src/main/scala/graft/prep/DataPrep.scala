@@ -1,0 +1,130 @@
+package graft.prep
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Training-data preparation operators (builder brief: the operations a
+  * large-scale training pipeline needs beyond the reference's surface).
+  *
+  * All three use the md5-of-id ordering trick: `rand()`/`TABLESAMPLE` are
+  * engine- and partitioning-dependent, but md5 of the decimal string of a
+  * BIGINT id is identical in every engine — so sampling, splitting and
+  * packing are deterministic, reproducible across reruns AND exactly
+  * verifiable against the DuckDB oracle. At 100 TB each op is a single
+  * keyed window or aggregation — no global ordering, no driver state.
+  */
+object DataPrep {
+
+  /** q60: stratified sampling — a fixed-size, deterministic pseudo-random
+    * sample per class (the class-balanced subset every fine-tuning set
+    * starts from). Per class, rank by md5(id) (uniform, engine-portable)
+    * and keep the first K; output compares sample vs population moments so
+    * the sample's representativeness is part of the checked contract. */
+  def q60StratifiedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("rn") <= k, 1)).as("n_sampled"),
+        Exprs.avgExact2(col("value"), 4).as("pop_avg_value"),
+        Exprs.dround(
+          Exprs.sumExact2(when(col("rn") <= k, col("value"))) /
+            count(when(col("rn") <= k, col("value"))), 4).as("sample_avg_value"))
+      .withColumn("sample_pct", Exprs.pctOf(col("n_sampled"), col("n_total"), 2))
+      .orderBy(col("event_type"))
+  }
+
+  /** q61: hash-based train/val/test split — membership is a pure function
+    * of the id (first hex char of md5: 16 uniform buckets → 12/2/2 =
+    * 75%/12.5%/12.5%), so the split is stable under reprocessing, joins,
+    * and engine changes — the property that prevents test-set leakage when
+    * a corpus is rebuilt. One scan, no shuffle beyond the final tiny agg. */
+  def q61DatasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val h = substring(md5(col("event_id").cast("string")), 1, 1)
+    val split = when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    e.withColumn("split", split)
+      .groupBy(col("split")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exprs.avgExact2(col("value"), 4).as("avg_value"))
+      .withColumn("pct", Exprs.pctOf(col("n"),
+        sum(col("n")).over(Window.partitionBy()), 2))
+      .orderBy(col("split"))
+  }
+
+  /** q62: token-budget sequence packing (concat-then-chunk, the packing
+    * used to fill fixed-length training contexts): docs are laid out in
+    * deterministic order per source, and each doc is assigned to the bin
+    * where its start offset falls (`(cumulative - own) div budget`). One
+    * window partitioned by source + one aggregation — the 100-TB plan is
+    * per-shard packing with source as the shard key. Output: per-bin doc
+    * count, token count and fill ratio against the budget. */
+  def q62TokenPacking(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("n_tok",
+        size(filter(split(col("text"), " "), x => x =!= "")))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr(s"(cum_tok - n_tok) div $budget"))
+      .groupBy(col("source"), col("bin")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("bin_tokens"))
+      .withColumn("fill_ratio",
+        Exprs.dround(col("bin_tokens") / lit(budget.toDouble), 4))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q60_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN rn <= 100 THEN 1 END) AS n_sampled,
+        |  round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 10000) / 10000 AS pop_avg_value,
+        |  round(sum((CASE WHEN rn <= 100 THEN value END)::DECIMAL(25,2))::DOUBLE /
+        |    count(CASE WHEN rn <= 100 THEN value END) * 10000) / 10000 AS sample_avg_value,
+        |  round(100.0 * count(CASE WHEN rn <= 100 THEN 1 END) / count(*) * 100) / 100 AS sample_pct
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q61_dataset_split" ->
+      """WITH tagged AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5(event_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(event_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM events),
+        |agged AS (
+        |  SELECT split, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |    round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 10000) / 10000 AS avg_value
+        |  FROM tagged GROUP BY split)
+        |SELECT split, n, n_users, avg_value,
+        |  round(100.0 * n / sum(n) OVER () * 100) / 100 AS pct
+        |FROM agged ORDER BY split""".stripMargin,
+
+    "q62_token_packing" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |laid AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tok
+        |  FROM toks)
+        |SELECT source, (cum_tok - n_tok) // 512 AS bin,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS bin_tokens,
+        |  round(sum(n_tok)::BIGINT / 512.0 * 10000) / 10000 AS fill_ratio
+        |FROM laid GROUP BY source, (cum_tok - n_tok) // 512
+        |ORDER BY source, bin""".stripMargin,
+  )
+}
