@@ -83,6 +83,9 @@ object GraftFunctions {
   * `spark.sql.extensions=graft.functions.GraftExtensions` and
   * `SELECT haversine_km(...)` works in plain SQL. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.haversineInfo)
+    ext.injectFunction(CosineSimFunction.info)
+    ext.injectFunction(TokenCountFunction.info)
+  }
 }

@@ -186,11 +186,15 @@ object Geo {
       .orderBy(col("corridor_rank"), col("cell_lat"), col("cell_lon"))
   }
 
+  // Non-dyadic literals (21.6, 3.6) MUST be ::DOUBLE: DuckDB parses them as
+  // DECIMAL and computes alat/alon/lon exactly, while Spark computes the
+  // double products — 1 ulp apart, which flips 4dp-rounded distances and
+  // octant CASEs on boundary rows (one flip per ~10k rows empirically).
   private val airportsCte =
     """airports AS (
       |  SELECT n_name AS airport_code, n_nationkey AS akey,
-      |    (n_nationkey % 13) * 7.5 - 45 + (n_nationkey // 13) * 3.75 AS alat,
-      |    (n_nationkey // 13) * 21.6 - 90 AS alon
+      |    (n_nationkey % 13) * 7.5::DOUBLE - 45 + (n_nationkey // 13) * 3.75::DOUBLE AS alat,
+      |    (n_nationkey // 13) * 21.6::DOUBLE - 90 AS alon
       |  FROM nation)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -199,7 +203,7 @@ object Geo {
         |pts AS (
         |  SELECT event_id, user_id, event_type, value,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events WHERE value <= 100),
         |cand AS (
         |  SELECT p.*, a.airport_code, a.akey, a.alat, a.alon,

@@ -67,11 +67,11 @@ object DataPrep {
     * per-shard packing with source as the shard key. Output: per-bin doc
     * count, token count and fill ratio against the budget. */
   def q62TokenPacking(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    graft.functions.TokenCountFunction.register(spark)
     val d = Tables.documents(spark, dir)
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.withColumn("n_tok",
-        size(filter(split(col("text"), " "), x => x =!= "")))
+    d.withColumn("n_tok", call_function("token_count", col("text")))
       .withColumn("cum_tok", sum(col("n_tok")).over(w))
       .withColumn("bin", expr(s"(cum_tok - n_tok) div $budget"))
       .groupBy(col("source"), col("bin")).agg(

@@ -282,8 +282,11 @@ object TextOps {
     * single other-glyphs, the GPT-2-style pre-tokenizer shape), characters.
     * Per-source totals so the oracle stays compact. */
   def q44TokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TokenCountFunction.register(spark)
     val d = Tables.documents(spark, dir)
-    val wsTokens = size(tokens(col("text")))
+    // native codegen counter: one byte pass, no token-array materialization
+    // (size(tokens(...)) runs its lambda interpreted — see TokenCount)
+    val wsTokens = call_function("token_count", col("text"))
     val bpeish = size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
     d.withColumn("n_ws", wsTokens)
       .withColumn("n_bpeish", bpeish)

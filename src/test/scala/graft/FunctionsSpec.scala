@@ -46,4 +46,34 @@ class FunctionsSpec extends SparkSpecBase {
     val d = GeoMath.haversineKm(40.6413, -73.7781, 33.9416, -118.4085)
     assert(d > 3950 && d < 4000, s"JFK-LAX: $d")
   }
+
+  test("token_count agrees with the declarative size(filter(split(...))) form") {
+    import spark.implicits._
+    graft.functions.TokenCountFunction.register(spark)
+    val docs = Seq("a b c", "  leading  double  ", "", " ", "one",
+      "héllo wörld ünïcode", "a\tb c" /* tab is not a separator */)
+      .toDF("text")
+    val out = docs.select(
+        call_function("token_count", col("text")).as("native"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("declarative"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      s"mismatch: native=${r.getInt(0)} declarative=${r.getInt(1)}"))
+    // null propagates like the declarative form
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(call_function("token_count", col("text"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("token_count participates in whole-stage codegen") {
+    graft.functions.TokenCountFunction.register(spark)
+    // range source (a local Seq relation would be constant-folded into a
+    // LocalTableScan with no codegen stage to inspect)
+    val df = spark.range(4)
+      .select(call_function("token_count",
+        concat(lit("a b x"), col("id").cast("string"))).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(1500))
+  }
 }
