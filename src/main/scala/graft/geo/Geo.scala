@@ -267,7 +267,7 @@ object Geo {
       """WITH pts AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events WHERE value <= 150),
         |legs AS (
         |  SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
