@@ -87,5 +87,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.haversineInfo)
     ext.injectFunction(CosineSimFunction.info)
     ext.injectFunction(TokenCountFunction.info)
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

@@ -65,6 +65,24 @@ class FunctionsSpec extends SparkSpecBase {
     assert(n.head.isNullAt(0))
   }
 
+  test("RewriteTokenCount rewrites the declarative pattern, preserves results") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.RewriteTokenCount
+    try {
+      val declarative = spark.range(4)
+        .select(concat(lit("a  b x"), col("id").cast("string")).as("text"))
+        .select(size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
+      assert(declarative.queryExecution.optimizedPlan.toString.contains("token_count"),
+        declarative.queryExecution.optimizedPlan.toString)
+      assert(declarative.collect().map(_.getInt(0)).toSeq === Seq(3, 3, 3, 3))
+      // a different separator must NOT be rewritten
+      val other = spark.range(1)
+        .select(size(filter(split(lit("a,b"), ","), x => x =!= "")).as("n"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("token_count"))
+      assert(other.collect().head.getInt(0) === 2)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("token_count participates in whole-stage codegen") {
     graft.functions.TokenCountFunction.register(spark)
     // range source (a local Seq relation would be constant-folded into a
