@@ -22,7 +22,7 @@ object Bench {
       val err =
         try {
           val df = fn(spark, sfDir)
-          df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+          df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
             .agg(bit_xor(col("h"))).collect()
           None
         } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }

@@ -226,7 +226,7 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__last_rv", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         valueCols.map(c => col("__last_rv").getField(c).as(s"asof_$c")): _*)
   }
 

@@ -65,6 +65,41 @@ class FunctionsSpec extends SparkSpecBase {
     assert(n.head.isNullAt(0))
   }
 
+  test("GraftExtensions wires functions + optimizer rule into a real session") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session state with the production
+      // spark.sql.extensions entry point applied
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne old)
+      val row = s2.sql(
+        """SELECT token_count('a  b c') AS tc,
+          |       round(haversine_km(0D, 0D, 0D, 1D), 1) AS hv,
+          |       round(cosine_sim(array(1D, 0D), array(1D, 0D)), 6) AS cs
+          |""".stripMargin).head()
+      assert(row.getInt(0) === 3)
+      assert(row.getDouble(1) === 111.2)
+      assert(row.getDouble(2) === 1.0)
+      // the injected optimizer rule fires without any per-session opt-in
+      // (non-constant input: a literal would be constant-folded away
+      // before the rule can see the split/filter/size pattern)
+      val p = s2.range(1)
+        .select(size(filter(
+          split(concat(lit("x y "), col("id").cast("string")), " "),
+          x => x =!= "")))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("token_count"), p)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("RewriteTokenCount rewrites the declarative pattern, preserves results") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.functions.RewriteTokenCount
