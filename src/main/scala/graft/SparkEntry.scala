@@ -88,6 +88,7 @@ object SparkEntry {
     "q60_stratified_sample" -> (DataPrep.q60StratifiedSample(_, _)),
     "q61_dataset_split"     -> (DataPrep.q61DatasetSplit(_, _)),
     "q62_token_packing"     -> (DataPrep.q62TokenPacking(_, _)),
+    "q63_range_join"        -> (TimeSeries.q63RangeJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

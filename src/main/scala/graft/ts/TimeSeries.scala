@@ -258,7 +258,86 @@ object TimeSeries {
       .orderBy(col("event_id"))
   }
 
+  /** Bucketed interval join: points × intervals with NO equi key — the
+    * shape Spark plans as BroadcastNestedLoopJoin (O(|points|·|intervals|)
+    * comparisons) when written as a bare range predicate. Each interval is
+    * exploded into the fixed-width buckets it covers and each point carries
+    * its single bucket, so the range predicate rides a hash equi-join on
+    * the bucket id and only refines within-bucket candidates. A point meets
+    * an interval in exactly one bucket (its own), so no post-join dedup is
+    * needed. Replication factor is interval_length/bucketWidth + 1 — size
+    * `bucketWidth` to the typical interval length. */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+                        pointTime: String, startCol: String, endCol: String,
+                        bucketWidth: Long): DataFrame = {
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(expr(s"$startCol div $bucketWidth"),
+        expr(s"$endCol div $bucketWidth"))))
+    points.withColumn("__bucket", expr(s"$pointTime div $bucketWidth"))
+      .join(iv, Seq("__bucket"))
+      .filter(col(pointTime).between(col(startCol), col(endCol)))
+      .drop("__bucket")
+  }
+
+  /** q63: incident-window exclusion join — the training-data hygiene step
+    * "which records were collected during an operational incident": the top-5
+    * error-burst hours become padded time windows (no key!), and purchases
+    * are matched point-in-interval via [[bucketedRangeJoin]]. LEFT semantics
+    * keep zero-purchase incidents visible. The oracle states the naive
+    * BETWEEN join (fine for DuckDB's 5-row nested loop); the Spark plan is
+    * the bucketed equi-join — the plan spec forbids the nested-loop shape. */
+  def q63RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val incidents = e.filter(col("event_type") === "error")
+      .groupBy(expr("ts_ns div 1000 div 3600000000").as("incident_hr"))
+      .agg(count(lit(1)).as("n_errors"),
+        (min(tsUs) - 300000000L).as("w_start"),
+        (max(tsUs) + 300000000L).as("w_end"))
+      .orderBy(col("n_errors").desc, col("incident_hr")).limit(5)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), tsUs.as("t_us"))
+    val matched = bucketedRangeJoin(purchases, incidents,
+        "t_us", "w_start", "w_end", bucketWidth = 900000000L)
+      .groupBy(col("incident_hr")).agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exprs.dround(Exprs.sumExact2(col("value")) / count(col("value")), 2)
+          .as("avg_purchase"))
+    incidents.join(matched, Seq("incident_hr"), "left")
+      .select(col("incident_hr"), col("n_errors"),
+        expr("(w_end - w_start) div 1000000").as("window_s"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("avg_purchase"), lit(0.0)).as("avg_purchase"))
+      .orderBy(col("incident_hr"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q63_range_join" ->
+      """WITH incidents AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS incident_hr,
+        |    count(*) AS n_errors,
+        |    min(epoch_us(ts)) - 300000000 AS w_start,
+        |    max(epoch_us(ts)) + 300000000 AS w_end
+        |  FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 ORDER BY n_errors DESC, incident_hr LIMIT 5),
+        |purchases AS (
+        |  SELECT event_id, user_id, value, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |matched AS (
+        |  SELECT incident_hr, count(*) AS n_purchases,
+        |    count(DISTINCT user_id) AS n_users,
+        |    round(sum(value::DECIMAL(25,2))::DOUBLE / count(value) * 100) / 100 AS avg_purchase
+        |  FROM purchases p JOIN incidents i ON p.t_us BETWEEN i.w_start AND i.w_end
+        |  GROUP BY incident_hr)
+        |SELECT i.incident_hr, i.n_errors,
+        |  (i.w_end - i.w_start) // 1000000 AS window_s,
+        |  coalesce(m.n_purchases, 0) AS n_purchases,
+        |  coalesce(m.n_users, 0) AS n_users,
+        |  coalesce(m.avg_purchase, 0.0) AS avg_purchase
+        |FROM incidents i LEFT JOIN matched m USING (incident_hr)
+        |ORDER BY i.incident_hr""".stripMargin,
+
     "q58_asof_join" ->
       """WITH clicks0 AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, event_id, value,

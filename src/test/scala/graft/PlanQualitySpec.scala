@@ -76,6 +76,15 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("GreaterThanOrEqual(ts,1706571000000000000)"), p.take(3000))
   }
 
+  test("q63 range join rides a hash equi-join on buckets, not a nested loop") {
+    val p = plan(graft.ts.TimeSeries.q63RangeJoin(spark, Sf001))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the bucketed point-in-interval match itself must be an equi join; the
+    // tiny 5-row LEFT recombine may legitimately broadcast
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
     val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

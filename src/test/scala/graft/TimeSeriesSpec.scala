@@ -77,6 +77,23 @@ class TimeSeriesSpec extends SparkSpecBase {
     assert(got === Seq(None, Some(100.0), Some(100.0), Some(200.0), Some(500.0), None))
   }
 
+  test("bucketedRangeJoin: inclusive bounds, multi-bucket intervals, no dup matches") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 31L), (5L, 100L))
+      .toDF("pid", "t")
+    // [10, 30] spans buckets 1..3 at width 10; [28, 32] overlaps it
+    val intervals = Seq(("A", 10L, 30L), ("B", 28L, 32L)).toDF("iid", "s", "e")
+    val out = TimeSeries.bucketedRangeJoin(points, intervals, "t", "s", "e", 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // t=10 and t=25 in A (bounds inclusive); t=31 in B only; t=25... t=28..30
+    // overlap region has no point; t=5/100 match nothing
+    assert(out === Set((2L, "A"), (3L, "A"), (4L, "B")))
+    // a point inside BOTH intervals matches each exactly once
+    val p2 = Seq((9L, 29L)).toDF("pid", "t")
+    val both = TimeSeries.bucketedRangeJoin(p2, intervals, "t", "s", "e", 10L)
+      .select("iid").collect().map(_.getString(0)).sorted.toSeq
+    assert(both === Seq("A", "B"))
+  }
+
   test("dedupKeep is idempotent") {
     val df = Seq(
       ("k1", 1L, 5.0), ("k1", 2L, 9.0), ("k2", 1L, 2.0), ("k2", 9L, 2.0)
