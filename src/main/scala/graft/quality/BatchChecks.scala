@@ -227,7 +227,7 @@ object BatchChecks {
       """WITH base AS (
         |  SELECT *, epoch_us(ts) AS t_us, epoch_us(ts) // 1000000 AS ts_s,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events),
         |legs AS (
         |  SELECT *, lag(value) OVER w AS pvalue, lag(t_us) OVER w AS pt_us

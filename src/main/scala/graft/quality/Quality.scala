@@ -243,7 +243,7 @@ object Quality {
       """WITH pts AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events),
         |lagged AS (
         |  SELECT user_id, lat, lon,
@@ -276,7 +276,7 @@ object Quality {
         |pts AS (
         |  SELECT user_id,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events)
         |SELECT zone, count(*) AS n_violations, count(DISTINCT user_id) AS n_users,
         |  round(min(lat), 2) AS min_lat, round(max(lat), 2) AS max_lat
@@ -288,7 +288,7 @@ object Quality {
       """WITH pts AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events),
         |legs AS (
         |  SELECT user_id, lat, lon, t_us,

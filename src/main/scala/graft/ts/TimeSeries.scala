@@ -454,7 +454,7 @@ object TimeSeries {
       """WITH pts AS (
         |  SELECT user_id, epoch_us(ts) AS t_us, event_id,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6 - 180 AS lon
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events),
         |legs AS (
         |  SELECT user_id,
