@@ -89,6 +89,7 @@ object SparkEntry {
     "q61_dataset_split"     -> (DataPrep.q61DatasetSplit(_, _)),
     "q62_token_packing"     -> (DataPrep.q62TokenPacking(_, _)),
     "q63_range_join"        -> (TimeSeries.q63RangeJoin(_, _)),
+    "q64_distribution_ranks" -> (JoinQueries.q64DistributionRanks(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

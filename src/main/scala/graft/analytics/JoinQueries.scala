@@ -193,6 +193,28 @@ object JoinQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q64 (§2.5): the distribution window functions — ntile deciles,
+    * percent_rank, cume_dist — per event type with a unique total ordering
+    * (value, event_id) so rank == row_number and both engines agree exactly
+    * (with ties, percent_rank/cume_dist peer groups would still match, but
+    * ntile's tie placement would not be well-defined). One hash partition
+    * per type; the decile summary is the classic "value bands" report. */
+  def q64DistributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    e.withColumn("decile", ntile(10).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("event_type"), col("decile")).agg(
+        count(lit(1)).as("n"),
+        Exprs.dround(min(col("value")), 2).as("min_value"),
+        Exprs.dround(max(col("value")), 2).as("max_value"),
+        Exprs.dround(min(col("pr")), 6).as("min_pct_rank"),
+        Exprs.dround(max(col("cd")), 6).as("max_cume_dist"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** Semi/anti joins (absent from the reference, present for API
     * completeness — a user migrating real workloads needs them): customers
     * with vs without high-priority orders, per segment. */
@@ -344,6 +366,22 @@ object JoinQueries {
         |  round(max(c_acctbal), 2) AS max_bal,
         |  round(min(c_acctbal), 2) AS min_bal
         |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q64_distribution_ranks" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id, value,
+        |    ntile(10) OVER w AS decile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value,
+        |  round(min(pr) * 1000000) / 1000000 AS min_pct_rank,
+        |  round(max(cd) * 1000000) / 1000000 AS max_cume_dist
+        |FROM ranked GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
 
     "q51_semi_anti" ->
       """WITH urgent AS (
