@@ -90,6 +90,8 @@ object SparkEntry {
     "q62_token_packing"     -> (DataPrep.q62TokenPacking(_, _)),
     "q63_range_join"        -> (TimeSeries.q63RangeJoin(_, _)),
     "q64_distribution_ranks" -> (JoinQueries.q64DistributionRanks(_, _)),
+    "q65_set_ops"           -> (JoinQueries.q65SetOps(_, _)),
+    "q66_pivot"             -> (JoinQueries.q66Pivot(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -234,6 +234,49 @@ object JoinQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q65 (§2.6 set operations): INTERSECT / EXCEPT audience segmentation —
+    * users who both clicked and purchased, clicked-only, purchased-only.
+    * Set ops are distinct-based (one hash shuffle each on user_id); counts
+    * summarize so the output stays compact. */
+  def q65SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    // user-DAY entities: at the user grain every user does everything, so
+    // the except sides would be empty and the operator untested
+    def entitiesOf(t: String) =
+      e.filter(col("event_type") === t)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val clickers = entitiesOf("click")
+    val buyers = entitiesOf("purchase")
+    // one lazy plan, no driver-side counts: tag each set-op result, union,
+    // aggregate; the static segment frame keeps empty segments visible as 0
+    val counts = clickers.intersect(buyers)
+      .withColumn("segment", lit("click_and_purchase"))
+      .unionByName(clickers.except(buyers).withColumn("segment", lit("click_only")))
+      .unionByName(buyers.except(clickers).withColumn("segment", lit("purchase_only")))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    Seq("click_and_purchase", "click_only", "purchase_only").toDF("segment")
+      .join(counts, Seq("segment"), "left")
+      .select(col("segment"), coalesce(col("n"), lit(0L)).as("n_user_days"))
+      .orderBy(col("segment"))
+  }
+
+  /** q66 (§2.4): native pivot — per-user-band event-type counts as columns
+    * (the reference builds this shape by hand with CASE aggregates in every
+    * dashboard view; `groupBy().pivot(values)` is the engine form). The
+    * explicit value list keeps the schema static — at scale an un-listed
+    * pivot triggers a distinct-values pre-pass AND produces a schema the
+    * driver must collect, both avoided here. */
+  def q66Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("user_band", expr("user_id div 30"))
+      .groupBy(col("user_band"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_band"))
+  }
+
   /** JSON scalar extraction (reference parses JSON payloads everywhere, §2.8):
     * pull `props.k`, bucket it, aggregate. */
   def q14PropsJson(spark: SparkSession, dir: String): DataFrame = {
@@ -366,6 +409,32 @@ object JoinQueries {
         |  round(max(c_acctbal), 2) AS max_bal,
         |  round(min(c_acctbal), 2) AS min_bal
         |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q65_set_ops" ->
+      """WITH clickers AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE event_type = 'click'),
+        |buyers AS (
+        |  SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT 'click_and_purchase' AS segment,
+        |  (SELECT count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM buyers)) AS n_user_days
+        |UNION ALL
+        |SELECT 'click_only',
+        |  (SELECT count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM buyers))
+        |UNION ALL
+        |SELECT 'purchase_only',
+        |  (SELECT count(*) FROM (SELECT * FROM buyers EXCEPT SELECT * FROM clickers))
+        |ORDER BY segment""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT user_id // 30 AS user_band,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id // 30 ORDER BY user_band""".stripMargin,
 
     "q64_distribution_ranks" ->
       """WITH ranked AS (
