@@ -92,6 +92,9 @@ object SparkEntry {
     "q64_distribution_ranks" -> (JoinQueries.q64DistributionRanks(_, _)),
     "q65_set_ops"           -> (JoinQueries.q65SetOps(_, _)),
     "q66_pivot"             -> (JoinQueries.q66Pivot(_, _)),
+    "q67_unpivot"           -> (JoinQueries.q67Unpivot(_, _)),
+    "q68_grouping_sets"     -> (JoinQueries.q68GroupingSets(_, _)),
+    "q69_edit_distance"     -> (JoinQueries.q69EditDistance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -277,6 +277,59 @@ object JoinQueries {
       .orderBy(col("user_band"))
   }
 
+  /** q67 (§2.4): native unpivot/melt — the inverse of q66's pivot, back to
+    * long form. Wide-to-long is the shape every metrics store needs before
+    * a generic per-metric pipeline; `unpivot` keeps it one local projection
+    * per row (no shuffle, no union of N scans). */
+  def q67Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q66Pivot(spark, dir)
+      .unpivot(Array(col("user_band")),
+        Array(col("click"), col("view"), col("purchase"), col("signup"),
+          col("error")),
+        "event_type", "n")
+      .orderBy(col("user_band"), col("event_type"))
+
+  /** q68 (§2.4): explicit GROUPING SETS — two independent marginals plus
+    * the grand total in ONE pass (rollup/cube are fixed lattices; arbitrary
+    * sets are the general form), with grouping_id() disambiguating which
+    * set each row belongs to (NULL day vs a genuinely-null day). */
+  def q68GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    e.groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("day")), Seq()),
+        col("event_type"), col("day"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        Exprs.dround(Exprs.sumExact2(col("value")), 2).as("sum_value"))
+      .orderBy(col("gid"), col("event_type"), col("day"))
+  }
+
+  /** q69: multi-signal near-dup verification — the top Jaccard pairs get a
+    * second, independent similarity signal (Levenshtein distance over a
+    * fixed prefix) and a combined verdict. Edit distance is O(len²) per
+    * pair, so it runs ONLY on the already-shortlisted candidates — the
+    * standard expensive-verifier-after-cheap-filter composition. */
+  def q69EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
+    val top = graft.text.TextOps.jaccardPairs(Tables.documents(spark, dir), 3)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2")).limit(20)
+    top
+      .join(d.select(col("doc_id").as("d1"), col("prefix").as("p1")), "d1")
+      .join(d.select(col("doc_id").as("d2"), col("prefix").as("p2")), "d2")
+      .withColumn("prefix_lev", levenshtein(col("p1"), col("p2")))
+      .withColumn("verdict",
+        when(col("jaccard") >= 0.5 && col("prefix_lev") <= 20, "confirmed_dup")
+          .when(col("jaccard") >= 0.5, "jaccard_only")
+          .when(col("prefix_lev") <= 20, "prefix_only")
+          .otherwise("weak"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("prefix_lev"),
+        col("verdict"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+  }
+
   /** JSON scalar extraction (reference parses JSON payloads everywhere, §2.8):
     * pull `props.k`, bucket it, aggregate. */
   def q14PropsJson(spark: SparkSession, dir: String): DataFrame = {
@@ -435,6 +488,63 @@ object JoinQueries {
         |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY user_id // 30 ORDER BY user_band""".stripMargin,
+
+    "q67_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id // 30 AS user_band,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |  FROM events GROUP BY user_id // 30)
+        |SELECT user_band, event_type, n FROM (
+        |  SELECT user_band, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_band, 'view', view FROM wide
+        |  UNION ALL SELECT user_band, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT user_band, 'signup', signup FROM wide
+        |  UNION ALL SELECT user_band, 'error', error FROM wide)
+        |ORDER BY user_band, event_type""".stripMargin,
+
+    "q68_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events)
+        |SELECT event_type, day,
+        |  grouping(event_type, day) AS gid,
+        |  count(*) AS n,
+        |  round(sum(value::DECIMAL(18,2))::DOUBLE, 2) AS sum_value
+        |FROM e GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY gid, event_type, day""".stripMargin,
+
+    "q69_edit_distance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |top AS (
+        |  SELECT d1, d2,
+        |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS jaccard
+        |  FROM pairs JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2
+        |  ORDER BY jaccard DESC, d1, d2 LIMIT 20),
+        |scored AS (
+        |  SELECT t.d1, t.d2, t.jaccard,
+        |    levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS prefix_lev
+        |  FROM top t JOIN documents a ON a.doc_id = t.d1
+        |  JOIN documents b ON b.doc_id = t.d2)
+        |SELECT d1, d2, jaccard, prefix_lev,
+        |  CASE WHEN jaccard >= 0.5 AND prefix_lev <= 20 THEN 'confirmed_dup'
+        |       WHEN jaccard >= 0.5 THEN 'jaccard_only'
+        |       WHEN prefix_lev <= 20 THEN 'prefix_only'
+        |       ELSE 'weak' END AS verdict
+        |FROM scored ORDER BY jaccard DESC, d1, d2""".stripMargin,
 
     "q64_distribution_ranks" ->
       """WITH ranked AS (
