@@ -95,6 +95,7 @@ object SparkEntry {
     "q67_unpivot"           -> (JoinQueries.q67Unpivot(_, _)),
     "q68_grouping_sets"     -> (JoinQueries.q68GroupingSets(_, _)),
     "q69_edit_distance"     -> (JoinQueries.q69EditDistance(_, _)),
+    "q70_range_frame"       -> (TimeSeries.q70RangeFrame(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -312,7 +312,40 @@ object TimeSeries {
       .orderBy(col("incident_hr"))
   }
 
+  /** q70 (§2.5): value-based window frames — RANGE BETWEEN over event-time
+    * micros (every other window here is ROWS-based; RANGE is a distinct
+    * frame evaluator that includes ORDER-BY peers and needs no row
+    * adjacency): per user, the trailing-1-hour event count and exact-decimal
+    * value sum, rolled up to each user's peak hour-window. */
+  def q70RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_us"))
+      .rangeBetween(-3600000000L, 0)
+    e.withColumn("t_us", tsUs)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        Exprs.dround(sum(col("value").cast("decimal(25,2)")).over(w)
+          .cast("double"), 2))
+      .groupBy(col("user_id")).agg(
+        max(col("n_1h")).as("peak_1h_events"),
+        Exprs.dround(max(col("sum_1h")), 2).as("peak_1h_value"))
+      .orderBy(col("user_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q70_range_frame" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, value FROM events),
+        |framed AS (
+        |  SELECT user_id,
+        |    count(*) OVER w AS n_1h,
+        |    round(sum(value::DECIMAL(25,2)) OVER w ::DOUBLE * 100) / 100 AS sum_1h
+        |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, max(n_1h) AS peak_1h_events,
+        |  round(max(sum_1h) * 100) / 100 AS peak_1h_value
+        |FROM framed GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q63_range_join" ->
       """WITH incidents AS (
         |  SELECT epoch_us(ts) // 3600000000 AS incident_hr,
