@@ -135,6 +135,15 @@ object Streaming {
         col("approx_users"), col("active_events"), col("error_events"),
         col("max_value"))
 
+  /** Stream-static enrichment: join each micro-batch against a broadcast
+    * dimension (the streaming form of J1 — user/aircraft metadata lookup).
+    * The static side re-resolves per micro-batch, so a snapshot-refreshed
+    * dim table is picked up without restarting the query; broadcast keeps
+    * the join shuffle-free on the stream side. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   case class Obs(userId: Long, tsMs: Long, value: Double)
   case class StuckEvent(userId: Long, tsMs: Long, nObs: Int, spread: Double)
 

@@ -145,6 +145,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(1).getLong(1) === 1 && rows(1).getDouble(2) === 4.0)
   }
 
+  test("enrichStream joins micro-batches against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = Streaming.enrichStream(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Ev(3, ts("2024-01-01 10:02:00"), 9, "click", 3.0)) // no dim row
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select event_id, tier from enrich_out order by event_id").collect()
+    q.stop()
+    assert(rows.map(r => Option(r.getString(1))).toSeq ===
+      Seq(Some("gold"), Some("silver"), None))
+  }
+
   test("slidingMetrics emits overlapping hopping-window snapshots") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
