@@ -99,4 +99,29 @@ class PropertiesSpec extends SparkSpecBase {
       } else rows.foreach(r => assert(r.isNullAt(3)))
     }
   }
+
+  test("q61 hash split: segments partition the corpus near the 12/2/2 design ratio") {
+    val rows = graft.prep.DataPrep.q61DatasetSplit(spark, Sf001).collect()
+    val byName = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n")).toMap
+    val total = byName.values.sum
+    assert(total === 10000L, s"splits must partition all rows, got $total")
+    // md5 first-hex-char buckets: train 12/16, val 2/16, test 2/16 (±3pp)
+    def frac(k: String) = byName(k).toDouble / total
+    assert(math.abs(frac("train") - 0.75) < 0.03, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.125) < 0.03, s"val ${frac("val")}")
+    assert(math.abs(frac("test") - 0.125) < 0.03, s"test ${frac("test")}")
+  }
+
+  test("q60 stratified sample: K per class, sample mean near population mean") {
+    val rows = graft.prep.DataPrep.q60StratifiedSample(spark, Sf001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") === math.min(100L, r.getAs[Long]("n_total")))
+      // md5 ordering is a uniform draw; K=100 gives a wide standard error, so
+      // this is a sanity bound (deterministic data: observed max dev ~24%)
+      val pop = r.getAs[Double]("pop_avg_value")
+      val samp = r.getAs[Double]("sample_avg_value")
+      assert(math.abs(samp - pop) / pop < 0.4,
+        s"${r.getAs[String]("event_type")}: sample $samp vs pop $pop")
+    }
+  }
 }
