@@ -197,8 +197,13 @@ object JoinQueries {
     * percent_rank, cume_dist — per event type with a unique total ordering
     * (value, event_id) so rank == row_number and both engines agree exactly
     * (with ties, percent_rank/cume_dist peer groups would still match, but
-    * ntile's tie placement would not be well-defined). One hash partition
-    * per type; the decile summary is the classic "value bands" report. */
+    * ntile's tie placement would not be well-defined).
+    *
+    * Scale note: exact deciles totally order each class (parallelism =
+    * class count). At 100 TB, band by `percentile_approx` cut points
+    * instead (one aggregation, fully parallel, bands off by at most the
+    * sketch error); the exact window form is the oracle-stateable
+    * baseline. */
   def q64DistributionRanks(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy(col("event_type"))

@@ -23,7 +23,14 @@ object DataPrep {
     * sample per class (the class-balanced subset every fine-tuning set
     * starts from). Per class, rank by md5(id) (uniform, engine-portable)
     * and keep the first K; output compares sample vs population moments so
-    * the sample's representativeness is part of the checked contract. */
+    * the sample's representativeness is part of the checked contract.
+    *
+    * Scale note: the window totally orders each class, so parallelism is
+    * bounded by class count. At 100 TB with few classes, run the standard
+    * two-phase top-K instead: per-partition K smallest md5 (mapPartitions
+    * heap, no shuffle), then a final K-of-(K×partitions) merge — same
+    * result, full parallelism. The window form is kept here because it is
+    * the exact-semantics baseline the oracle can state. */
   def q60StratifiedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy(col("event_type"))
