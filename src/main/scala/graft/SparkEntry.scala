@@ -96,6 +96,7 @@ object SparkEntry {
     "q68_grouping_sets"     -> (JoinQueries.q68GroupingSets(_, _)),
     "q69_edit_distance"     -> (JoinQueries.q69EditDistance(_, _)),
     "q70_range_frame"       -> (TimeSeries.q70RangeFrame(_, _)),
+    "q71_mad_outliers"      -> (BatchChecks.q71MadOutliers(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

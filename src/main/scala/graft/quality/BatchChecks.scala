@@ -194,7 +194,55 @@ object BatchChecks {
       .withColumn("grade", Exprs.gradeOf(col("overall_score")))
   }
 
+  /** q71 (Q8 family): MAD-based robust outliers — median absolute deviation
+    * is the robust-statistics complement to the mean/stddev z-score (q06)
+    * and the quartile fences (q40): a few extreme values cannot drag the
+    * threshold because both center and spread are medians. Two aggregation
+    * passes (median, then median of |x − med|), both tiny broadcast joins;
+    * robust z = 0.6745·(x − med)/MAD, flagged above 3.5 (the standard
+    * Iglewicz-Hoaglin cutoff, public literature). */
+  def q71MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = e.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    val rz = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    withDev.join(broadcast(mad), "event_type")
+      .withColumn("robust_z", Exprs.dround(rz, 4))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        Exprs.dround(min(col("med")), 4).as("median"),
+        Exprs.dround(min(col("mad")), 4).as("mad"),
+        count(when(abs(col("robust_z")) > 3.5, 1)).as("n_outliers"),
+        Exprs.dround(max(abs(col("robust_z"))), 4).as("max_abs_rz"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q71_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type),
+        |scored AS (
+        |  SELECT d.event_type, d.value, d.med, a.mad,
+        |    round(0.6745 * (d.value - d.med) / a.mad * 10000) / 10000 AS robust_z
+        |  FROM dev d JOIN mad a ON d.event_type = a.event_type)
+        |SELECT event_type, count(*) AS n,
+        |  round(min(med) * 10000) / 10000 AS median,
+        |  round(min(mad) * 10000) / 10000 AS mad,
+        |  count(CASE WHEN abs(robust_z) > 3.5 THEN 1 END) AS n_outliers,
+        |  round(max(abs(robust_z)) * 10000) / 10000 AS max_abs_rz
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q39_peak_hours" ->
       """WITH hourly AS (
         |  SELECT strftime(ts, '%Y-%m-%d') AS day, extract(hour FROM ts)::INT AS hr,
