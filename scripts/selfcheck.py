@@ -55,9 +55,11 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise
-        if v == 0:
-            return 0.0
+        # -0.0 vs +0.0 is significant: the driver's hash distinguishes them
+        # (q55 r03 failed on DuckDB round(-0.004)*10 → -0.0) and python ==
+        # would hide it, so negative zero gets a distinct marker.
+        if v == 0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return float(v)
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)

@@ -263,6 +263,10 @@ object Geo {
         |       ELSE 'Balanced E-W' END AS ew_pattern
         |FROM agged ORDER BY n_nearby DESC, airport_code""".stripMargin,
 
+    // `+ 0.0` on the grid cells: DuckDB's round(double) keeps the sign of
+    // the input (round(-0.004)*10 → -0.0) while Spark's BigDecimal-based
+    // round emits +0.0; the two hash-compare as different values even
+    // though they GROUP together. Adding positive zero normalizes -0.0.
     "q55_corridor_classify" ->
       """WITH pts AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
@@ -273,7 +277,7 @@ object Geo {
         |  SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
         |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
         |tracks0 AS (
-        |  SELECT round(lat / 10) * 10 AS cell_lat, round(lon / 18) * 18 AS cell_lon,
+        |  SELECT round(lat / 10) * 10 + 0.0 AS cell_lat, round(lon / 18) * 18 + 0.0 AS cell_lon,
         |    user_id,
         |    round(CASE WHEN plat IS NOT NULL THEN
         |      (degrees(atan2(sin(radians(lon - plon)) * cos(radians(lat)),
