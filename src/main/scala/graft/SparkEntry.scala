@@ -97,6 +97,9 @@ object SparkEntry {
     "q69_edit_distance"     -> (JoinQueries.q69EditDistance(_, _)),
     "q70_range_frame"       -> (TimeSeries.q70RangeFrame(_, _)),
     "q71_mad_outliers"      -> (BatchChecks.q71MadOutliers(_, _)),
+    "q72_vocab_stats"       -> (TextOps.q72VocabStats(_, _)),
+    "q73_pii_scrub"         -> (DataPrep.q73PiiScrub(_, _)),
+    "q74_boilerplate_passages" -> (TextOps.q74BoilerplatePassages(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -89,6 +89,42 @@ object DataPrep {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** q73: PII scrubbing — regex detection, masking, and post-scrub
+    * verification over log-line text (the redaction pass every training
+    * corpus takes before release). The synthetic tables carry no free-form
+    * PII, so the lines are derived deterministically from `events`
+    * (the [[graft.Tables.withSyntheticPositions]] precedent): user ids
+    * always, an RFC1918-style IP for half the key space. Per event type:
+    * rule hit counts, a residual-digit check proving the scrub removed
+    * every ≥4-digit identifier, and the distinct-count collapse the
+    * masking causes (the k-anonymity effect).
+    *
+    * Scale shape: pure row-wise regex projections (codegen'd string
+    * expressions, no UDF) feeding one hash aggregation — the scan is the
+    * plan. Patterns are RE2-safe (no lookaround/backrefs) so the same
+    * rules run on any engine. */
+  def q73PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val userRe = "user=[0-9]+"
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    val line = concat(
+      lit("user="), col("user_id"),
+      when(col("k") < 50, concat(lit(" ip=10."), col("k"), lit("."),
+        col("k") % 7, lit("."), col("k") % 13)).otherwise(lit("")),
+      lit(" sess="), col("k") % 7, lit(" type="), col("event_type"))
+    val masked = regexp_replace(
+      regexp_replace(col("line"), userRe, "user=[U]"), ipRe, "[IP]")
+    e.withColumn("line", line).withColumn("masked", masked)
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(regexp_count(col("line"), lit(ipRe))).as("n_ip_hits"),
+        sum(regexp_count(col("line"), lit(userRe))).as("n_user_hits"),
+        count(when(col("masked").rlike("[0-9]{4,}"), 1)).as("n_residual_ids"),
+        countDistinct(col("masked")).as("n_distinct_masked"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q60_stratified_sample" ->
       """WITH ranked AS (
@@ -133,5 +169,30 @@ object DataPrep {
         |  round(sum(n_tok)::BIGINT / 512.0 * 10000) / 10000 AS fill_ratio
         |FROM laid GROUP BY source, (cum_tok - n_tok) // 512
         |ORDER BY source, bin""".stripMargin,
+
+    "q73_pii_scrub" ->
+      """WITH lines AS (
+        |  SELECT event_type,
+        |    'user=' || user_id ||
+        |    CASE WHEN k < 50
+        |      THEN ' ip=10.' || k || '.' || (k % 7) || '.' || (k % 13)
+        |      ELSE '' END ||
+        |    ' sess=' || (k % 7) || ' type=' || event_type AS line
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |        FROM events)),
+        |masked AS (
+        |  SELECT event_type, line,
+        |    regexp_replace(
+        |      regexp_replace(line, 'user=[0-9]+', 'user=[U]', 'g'),
+        |      '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS m
+        |  FROM lines)
+        |SELECT event_type, count(*) AS n_lines,
+        |  sum(len(regexp_extract_all(line,
+        |    '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')))::BIGINT AS n_ip_hits,
+        |  sum(len(regexp_extract_all(line, 'user=[0-9]+')))::BIGINT AS n_user_hits,
+        |  count(CASE WHEN regexp_matches(m, '[0-9]{4,}') THEN 1 END) AS n_residual_ids,
+        |  count(DISTINCT m) AS n_distinct_masked
+        |FROM masked GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

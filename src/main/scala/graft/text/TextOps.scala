@@ -453,7 +453,111 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q72: corpus vocabulary statistics — the token-frequency table every
+    * BPE/tokenizer build and corpus audit starts from: top tokens by
+    * document frequency with term frequency, source spread, and document
+    * coverage.
+    *
+    * Scale shape: two-level aggregation — (token, doc) partial counts get
+    * a map-side combine before the token-level rollup, so no reducer ever
+    * sees one row per occurrence of a hot token, only one row per (token,
+    * doc). Document frequency is then a plain count (not a distinct) and
+    * the only countDistinct left (source) runs over doc-level rows. The
+    * corpus size joins in as a broadcast 1-row aggregate (J4 shape). */
+  def q72VocabStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perDoc = d
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("tok")).agg(
+      sum(col("c")).as("tf"),
+      count(lit(1)).as("df"),
+      countDistinct(col("source")).as("n_sources"))
+    val tot = d.select(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("doc_pct", Exprs.pctOf(col("df"), col("n_docs"), 4))
+      .select(col("tok"), col("tf"), col("df"), col("n_sources"), col("doc_pct"))
+      .orderBy(col("df").desc, col("tf").desc, col("tok"))
+      .limit(25)
+  }
+
+  /** q74: repeated-passage (boilerplate) accounting — the CCNet/C4
+    * line-dedup idea applied to 5-token passages: a passage appearing in
+    * ≥ `dfMin` distinct documents is boilerplate, and each source reports
+    * what fraction of its passage occurrences that boilerplate covers
+    * (the number line-level dedup would remove).
+    *
+    * Scale shape: occurrences aggregate to (passage, doc) rows first
+    * (map-side combine), global passage df is a count over those, and the
+    * boilerplate flag joins back on the SAME passage key the df agg just
+    * hash-partitioned on — an exchange-reusing equi-join, never a
+    * broadcast of the (unbounded) passage dictionary. */
+  def q74BoilerplatePassages(spark: SparkSession, dir: String,
+                             dfMin: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val base = d.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until 5).map(i => lead(col("tok"), i).over(w))
+    val perDoc = base
+      .withColumn("s", when(leads.last.isNotNull,
+        concat_ws(" ", (col("tok") +: leads): _*)))
+      .filter(col("s").isNotNull)
+      .groupBy(col("s"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("occ"))
+    val bp = perDoc.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") >= dfMin)
+      .select(col("s"), lit(true).as("bp"))
+    perDoc.join(bp, Seq("s"), "left")
+      .groupBy(col("source")).agg(
+        sum(col("occ")).as("n_passages"),
+        coalesce(sum(when(col("bp"), col("occ"))), lit(0L)).as("n_boilerplate"),
+        count(when(col("bp"), 1)).as("n_bp_doc_hits"))
+      .withColumn("boilerplate_pct",
+        Exprs.pctOf(col("n_boilerplate"), col("n_passages"), 4))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q72_vocab_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT tok, doc_id, source, count(*) AS c
+        |  FROM tok GROUP BY tok, doc_id, source),
+        |stats AS (
+        |  SELECT tok, sum(c)::BIGINT AS tf, count(*) AS df,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM per_doc GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tok, tf, df, n_sources,
+        |  round(100.0 * df / n_docs * 10000) / 10000 AS doc_pct
+        |FROM stats, tot
+        |ORDER BY df DESC, tf DESC, tok LIMIT 25""".stripMargin,
+
+    "q74_boilerplate_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT s, doc_id, source, count(*) AS occ FROM (
+        |    SELECT doc_id, source,
+        |      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+        |    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i))
+        |  GROUP BY s, doc_id, source),
+        |bp AS (SELECT s FROM per_doc GROUP BY s HAVING count(*) >= 3)
+        |SELECT source, sum(occ)::BIGINT AS n_passages,
+        |  coalesce(sum(CASE WHEN bp.s IS NOT NULL THEN occ END), 0)::BIGINT AS n_boilerplate,
+        |  count(CASE WHEN bp.s IS NOT NULL THEN 1 END) AS n_bp_doc_hits,
+        |  round(100.0 * n_boilerplate / n_passages * 10000) / 10000 AS boilerplate_pct
+        |FROM per_doc LEFT JOIN bp USING (s)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q59_dup_clusters" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

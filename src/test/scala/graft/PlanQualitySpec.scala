@@ -85,6 +85,19 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("no query in the suite plans a CartesianProduct") {
+    // Cross joins must always ride a broadcast (1-row global stats, small
+    // dims) or be rewritten to equi-joins (blocked pairs, LSH buckets,
+    // bucketed ranges) — an unpartitioned cartesian is never acceptable at
+    // scale, so sweep every entry point rather than guarding one by one.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, Sf001).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
     val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
