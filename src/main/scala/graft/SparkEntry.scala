@@ -100,6 +100,7 @@ object SparkEntry {
     "q72_vocab_stats"       -> (TextOps.q72VocabStats(_, _)),
     "q73_pii_scrub"         -> (DataPrep.q73PiiScrub(_, _)),
     "q74_boilerplate_passages" -> (TextOps.q74BoilerplatePassages(_, _)),
+    "q75_sketch_reagg"      -> (Summaries.q75SketchReagg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -54,6 +54,35 @@ object Summaries {
     dailyFromHourly(hourlySummary(spark, dir))
       .orderBy(col("day"), col("event_type"))
 
+  /** q75: mergeable-sketch reaggregation — the missing piece the
+    * [[dailyFromHourly]] doc calls out: exact distincts do not merge across
+    * grains, but a DataSketches HLL column does. The hourly summary stores
+    * `hll_sketch_agg(user_id)` alongside its counts; the daily grain unions
+    * the stored sketches (`hll_union_agg`) and estimates — so per-day (and
+    * per-week, per-month…) distinct users come from the summary table, not
+    * a fact rescan. At 100 TB this turns the most expensive dashboard
+    * aggregate (daily uniques) into a scan of a few thousand summary rows,
+    * and the same sketch column supports incremental maintenance: a new
+    * hour's sketch just unions in.
+    *
+    * Sketch bytes are engine/seed-specific → rows-only for the driver;
+    * SummariesSpec asserts the estimate lands within 5% of the exact
+    * per-day distinct count. */
+  def q75SketchReagg(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        hll_sketch_agg(col("user_id")).as("user_sk"))
+    hourly.groupBy(col("day")).agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("user_sk"))).as("est_users"))
+      .orderBy(col("day"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q45_daily_via_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

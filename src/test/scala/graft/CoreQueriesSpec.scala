@@ -18,7 +18,8 @@ class CoreQueriesSpec extends SparkSpecBase {
   test("every queries entry has an oracle or is explicitly rows-only") {
     // ops that are genuinely not DuckDB-reproducible (sketches, seeded hashing)
     val rowsOnly = Set("q15_approx_distinct", "q25_minhash_lsh", "q27_ann_lsh",
-      "q37_fingerprints", "q43_ann_ivf", "q46_approx_percentiles")
+      "q37_fingerprints", "q43_ann_ivf", "q46_approx_percentiles",
+      "q75_sketch_reagg")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

@@ -85,6 +85,24 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("row_number<=k QUALIFY queries get map-side WindowGroupLimit pruning") {
+    // Spark's InferWindowGroupLimit (3.5+) plans a partial WindowGroupLimit
+    // BEFORE the shuffle for Filter(rn <= k, Window(row_number)) — each map
+    // task forwards at most k rows per key instead of the whole partition.
+    // This is the built-in scale path for top-k-per-key; these four queries
+    // rely on it, so a pattern change that defeats the optimization (e.g.
+    // a non-literal bound or an extra window expression) must fail loudly.
+    for ((n, df) <- Seq(
+        "q08" -> JoinQueries.q08NearestMatch(spark, Sf001),
+        "q11" -> JoinQueries.q11TopPerSegment(spark, Sf001),
+        "q16" -> graft.ts.TimeSeries.q16DedupBest(spark, Sf001),
+        "q52" -> graft.geo.Geo.q52AirportProximity(spark, Sf001))) {
+      val p = plan(df)
+      assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+        s"$n lost partial+final WindowGroupLimit:\n${p.take(3000)}")
+    }
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     // Cross joins must always ride a broadcast (1-row global stats, small
     // dims) or be rewritten to equi-joins (blocked pairs, LSH buckets,
