@@ -144,6 +144,35 @@ object Streaming {
                    key: String = "user_id"): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join — funnel correlation (a `view` followed by
+    * a `purchase` within `horizon`, per user) computed online. Both sides
+    * carry watermarks and the join condition bounds `buy_ts` to
+    * [view_ts, view_ts + horizon], so Spark derives state-eviction bounds
+    * for BOTH buffers: a view is dropped once the purchase-side watermark
+    * passes view_ts + horizon, a purchase once the view-side watermark
+    * passes buy_ts. State is O(events in the horizon) partitioned by
+    * user_id — the required shape for an unbounded 100 TB/day stream.
+    * Inner join → append mode; results emit as soon as both sides arrive. */
+  def conversionJoin(events: DataFrame, horizon: String = "10 minutes",
+                     watermark: String = "5 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+      .withWatermark("view_ts", watermark)
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("value").as("buy_value"))
+      .withWatermark("buy_ts", watermark)
+    views.join(buys,
+        col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= expr(s"view_ts + INTERVAL $horizon"))
+      .select(col("user_id"), col("view_ts"), col("buy_ts"),
+        (unix_timestamp(col("buy_ts")) - unix_timestamp(col("view_ts")))
+          .as("lag_s"),
+        col("view_value"), col("buy_value"))
+  }
+
   case class Obs(userId: Long, tsMs: Long, value: Double)
   case class StuckEvent(userId: Long, tsMs: Long, nObs: Int, spread: Double)
 

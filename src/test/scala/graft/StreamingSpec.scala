@@ -228,6 +228,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).toSeq === Seq(3000L, 4000L))
   }
 
+  test("conversionJoin matches view→purchase only within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.conversionJoin(in.toDF(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:04:00"), 1, "purchase", 9.0), // within 10 min → match
+      Ev(3, ts("2024-01-01 10:00:00"), 2, "view", 1.0),
+      Ev(4, ts("2024-01-01 10:30:00"), 2, "purchase", 9.0), // beyond horizon → no match
+      Ev(5, ts("2024-01-01 10:02:00"), 3, "purchase", 9.0)) // purchase without view
+    q.processAllAvailable()
+    // advance both watermarks so in-horizon results are finalized
+    in.addData(
+      Ev(6, ts("2024-01-01 11:00:00"), 9, "view", 0.0),
+      Ev(7, ts("2024-01-01 11:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select user_id, lag_s from conv_out where user_id < 9 order by user_id").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 240L)))
+  }
+
+  test("conversionJoin evicts both join buffers as watermarks advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.conversionJoin(in.toDF(), horizon = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("conv_evict_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+      Ev(2, ts("2024-01-01 10:01:00"), 2, "purchase", 2.0))
+    q.processAllAvailable()
+    // push event time 2 h forward: both 10:0x rows fall behind their
+    // eviction bounds (view_ts + horizon and buy_ts resp.) and must leave
+    // the state store rather than accumulate forever
+    in.addData(
+      Ev(3, ts("2024-01-01 12:00:00"), 3, "view", 1.0),
+      Ev(4, ts("2024-01-01 12:00:30"), 3, "purchase", 2.0))
+    q.processAllAvailable()
+    in.addData(
+      Ev(5, ts("2024-01-01 12:01:00"), 4, "view", 1.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows <= 3,
+      s"expected only in-horizon rows buffered in join state, got $stateRows")
+  }
+
   test("writePartitioned lands hour-partitioned parquet via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
