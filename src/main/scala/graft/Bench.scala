@@ -36,7 +36,14 @@ object Bench {
       .map { case (k, _, e) => s"\"" + k + "\":\"" + e.get.replace("\\", "/").replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs}"""
+    println(line)
+    // sbt prefixes stdout with "[info] " and harness tail-windows can cut
+    // the front off the ~3 KB full line, so also (a) drop a copy on disk
+    // and (b) end with a short per-run summary that survives any tail.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":${failed.size},"n_queries":${results.size}}""")
     failed.foreach { case (k, _, e) => System.err.println(s"BENCH FAIL $k: ${e.get}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
