@@ -101,6 +101,7 @@ object SparkEntry {
     "q73_pii_scrub"         -> (DataPrep.q73PiiScrub(_, _)),
     "q74_boilerplate_passages" -> (TextOps.q74BoilerplatePassages(_, _)),
     "q75_sketch_reagg"      -> (Summaries.q75SketchReagg(_, _)),
+    "q76_corpus_funnel"     -> (TextOps.q76CorpusFunnel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -300,6 +300,23 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** The four C4-ish cleaning rules over a text column — (length band,
+    * mean-word-length band, symbol-ratio cap, repetition floor) — shared
+    * by q48 (per-rule accounting, lenient thresholds) and q76 (the corpus
+    * funnel, training-grade thresholds that visibly bite on this corpus). */
+  private[text] def c4Rules(text: Column, minTok: Int = 10,
+                            repFloor: Double = 0.1)
+      : (Column, Column, Column, Column) = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val meanWordLen = (length(text) - (nTok - 1)) / nTok.cast("double")
+    val symbolRatio = (length(text) -
+      length(regexp_replace(text, "[^a-z0-9 ]", ""))) / length(text).cast("double")
+    val repRatio = size(array_distinct(t)) / nTok.cast("double")
+    (nTok.between(minTok, 1000), meanWordLen.between(2.0, 12.0),
+      symbolRatio <= 0.1, repRatio >= repFloor)
+  }
+
   /** q48: C4-style document cleaning rules — each rule is an independent
     * boolean column, the verdict their conjunction, accounting per source
     * (the keep/drop split every training-data pipeline reports). Rules are
@@ -307,16 +324,7 @@ object TextOps {
     * symbol ratio cap, repetition cap (distinct/total floor). */
   def q48QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val t = tokens(col("text"))
-    val nTok = size(t)
-    val meanWordLen = (length(col("text")) - (nTok - 1)) / nTok.cast("double")
-    val symbolRatio = (length(col("text")) -
-      length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))) / length(col("text")).cast("double")
-    val repRatio = size(array_distinct(t)) / nTok.cast("double")
-    val rLen = nTok.between(10, 1000)
-    val rWordLen = meanWordLen.between(2.0, 12.0)
-    val rSymbol = symbolRatio <= 0.1
-    val rRep = repRatio >= 0.1
+    val (rLen, rWordLen, rSymbol, rRep) = c4Rules(col("text"))
     val keep = rLen && rWordLen && rSymbol && rRep
     d.withColumn("keep", keep)
       .withColumn("fail_len", !rLen).withColumn("fail_wordlen", !rWordLen)
@@ -521,7 +529,102 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q76: the end-to-end training-corpus funnel — the composition a user
+    * of this library actually runs, as ONE oracle-checked query: raw corpus
+    * → C4 quality rules ([[c4Rules]], shared with q48) → normalized exact
+    * dedup keep-first (q23's md5-of-sorted-token-bag key) → benchmark
+    * decontamination (q49's broadcast 5-gram join) → per-source funnel
+    * counts and final token budget.
+    *
+    * Scale shape is the union of its stages' shapes: row-wise rules on the
+    * scan, one hash shuffle on the dedup key (WindowGroupLimit prunes the
+    * keep-first window map-side), one broadcast of the benchmark shingles,
+    * and per-source rollups. In production each stage persists its
+    * intermediate corpus; here the lineage recomputes — same plan shapes,
+    * no extra shuffles. */
+  def q76CorpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Tables.documents(spark, dir)
+    val corpus = all.filter(col("doc_id") >= 10)
+    val (rLen, rWordLen, rSymbol, rRep) =
+      c4Rules(col("text"), minTok = 20, repFloor = 0.5)
+    val kept = corpus.filter(rLen && rWordLen && rSymbol && rRep)
+      .withColumn("k", md5(concat_ws(" ", array_sort(tokens(col("text"))))))
+    val uniq = kept
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val benchSh = shingleRows(all.filter(col("doc_id") < 10), 5)
+      .select(col("s")).distinct()
+    val contaminated = shingleRows(uniq, 5).join(broadcast(benchSh), "s")
+      .select(col("doc_id")).distinct()
+    val fin = uniq
+      .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
+      .filter(col("bad").isNull)
+    val raw = corpus.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+    val nq = kept.groupBy(col("source")).agg(count(lit(1)).as("n_quality"))
+    val nu = uniq.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    val nf = fin.groupBy(col("source")).agg(
+      count(lit(1)).as("n_clean"),
+      sum(size(tokens(col("text")))).as("final_tokens"))
+    raw.join(nq, Seq("source"), "left").join(nu, Seq("source"), "left")
+      .join(nf, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("final_tokens"), lit(0L)).as("final_tokens"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q76_corpus_funnel" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id >= 10),
+        |kept AS (
+        |  SELECT *, md5(array_to_string(list_sort(t), ' ')) AS k
+        |  FROM corpus
+        |  WHERE len(t) BETWEEN 20 AND 1000
+        |    AND ((length(text) - (len(t) - 1)) / len(t)::DOUBLE) BETWEEN 2.0 AND 12.0
+        |    AND ((length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+        |         / length(text)::DOUBLE) <= 0.1
+        |    AND (len(list_distinct(t)) / len(t)::DOUBLE) >= 0.5),
+        |uniq AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |bench_sh AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |    t[i+3] || ' ' || t[i+4] AS s
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents WHERE doc_id < 10),
+        |    LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |      t[i+3] || ' ' || t[i+4] AS s
+        |    FROM uniq, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i))
+        |  JOIN bench_sh USING (s)),
+        |fin AS (
+        |  SELECT u.* FROM uniq u LEFT JOIN contaminated c ON u.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL)
+        |SELECT r.source, r.n_raw,
+        |  coalesce(nq.n_quality, 0) AS n_quality,
+        |  coalesce(nu.n_unique, 0) AS n_unique,
+        |  coalesce(nf.n_clean, 0) AS n_clean,
+        |  coalesce(nf.final_tokens, 0) AS final_tokens
+        |FROM (SELECT source, count(*) AS n_raw FROM corpus GROUP BY source) r
+        |LEFT JOIN (SELECT source, count(*) AS n_quality FROM kept GROUP BY source) nq
+        |  USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n_unique FROM uniq GROUP BY source) nu
+        |  USING (source)
+        |LEFT JOIN (SELECT source, count(*) AS n_clean,
+        |             sum(len(t))::BIGINT AS final_tokens
+        |           FROM fin GROUP BY source) nf USING (source)
+        |ORDER BY r.source""".stripMargin,
+
     "q72_vocab_stats" ->
       """WITH tok AS (
         |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
