@@ -226,17 +226,26 @@ object Streaming {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch
-          .withColumn("year", year(col("ts")))
-          .withColumn("month", month(col("ts")))
-          .withColumn("day", dayofmonth(col("ts")))
-          .withColumn("hour", hour(col("ts")))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .partitionBy("year", "month", "day", "hour", "batch_id")
-          .parquet(outDir)
+        writeBatch(batch, batchId, outDir)
       }
       .start()
+
+  /** The foreachBatch body, exposed for direct testing: exactly-once under
+    * replay because `batch_id` is part of the partitioning and dynamic
+    * partition overwrite replaces exactly the partitions the batch touches
+    * — re-running a batch after a crash-before-checkpoint rewrites its own
+    * output instead of appending duplicates. */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+      .withColumn("hour", hour(col("ts")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour", "batch_id")
+      .parquet(outDir)
+  }
 }

@@ -294,4 +294,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.count() === 2)
     assert(back.select("hour").distinct().count() === 2)
   }
+
+  test("writeBatch is idempotent under micro-batch replay") {
+    val out = Files.createTempDirectory("replay_out").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val b0 = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:06:00"), 2L, "view", 2.0)).toDF(cols: _*)
+    Streaming.writeBatch(b0, 0L, out)
+    // crash-before-checkpoint replay: the SAME batch id runs again — dynamic
+    // partition overwrite must replace, not append
+    Streaming.writeBatch(b0, 0L, out)
+    assert(spark.read.parquet(out).count() === 2)
+    // a genuinely new batch appends alongside
+    val b1 = Seq((3L, ts("2024-01-01 10:07:00"), 3L, "click", 3.0)).toDF(cols: _*)
+    Streaming.writeBatch(b1, 1L, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 3)
+    assert(back.select("batch_id").distinct().count() === 2)
+  }
 }
