@@ -63,6 +63,22 @@ class SourcesSpec extends SparkSpecBase {
     assert(joined.count() === Tables.lineitem(spark, Sf0001).count())
   }
 
+  test("compact rewrites a many-small-files partition into few files, losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/hour=1"
+    val e = Tables.events(spark, Sf001)
+    e.repartition(24).write.parquet(dir) // the 30s-trigger landing pattern
+    val before = e.count()
+    val (nBefore, nAfter) = Sources.compact(spark, dir, targetBytes = 128L << 20)
+    assert(nBefore === 24)
+    assert(nAfter === 1, s"expected 1 output file for a tiny input, got $nAfter")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === before)
+    // no temp/old directories left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compacting")) && !parent.exists(_.contains(".old")),
+      parent.mkString(","))
+  }
+
   test("registerViews exposes tables and pruned views; pruned view reads narrow schema") {
     Sources.registerViews(spark, Sf0001)
     assert(spark.catalog.tableExists("efficient_event_overview"))
