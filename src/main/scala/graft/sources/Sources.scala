@@ -66,13 +66,20 @@ object Sources {
     * reference batches conversions for the same reason,
     * optimized_converter.py:83-99). Reads a leaf partition directory, sizes
     * the output by actual bytes on disk (`ceil(bytes / targetBytes)` — file
-    * COUNT would mis-size skewed inputs), rewrites via temp-dir + rename so
-    * readers never observe a half-compacted directory, and returns
-    * (filesBefore, filesAfter). At 100 TB this runs per leaf partition —
-    * each hour compacts independently, embarrassingly parallel across a
-    * workflow scheduler, and the atomic swap keeps the partition readable
-    * throughout. (The rename pair is atomic on HDFS/POSIX; on S3 you'd
-    * commit via manifest instead.) */
+    * COUNT would mis-size skewed inputs), rewrites into a temp dir,
+    * VALIDATES the rewrite (row-count match) before touching the original,
+    * then swaps via two renames, and returns (filesBefore, filesAfter).
+    * At 100 TB this runs per leaf partition — each hour compacts
+    * independently, embarrassingly parallel across a workflow scheduler.
+    *
+    * Visibility contract: each rename is atomic (HDFS/POSIX), but between
+    * the two renames the directory briefly does not exist, and a reader
+    * that listed files before the swap can hit deleted files — so run this
+    * only on partitions out of the serving window (completed hours), or
+    * commit via a manifest/metastore partition pointer where true
+    * atomicity is required. A failed validation leaves the original
+    * untouched; a crash between the renames leaves the data intact under
+    * the `.old` name. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
     import org.apache.hadoop.fs.Path
@@ -84,8 +91,12 @@ object Sources {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new Path(path.getParent, s".${path.getName}.compacting")
     fs.delete(tmp, true)
+    val inCount = spark.read.parquet(dir).count()
     spark.read.parquet(dir).repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
+    val outCount = spark.read.parquet(tmp.toString).count()
+    require(outCount == inCount,
+      s"compaction of $dir dropped rows ($inCount -> $outCount); original left untouched")
     val out = fs.listStatus(tmp)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val old = new Path(path.getParent, s".${path.getName}.old")

@@ -39,19 +39,21 @@ object TextOps {
     * faster than exploding the array-HOF shingles (interpreted lambdas);
     * cost is one hash shuffle by doc_id. Empty tokens are dropped before
     * shingling, matching [[tokens]]. */
-  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, n: Int,
+                  extra: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keep = (Seq("doc_id") ++ extra).map(col)
     val base = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(keep :+ posexplode(split(col("text"), " ")).as(Seq("pos", "tok")): _*)
       .filter(col("tok") =!= "")
-    if (n == 1) base.select(col("doc_id"), col("tok").as("s"))
+    if (n == 1) base.select(keep :+ col("tok").as("s"): _*)
     else {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
       base.withColumn("s",
           when(leads.last.isNotNull, concat_ws(" ", (col("tok") +: leads): _*)))
         .filter(col("s").isNotNull)
-        .select(col("doc_id"), col("s"))
+        .select(keep :+ col("s"): _*)
     }
   }
 
@@ -344,13 +346,20 @@ object TextOps {
     * The join is benchmark-shingles (tiny, broadcast) against corpus
     * shingles — at 100 TB the benchmark side is always the broadcast side
     * and the corpus side streams, so decontamination costs one scan. */
+  /** Distinct doc_ids of `corpus` docs sharing any word n-gram with the
+    * (small) `bench` set — broadcast-benchmark-shingles contamination join,
+    * shared by q49 (the report) and q76 (the funnel stage). */
+  def contaminatedDocIds(corpus: DataFrame, bench: DataFrame,
+                         n: Int = 5): DataFrame = {
+    val benchSh = shingleRows(bench, n).select(col("s")).distinct()
+    shingleRows(corpus, n).join(broadcast(benchSh), "s")
+      .select(col("doc_id")).distinct()
+  }
+
   def q49Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val corpusSh = shingleRows(d.filter(col("doc_id") >= 10), 5)
-    val benchSh = shingleRows(d.filter(col("doc_id") < 10), 5)
-      .select(col("s")).distinct()
-    val contaminated = corpusSh.join(broadcast(benchSh), "s")
-      .select(col("doc_id")).distinct()
+    val contaminated =
+      contaminatedDocIds(d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10))
     d.filter(col("doc_id") >= 10)
       .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .groupBy(col("source")).agg(
@@ -503,17 +512,8 @@ object TextOps {
     * broadcast of the (unbounded) passage dictionary. */
   def q74BoilerplatePassages(spark: SparkSession, dir: String,
                              dfMin: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
-    val base = d.select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until 5).map(i => lead(col("tok"), i).over(w))
-    val perDoc = base
-      .withColumn("s", when(leads.last.isNotNull,
-        concat_ws(" ", (col("tok") +: leads): _*)))
-      .filter(col("s").isNotNull)
+    val perDoc = shingleRows(d, 5, extra = Seq("source"))
       .groupBy(col("s"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("occ"))
     val bp = perDoc.groupBy(col("s")).agg(count(lit(1)).as("sdf"))
@@ -554,10 +554,8 @@ object TextOps {
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("k")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
-    val benchSh = shingleRows(all.filter(col("doc_id") < 10), 5)
-      .select(col("s")).distinct()
-    val contaminated = shingleRows(uniq, 5).join(broadcast(benchSh), "s")
-      .select(col("doc_id")).distinct()
+    val contaminated =
+      contaminatedDocIds(uniq, all.filter(col("doc_id") < 10))
     val fin = uniq
       .join(contaminated.withColumn("bad", lit(true)), Seq("doc_id"), "left")
       .filter(col("bad").isNull)
