@@ -102,6 +102,7 @@ object SparkEntry {
     "q74_boilerplate_passages" -> (TextOps.q74BoilerplatePassages(_, _)),
     "q75_sketch_reagg"      -> (Summaries.q75SketchReagg(_, _)),
     "q76_corpus_funnel"     -> (TextOps.q76CorpusFunnel(_, _)),
+    "q77_unigram_logprob"   -> (TextOps.q77UnigramLogprob(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -575,7 +575,64 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q77: unigram-LM log-prob scoring — the perplexity-proxy quality filter
+    * (CCNet/KenLM idea with the simplest possible LM): token cost is
+    * -ln(global tf / corpus total), a document's score is its mean token
+    * cost, and each source reports mean/median scores plus how many of its
+    * docs land above a "surprising" threshold. Low-probability-token-heavy
+    * docs (typos, boilerplate codes, junk) score high and get flagged.
+    *
+    * Scale shape: the unigram table is one hash aggregation over exploded
+    * tokens; the per-token cost lookup joins token rows to that table on
+    * the SAME token key (exchange reuse), and everything after is keyed by
+    * doc then source. Cross-engine note: ln() can differ by 1 ulp between
+    * libm and the JVM, so the per-token cost is rounded to 4dp BEFORE the
+    * decimal-exact aggregation — the CLAUDE.md round-before-aggregate rule
+    * applied to a transcendental. */
+  def q77UnigramLogprob(spark: SparkSession, dir: String,
+                        flagThreshold: Double = 3.45): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val tot = vocab.agg(sum(col("tf")).as("t_total"))
+    val cost = tok
+      .join(vocab, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("c", Exprs.dround(-log(col("tf") / col("t_total")), 4))
+    val perDoc = cost.groupBy(col("doc_id"), col("source")).agg(
+      Exprs.dround(Exprs.sumExact(col("c"), 4) / count(lit(1)), 4).as("nll"))
+    perDoc.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        Exprs.dround(Exprs.sumExact(col("nll"), 4) / count(lit(1)), 4)
+          .as("avg_nll"),
+        Exprs.dround(expr("percentile(nll, 0.5)"), 4).as("med_nll"),
+        count(when(col("nll") > flagThreshold, 1)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q77_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        |tot AS (SELECT sum(tf)::BIGINT AS t_total FROM vocab),
+        |cost AS (
+        |  SELECT doc_id, source,
+        |    round(-ln(tf / t_total::DOUBLE) * 10000) / 10000 AS c
+        |  FROM tok JOIN vocab USING (tok), tot),
+        |per_doc AS (
+        |  SELECT doc_id, source,
+        |    round(sum(c::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS nll
+        |  FROM cost GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  round(sum(nll::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS avg_nll,
+        |  round(quantile_cont(nll, 0.5) * 10000) / 10000 AS med_nll,
+        |  count(CASE WHEN nll > 3.45 THEN 1 END) AS n_flagged
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
     "q76_corpus_funnel" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text,
