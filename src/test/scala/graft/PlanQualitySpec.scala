@@ -96,7 +96,8 @@ class PlanQualitySpec extends SparkSpecBase {
         "q08" -> JoinQueries.q08NearestMatch(spark, Sf001),
         "q11" -> JoinQueries.q11TopPerSegment(spark, Sf001),
         "q16" -> graft.ts.TimeSeries.q16DedupBest(spark, Sf001),
-        "q52" -> graft.geo.Geo.q52AirportProximity(spark, Sf001))) {
+        "q52" -> graft.geo.Geo.q52AirportProximity(spark, Sf001),
+        "q76" -> graft.text.TextOps.q76CorpusFunnel(spark, Sf001))) {
       val p = plan(df)
       assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
         s"$n lost partial+final WindowGroupLimit:\n${p.take(3000)}")
