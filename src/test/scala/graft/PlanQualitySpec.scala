@@ -117,6 +117,39 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    // At 100 TB neither side of orders ⋈ lineitem broadcasts; Spark's
+    // runtime bloom filter (semi-join reduction) then prunes the fact scan
+    // with a sketch built from the selective side. Pin that the engine's
+    // join shapes stay eligible for it — broadcast is disabled here to
+    // reproduce the at-scale plan at test SF, thresholds lowered because
+    // the test tables are tiny.
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set(keys(0), "-1")
+      c.set(keys(1), "true")
+      c.set(keys(2), "10GB")
+      c.set(keys(3), "0")
+      val li = Tables.lineitem(spark, Sf001)
+      val ord = Tables.orders(spark, Sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val p = plan(j)
+      assert(p.contains("BloomFilterMightContain") || p.toLowerCase.contains("bloom"),
+        s"runtime bloom filter not injected:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
     val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
