@@ -91,9 +91,13 @@ object Sources {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val tmp = new Path(path.getParent, s".${path.getName}.compacting")
     fs.delete(tmp, true)
-    val inCount = spark.read.parquet(dir).count()
-    spark.read.parquet(dir).repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    // one file-list snapshot feeds the count, the rewrite and the
+    // late-arrival sweep — a file landing mid-compaction can neither fail
+    // the validation spuriously nor be lost in the swap
+    val snapshot = files.map(_.getPath.toString)
+    val df = spark.read.parquet(snapshot: _*)
+    val inCount = df.count()
+    df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
     val outCount = spark.read.parquet(tmp.toString).count()
     require(outCount == inCount,
       s"compaction of $dir dropped rows ($inCount -> $outCount); original left untouched")
@@ -103,6 +107,12 @@ object Sources {
     fs.delete(old, true)
     fs.rename(path, old)
     fs.rename(tmp, path)
+    // files that landed after the snapshot move into the compacted
+    // directory instead of dying with the old one
+    val snapNames = files.map(_.getPath.getName).toSet
+    fs.listStatus(old)
+      .filter(s => s.isFile && !snapNames.contains(s.getPath.getName))
+      .foreach(s => fs.rename(s.getPath, new Path(path, s.getPath.getName)))
     fs.delete(old, true)
     (files.length, out)
   }

@@ -592,8 +592,11 @@ object TextOps {
   def q77UnigramLogprob(spark: SparkSession, dir: String,
                         flagThreshold: Double = 3.45): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val tok = d.select(col("doc_id"), col("source"),
-      explode(tokens(col("text"))).as("tok"))
+    // row-based tokenization (shingleRows n=1): the array-HOF tokens()
+    // lambda is interpreted, and this relation is scanned twice (vocab
+    // build + cost join) — CLAUDE.md perf rule
+    val tok = shingleRows(d, 1, extra = Seq("source"))
+      .withColumnRenamed("s", "tok")
     val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
     val tot = vocab.agg(sum(col("tf")).as("t_total"))
     val cost = tok
@@ -601,11 +604,10 @@ object TextOps {
       .crossJoin(broadcast(tot))
       .withColumn("c", Exprs.dround(-log(col("tf") / col("t_total")), 4))
     val perDoc = cost.groupBy(col("doc_id"), col("source")).agg(
-      Exprs.dround(Exprs.sumExact(col("c"), 4) / count(lit(1)), 4).as("nll"))
+      Exprs.avgExact(col("c"), 4, 4).as("nll"))
     perDoc.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        Exprs.dround(Exprs.sumExact(col("nll"), 4) / count(lit(1)), 4)
-          .as("avg_nll"),
+        Exprs.avgExact(col("nll"), 4, 4).as("avg_nll"),
         Exprs.dround(expr("percentile(nll, 0.5)"), 4).as("med_nll"),
         count(when(col("nll") > flagThreshold, 1)).as("n_flagged"))
       .orderBy(col("source"))
