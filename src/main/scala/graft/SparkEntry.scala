@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{CoreQueries, Dashboard, JoinQueries, Summaries}
+import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
 import graft.multimodal.Multimodal
@@ -103,6 +104,10 @@ object SparkEntry {
     "q75_sketch_reagg"      -> (Summaries.q75SketchReagg(_, _)),
     "q76_corpus_funnel"     -> (TextOps.q76CorpusFunnel(_, _)),
     "q77_unigram_logprob"   -> (TextOps.q77UnigramLogprob(_, _)),
+    "q78_bm25_rank"         -> (TextOps.q78Bm25Rank(_, _)),
+    "q79_frame_sample"      -> (Multimodal.q79FrameSample(_, _)),
+    "q80_cdc_upsert"        -> (Cdc.q80CdcUpsert(_, _)),
+    "q81_scd2_history"      -> (Cdc.q81Scd2History(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +118,5 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
-      Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle
+      Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle
 }

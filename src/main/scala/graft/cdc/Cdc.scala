@@ -1,0 +1,164 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Change-data-capture semantics over an append-only event log: last-wins
+  * upsert compaction with tombstones (the MERGE INTO apply step every
+  * lakehouse table maintenance job runs) and SCD2 dimension-history build
+  * (effective ranges from a change stream).
+  *
+  * The reference materializes its "latest state" table by rewriting a full
+  * snapshot per batch (`src/lambda/etl/flight_data_processor.py` latest-
+  * snapshot sink; see `Sources.writeLatestSnapshot`); these operators are the
+  * incremental formulation of the same contract: the state a key holds is
+  * decided by the newest change record, deletes remove the key.
+  *
+  * Scale notes:
+  *   - Compaction is one shuffle on the key; the top-1-per-key window
+  *     becomes partial+final `WindowGroupLimit`, so each map task forwards
+  *     at most one row per key — shuffle volume is bounded by |keys|, not
+  *     |log|. At 100 TB the log arrives hour-partitioned (S5 sink), so the
+  *     incremental run compacts only new partitions and merges against the
+  *     previous snapshot ([[mergeSnapshot]]) — never re-reads the full log.
+  *   - SCD2 runs entirely inside one `user_id` hash partition: change
+  *     detection (lag), version numbering (running sum), version ranges and
+  *     the final rollup all reuse the same partitioning — one exchange total.
+  */
+object Cdc {
+
+  /** Event-time ordering for change records: micros + id tiebreak
+    * (CLAUDE.md ordered-window rule). */
+  private val orderCols: Seq[Column] =
+    Seq(expr("ts_ns div 1000"), col("event_id"))
+
+  /** Last-wins compaction: the newest change record per key, with
+    * `deleted` flagging tombstones (`event_type = 'error'` stands in for
+    * the CDC delete op in the synthetic log). Downstream either filters
+    * `!deleted` (serving) or keeps the tombstone (incremental merge input —
+    * a delete must survive to cancel older upserts in the base). */
+  def compactLog(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(orderCols.map(_.desc): _*)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("deleted", col("event_type") === "error")
+  }
+
+  /** Incremental MERGE: apply a compacted change-batch to a previous
+    * compacted snapshot. Change rows win on key collision (they are newer
+    * by construction); tombstone rows drop the key. Equivalent to
+    * `MERGE INTO base USING changes WHEN MATCHED [AND deleted] THEN
+    * DELETE/UPDATE WHEN NOT MATCHED [AND NOT deleted] THEN INSERT`,
+    * expressed as union + keep-highest-priority — both sides are
+    * |keys|-sized, so the one shuffle moves snapshot-sized data, and the
+    * same `WindowGroupLimit` partial/final split as [[compactLog]] applies. */
+  def mergeSnapshot(base: DataFrame, changes: DataFrame): DataFrame = {
+    val u = base.withColumn("__pri", lit(0))
+      .unionByName(changes.withColumn("__pri", lit(1)))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__pri").desc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__pri")
+      .filter(!col("deleted"))
+  }
+
+  /** q80: CDC upsert compaction report — final per-key state of the event
+    * log under last-wins + tombstone semantics, rolled up by the state the
+    * key ended in. `deleted` keys are reported (their value sums audit the
+    * tombstone channel), live keys carry the surviving state. */
+  def q80CdcUpsert(spark: SparkSession, dir: String): DataFrame =
+    compactLog(Tables.events(spark, dir))
+      .withColumn("state",
+        when(col("deleted"), lit("deleted")).otherwise(lit("live")))
+      .groupBy(col("state"), col("event_type")).agg(
+        count(lit(1)).as("n_keys"),
+        Exprs.sumExact2(col("value")).as("sum_value"),
+        max(expr("ts_ns div 1000")).as("latest_us"))
+      .orderBy(col("event_type"))
+
+  /** q81: SCD2 history build — run-length encode each key's `event_type`
+    * stream into effective-dated versions (a new version opens when the
+    * attribute changes; `effective_to` = next version's open, NULL = the
+    * current version). Output is the per-key shape of the resulting
+    * dimension: version count, the current state and when it opened, the
+    * largest version's row count, and the total closed-version dwell time —
+    * integer micros throughout, so the oracle comparison is exact. */
+  def q81Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(orderCols: _*)
+    val run = Window.partitionBy(col("user_id")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versioned = Tables.events(spark, dir)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(run))
+    val versions = versioned.groupBy(col("user_id"), col("version")).agg(
+      min(expr("ts_ns div 1000")).as("from_us"),
+      min(col("event_type")).as("state"), // constant within a version
+      count(lit(1)).as("n_rows"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn("to_us", lead(col("from_us"), 1).over(wv))
+      .groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_versions"),
+        sum(col("n_rows")).as("n_events"),
+        max(col("n_rows")).as("max_version_events"),
+        max_by(col("state"), col("version")).as("current_state"),
+        max(col("from_us")).as("current_since_us"),
+        coalesce(sum(when(col("to_us").isNotNull, col("to_us") - col("from_us"))),
+          lit(0L)).as("closed_dur_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q80_cdc_upsert" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events),
+        |last AS (
+        |  SELECT *, event_type = 'error' AS deleted FROM ranked WHERE rn = 1)
+        |SELECT CASE WHEN deleted THEN 'deleted' ELSE 'live' END AS state,
+        |  event_type, count(*) AS n_keys,
+        |  sum(value::DECIMAL(25,2))::DOUBLE AS sum_value,
+        |  max(epoch_us(ts)) AS latest_us
+        |FROM last GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    "q81_scd2_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |versioned AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS version
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT user_id, version, min(us) AS from_us,
+        |    min(event_type) AS state, count(*) AS n_rows
+        |  FROM versioned GROUP BY user_id, version),
+        |ranged AS (
+        |  SELECT *, lead(from_us) OVER (PARTITION BY user_id ORDER BY version) AS to_us
+        |  FROM versions)
+        |SELECT user_id, count(*) AS n_versions,
+        |  sum(n_rows)::BIGINT AS n_events,
+        |  max(n_rows) AS max_version_events,
+        |  max_by(state, version) AS current_state,
+        |  max(from_us) AS current_since_us,
+        |  coalesce(sum(CASE WHEN to_us IS NOT NULL THEN to_us - from_us END), 0)::BIGINT
+        |    AS closed_dur_us
+        |FROM ranged GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

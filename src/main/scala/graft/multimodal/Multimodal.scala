@@ -92,14 +92,44 @@ object Multimodal {
   }
 
   /** Frame-sample plumbing: one output row per sampled frame index
-    * (every `everyMs` of the metadata duration), content untouched. */
-  def frameSample(media: DataFrame, everyMs: Int): DataFrame =
+    * (every `everyMs` of the metadata duration, at most `maxFrames` from the
+    * start — the fixed per-item frame budget a vision-training pipeline
+    * enforces), content untouched. The budget is a `slice` BEFORE the
+    * explode, so fan-out is bounded per row regardless of media duration. */
+  def frameSample(media: DataFrame, everyMs: Int,
+                  maxFrames: Int = Int.MaxValue): DataFrame =
     media.withColumn("frame_ms",
         // zero-duration media has no frames — explode drops the empty array
         explode(when(col("meta.durationMs") > 0,
-          sequence(lit(0), col("meta.durationMs") - 1, lit(everyMs)))
+          slice(sequence(lit(0), col("meta.durationMs") - 1, lit(everyMs)),
+            1, maxFrames))
           .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("kind"), col("frame_ms"))
+
+  /** q79: frame-sampling schedule accounting — per kind, how many media
+    * items get frames, the total sampled-frame volume, how many items hit
+    * the frame budget, and the mean frames per item. This is the row-count
+    * contract for the downstream decode stage (each frame row becomes one
+    * decode task), so it is oracle-checked even though the decode kernel
+    * itself is stubbed.
+    *
+    * Scale shape: the bounded explode fans out at most `maxFrames` rows per
+    * item partition-locally (no shuffle), then two hash aggregations
+    * (media → kind) on aligned keys. */
+  def q79FrameSample(spark: SparkSession, dir: String,
+                     everyMs: Int = 500, maxFrames: Int = 32): DataFrame = {
+    val frames = frameSample(synthesize(spark, dir), everyMs, maxFrames)
+    val perItem = frames.groupBy(col("kind"), col("media_id")).agg(
+      count(lit(1)).as("n"), max(col("frame_ms")).as("mx"))
+    perItem.groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n")).as("n_frames"),
+        count(when(col("n") === maxFrames, 1)).as("n_at_budget"),
+        max(col("mx")).as("max_frame_ms"),
+        Exprs.dround(sum(col("n")).cast("double") / count(lit(1)), 4)
+          .as("avg_frames"))
+      .orderBy(col("kind"))
+  }
 
   /** q34: metadata + content stats per kind. The aggregation path uses pure
     * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
@@ -118,6 +148,27 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "q79_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    (n_chars * 40)::INT AS duration_ms
+        |  FROM documents),
+        |frames AS (
+        |  -- step-500 series from 0; the 32-frame budget == frame_ms < 500*32
+        |  SELECT media_id, kind, f AS frame_ms
+        |  FROM media, LATERAL (SELECT unnest(generate_series(0, duration_ms - 1, 500)) AS f)
+        |  WHERE duration_ms > 0 AND f < 500 * 32),
+        |per_item AS (
+        |  SELECT kind, media_id, count(*) AS n, max(frame_ms) AS mx
+        |  FROM frames GROUP BY kind, media_id)
+        |SELECT kind, count(*) AS n_media, sum(n)::BIGINT AS n_frames,
+        |  count(CASE WHEN n = 32 THEN 1 END) AS n_at_budget,
+        |  max(mx)::INT AS max_frame_ms,  -- Spark sequence() of INTs → INT; DuckDB generate_series → BIGINT
+
+        |  round(sum(n)::BIGINT::DOUBLE / count(*) * 10000) / 10000 AS avg_frames
+        |FROM per_item GROUP BY kind ORDER BY kind""".stripMargin,
+
     "q34_multimodal_stats" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,

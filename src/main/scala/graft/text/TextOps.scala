@@ -613,7 +613,75 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q78: BM25 relevance ranking — the lexical retrieval scorer used to mine
+    * task-relevant training documents from a corpus (Okapi BM25, k1=1.2,
+    * b=0.75). Corpus statistics (N, avgdl, per-term df) come from one token
+    * scan; scoring touches only rows whose token is a query term, so the
+    * per-query cost is proportional to the posting lists, not the corpus.
+    *
+    * Scale shape: doc lengths and term frequencies are two hash aggregations
+    * over the same exploded-token relation (same `doc_id` key → exchange
+    * reuse); df (|query| rows) and the 1-row corpus stats broadcast. The
+    * final top-k is `TakeOrderedAndProject`, never a global sort.
+    *
+    * Cross-engine note: the per-term contribution rounds to 4dp BEFORE the
+    * decimal-exact per-doc sum (the q77 transcendental rule — ln() may
+    * differ by 1 ulp between libm and the JVM). k1/k1+1 are non-dyadic, so
+    * the oracle casts them ::DOUBLE (CLAUDE.md DECIMAL-literal rule); b and
+    * the 0.5 idf offsets are dyadic and safe. */
+  def q78Bm25Rank(spark: SparkSession, dir: String,
+                  queryTerms: Seq[String] = Seq("join", "vector", "slow"),
+                  k: Int = 20): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = shingleRows(d, 1).withColumnRenamed("s", "tok")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_total"))
+    val tf = tok.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("t_total").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("tf_part",
+        col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("c", Exprs.dround(col("idf") * col("tf_part"), 4))
+    scored.groupBy(col("doc_id"), col("dl")).agg(
+        count(lit(1)).as("n_terms_hit"),
+        Exprs.sumExact(col("c"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q78_bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS t_total FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('join', 'vector', 'slow') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |scored AS (
+        |  SELECT doc_id, dl,
+        |    round(ln((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE) + 1.0)
+        |      * (tf * 2.2::DOUBLE
+        |         / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl
+        |                                / (t_total::DOUBLE / n_docs))))
+        |      * 10000) / 10000 AS c
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats)
+        |SELECT doc_id, dl, count(*) AS n_terms_hit,
+        |  sum(c::DECIMAL(25,4))::DOUBLE AS score
+        |FROM scored GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q77_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),

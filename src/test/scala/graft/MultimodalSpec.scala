@@ -48,6 +48,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.frameSample(zero, 1000).count() === 0)
   }
 
+  test("frameSample budget caps per-item fan-out from the schedule start") {
+    val media = Multimodal.synthesize(spark, Sf0001)
+    val budget = 4
+    val perMedia = media.select(col("media_id"), col("meta.durationMs").as("d"))
+      .join(Multimodal.frameSample(media, everyMs = 1000, maxFrames = budget)
+        .groupBy("media_id").agg(count(lit(1)).as("n"), max("frame_ms").as("mx")),
+        Seq("media_id"), "left")
+      .collect()
+    perMedia.foreach { r =>
+      val d = r.getAs[Int]("d")
+      val expect = if (d <= 0) 0L else math.min((d + 999) / 1000, budget.toLong)
+      val got = if (r.isNullAt(r.fieldIndex("n"))) 0L else r.getAs[Long]("n")
+      assert(got === expect, s"media ${r.get(0)} duration $d")
+      // capped items sample the FIRST frames (budget from the start, not a stride)
+      if (got == budget.toLong)
+        assert(r.getAs[Int]("mx") === (budget - 1) * 1000, s"media ${r.get(0)}")
+    }
+  }
+
   test("resizeStub fits within the target box preserving aspect ratio") {
     val media = Multimodal.synthesize(spark, Sf0001)
     val resized = Multimodal.resizeStub(media, 640, 480).collect()

@@ -53,6 +53,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(uncapped.length === 30 * 29 / 2, "uncapped control should pair everything")
   }
 
+  test("bm25: term frequency raises score, document length lowers it, misses rank nothing") {
+    val docs = Seq(
+      (1L, "q q other other"),              // tf=2, dl=4
+      (2L, "q other other other"),          // tf=1, dl=4 → below doc 1
+      (3L, "q other other other other other other other"), // tf=1, dl=8 → below doc 2
+      (4L, "other other other other")       // no query term → absent
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q78Bm25Rank(spark, dir, queryTerms = Seq("q"), k = 10)
+      .select("doc_id", "score").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L), "rank order")
+    val scores = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+  }
+
   test("minhash: identical shingle sets give identical signatures; LSH recalls exact dups") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
