@@ -108,6 +108,10 @@ object SparkEntry {
     "q79_frame_sample"      -> (Multimodal.q79FrameSample(_, _)),
     "q80_cdc_upsert"        -> (Cdc.q80CdcUpsert(_, _)),
     "q81_scd2_history"      -> (Cdc.q81Scd2History(_, _)),
+    "q82_chunk_overlap"     -> (DataPrep.q82ChunkOverlap(_, _)),
+    "q83_source_quota"      -> (DataPrep.q83SourceQuota(_, _)),
+    "q84_bigram_pmi"        -> (TextOps.q84BigramPmi(_, _)),
+    "q85_tfidf_top"         -> (TextOps.q85TfidfTop(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

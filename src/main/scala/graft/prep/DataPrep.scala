@@ -125,7 +125,103 @@ object DataPrep {
       .orderBy(col("event_type"))
   }
 
+  /** q82: sliding-window document chunking with overlap — the training-
+    * sequence prep step that splits long documents into `width`-token
+    * chunks every `stride` tokens (stride < width → overlapping context).
+    * Emits the chunks themselves: boundary math AND chunk text are both
+    * oracle-checked. A trailing window that is a pure suffix of the
+    * previous chunk (start ≥ n_tok − width + stride) is dropped — it would
+    * add no new tokens, only duplicated tail content.
+    *
+    * Scale shape: embarrassingly parallel — tokenize, bounded explode
+    * (≤ n_tok/stride chunks per row) and slice are all partition-local
+    * projections; no aggregation, no window, no shuffle except the final
+    * presentation sort. `array_remove` (not a lambda filter) keeps the
+    * tokenizer inside codegen. */
+  def q82ChunkOverlap(spark: SparkSession, dir: String,
+                      width: Int = 32, stride: Int = 24): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        array_remove(split(col("text"), " "), "").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") > 0)
+      .withColumn("start",
+        explode(sequence(lit(0), col("n_tok") - 1, lit(stride))))
+      .filter(col("start") === 0 ||
+        col("start") < col("n_tok") - lit(width) + lit(stride))
+      .select(col("doc_id"),
+        expr(s"start div $stride").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(width))).as("n_toks"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(width)))
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q83: per-source quota capping — the corpus-balancing pass that stops
+    * any one source/domain from dominating a training mix. Per source, keep
+    * the `quota` docs with the smallest md5 priority (deterministic,
+    * engine-portable — reruns and engines agree on WHICH docs survive;
+    * `kept_id_sum` witnesses the exact kept set, not just its size).
+    *
+    * Scale shape: two paths over the corpus, joined per-source. The kept
+    * path filters `row_number() <= quota` BEFORE aggregating, which is the
+    * q11/q60 QUALIFY idiom — partial+final `WindowGroupLimit`, each map
+    * task forwards at most `quota` rows per source, shuffle bounded by
+    * sources × quota. The totals path is a plain two-phase hash count (no
+    * window at all). A single window over kept AND dropped rows would
+    * defeat the pruning and shuffle the whole corpus — the PlanQualitySpec
+    * pin exists because the first draft did exactly that. */
+  def q83SourceQuota(spark: SparkSession, dir: String,
+                     quota: Int = 15): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        sum(col("doc_id")).as("kept_id_sum"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("kept_chars"), col("kept_id_sum"),
+        Exprs.pctOf(col("n_kept"), col("n_docs"), 2).as("kept_pct"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q82_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks, len(toks) AS n_tok FROM toks WHERE len(toks) > 0),
+        |chunks AS (
+        |  SELECT doc_id, s AS start, toks, n_tok
+        |  FROM base, LATERAL (SELECT unnest(generate_series(0, n_tok - 1, 24)) AS s)
+        |  WHERE s = 0 OR s < n_tok - 32 + 24)
+        |SELECT doc_id, start // 24 AS chunk_id,
+        |  least(32, n_tok - start)::INT AS n_toks,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+        |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q83_source_quota" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS kept_chars,
+        |    sum(doc_id)::BIGINT AS kept_id_sum
+        |  FROM ranked WHERE rn <= 15 GROUP BY source),
+        |totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_kept, n_docs - n_kept AS n_dropped,
+        |  kept_chars, kept_id_sum,
+        |  round(100.0 * n_kept / n_docs * 100) / 100 AS kept_pct
+        |FROM totals JOIN kept USING (source) ORDER BY source""".stripMargin,
+
     "q60_stratified_sample" ->
       """WITH ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY event_type

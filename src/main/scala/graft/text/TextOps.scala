@@ -657,7 +657,122 @@ object TextOps {
       .limit(k)
   }
 
+  /** q84: bigram PMI collocation mining — pointwise mutual information
+    * `ln(p(xy) / (p(x)·p(y)))` over corpus bigrams, the standard detector
+    * for multi-word expressions (phrases worth treating as single tokens
+    * when building a tokenizer or analyzing a training mix). Low-count
+    * bigrams are floored at `minCount` — PMI is noise below that.
+    *
+    * Scale shape: unigram and bigram counts are hash aggregations over the
+    * row-based shingle relation (never an array-lambda path); the bigram →
+    * unigram-count joins are plain equi-joins on the word (broadcast-able
+    * when the vocabulary is small, AQE decides); both corpus totals are
+    * 1-row broadcasts. Top-k is `TakeOrderedAndProject`.
+    *
+    * Cross-engine: counts are exact integers; the single `ln` rounds to
+    * 4dp at emission with identical operand order both engines, and ties
+    * on rounded PMI break on the bigram string. */
+  def q84BigramPmi(spark: SparkSession, dir: String,
+                   minCount: Int = 5, k: Int = 30): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val uni = shingleRows(d, 1).groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("n_uni"))
+    val biAll = shingleRows(d, 2).groupBy(col("s")).agg(count(lit(1)).as("c_xy"))
+    val biTot = biAll.agg(sum(col("c_xy")).as("n_bi"))
+    biAll.filter(col("c_xy") >= minCount)
+      .withColumn("x", split(col("s"), " ").getItem(0))
+      .withColumn("y", split(col("s"), " ").getItem(1))
+      .join(uni.select(col("s").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("s").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(biTot))
+      .withColumn("pmi", Exprs.dround(
+        log(col("c_xy").cast("double") * col("n_uni") * col("n_uni") /
+          (col("n_bi").cast("double") * col("c_x") * col("c_y"))), 4))
+      .select(col("s").as("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** q85: TF-IDF top terms per document — the per-doc keyword profile
+    * (sklearn smooth-idf form: `tf · (ln((N+1)/(df+1)) + 1)`), the
+    * feature every lexical doc-similarity / topic-drift monitor starts
+    * from. Emits the top `topn` terms per doc with rank, so WHICH terms
+    * characterize each document is part of the checked contract.
+    *
+    * Scale shape: term frequencies and document frequencies are two hash
+    * aggregations over the same exploded-token relation; the per-doc top-k
+    * window partitions by doc_id (codegen'd `WindowGroupLimit` prunes to
+    * `topn` per doc map-side); N is a 1-row broadcast. Ranking happens on
+    * the ROUNDED score so rank ties resolve identically in both engines. */
+  def q85TfidfTop(spark: SparkSession, dir: String, topn: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+    val tf = shingleRows(d, 1).withColumnRenamed("s", "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", Exprs.dround(
+        col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1))) +
+          lit(1.0)), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topn)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q84_bigram_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.tok AS s, count(*) AS c
+        |  FROM toks, LATERAL (SELECT unnest(t) AS tok) u GROUP BY u.tok),
+        |uni_tot AS (SELECT sum(c)::BIGINT AS n_uni FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS s, count(*) AS c_xy
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+        |  GROUP BY 1),
+        |bi_tot AS (SELECT sum(c_xy)::BIGINT AS n_bi FROM bi)
+        |SELECT b.s AS bigram, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |  -- + 0.0: a slightly-negative PMI rounds to -0.0 in DuckDB but +0.0
+        |  -- in Spark's BigDecimal round (CLAUDE.md negative-zero rule)
+        |  round(ln(b.c_xy::DOUBLE * n_uni * n_uni /
+        |           (n_bi::DOUBLE * ux.c * uy.c)) * 10000) / 10000 + 0.0 AS pmi
+        |FROM bi b
+        |JOIN uni ux ON ux.s = string_split(b.s, ' ')[1]
+        |JOIN uni uy ON uy.s = string_split(b.s, ' ')[2]
+        |CROSS JOIN uni_tot CROSS JOIN bi_tot
+        |WHERE b.c_xy >= 5
+        |ORDER BY pmi DESC, bigram LIMIT 30""".stripMargin,
+
+    "q85_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    -- (n_docs + 1)::DOUBLE: DuckDB would do n_docs + 1.0 in DECIMAL;
+        |    -- Spark adds in double — force identical double arithmetic
+        |    round(tf * (ln((n_docs + 1)::DOUBLE / (df + 1)) + 1.0) * 10000) / 10000 AS score
+        |  FROM tf JOIN dfreq USING (term), stats),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tf, score
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     "q78_bm25_rank" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),

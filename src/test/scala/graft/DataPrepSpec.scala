@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.prep.DataPrep
+
+class DataPrepSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDir(rows: (Long, String)*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prep").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source",
+        concat(lit("s"), col("doc_id") % 2))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("chunking covers every token, overlaps by width-stride, drops suffix-only tails") {
+    // 8 tokens, width 4, stride 3 → starts 0,3; start 6 is a pure suffix
+    // of the start-3 chunk (6 >= 8-4+3 = 7? no: 6 < 7 → kept, adds tok 8)
+    val dir = docsDir((1L, "t1 t2 t3 t4 t5 t6 t7 t8"), (2L, "a b c"), (3L, ""))
+    val out = DataPrep.q82ChunkOverlap(spark, dir, width = 4, stride = 3)
+      .select("doc_id", "chunk_id", "n_toks", "chunk_text")
+      .as[(Long, Long, Int, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 0L, 4, "t1 t2 t3 t4"),
+      (1L, 1L, 4, "t4 t5 t6 t7"),
+      (1L, 2L, 2, "t7 t8"),      // adds t8 → kept despite being short
+      (2L, 0L, 3, "a b c")))     // short doc → one chunk; empty doc → none
+  }
+
+  test("chunking drops a trailing window that adds no new tokens") {
+    // 6 tokens, width 4, stride 3: start 3 covers 4..6; its end (6) equals
+    // the doc end AND 3 >= 6-4+3=5 is false → kept. With 5 tokens:
+    // start 3 end 5; 3 >= 5-4+3=4 false → kept (adds tok 5). With 4 tokens:
+    // start 3 >= 4-4+3=3 → dropped (tokens 4.. already inside chunk 0).
+    val dir = docsDir((1L, "x1 x2 x3 x4"))
+    val out = DataPrep.q82ChunkOverlap(spark, dir, width = 4, stride = 3)
+      .select("chunk_id").as[Long].collect()
+    assert(out.toSeq === Seq(0L), "suffix-only window must be dropped")
+  }
+
+  test("source quota keeps exactly quota docs per source, deterministically") {
+    val out = DataPrep.q83SourceQuota(spark, Sf001, quota = 15)
+    val rows = out.select("source", "n_docs", "n_kept", "n_dropped")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (s, n, k, drop) =>
+      assert(k === math.min(15L, n), s); assert(k + drop === n, s)
+    }
+    // determinism under a different physical layout: rewrite the corpus
+    // shuffled into 7 partitions — the kept SET (witnessed by kept_id_sum)
+    // must not change, because priority is a pure function of doc_id
+    val dir = java.nio.file.Files.createTempDirectory("quota").toString
+    Tables.documents(spark, Sf001)
+      .repartition(7, col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val again = DataPrep.q83SourceQuota(spark, dir, quota = 15)
+      .select("source", "kept_id_sum").as[(String, Long)].collect().toMap
+    val base = out.select("source", "kept_id_sum").as[(String, Long)].collect().toMap
+    assert(again === base)
+  }
+}

@@ -97,11 +97,23 @@ class PlanQualitySpec extends SparkSpecBase {
         "q11" -> JoinQueries.q11TopPerSegment(spark, Sf001),
         "q16" -> graft.ts.TimeSeries.q16DedupBest(spark, Sf001),
         "q52" -> graft.geo.Geo.q52AirportProximity(spark, Sf001),
-        "q76" -> graft.text.TextOps.q76CorpusFunnel(spark, Sf001))) {
+        "q76" -> graft.text.TextOps.q76CorpusFunnel(spark, Sf001),
+        "q80" -> graft.cdc.Cdc.q80CdcUpsert(spark, Sf001),
+        "q83" -> graft.prep.DataPrep.q83SourceQuota(spark, Sf001))) {
       val p = plan(df)
       assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
         s"$n lost partial+final WindowGroupLimit:\n${p.take(3000)}")
     }
+  }
+
+  test("q82 chunking is shuffle-free up to the presentation sort") {
+    // tokenize + bounded explode + slice are all partition-local: the only
+    // Exchange allowed is the final ORDER BY's range partitioning. A hash
+    // exchange or window appearing here means chunking stopped being
+    // embarrassingly parallel.
+    val p = plan(graft.prep.DataPrep.q82ChunkOverlap(spark, Sf001))
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
   }
 
   test("no query in the suite plans a CartesianProduct") {

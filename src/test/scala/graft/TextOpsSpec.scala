@@ -71,6 +71,40 @@ class TextOpsSpec extends SparkSpecBase {
     assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
   }
 
+  test("pmi: a bigram that always co-occurs scores ln of its lift over independence") {
+    // "a b"×5 interleaved + "c"×5: c_xy(a b)=5, c_a=c_b=c_c=5,
+    // N_uni=15, N_bi=14 → pmi = ln(5·15·15 / (14·5·5)) ≈ 1.1678.
+    // minCount=5 admits only "a b" ("b a" occurs 4×, "c c" 4×).
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    Seq((1L, "a b a b a b a b a b c c c c c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q84BigramPmi(spark, dir, minCount = 5, k = 10)
+      .select("bigram", "c_xy", "pmi").as[(String, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq("a b"))
+    assert(out.head._2 === 5L)
+    assert(math.abs(out.head._3 - math.log(5.0 * 15 * 15 / (14.0 * 5 * 5))) < 1e-4)
+  }
+
+  test("tfidf: rare terms outrank common ones; tf scales the score") {
+    val dir = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+        (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = TextOps.q85TfidfTop(spark, dir, topn = 2)
+      .select("doc_id", "rk", "term").as[(Long, Long, String)].collect()
+      .groupBy(_._1).map { case (d, rs) => d -> rs.sortBy(_._2).map(_._3).toSeq }
+    // df(apple)=df(durian)=1 < df(banana)=df(cherry)=2 → rare term wins in
+    // d1 (helped by tf=2); in d3 tf=3 lifts common cherry above rare durian
+    assert(top(1L) === Seq("apple", "banana"))
+    // d2: banana and cherry tie exactly (tf=1, df=2) → term-asc tiebreak
+    assert(top(2L) === Seq("banana", "cherry"))
+    assert(top(3L) === Seq("cherry", "durian"))
+  }
+
   test("minhash: identical shingle sets give identical signatures; LSH recalls exact dups") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
