@@ -6,6 +6,9 @@ import graft.cdc.Cdc
 class CdcSpec extends SparkSpecBase {
   import spark.implicits._
 
+  case class EvNs(event_id: Long, ts_ns: Long, user_id: Long,
+                  event_type: String, value: Double)
+
   // (event_id, us, user_id, event_type, value) → events-shaped frame
   private def log(rows: (Long, Long, Long, String, Double)*) =
     rows.toDF("event_id", "us", "user_id", "event_type", "value")
@@ -52,6 +55,48 @@ class CdcSpec extends SparkSpecBase {
     val merged = Cdc.mergeSnapshot(base, changes)
       .select("user_id", "event_id").as[(Long, Long)].collect().toSet
     assert(merged === full)
+  }
+
+  test("incremental snapshot materialization equals batch compaction; replay is idempotent") {
+    val e = Tables.events(spark, Sf0001)
+    // three in-order micro-batches: event-time terciles of the log
+    val Seq(t1, t2) = e.stat.approxQuantile("ts_ns", Array(0.33, 0.66), 0.0)
+      .toSeq.map(_.toLong)
+    val batches = Seq(
+      e.filter(col("ts_ns") <= t1),
+      e.filter(col("ts_ns") > t1 && col("ts_ns") <= t2),
+      e.filter(col("ts_ns") > t2))
+    val dir = java.nio.file.Files.createTempDirectory("cdc-snap").toString
+    batches.zipWithIndex.foreach { case (b, i) => Cdc.applyBatch(b, i.toLong, dir) }
+
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    val full = keys(Cdc.compactLog(e).filter(!col("deleted")))
+    assert(keys(spark.read.parquet(s"$dir/snap=2")) === full)
+
+    // replay batch 1 (post-failure re-run): it must re-read snap=0, not
+    // snap=1/2, and land byte-identical state
+    val before = keys(spark.read.parquet(s"$dir/snap=1"))
+    Cdc.applyBatch(batches(1), 1L, dir)
+    assert(keys(spark.read.parquet(s"$dir/snap=1")) === before)
+    assert(keys(Cdc.readSnapshot(spark, dir).get) === full,
+      "latest snapshot must still be the batch-2 state")
+  }
+
+  test("applyCdcStream maintains the latest snapshot from a live change stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvNs]
+    val dir = java.nio.file.Files.createTempDirectory("cdc-stream").toString
+    val q = Cdc.applyCdcStream(in.toDF(), s"$dir/snap", s"$dir/ckpt")
+    in.addData(EvNs(1, 100000, 1, "view", 1.0), EvNs(2, 100000, 2, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(EvNs(3, 200000, 2, "error", 0.0), // tombstone deletes user 2
+               EvNs(4, 200000, 3, "signup", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = Cdc.readSnapshot(spark, s"$dir/snap").get
+      .select("user_id", "event_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L), (3L, 4L)))
   }
 
   test("scd2 versions run-length encode the state stream") {
