@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CoreQueries, Dashboard, JoinQueries, Summaries}
+import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Summaries}
 import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
@@ -112,6 +112,9 @@ object SparkEntry {
     "q83_source_quota"      -> (DataPrep.q83SourceQuota(_, _)),
     "q84_bigram_pmi"        -> (TextOps.q84BigramPmi(_, _)),
     "q85_tfidf_top"         -> (TextOps.q85TfidfTop(_, _)),
+    "q86_funnel"            -> (Behavior.q86Funnel(_, _)),
+    "q87_retention"         -> (Behavior.q87Retention(_, _)),
+    "q88_transitions"       -> (Behavior.q88Transitions(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +125,6 @@ object SparkEntry {
     CoreQueries.oracle ++ JoinQueries.oracle ++ TimeSeries.oracle ++
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
-      Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle
+      Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
+      Behavior.oracle
 }
