@@ -52,17 +52,21 @@ object Cdc {
   }
 
   /** Incremental MERGE: apply a compacted change-batch to a previous
-    * compacted snapshot. Change rows win on key collision (they are newer
-    * by construction); tombstone rows drop the key. Equivalent to
-    * `MERGE INTO base USING changes WHEN MATCHED [AND deleted] THEN
-    * DELETE/UPDATE WHEN NOT MATCHED [AND NOT deleted] THEN INSERT`,
-    * expressed as union + keep-highest-priority — both sides are
+    * compacted snapshot. Collisions resolve by EVENT TIME (micros + id
+    * tiebreak), with batch recency (`__pri`) only as the final tiebreak —
+    * so a late-arriving older change in a newer micro-batch cannot
+    * overwrite newer state, and correctness does not depend on the poller
+    * delivering batches in event-time order. Tombstone rows drop the key.
+    * Equivalent to `MERGE INTO base USING changes WHEN MATCHED [AND
+    * deleted] THEN DELETE/UPDATE WHEN NOT MATCHED [AND NOT deleted] THEN
+    * INSERT`, expressed as union + keep-newest — both sides are
     * |keys|-sized, so the one shuffle moves snapshot-sized data, and the
     * same `WindowGroupLimit` partial/final split as [[compactLog]] applies. */
   def mergeSnapshot(base: DataFrame, changes: DataFrame): DataFrame = {
     val u = base.withColumn("__pri", lit(0))
       .unionByName(changes.withColumn("__pri", lit(1)))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("__pri").desc)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(orderCols.map(_.desc) :+ col("__pri").desc: _*)
     u.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
@@ -118,20 +122,32 @@ object Cdc {
       .orderBy(col("user_id"))
   }
 
-  /** Snapshot version ids present under `dir` (subdirs `snap=<batchId>`). */
-  private def snapshotIds(dir: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    if (!d.exists()) Nil
-    else d.listFiles().toSeq.filter(_.isDirectory).map(_.getName)
+  /** Committed snapshot version ids present under `dir` (subdirs
+    * `snap=<batchId>` carrying a `_SUCCESS` marker). Enumerated through the
+    * Hadoop FileSystem API — snapshots are written by Spark's Hadoop FS
+    * writers, so `java.io.File` would see nothing on HDFS/S3 and every
+    * batch would silently restart from empty state. A dir without
+    * `_SUCCESS` is a crash-orphaned partial write (directory overwrite is
+    * not atomic); skipping it means a crashed batch N is invisible until
+    * replayed, never served corrupt. */
+  private def snapshotIds(spark: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("snap=") => s.stripPrefix("snap=").toLong }
   }
 
-  /** Latest materialized snapshot, optionally restricted to versions
+  /** Latest committed snapshot, optionally restricted to versions
     * strictly BEFORE `before` — the restriction is what makes batch replay
     * safe (see [[applyBatch]]). */
   def readSnapshot(spark: SparkSession, dir: String,
                    before: Option[Long] = None): Option[DataFrame] = {
-    val ids = snapshotIds(dir).filter(id => before.forall(id < _))
+    val ids = snapshotIds(spark, dir).filter(id => before.forall(id < _))
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$dir/snap=${ids.max}"))
   }

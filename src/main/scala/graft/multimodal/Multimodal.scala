@@ -94,17 +94,23 @@ object Multimodal {
   /** Frame-sample plumbing: one output row per sampled frame index
     * (every `everyMs` of the metadata duration, at most `maxFrames` from the
     * start — the fixed per-item frame budget a vision-training pipeline
-    * enforces), content untouched. The budget is a `slice` BEFORE the
-    * explode, so fan-out is bounded per row regardless of media duration. */
+    * enforces), content untouched. The budget bounds the SEQUENCE ENDPOINT
+    * (not a post-hoc slice), so the intermediate array — per-row allocation
+    * and Spark's sequence length cap included — is O(maxFrames) regardless
+    * of media duration. */
   def frameSample(media: DataFrame, everyMs: Int,
-                  maxFrames: Int = Int.MaxValue): DataFrame =
+                  maxFrames: Int = Int.MaxValue): DataFrame = {
+    // last sampled index is (maxFrames-1)*everyMs; clamp the cap so the
+    // unbounded default can't overflow Int
+    val capMs = math.min(everyMs.toLong * maxFrames - 1, Int.MaxValue.toLong).toInt
     media.withColumn("frame_ms",
         // zero-duration media has no frames — explode drops the empty array
         explode(when(col("meta.durationMs") > 0,
-          slice(sequence(lit(0), col("meta.durationMs") - 1, lit(everyMs)),
-            1, maxFrames))
+          sequence(lit(0),
+            least(col("meta.durationMs") - 1, lit(capMs)), lit(everyMs)))
           .otherwise(array().cast("array<int>"))))
       .select(col("media_id"), col("kind"), col("frame_ms"))
+  }
 
   /** q79: frame-sampling schedule accounting — per kind, how many media
     * items get frames, the total sampled-frame volume, how many items hit

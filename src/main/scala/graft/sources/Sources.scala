@@ -106,6 +106,13 @@ object Sources {
     val old = new Path(path.getParent, s".${path.getName}.old")
     fs.delete(old, true)
     fs.rename(path, old)
+    // a concurrent writer recreating the partition dir between the renames
+    // would make the second rename nest tmp INSIDE it (Hadoop rename-into-
+    // existing-dir semantics), silently corrupting the layout — abort loudly
+    // instead; the data is intact under `.old` and the sweep below is skipped
+    require(!fs.exists(path),
+      s"compaction of $dir aborted: a concurrent writer recreated the " +
+        s"partition directory mid-swap; original data preserved at $old")
     fs.rename(tmp, path)
     // files that landed after the snapshot move into the compacted
     // directory instead of dying with the old one

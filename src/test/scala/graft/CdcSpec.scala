@@ -44,6 +44,30 @@ class CdcSpec extends SparkSpecBase {
     assert(merged === Array((1L, 1L), (4L, 5L)))
   }
 
+  test("mergeSnapshot resolves collisions by event time, not batch recency") {
+    import spark.implicits._
+    // user 1's newest state (us=200) is already in the base; a LATE-ARRIVING
+    // older change (us=100) lands in a newer micro-batch and must lose
+    val base = Cdc.compactLog(log((2L, 200L, 1L, "click", 2.0)))
+    val late = Cdc.compactLog(log((1L, 100L, 1L, "view", 1.0)))
+    val merged = Cdc.mergeSnapshot(base, late)
+      .select("user_id", "event_id").as[(Long, Long)].collect()
+    assert(merged === Array((1L, 2L)))
+  }
+
+  test("readSnapshot ignores snapshot dirs without a _SUCCESS marker") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc-succ").toString
+    Cdc.applyBatch(log((1L, 100L, 1L, "view", 1.0)), 0L, dir)
+    // simulate a crash mid-write of snap=1: parquet data present, no marker
+    Cdc.applyBatch(log((2L, 200L, 1L, "click", 2.0)), 1L, dir)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/snap=1/_SUCCESS"))
+    val served = Cdc.readSnapshot(spark, dir).get
+      .select("user_id", "event_id").as[(Long, Long)].collect()
+    assert(served === Array((1L, 1L)),
+      "a partially-written snapshot must not be served")
+  }
+
   test("incremental merge equals full-log compaction at any split point") {
     val e = Tables.events(spark, Sf0001)
     val full = Cdc.compactLog(e).filter(!col("deleted"))

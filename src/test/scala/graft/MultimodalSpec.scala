@@ -67,6 +67,19 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("frameSample budget bounds the schedule at extreme durations") {
+    import spark.implicits._
+    // Int.MaxValue ms ≈ 24 days of media: the budget must bound the
+    // generated sequence itself (O(maxFrames)), not slice a multi-million-
+    // element intermediate array
+    val long = Seq((7L, "video", Array[Byte](1), (1, 1, Int.MaxValue, "stub")))
+      .toDF("media_id", "kind", "content", "meta")
+      .withColumn("meta", col("meta").cast("struct<width:int,height:int,durationMs:int,codec:string>"))
+    val frames = Multimodal.frameSample(long, everyMs = 500, maxFrames = 4)
+      .select("frame_ms").as[Int].collect().sorted
+    assert(frames === Array(0, 500, 1000, 1500))
+  }
+
   test("resizeStub fits within the target box preserving aspect ratio") {
     val media = Multimodal.synthesize(spark, Sf0001)
     val resized = Multimodal.resizeStub(media, 640, 480).collect()
