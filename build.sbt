@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout defaults to sbt's logger, which prefixes every line
+// with "[info] " — that breaks any harness that expects bare JSON lines
+// from `runMain graft.Bench`/`graft.Verify`. Write the child's stdout
+// straight through instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

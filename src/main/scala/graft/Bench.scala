@@ -39,11 +39,14 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs}"""
     println(line)
-    // sbt prefixes stdout with "[info] " and harness tail-windows can cut
-    // the front off the ~3 KB full line, so also (a) drop a copy on disk
-    // and (b) end with a short per-run summary that survives any tail.
+    // Harness tail-windows can cut the front off the ~3 KB full line, so
+    // also (a) drop a copy on disk and (b) end with a compact summary —
+    // qNN short keys, ms precision — that fits whole inside a 2 KB tail.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","failed":${failed.size},"n_queries":${results.size}}""")
+    val qsShort = results
+      .map { case (k, v, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","failed":${failed.size},"n_queries":${results.size}}""")
     failed.foreach { case (k, _, e) => System.err.println(s"BENCH FAIL $k: ${e.get}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

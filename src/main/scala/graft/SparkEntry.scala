@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Summaries}
+import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Summaries, Trends}
 import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
@@ -115,6 +115,14 @@ object SparkEntry {
     "q86_funnel"            -> (Behavior.q86Funnel(_, _)),
     "q87_retention"         -> (Behavior.q87Retention(_, _)),
     "q88_transitions"       -> (Behavior.q88Transitions(_, _)),
+    "q89_zorder_layout"     -> (Geo.q89ZorderLayout(_, _)),
+    "q90_mixture_weights"   -> (DataPrep.q90MixtureWeights(_, _)),
+    "q91_token_kl"          -> (TextOps.q91TokenKl(_, _)),
+    "q92_drift_monitor"     -> (Trends.q92DriftMonitor(_, _)),
+    "q93_trend_slope"       -> (Trends.q93TrendSlope(_, _)),
+    "q94_centroid_cosine"   -> (Similarity.q94CentroidCosine(_, _)),
+    "q95_decile_calibration" -> (DataPrep.q95DecileCalibration(_, _)),
+    "q96_incremental_dedup" -> (TextOps.q96IncrementalDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +134,5 @@ object SparkEntry {
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
-      Behavior.oracle
+      Behavior.oracle ++ Trends.oracle
 }

@@ -1,0 +1,153 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Exprs
+
+/** Day-over-day pipeline health: distribution-drift monitoring and
+  * least-squares trend fitting over the daily partition grain — the two
+  * checks a scheduled ingestion pipeline runs after each partition lands
+  * (the reference's per-batch quality metrics table,
+  * `sql/athena/03_create_processed_tables.sql:140-191`, stores exactly
+  * these per-batch aggregates; the trend/drift math itself is what its
+  * CloudWatch alarms approximate).
+  *
+  * Scale notes:
+  *   - Both operators aggregate the fact table to the (day) or
+  *     (event_type, day) grain FIRST — one hash aggregation with map-side
+  *     combine — and run the window/regression math on the tiny aggregate
+  *     (≤ days × types rows). The day-ordered LAG window is global but
+  *     windows ~30 rows, not the corpus; at 100 TB the shape is unchanged
+  *     because the aggregate's size depends on the calendar, not the data.
+  *   - Drift flags use cross-multiplied integer comparisons (5·n > 6·prev
+  *     is +20%), never a derived-double equality — CLAUDE.md band rule.
+  *   - The OLS accumulators (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums
+  *     of integer-valued columns; doubles appear only in the final
+  *     slope/intercept/r divisions, computed with identical operation
+  *     order in both engines and then `dround`ed.
+  */
+object Trends {
+
+  private val day = expr("ts_ns div 1000 div 86400000000")
+
+  /** q92: day-over-day drift monitor — per daily partition: volume,
+    * distinct users, exact mean value, heavy-tail share; each compared to
+    * the previous day with ±20% integer-banded drift flags. The "did
+    * yesterday's load look like today's?" gate that guards a 100-TB
+    * backfill from silently ingesting a malformed day. */
+  def q92DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(day.as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exprs.avgExact2(col("value"), 4).as("avg_value"),
+        count(when(col("value") > 400, 1)).as("n_hi"))
+      .withColumn("hi_pct", Exprs.pctOf(col("n_hi"), col("n"), 2))
+    val w = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("prev_users", lag(col("n_users"), 1).over(w))
+      .withColumn("vol_change_pct",
+        Exprs.dround(lit(100.0) * (col("n") - col("prev_n")) / col("prev_n"), 2))
+      .withColumn("flag_volume", coalesce(
+        lit(5) * col("n") > lit(6) * col("prev_n") ||
+        lit(5) * col("n") < lit(4) * col("prev_n"), lit(false)))
+      .withColumn("flag_users", coalesce(
+        lit(5) * col("n_users") > lit(6) * col("prev_users") ||
+        lit(5) * col("n_users") < lit(4) * col("prev_users"), lit(false)))
+      .select(col("day"), col("n"), col("prev_n"), col("vol_change_pct"),
+        col("n_users"), col("avg_value"), col("hi_pct"),
+        col("flag_volume"), col("flag_users"))
+      .orderBy(col("day"))
+  }
+
+  /** q93: per-event-type OLS trend over daily counts — slope, intercept
+    * and correlation of volume vs day index (the "is this source growing,
+    * shrinking, or noisy?" classifier behind capacity planning and
+    * source-mix decisions). x is the day offset from the global first day
+    * (1-row broadcast), so all five accumulators are exact integer sums. */
+  def q93TrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("y"))
+    val first = daily.agg(min(col("day")).as("day0"))
+    val fit = daily.crossJoin(broadcast(first))
+      .withColumn("x", col("day") - col("day0"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("y")).as("n_events"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("ryy", col("n_days") * col("syy") - col("sy") * col("sy"))
+    fit
+      .withColumn("slope", Exprs.dround(col("num") / col("den"), 6))
+      .withColumn("intercept", Exprs.dround(
+        (col("sy") - (col("num") / col("den")) * col("sx")) / col("n_days"), 6))
+      .withColumn("r", Exprs.dround(
+        col("num") / sqrt((col("den") * col("ryy")).cast("double")), 6))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("slope"), col("intercept"), col("r"))
+      .orderBy(col("event_type"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q92_drift_monitor" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n,
+        |    count(DISTINCT user_id) AS n_users,
+        |    round(sum(value::DECIMAL(18,2))::DOUBLE / count(value) * 10000) / 10000
+        |      AS avg_value,
+        |    count(CASE WHEN value > 400 THEN 1 END) AS n_hi
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT *, round(100.0 * n_hi / n * 100) / 100 AS hi_pct,
+        |    lag(n) OVER (ORDER BY day) AS prev_n,
+        |    lag(n_users) OVER (ORDER BY day) AS prev_users
+        |  FROM daily)
+        |SELECT day, n, prev_n,
+        |  round(100.0 * (n - prev_n) / prev_n * 100) / 100 AS vol_change_pct,
+        |  n_users, avg_value, hi_pct,
+        |  coalesce(5 * n > 6 * prev_n OR 5 * n < 4 * prev_n, false)
+        |    AS flag_volume,
+        |  coalesce(5 * n_users > 6 * prev_users OR 5 * n_users < 4 * prev_users,
+        |    false) AS flag_users
+        |FROM lagged ORDER BY day""".stripMargin,
+
+    "q93_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |first AS (SELECT min(day) AS day0 FROM daily),
+        |fit AS (
+        |  SELECT event_type,
+        |    count(*) AS n_days, sum(y)::BIGINT AS n_events,
+        |    sum(day - day0)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum((day - day0) * y)::BIGINT AS sxy,
+        |    sum((day - day0) * (day - day0))::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM daily CROSS JOIN first GROUP BY event_type),
+        |terms AS (
+        |  SELECT *, n_days * sxy - sx * sy AS num,
+        |    n_days * sxx - sx * sx AS den,
+        |    n_days * syy - sy * sy AS ryy
+        |  FROM fit)
+        |SELECT event_type, n_days, n_events,
+        |  round(num / den * 1000000) / 1000000 AS slope,
+        |  round((sy - (num / den) * sx) / n_days * 1000000) / 1000000
+        |    AS intercept,
+        |  round(num / sqrt((den * ryy)::DOUBLE) * 1000000) / 1000000 AS r
+        |FROM terms ORDER BY event_type""".stripMargin,
+  )
+}

@@ -186,6 +186,53 @@ object Geo {
       .orderBy(col("corridor_rank"), col("cell_lat"), col("cell_lon"))
   }
 
+  /** Bit-interleave (Morton / Z-order) of two 10-bit quantized coordinates,
+    * written as pure integer div/mod/multiply so the SAME generated text
+    * runs on Spark (`div`) and DuckDB (`//`) — no engine-specific bit
+    * intrinsics, no float in the key path. */
+  private def zTerms(latCol: String, lonCol: String, idiv: String): String =
+    (0 until 10).map { i =>
+      val p = 1L << i
+      s"(($latCol $idiv $p) % 2) * ${1L << (2 * i + 1)} + " +
+        s"(($lonCol $idiv $p) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** q89: Z-order layout keys + bucket locality audit — the write-side
+    * data-layout operator for spatial workloads at 100 TB: sorting (or
+    * `repartitionByRange`-ing) the fact table by a Morton key before the
+    * parquet write makes each file's lat/lon min/max stats tight in BOTH
+    * dimensions, so 2-D predicate pushdown prunes files the way 1-D
+    * partitioning never can. This query computes the key and audits its
+    * locality: per top-6-bit bucket, how tight is the bounding box and how
+    * much of it is actually occupied (fill %). Quantization is pure BIGINT
+    * arithmetic (value is exactly 2dp; lon derives from integer `k`), so
+    * no float boundary can flip a cell between engines.
+    *
+    * Scale shape: one hash aggregation to (bucket) grain — the interleave
+    * is ~60 integer ops per row inside whole-stage codegen, and the
+    * distinct-cell count keys on a single packed BIGINT. */
+  def q89ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .filter(col("value") <= 100)
+      .withColumn("latq",
+        expr("((cast(round(value * 100, 0) as bigint) + 4000) * 1024) div 18000"))
+      .withColumn("lonq",
+        expr("(cast(get_json_object(props, '$.k') as bigint) * 1024) div 100"))
+      .withColumn("zkey", expr(zTerms("latq", "lonq", "div")))
+    pts
+      .groupBy(expr("zkey div 16384").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("latq") * 1024 + col("lonq")).as("n_cells"),
+        (max(col("latq")) - min(col("latq")) + 1).as("lat_span"),
+        (max(col("lonq")) - min(col("lonq")) + 1).as("lon_span"))
+      .withColumn("bbox_cells", col("lat_span") * col("lon_span"))
+      .withColumn("fill_pct", Exprs.pctOf(col("n_cells"), col("bbox_cells"), 2))
+      .select(col("bucket"), col("n"), col("n_cells"), col("lat_span"),
+        col("lon_span"), col("bbox_cells"), col("fill_pct"))
+      .orderBy(col("bucket"))
+  }
+
   // Non-dyadic literals (21.6, 3.6) MUST be ::DOUBLE: DuckDB parses them as
   // DECIMAL and computes alat/alon/lon exactly, while Spark computes the
   // double products — 1 ulp apart, which flips 4dp-rounded distances and
@@ -327,5 +374,21 @@ object Geo {
         |  unique_users, events_per_hour, avg_heading, heading_stddev,
         |  route_consistency, primary_direction
         |FROM scored ORDER BY corridor_rank, cell_lat, cell_lon""".stripMargin,
+
+    "q89_zorder_layout" ->
+      s"""WITH pts AS (
+        |  SELECT ((CAST(round(value * 100) AS BIGINT) + 4000) * 1024) // 18000 AS latq,
+        |    (CAST(json_extract_string(props, '$$.k') AS BIGINT) * 1024) // 100 AS lonq
+        |  FROM events WHERE value <= 100),
+        |z AS (SELECT latq, lonq, ${zTerms("latq", "lonq", "//")} AS zkey FROM pts)
+        |SELECT zkey // 16384 AS bucket, count(*) AS n,
+        |  count(DISTINCT latq * 1024 + lonq) AS n_cells,
+        |  max(latq) - min(latq) + 1 AS lat_span,
+        |  max(lonq) - min(lonq) + 1 AS lon_span,
+        |  (max(latq) - min(latq) + 1) * (max(lonq) - min(lonq) + 1) AS bbox_cells,
+        |  round(100.0 * count(DISTINCT latq * 1024 + lonq) /
+        |    ((max(latq) - min(latq) + 1) * (max(lonq) - min(lonq) + 1)) * 100) / 100
+        |    AS fill_pct
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -191,7 +191,124 @@ object DataPrep {
       .orderBy(col("source"))
   }
 
+  /** q90: temperature-weighted source mixture — the sampling-weight table a
+    * training run reads to decide how often to draw from each source
+    * (the α=0.5 "sqrt temperature" rebalance: up-weights small sources,
+    * tempers giants; raw proportional sampling would let one crawl dominate
+    * the mix). Emits per source: size, raw share, tempered share, and the
+    * implied epoch count against a fixed token budget — epochs > 1 flags
+    * the sources a run would repeat.
+    *
+    * Cross-engine determinism: `sqrt` of a BIGINT is a single
+    * correctly-rounded IEEE op (identical everywhere), its 4dp rounding
+    * makes the weights fixed-scale, and the weight total is a decimal-exact
+    * sum — so the shares are order-independent doubles, same in both
+    * engines. The totals row broadcasts (J4 1-row combine shape). */
+  def q90MixtureWeights(spark: SparkSession, dir: String,
+                        budgetChars: Long = 1000000L): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"))
+      .withColumn("w", Exprs.dround(sqrt(col("chars")), 4))
+    val tot = bySrc.agg(
+      sum(col("chars")).as("tot_chars"),
+      Exprs.sumExact(col("w"), 4).as("tot_w"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("raw_share", Exprs.pctOf(col("chars"), col("tot_chars"), 4))
+      .withColumn("mix_share",
+        Exprs.dround(lit(100.0) * col("w") / col("tot_w"), 4))
+      .withColumn("epochs", Exprs.dround(
+        (col("w") / col("tot_w")) * lit(budgetChars.toDouble) / col("chars"), 4))
+      .select(col("source"), col("n_docs"), col("chars"),
+        col("raw_share"), col("mix_share"), col("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** q95: source length-calibration audit — each document binned into a
+    * GLOBAL length decile (exact percentile cut points), then each source's
+    * occupancy across the 10 global bins plus a χ² uniformity score: a
+    * source whose lengths pile into one global decile (high χ², flag) will
+    * skew any length-bucketed batch packing (q62) or curriculum built on
+    * it. The classic per-source-vs-corpus calibration table.
+    *
+    * Scale shape: the cut points are ONE 1-row aggregate (broadcast); the
+    * decile assignment is 9 codegen'd comparisons per row (no window, no
+    * sort — unlike a per-row global percent_rank, which would single-
+    * partition the corpus); the rest is a source-keyed aggregation. At
+    * 100 TB swap `percentile` for `percentile_approx` cut points — same
+    * plan shape.
+    *
+    * Cross-engine determinism: χ² over counts collapses algebraically to
+    * (10·Σn_d² − n_s²)/n_s — exact BIGINT numerator (empty bins included
+    * implicitly), one double division at the end. The ±flag cross-
+    * multiplies with dyadic 87/4 = 21.75 ≈ χ²₉(0.01), never comparing a
+    * derived double. */
+  def q95DecileCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cuts = d.agg(expr(
+      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("cuts"))
+    val dec = d.crossJoin(broadcast(cuts))
+      .withColumn("decile", (0 until 9)
+        .map(i => when(col("n_chars") > col("cuts")(i), 1).otherwise(0))
+        .reduce(_ + _))
+    val aggCols = count(lit(1)).as("n_docs") +:
+      (0 until 10).map(i => count(when(col("decile") === i, 1)).as(s"d$i"))
+    val perSrc = dec.groupBy(col("source")).agg(aggCols.head, aggCols.tail: _*)
+    val snd2 = (0 until 10).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
+    perSrc
+      .withColumn("chi2", Exprs.dround(
+        (lit(10) * snd2 - col("n_docs") * col("n_docs")) / col("n_docs"), 4))
+      .withColumn("len_skew_flag",
+        (lit(10) * snd2 - col("n_docs") * col("n_docs")) * 4 >
+          lit(87) * col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q95_decile_calibration" -> {
+      val dSum = (0 until 10).map(i => s"d$i * d$i").mkString(" + ")
+      val dCols = (0 until 10)
+        .map(i => s"count(CASE WHEN decile = $i THEN 1 END) AS d$i")
+        .mkString(",\n        |    ")
+      val caseSum = (1 to 9)
+        .map(i => s"(CASE WHEN n_chars > cuts[$i] THEN 1 ELSE 0 END)")
+        .mkString(" +\n        |      ")
+      s"""WITH cuts AS (
+        |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |    AS cuts
+        |  FROM documents),
+        |dec AS (
+        |  SELECT source,
+        |    $caseSum AS decile
+        |  FROM documents, cuts),
+        |per_src AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    $dCols
+        |  FROM dec GROUP BY source)
+        |SELECT source, n_docs, d0, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+        |  round((10 * ($dSum) - n_docs * n_docs) / n_docs * 10000) / 10000
+        |    AS chi2,
+        |  (10 * ($dSum) - n_docs * n_docs) * 4 > 87 * n_docs AS len_skew_flag
+        |FROM per_src ORDER BY source""".stripMargin
+    },
+
+    "q90_mixture_weights" ->
+      """WITH by_src AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+        |    round(sqrt(sum(n_chars)::BIGINT) * 10000) / 10000 AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT sum(chars)::BIGINT AS tot_chars,
+        |    sum(w::DECIMAL(25,4))::DOUBLE AS tot_w
+        |  FROM by_src)
+        |SELECT source, n_docs, chars,
+        |  round(100.0 * chars / tot_chars * 10000) / 10000 AS raw_share,
+        |  round(100.0 * w / tot_w * 10000) / 10000 AS mix_share,
+        |  round((w / tot_w) * 1000000.0 / chars * 10000) / 10000 AS epochs
+        |FROM by_src CROSS JOIN tot ORDER BY source""".stripMargin,
+
     "q82_chunk_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -288,7 +288,67 @@ object Similarity {
       .select(col("vec_id"), col("label"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** q94: label-centroid cosine matrix — per-class mean embedding, then
+    * pairwise cosine between class centroids: the "which classes are
+    * semantically entangled?" audit run before stratified splits (q60/q61)
+    * or cluster-based semantic dedup — entangled labels (high centroid
+    * cosine) are where near-dup leakage across a train/test split happens.
+    *
+    * Scale shape: one posexplode → (label, dim) hash aggregation (map-side
+    * combine collapses to labels × dims rows regardless of corpus size);
+    * the pairwise stage joins the tiny centroid relation to itself on the
+    * dim key — labels² × dims rows, independent of N.
+    *
+    * Cross-engine determinism: per-dim means are decimal-exact sums of
+    * 6dp-rounded components (order-independent), each rounded back to 6dp;
+    * dot/norm accumulators are then decimal-exact sums of the 12dp-exact
+    * products of those means, so the final cosine divides identical doubles
+    * in both engines. `sum(double)` anywhere here would be accumulation-
+    * order-dependent and break the oracle hash (CLAUDE.md stddev rule). */
+  def q94CentroidCosine(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .withColumn("x6", graft.ops.Exprs.dround(col("x").cast("double"), 6))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(graft.ops.Exprs.avgExact(col("x6"), 6, 6).as("m"))
+    val a = cent.select(col("label").as("l1"), col("d"), col("m").as("m1"))
+    val b = cent.select(col("label").as("l2"), col("d"), col("m").as("m2"))
+    a.join(b, Seq("d")).filter(col("l1") < col("l2"))
+      .groupBy(col("l1"), col("l2"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        graft.ops.Exprs.sumExact(col("m1") * col("m2"), 12).as("dot"),
+        graft.ops.Exprs.sumExact(col("m1") * col("m1"), 12).as("nn1"),
+        graft.ops.Exprs.sumExact(col("m2") * col("m2"), 12).as("nn2"))
+      .withColumn("cos_sim", graft.ops.Exprs.dround(
+        col("dot") / (sqrt(col("nn1")) * sqrt(col("nn2"))), 6))
+      .select(col("l1"), col("l2"), col("n_dims"), col("cos_sim"))
+      .orderBy(col("l1"), col("l2"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q94_centroid_cosine" ->
+      """WITH dims AS (
+        |  SELECT label,
+        |    unnest(range(1, len(embedding) + 1)) AS d,
+        |    round(unnest(embedding)::DOUBLE * 1000000) / 1000000 AS x6
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, d,
+        |    round(sum(x6::DECIMAL(25,6))::DOUBLE / count(*) * 1000000) / 1000000
+        |      AS m
+        |  FROM dims GROUP BY label, d),
+        |pairs AS (
+        |  SELECT a.label AS l1, b.label AS l2, count(*) AS n_dims,
+        |    sum((a.m * b.m)::DECIMAL(25,12))::DOUBLE AS dot,
+        |    sum((a.m * a.m)::DECIMAL(25,12))::DOUBLE AS nn1,
+        |    sum((b.m * b.m)::DECIMAL(25,12))::DOUBLE AS nn2
+        |  FROM cent a JOIN cent b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY a.label, b.label)
+        |SELECT l1, l2, n_dims,
+        |  round(dot / (sqrt(nn1) * sqrt(nn2)) * 1000000) / 1000000 AS cos_sim
+        |FROM pairs ORDER BY l1, l2""".stripMargin,
+
     "q38_embedding_dedup" ->
       """WITH dup_ids AS (
         |  SELECT DISTINCT a.vec_id AS i

@@ -470,6 +470,51 @@ object TextOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** q96: incremental-batch dedup gate — the admission check a continuous
+    * ingestion pipeline runs on each incoming batch (here: doc_id ≥ split)
+    * against the already-kept corpus: exact duplicates via the normalized
+    * bag-of-words key (q23's), near-duplicates via capped 3-gram Jaccard
+    * (q24's machinery) restricted to (old, new) pairs, classified
+    * exact > near > unique and rolled up per source.
+    *
+    * Scale shape: the exact path is one hash semi-join on a 32-byte key —
+    * new-batch-sized, not corpus-sized. The near path reuses
+    * [[jaccardPairs]] (df-capped shingle join); incrementally only the
+    * new×old candidate pairs are consumed, and at 100 TB the b-side scan
+    * would carry a shingle→batch bloom pre-filter — the join keys and cap
+    * are unchanged, so this query states the exact semantics that path
+    * must preserve. */
+  def q96IncrementalDedup(spark: SparkSession, dir: String,
+                          splitId: Long = 400L): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val normKey = md5(concat_ws(" ", array_sort(tokens(col("text")))))
+    val newB = d.filter(col("doc_id") >= splitId)
+    val oldKeys = d.filter(col("doc_id") < splitId)
+      .select(normKey.as("k")).distinct()
+    val exactIds = newB.withColumn("k", normKey)
+      .join(oldKeys, Seq("k"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val nearIds = jaccardPairs(d, 3)
+      .filter(col("jaccard") >= 0.4 &&
+        col("d1") < splitId && col("d2") >= splitId)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    newB
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("unique"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_new"),
+        count(when(col("status") === "exact_dup", 1)).as("n_exact"),
+        count(when(col("status") === "near_dup", 1)).as("n_near"),
+        count(when(col("status") === "unique", 1)).as("n_unique"))
+      .withColumn("unique_pct", Exprs.pctOf(col("n_unique"), col("n_new"), 2))
+      .orderBy(col("source"))
+  }
+
   /** q72: corpus vocabulary statistics — the token-frequency table every
     * BPE/tokenizer build and corpus audit starts from: top tokens by
     * document frequency with term frequency, source spread, and document
@@ -610,6 +655,55 @@ object TextOps {
         Exprs.avgExact(col("nll"), 4, 4).as("avg_nll"),
         Exprs.dround(expr("percentile(nll, 0.5)"), 4).as("med_nll"),
         count(when(col("nll") > flagThreshold, 1)).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  /** q91: per-source token-distribution divergence — KL(source ‖ corpus)
+    * over unigram distributions, the "which source is an outlier?" drift
+    * metric a mixture audit runs before training (a source whose token
+    * distribution diverges hard from the corpus is boilerplate-heavy,
+    * non-prose, or mis-scraped). Also surfaces each source's top
+    * contributing token — the one-token explanation of WHY it diverges.
+    *
+    * Scale shape: (source, token) partial counts get map-side combine;
+    * the corpus unigram table derives from those partials (never a second
+    * corpus scan); source totals and the 1-row corpus total broadcast.
+    * The per-source argmax is the QUALIFY idiom — WindowGroupLimit keeps
+    * the shuffle at one row per (source, partition).
+    *
+    * Cross-engine determinism: ln() may differ by 1 ulp between libm and
+    * the JVM, so each token's contribution rounds to 9dp (granularity ≫
+    * ulp at contribution magnitude ~1e-4) BEFORE the decimal-exact
+    * per-source sum — the q77 transcendental rule. */
+  def q91TokenKl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = shingleRows(Tables.documents(spark, dir), 1, extra = Seq("source"))
+      .withColumnRenamed("s", "tok")
+    val stf = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf_s"))
+    val srcTot = stf.groupBy(col("source")).agg(sum(col("tf_s")).as("tot_s"))
+    val ctf = stf.groupBy(col("tok")).agg(sum(col("tf_s")).as("tf_c"))
+    val tot = ctf.agg(sum(col("tf_c")).as("tot_c"))
+    val contrib = stf
+      .join(ctf, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("ps", col("tf_s") / col("tot_s"))
+      .withColumn("pc", col("tf_c") / col("tot_c"))
+      .withColumn("c", Exprs.dround(col("ps") * log(col("ps") / col("pc")), 9))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("tok"))
+    val top = contrib.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("tok").as("top_token"),
+        Exprs.dround(col("c"), 6).as("top_contrib"))
+    contrib.groupBy(col("source")).agg(
+        max(col("tot_s")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        Exprs.dround(Exprs.sumExact(col("c"), 9), 6).as("kl_nats"))
+      .join(top, "source")
+      .select(col("source"), col("n_tokens"), col("vocab"), col("kl_nats"),
+        col("top_token"), col("top_contrib"))
       .orderBy(col("source"))
   }
 
@@ -796,6 +890,80 @@ object TextOps {
         |  sum(c::DECIMAL(25,4))::DOUBLE AS score
         |FROM scored GROUP BY doc_id, dl
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q96_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(t), ' ')) AS k
+        |  FROM toks),
+        |old_keys AS (SELECT DISTINCT k FROM keyed WHERE doc_id < 400),
+        |exact AS (
+        |  SELECT DISTINCT doc_id FROM keyed
+        |  WHERE doc_id >= 400 AND k IN (SELECT k FROM old_keys)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near AS (
+        |  SELECT DISTINCT d2 AS doc_id
+        |  FROM pairs
+        |  JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2
+        |  WHERE round(common / (c1.c + c2.c - common) * 1000000) / 1000000 >= 0.4
+        |    AND d1 < 400 AND d2 >= 400),
+        |classified AS (
+        |  SELECT k.source,
+        |    CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+        |         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+        |         ELSE 'unique' END AS status
+        |  FROM keyed k
+        |  LEFT JOIN exact e ON k.doc_id = e.doc_id
+        |  LEFT JOIN near n ON k.doc_id = n.doc_id
+        |  WHERE k.doc_id >= 400)
+        |SELECT source, count(*) AS n_new,
+        |  count(CASE WHEN status = 'exact_dup' THEN 1 END) AS n_exact,
+        |  count(CASE WHEN status = 'near_dup' THEN 1 END) AS n_near,
+        |  count(CASE WHEN status = 'unique' THEN 1 END) AS n_unique,
+        |  round(100.0 * count(CASE WHEN status = 'unique' THEN 1 END)
+        |    / count(*) * 100) / 100 AS unique_pct
+        |FROM classified GROUP BY source ORDER BY source""".stripMargin,
+
+    "q91_token_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |stf AS (SELECT source, tok, count(*) AS tf_s FROM tok GROUP BY 1, 2),
+        |src_tot AS (SELECT source, sum(tf_s)::BIGINT AS tot_s
+        |            FROM stf GROUP BY source),
+        |ctf AS (SELECT tok, sum(tf_s)::BIGINT AS tf_c FROM stf GROUP BY tok),
+        |tot AS (SELECT sum(tf_c)::BIGINT AS tot_c FROM ctf),
+        |contrib AS (
+        |  SELECT source, tok, tot_s,
+        |    round((tf_s / tot_s::DOUBLE) *
+        |      ln((tf_s / tot_s::DOUBLE) / (tf_c / tot_c::DOUBLE))
+        |      * 1000000000) / 1000000000 AS c
+        |  FROM stf JOIN ctf USING (tok) JOIN src_tot USING (source), tot),
+        |top AS (
+        |  SELECT source, tok AS top_token,
+        |    round(c * 1000000) / 1000000 AS top_contrib,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+        |  FROM contrib),
+        |agg AS (
+        |  SELECT source, max(tot_s) AS n_tokens, count(*) AS vocab,
+        |    round(sum(c::DECIMAL(25,9))::DOUBLE * 1000000) / 1000000 AS kl_nats
+        |  FROM contrib GROUP BY source)
+        |SELECT source, n_tokens, vocab, kl_nats, top_token, top_contrib
+        |FROM agg JOIN top USING (source)
+        |WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q77_unigram_logprob" ->
       """WITH tok AS (

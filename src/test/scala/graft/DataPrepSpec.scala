@@ -61,4 +61,36 @@ class DataPrepSpec extends SparkSpecBase {
     val base = out.select("source", "kept_id_sum").as[(String, Long)].collect().toMap
     assert(again === base)
   }
+  test("q90: tempered mixture shares sum to 100 and flatten the raw mix") {
+    val rows = DataPrep.q90MixtureWeights(spark, Sf001).collect()
+    assert(rows.length > 1)
+    def tot(c: String) = rows.map(_.getAs[Double](c)).sum
+    assert(math.abs(tot("raw_share") - 100.0) < 0.05)
+    assert(math.abs(tot("mix_share") - 100.0) < 0.05)
+    // sqrt temperature moves every share toward the mean: the largest
+    // source shrinks, the smallest grows
+    val byRaw = rows.sortBy(_.getAs[Double]("raw_share"))
+    assert(byRaw.last.getAs[Double]("mix_share") <=
+      byRaw.last.getAs[Double]("raw_share") + 1e-9)
+    assert(byRaw.head.getAs[Double]("mix_share") >=
+      byRaw.head.getAs[Double]("raw_share") - 1e-9)
+    rows.foreach(r => assert(r.getAs[Double]("epochs") > 0.0))
+  }
+
+  test("q95: decile occupancies tile the corpus; chi2 matches its bins") {
+    val rows = DataPrep.q95DecileCalibration(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getAs[Long]("n_docs")).sum
+    // global deciles of a 10-bin split cover every doc exactly once
+    val cells = rows.flatMap(r => (0 until 10).map(i => r.getAs[Long](s"d$i")))
+    assert(cells.sum === grand)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val snd2 = (0 until 10).map(i => r.getAs[Long](s"d$i")).map(x => x * x).sum
+      val expect = (10.0 * snd2 - n.toDouble * n) / n
+      assert(math.abs(r.getAs[Double]("chi2") - expect) < 1e-3)
+      assert(r.getAs[Boolean]("len_skew_flag") === ((10 * snd2 - n * n) * 4 > 87 * n))
+    }
+  }
+
 }

@@ -60,4 +60,26 @@ class GeoSpec extends SparkSpecBase {
       .map(_.getAs[Long]("total_events"))
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
+  test("q89: z-order buckets are tight, disjoint and cover all filtered points") {
+    val rows = Geo.q89ZorderLayout(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val buckets = rows.map(_.getAs[Long]("bucket"))
+    assert(buckets.toSeq === buckets.sorted.toSeq)
+    assert(buckets.distinct.length === buckets.length)
+    assert(buckets.forall(b => b >= 0 && b < 64))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cells") <= r.getAs[Long]("bbox_cells"))
+      val f = r.getAs[Double]("fill_pct")
+      assert(f > 0.0 && f <= 100.0)
+      // the point of the layout: a top-6-bit Morton bucket spans at most a
+      // 1/8 x 1/8 slice of each quantized axis (128 of 1024 cells per side)
+      assert(r.getAs[Long]("lat_span") <= 128, r.toString)
+      assert(r.getAs[Long]("lon_span") <= 128, r.toString)
+    }
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val expected = graft.Tables.events(spark, Sf001)
+      .filter(org.apache.spark.sql.functions.col("value") <= 100).count()
+    assert(total === expected)
+  }
+
 }

@@ -94,4 +94,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(nCand < n.toLong * (n - 1) / 4,
       s"$nCand candidates not ≪ ${n.toLong * (n - 1) / 2}")
   }
+  test("q94: centroid cosine matrix covers all label pairs, bounded in [-1, 1]") {
+    val rows = Similarity.q94CentroidCosine(spark, Sf0001).collect()
+    val labels = graft.Tables.embeddings(spark, Sf0001)
+      .select("label").distinct().count().toInt
+    assert(rows.length === labels * (labels - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dims") === 64L)
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"cosine out of range: $c")
+      assert(r.getAs[Int]("l1") < r.getAs[Int]("l2"))
+    }
+  }
+
 }

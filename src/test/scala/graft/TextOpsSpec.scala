@@ -155,4 +155,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert(clusters.length === 2)
     assert(clusters.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
   }
+  test("q91: KL is non-negative and zero for an identically-distributed source") {
+    val dir = java.nio.file.Files.createTempDirectory("kl").toString
+    // two sources with the same token distribution, one divergent
+    Seq(
+      (1L, "a a b c", "same1", 7L), (2L, "a b c a", "same1", 7L),
+      (3L, "a a b c", "same2", 7L), (4L, "c a b a", "same2", 7L),
+      (5L, "z z z z", "other", 7L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q91TokenKl(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    assert(out.keySet === Set("same1", "same2", "other"))
+    out.values.foreach(v => assert(v >= -1e-6, s"negative KL: $v"))
+    // same1/same2 match each other but NOT the corpus (which includes
+    // 'other'), so their KL is small-positive and equal; 'other' dominates
+    assert(out("same1") === out("same2"))
+    assert(out("other") > out("same1"))
+  }
+
+  test("q96: incremental gate partitions the new batch and catches planted dups") {
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    // corpus: docs 0/1; batch: 400 = exact (reordered words) dup of 0,
+    // 401 = near dup of 1 (8/10 shingles shared), 402 = novel
+    Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12", "s1", 1L),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", "s1", 1L),
+      (400L, "w12 w11 w10 w9 w8 w7 w6 w5 w4 w3 w2 w1", "s1", 1L),
+      (401L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 zz zz2", "s1", 1L),
+      (402L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12", "s2", 1L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q96IncrementalDedup(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_new"), r.getAs[Long]("n_exact"),
+         r.getAs[Long]("n_near"), r.getAs[Long]("n_unique"))).toMap
+    assert(out("s1") === ((2L, 1L, 1L, 0L)))
+    assert(out("s2") === ((1L, 0L, 0L, 1L)))
+  }
+
 }
