@@ -162,6 +162,39 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("q89 z-order bucketing is one aggregation — no window, no join") {
+    // the layout key must stay a per-row codegen expression: a window or a
+    // join appearing here means the Morton computation stopped being
+    // embarrassingly parallel
+    val p = plan(graft.geo.Geo.q89ZorderLayout(spark, Sf001))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q90/q95 corpus-global statistics ride a broadcast, not a shuffle join") {
+    for ((n, df) <- Seq(
+        "q90" -> graft.prep.DataPrep.q90MixtureWeights(spark, Sf001),
+        "q95" -> graft.prep.DataPrep.q95DecileCalibration(spark, Sf001))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastExchange"), s"$n:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$n:\n${p.take(2000)}")
+    }
+  }
+
+  test("q96 exact-dup path is a left-semi hash join on the digest key") {
+    val p = plan(graft.text.TextOps.q96IncrementalDedup(spark, Sf001))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q94 centroid pairing stays an equi-join over the dim key") {
+    val p = plan(graft.sim.Similarity.q94CentroidCosine(spark, Sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
     val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
