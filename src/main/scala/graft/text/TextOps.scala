@@ -34,27 +34,23 @@ object TextOps {
   def wordShingles(toks: Column, n: Int): Column =
     array_distinct(wordShinglesOrdered(toks, n))
 
-  /** Shingles as rows — (doc_id, s), one row per n-gram occurrence. The
-    * scale formulation: posexplode + window-lead is fully codegen'd and ~8×
-    * faster than exploding the array-HOF shingles (interpreted lambdas);
-    * cost is one hash shuffle by doc_id. Empty tokens are dropped before
-    * shingling, matching [[tokens]]. */
+  /** Shingles as rows — (doc_id, s), one row per n-gram occurrence, document
+    * order, matching the oracle's `t[i] || ' ' || ... || t[i+n-1]` exactly.
+    *
+    * Scale formulation history: the array-HOF form
+    * (`explode(transform(sequence(...)))`) runs its lambdas interpreted
+    * (~8× slower, CLAUDE.md perf rule); the posexplode + window-lead form
+    * is fully codegen'd but hash-shuffles the exploded token relation
+    * (≫ corpus size) to order each document's tokens. The native
+    * [[graft.functions.WordShingles]] kernel beats both: each document's
+    * shingle array is built in one partition-local byte pass (no shuffle,
+    * no lambda), and `explode` yields the same rows the window form did. */
   def shingleRows(docs: DataFrame, n: Int,
                   extra: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keep = (Seq("doc_id") ++ extra).map(col)
-    val base = docs
-      .select(keep :+ posexplode(split(col("text"), " ")).as(Seq("pos", "tok")): _*)
-      .filter(col("tok") =!= "")
-    if (n == 1) base.select(keep :+ col("tok").as("s"): _*)
-    else {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-      base.withColumn("s",
-          when(leads.last.isNotNull, concat_ws(" ", (col("tok") +: leads): _*)))
-        .filter(col("s").isNotNull)
-        .select(keep :+ col("s"): _*)
-    }
+    graft.functions.WordShinglesFunction.register(docs.sparkSession)
+    docs.select(keep :+
+      explode(call_function("word_shingles", col("text"), lit(n))).as("s"): _*)
   }
 
   private val stopwords = Seq("the", "a")
@@ -441,8 +437,12 @@ object TextOps {
     val pairs = jaccardPairs(Tables.documents(spark, dir), 3)
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
+    // edges are loop-invariant: hash-partition them on the probe key ONCE
+    // (localCheckpoint preserves outputPartitioning), so each round's join
+    // shuffles only the label relation, never the edge relation
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()

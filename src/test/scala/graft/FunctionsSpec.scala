@@ -129,4 +129,33 @@ class FunctionsSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(1500))
   }
+  test("word_shingles kernel matches the declarative HOF formulation") {
+    graft.functions.WordShinglesFunction.register(spark)
+    val docs = Seq(
+      "a b c d e",                 // plain
+      "  a   b  c ",               // repeated / leading / trailing spaces
+      "single",                    // shorter than n
+      "",                          // empty
+      "x y",                       // exactly n
+      "héllo wörld ünïcode token"  // multi-byte UTF-8
+    ).toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = docs.select(col("text"),
+        call_function("word_shingles", col("text"), lit(n)).as("k"))
+      val hof = docs.select(col("text"),
+        graft.text.TextOps.wordShinglesOrdered(
+          graft.text.TextOps.tokens(col("text")), n).as("h"))
+      val joined = kernel.join(hof, "text").select("k", "h").collect()
+      joined.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1),
+          s"n=$n: kernel ${r.getSeq[String](0)} vs hof ${r.getSeq[String](1)}")
+      }
+    }
+    // null text → null array (UnaryExpression null propagation)
+    val nullRow = Seq((1, Option.empty[String])).toDF("id", "text")
+      .select(call_function("word_shingles", col("text"), lit(2)).as("k"))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
 }
