@@ -2,15 +2,133 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared kernel for interpreted eval and generated code. */
 object ShingleMath {
   private val Empty = new GenericArrayData(Array.empty[Any])
+  /** Spark's `xxhash64(...)` default seed — kernels must hash identically
+    * to the built-in expression so composed and fused forms agree. */
+  private val XxSeed = 42L
+
+  /** Byte ranges of the non-empty space-separated tokens of `b`:
+    * returns (starts, ends), both of length tokCount. */
+  private def tokenRanges(b: Array[Byte]): (Array[Int], Array[Int]) = {
+    val len = b.length
+    var tokCount = 0
+    var i = 0
+    var inTok = false
+    while (i < len) {
+      if (b(i) == 0x20) inTok = false
+      else { if (!inTok) tokCount += 1; inTok = true }
+      i += 1
+    }
+    val starts = new Array[Int](tokCount)
+    val ends = new Array[Int](tokCount)
+    i = 0; inTok = false
+    var t = 0
+    while (i < len) {
+      if (b(i) == 0x20) inTok = false
+      else {
+        if (!inTok) { starts(t) = i; t += 1 }
+        inTok = true
+        ends(t - 1) = i + 1
+      }
+      i += 1
+    }
+    (starts, ends)
+  }
+
+  /** 64-bit SimHash over the document's tokens in one pass — exactly
+    * [[graft.text.TextOps.simhash64]]'s semantics (xxhash64 per token,
+    * ±1 bit votes, sign-packed; zero tokens → all 64 ties → all bits set)
+    * without materializing a token array or 64 aggregate columns. */
+  def simhash64(s: UTF8String): Long = {
+    val b = s.getBytes
+    val (starts, ends) = tokenRanges(b)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < starts.length) {
+      val h = XXH64.hashUnsafeBytes(b,
+        Platform.BYTE_ARRAY_OFFSET + starts(t), ends(t) - starts(t), XxSeed)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) >= 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
+  }
+
+  /** xxhash64 of each word k-shingle, in document (positional) order —
+    * hash of the same single-space-joined strings [[wordShingles]] builds. */
+  private def shingleHashes(b: Array[Byte], k: Int): Array[Long] = {
+    val (starts, ends) = tokenRanges(b)
+    val tokCount = starts.length
+    if (tokCount < k) return Array.emptyLongArray
+    val out = new Array[Long](tokCount - k + 1)
+    var p = 0
+    while (p <= tokCount - k) {
+      var size = k - 1
+      var j = p
+      while (j < p + k) { size += ends(j) - starts(j); j += 1 }
+      val sb = new Array[Byte](size)
+      var pos = 0
+      j = p
+      while (j < p + k) {
+        val l = ends(j) - starts(j)
+        System.arraycopy(b, starts(j), sb, pos, l)
+        pos += l
+        if (j < p + k - 1) { sb(pos) = 0x20; pos += 1 }
+        j += 1
+      }
+      out(p) = XXH64.hashUnsafeBytes(sb, Platform.BYTE_ARRAY_OFFSET, size, XxSeed)
+      p += 1
+    }
+    out
+  }
+
+  /** Winnowing fingerprints in one pass — exactly
+    * [[graft.text.TextOps.winnowFingerprints]]'s semantics (k-shingle
+    * hashes in positional order; ≥w hashes → first-occurrence-distinct
+    * mins of each w-window; 1..w-1 hashes → the global min; none → empty)
+    * without interpreted lambdas or a per-doc window sort. */
+  def winnowFps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = shingleHashes(s.getBytes, k)
+    if (hs.length == 0) return Empty
+    if (hs.length < w) {
+      var m = hs(0)
+      var i = 1
+      while (i < hs.length) { if (hs(i) < m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array[Any](m))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= hs.length - w) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
 
   /** Word n-gram shingles of a space-tokenized string — exactly the rows
     * `explode(transform(sequence(...), i -> concat_ws(' ', tok[i..i+n-1])))`
@@ -104,6 +222,69 @@ object WordShinglesFunction {
         "word_shingles(text, n) with literal n")
       WordShingles(Cast(exprs.head, StringType),
         exprs(1).eval().asInstanceOf[Number].intValue())
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}
+
+/** Native one-pass SimHash (see [[ShingleMath.simhash64]]). The composed
+  * form ([[graft.text.TextOps.simhash64]]) runs 64 interpreted aggregate
+  * lambdas per document; the row-based form needs an explode + a 64-column
+  * aggregation. The kernel is a single partition-local pass. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMath.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash64Function {
+  val info = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "simhash64(text)")
+      Simhash64(Cast(exprs.head, StringType))
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}
+
+/** Native one-pass winnowing fingerprints (see [[ShingleMath.winnowFps]]). */
+case class WinnowFps(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "winnow_fps k and w must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMath.winnowFps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleMath.winnowFps($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFpsFunction {
+  val info = (
+    FunctionIdentifier("winnow_fps"),
+    new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+        "winnow_fps(text, k, w) with literal k and w")
+      WinnowFps(Cast(exprs.head, StringType),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
     })
 
   def register(spark: SparkSession): Unit =

@@ -233,44 +233,25 @@ object TextOps {
     * asserts near-dup docs share fingerprints and sit at small Hamming
     * distance while unrelated docs do not.
     *
-    * Scale shape: both fingerprints run over exploded token/shingle ROWS —
-    * SimHash as one hash-aggregate with 64 conditional-sum columns, winnowing
-    * as a sliding-frame window min — because the array-HOF forms
-    * ([[simhash64]]/[[winnowFingerprints]], kept for per-row use) evaluate
-    * interpreted and were ~70× slower over a corpus. */
+    * Scale shape: both fingerprints are native one-pass kernels
+    * ([[graft.functions.Simhash64]] / [[graft.functions.WinnowFps]]) —
+    * per-row, partition-local, no explode/aggregate/window at all, so the
+    * only shuffle left is the per-source rollup. Earlier formulations
+    * (array-HOF: 64 interpreted lambdas per doc; row-based: explode + a
+    * 64-column aggregate + a per-doc window) were both corpus-scale
+    * bottlenecks — the kernel ladder is the CLAUDE.md shingle rule applied
+    * to fingerprinting. */
   def q37Fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, dir)
-    val toks = d.select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    // SimHash: 64 signed bit-sums over token hashes, packed into one long
-    val h = xxhash64(col("tok"))
-    val bitCols = (0 until 64).map(j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val packed = (0 until 64).map(j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    val sim = toks.groupBy(col("doc_id"), col("source"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"), col("source"), packed.as("simhash"))
-    // winnowing: 3-gram hash rows → min over each following-4 frame; short
-    // docs (< w shingles) take the global min (parity with the array form).
-    // shingleRows loses the original position, so rows get a deterministic
-    // per-doc order by shingle value — winnowing only needs SOME fixed order
-    // for its sliding frames.
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-    val fps = shingleRows(d, 3)
-      .withColumn("hsv", xxhash64(col("s")))
-      .withColumn("idx", row_number().over(wOrd))
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("fp", min(col("hsv")).over(wOrd.rowsBetween(Window.currentRow, 3)))
-      .filter(col("idx") <= greatest(col("n_sh") - 3, lit(1)))
-      .select(col("doc_id"), col("fp")).distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
-    sim.join(fps, Seq("doc_id"), "left")
+    graft.functions.Simhash64Function.register(spark)
+    graft.functions.WinnowFpsFunction.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        call_function("simhash64", col("text")).as("simhash"),
+        size(call_function("winnow_fps", col("text"), lit(3), lit(4)))
+          .as("n_fps"))
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
-        Exprs.dround(avg(coalesce(col("n_fps"), lit(0))), 4).as("avg_fps"),
+        Exprs.dround(avg(col("n_fps")), 4).as("avg_fps"),
         countDistinct(col("simhash")).as("n_distinct_simhash"))
       .orderBy(col("source"))
   }

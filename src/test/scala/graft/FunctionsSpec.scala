@@ -158,4 +158,29 @@ class FunctionsSpec extends SparkSpecBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("simhash64 / winnow_fps kernels match the composed HOF forms") {
+    graft.functions.Simhash64Function.register(spark)
+    graft.functions.WinnowFpsFunction.register(spark)
+    val docs = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "  spaced   out  tokens ",
+      "one two",        // fewer shingles than the window
+      "one two three",  // exactly one shingle
+      "solo",
+      "",
+      "héllo wörld ünïcode tökens here now"
+    ).toDF("text")
+    val rows = docs.select(
+      call_function("simhash64", col("text")).as("k_sim"),
+      graft.text.TextOps.simhash64(graft.text.TextOps.tokens(col("text"))).as("h_sim"),
+      call_function("winnow_fps", col("text"), lit(3), lit(4)).as("k_fp"),
+      graft.text.TextOps.winnowFingerprints(
+        graft.text.TextOps.tokens(col("text")), 3, 4).as("h_fp")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"simhash mismatch: $r")
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3), s"winnow mismatch: $r")
+    }
+  }
+
 }
