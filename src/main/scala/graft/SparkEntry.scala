@@ -123,6 +123,8 @@ object SparkEntry {
     "q94_centroid_cosine"   -> (Similarity.q94CentroidCosine(_, _)),
     "q95_decile_calibration" -> (DataPrep.q95DecileCalibration(_, _)),
     "q96_incremental_dedup" -> (TextOps.q96IncrementalDedup(_, _)),
+    "q98_key_skew"          -> (Trends.q98KeySkew(_, _)),
+    "q99_cooccurrence_lift" -> (Behavior.q99CooccurrenceLift(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -107,7 +107,62 @@ object Behavior {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q99: event-type co-occurrence lift — for each pair of event types,
+    * how many users did both, and the lift
+    * P(a∧b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b): the market-basket measure
+    * that separates "these behaviors travel together" (lift > 1) from
+    * independence. All-integer accumulators; the single division happens
+    * on BIGINT products identically in both engines.
+    *
+    * Scale shape: the (user, type) distinct relation is one shuffle;
+    * per-type totals are |types| rows (broadcast); the pair self-join keys
+    * on user_id — fan-out bounded by |types|² per user, and the pair
+    * rollup is ≤ |types|² rows. */
+  def q99CooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val users = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("t1"),
+        col("n_t").as("n_1"))), "t1")
+      .join(broadcast(totals.select(col("event_type").as("t2"),
+        col("n_t").as("n_2"))), "t2")
+      .crossJoin(broadcast(users))
+      .withColumn("support_pct", Exprs.pctOf(col("n_both"), col("n_users"), 2))
+      .withColumn("lift", Exprs.dround(
+        (col("n_both") * col("n_users")) / (col("n_1") * col("n_2")), 4))
+      .select(col("t1"), col("t2"), col("n_both"), col("n_1"), col("n_2"),
+        col("n_users"), col("support_pct"), col("lift"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q99_cooccurrence_lift" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |totals AS (
+        |  SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+        |users AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pairs AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT t1, t2, n_both, x.n_t AS n_1, y.n_t AS n_2, n_users,
+        |  round(100.0 * n_both / n_users * 100) / 100 AS support_pct,
+        |  round((n_both * n_users) / (x.n_t * y.n_t) * 10000) / 10000 AS lift
+        |FROM pairs
+        |JOIN totals x ON x.event_type = t1
+        |JOIN totals y ON y.event_type = t2
+        |CROSS JOIN users
+        |ORDER BY t1, t2""".stripMargin,
+
     "q86_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -100,7 +100,52 @@ object Trends {
       .orderBy(col("event_type"))
   }
 
+  /** q98: join-key skew diagnostic — per event type, the distribution of
+    * rows across `user_id` keys: key count, max/mean ratio, exact p50/p99
+    * of per-key row counts, and an integer-banded "needs salting" flag
+    * (max > 4× mean). This is the report that decides between a plain
+    * hash join/aggregation and the salted two-stage form
+    * (`Exprs.saltedCountSum`) or AQE skew-join handling at 100 TB.
+    *
+    * Scale shape: (type, key) partial counts take map-side combine; the
+    * per-type rollup is bounded by |types|. The skew flag cross-multiplies
+    * BIGINTs (max·n_keys > 4·total) — no derived-double comparison. */
+  def q98KeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    perKey.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("total"),
+        max(col("n")).as("max_n"),
+        Exprs.dround(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        Exprs.dround(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+      .withColumn("skew_factor",
+        Exprs.dround(col("max_n") * col("n_keys") / col("total"), 4))
+      .withColumn("needs_salting",
+        col("max_n") * col("n_keys") > lit(4) * col("total"))
+      .select(col("event_type"), col("n_keys"), col("total"), col("max_n"),
+        col("p50_n"), col("p99_n"), col("skew_factor"), col("needs_salting"))
+      .orderBy(col("event_type"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q98_key_skew" ->
+      """WITH per_key AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id),
+        |rolled AS (
+        |  SELECT event_type, count(*) AS n_keys, sum(n)::BIGINT AS total,
+        |    max(n) AS max_n,
+        |    round(quantile_cont(n, 0.5) * 10000) / 10000 AS p50_n,
+        |    round(quantile_cont(n, 0.99) * 10000) / 10000 AS p99_n
+        |  FROM per_key GROUP BY event_type)
+        |SELECT event_type, n_keys, total, max_n, p50_n, p99_n,
+        |  round(max_n * n_keys / total * 10000) / 10000 AS skew_factor,
+        |  max_n * n_keys > 4 * total AS needs_salting
+        |FROM rolled ORDER BY event_type""".stripMargin,
+
     "q92_drift_monitor" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

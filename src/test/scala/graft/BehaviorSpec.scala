@@ -61,4 +61,23 @@ class BehaviorSpec extends SparkSpecBase {
       ("view", "click", 1L, 50.0),
       ("view", "view", 1L, 50.0)))
   }
+  test("q99 lift separates co-traveling types from independent ones") {
+    // users 1-4: view+click always together (lift > 1 vs type-independence);
+    // purchase only for user 1
+    val dir = eventsDir(
+      (1L, 100L, 1L, "view"), (2L, 200L, 1L, "click"), (3L, 300L, 1L, "purchase"),
+      (4L, 100L, 2L, "view"), (5L, 200L, 2L, "click"),
+      (6L, 100L, 3L, "view"), (7L, 200L, 3L, "click"),
+      (8L, 100L, 4L, "view"), (9L, 200L, 4L, "click"))
+    val out = Behavior.q99CooccurrenceLift(spark, dir).collect()
+      .map(r => (r.getAs[String]("t1"), r.getAs[String]("t2")) -> r).toMap
+    val vc = out(("click", "view"))
+    assert(vc.getAs[Long]("n_both") === 4L)
+    assert(vc.getAs[Double]("lift") === 1.0)    // both have all 4 users
+    assert(vc.getAs[Double]("support_pct") === 100.0)
+    val cp = out(("click", "purchase"))
+    assert(cp.getAs[Long]("n_both") === 1L)     // only user 1
+    assert(cp.getAs[Double]("lift") === 1.0)    // 1*4 / (4*1)
+  }
+
 }

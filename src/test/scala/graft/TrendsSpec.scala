@@ -56,4 +56,19 @@ class TrendsSpec extends SparkSpecBase {
       assert(!r.isNaN && math.abs(r) <= 1.0 + 1e-6)
     }
   }
+  test("q98 flags a planted hot key via the integer band") {
+    // type "hot": one key with 40 rows, 9 keys with 1 -> max*keys = 400 > 4*49
+    // type "flat": 10 keys x 2 rows -> max*keys = 20 < 4*20
+    val rows =
+      (1L to 40L).map(i => (i, 0L, 999L, "hot")) ++
+      (41L to 49L).map(i => (i, 0L, i, "hot")) ++
+      (50L to 69L).map(i => (i, 0L, 100 + i % 10, "flat"))
+    val out = Trends.q98KeySkew(spark, eventsDir(rows: _*)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("hot").getAs[Boolean]("needs_salting"))
+    assert(!out("flat").getAs[Boolean]("needs_salting"))
+    assert(out("hot").getAs[Long]("max_n") === 40L)
+    assert(out("flat").getAs[Double]("skew_factor") === 1.0)
+  }
+
 }
