@@ -132,14 +132,20 @@ object TextOps {
     * far above any natural df in the test corpora (max 25 at sf0.1) yet
     * bounds any key's pair fan-out at maxDf²/2. The df count rides the same
     * hash partitioning on `s` as the join — a window, not an extra join. */
-  def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500): DataFrame = {
+  /** `aSide`/`bSide` restrict which documents may appear as the LEFT/RIGHT
+    * member of a pair (predicates over `doc_id`) — the incremental shape
+    * (q96: old×new only) prunes the candidate join's output without
+    * changing any surviving pair's score: denominators and the df cap are
+    * always computed over the full corpus. */
+  def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500,
+                   aSide: Column = lit(true), bSide: Column = lit(true)): DataFrame = {
     val sh = shingleRows(docs, n).distinct()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val capped = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf).drop("df")
-    val pairs = capped.as("a").join(capped.as("b"),
+    val pairs = capped.filter(aSide).as("a").join(capped.filter(bSide).as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -460,11 +466,11 @@ object TextOps {
     *
     * Scale shape: the exact path is one hash semi-join on a 32-byte key —
     * new-batch-sized, not corpus-sized. The near path reuses
-    * [[jaccardPairs]] (df-capped shingle join); incrementally only the
-    * new×old candidate pairs are consumed, and at 100 TB the b-side scan
-    * would carry a shingle→batch bloom pre-filter — the join keys and cap
-    * are unchanged, so this query states the exact semantics that path
-    * must preserve. */
+    * [[jaccardPairs]] with its sides restricted to old×new (the candidate
+    * join emits only cross-batch pairs — no old×old fan-out — while
+    * denominators and the df cap still see the full corpus); at 100 TB
+    * the old-side scan would additionally carry a shingle→batch bloom
+    * pre-filter with identical semantics. */
   def q96IncrementalDedup(spark: SparkSession, dir: String,
                           splitId: Long = 400L): DataFrame = {
     val d = Tables.documents(spark, dir)
@@ -475,9 +481,9 @@ object TextOps {
     val exactIds = newB.withColumn("k", normKey)
       .join(oldKeys, Seq("k"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
-    val nearIds = jaccardPairs(d, 3)
-      .filter(col("jaccard") >= 0.4 &&
-        col("d1") < splitId && col("d2") >= splitId)
+    val nearIds = jaccardPairs(d, 3,
+        aSide = col("doc_id") < splitId, bSide = col("doc_id") >= splitId)
+      .filter(col("jaccard") >= 0.4)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))
     newB
