@@ -87,6 +87,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.haversineInfo)
     ext.injectFunction(CosineSimFunction.info)
     ext.injectFunction(TokenCountFunction.info)
+    ext.injectFunction(WordShinglesFunction.info)
+    ext.injectFunction(Simhash64Function.info)
+    ext.injectFunction(WinnowFpsFunction.info)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

@@ -80,11 +80,17 @@ class FunctionsSpec extends SparkSpecBase {
       val row = s2.sql(
         """SELECT token_count('a  b c') AS tc,
           |       round(haversine_km(0D, 0D, 0D, 1D), 1) AS hv,
-          |       round(cosine_sim(array(1D, 0D), array(1D, 0D)), 6) AS cs
+          |       round(cosine_sim(array(1D, 0D), array(1D, 0D)), 6) AS cs,
+          |       word_shingles('a b c', 2) AS ws,
+          |       simhash64('a b c') AS sh,
+          |       size(winnow_fps('a b c d e f', 3, 4)) AS wf
           |""".stripMargin).head()
       assert(row.getInt(0) === 3)
       assert(row.getDouble(1) === 111.2)
       assert(row.getDouble(2) === 1.0)
+      assert(row.getSeq[String](3) === Seq("a b", "b c"))
+      assert(row.getLong(4) !== 0L)
+      assert(row.getInt(5) === 1)
       // the injected optimizer rule fires without any per-session opt-in
       // (non-constant input: a literal would be constant-folded away
       // before the rule can see the split/filter/size pattern)
