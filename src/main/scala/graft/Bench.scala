@@ -32,18 +32,19 @@ object Bench {
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t, err) = run1(name, fn); (name, fn, t, err)
     }
-    // Stall mitigation: this host occasionally freezes ONE query for
-    // 30-100x its normal time (CPU steal on the microVM — a different
-    // query each run). A query that took >15s AND >10x the suite median
-    // is re-run once (JIT-warm by now) and reports the faster of the two;
-    // the JSON carries which queries were retried so the number is never
-    // silently "better" than a single cold pass.
+    // Stall mitigation: this host occasionally freezes queries for
+    // 5-100x their normal time (CPU steal on the microVM — different
+    // queries each run; observed 50s, 240s, 44s, 12s spikes on queries
+    // that run in 0.5-2s isolated). A query that took >5s AND >5x the
+    // suite median is re-run once (JIT-warm by now) and reports the
+    // faster of the two; the JSON carries which queries were retried so
+    // the number is never silently "better" than a single cold pass.
     val median = {
       val ts = firstPass.map(_._3).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
     val results = firstPass.map { case (name, fn, t, err) =>
-      if (err.isEmpty && t > 15.0 && t > 10.0 * median) {
+      if (err.isEmpty && t > 5.0 && t > 5.0 * median) {
         val (t2, err2) = run1(name, fn)
         (name, math.min(t, t2), err2, true)
       } else (name, t, err, false)
