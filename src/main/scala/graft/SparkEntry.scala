@@ -123,6 +123,7 @@ object SparkEntry {
     "q94_centroid_cosine"   -> (Similarity.q94CentroidCosine(_, _)),
     "q95_decile_calibration" -> (DataPrep.q95DecileCalibration(_, _)),
     "q96_incremental_dedup" -> (TextOps.q96IncrementalDedup(_, _)),
+    "q97_schema_profile"    -> (BatchChecks.q97SchemaProfile(_, _)),
     "q98_key_skew"          -> (Trends.q98KeySkew(_, _)),
     "q99_cooccurrence_lift" -> (Behavior.q99CooccurrenceLift(_, _)),
   )

@@ -221,7 +221,58 @@ object BatchChecks {
       .orderBy(col("event_type"))
   }
 
+  private val ProfileCols =
+    Seq("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+
+  /** q97: table profile — per column: presence, null share, distinct
+    * cardinality. The "ANALYZE TABLE"-style statistics pass a pipeline
+    * runs on a landed batch before ingestion (the reference stores
+    * per-batch quality metrics for the same purpose,
+    * `sql/athena/03_create_processed_tables.sql:140-191`); its output also
+    * feeds the optimizer-facing decisions this repo makes by hand
+    * (broadcast eligibility, distinct-count-based join strategies).
+    *
+    * Scale shape: ONE aggregation pass emits every per-column metric
+    * (Spark plans the 6 distinct-counts via a single Expand — still one
+    * scan); the per-column rows come from exploding a 6-element literal
+    * struct array over the 1-row aggregate. No per-column re-scan. */
+  def q97SchemaProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      count(col(c)).as(s"np_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val entries = array(ProfileCols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"np_$c").as("n_present"),
+      col(s"nd_$c").as("n_distinct"))): _*)
+    one.select(col("n"), explode(entries).as("p"))
+      .select(col("p.column_name"), col("n"), col("p.n_present"),
+        (col("n") - col("p.n_present")).as("n_null"),
+        Exprs.pctOf(col("n") - col("p.n_present"), col("n"), 4).as("null_pct"),
+        col("p.n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q97_schema_profile" -> {
+      val stats = ProfileCols.map(c =>
+        s"count($c) AS np_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+      val rows = ProfileCols.map(c =>
+        s"""SELECT '$c' AS column_name, n, np_$c AS n_present,
+           |  n - np_$c AS n_null,
+           |  round(100.0 * (n - np_$c) / n * 10000) / 10000 AS null_pct,
+           |  nd_$c AS n_distinct FROM stats""".stripMargin)
+        .mkString("\n UNION ALL\n")
+      s"""WITH base AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type,
+        |    value, props
+        |  FROM events),
+        |stats AS (SELECT count(*) AS n, $stats FROM base)
+        |$rows
+        |ORDER BY column_name""".stripMargin
+    },
+
     "q71_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

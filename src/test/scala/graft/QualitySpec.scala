@@ -71,4 +71,19 @@ class QualitySpec extends SparkSpecBase {
       }
     }
   }
+  test("q97 profiles every column in one row each, counts consistent") {
+    val rows = graft.quality.BatchChecks.q97SchemaProfile(spark, Sf001).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(r.getAs[Long]("n_present") + r.getAs[Long]("n_null") === n)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_present"))
+      assert(r.getAs[Double]("null_pct") >= 0.0)
+    }
+    val byName = rows.map(r => r.getAs[String]("column_name") -> r).toMap
+    // event_id is the PK: fully present, fully distinct
+    assert(byName("event_id").getAs[Long]("n_distinct") ===
+      byName("event_id").getAs[Long]("n"))
+  }
+
 }
