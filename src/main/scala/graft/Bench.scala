@@ -29,6 +29,23 @@ object Bench {
         } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       ((System.nanoTime() - t0) / 1e9, err)
     }
+    // Host-noise calibration: a FIXED workload (distributed hash fold over a
+    // constant range + a tiny parquet scan) timed before and after the suite.
+    // Its nominal cost is constant across rounds, so the driver can normalize
+    // suite totals across host conditions (r05's 483s vs 110s clean was pure
+    // microVM CPU steal — this field makes that visible instead of costing a
+    // round of perf signal). Runs after warmup so JIT is out of the number.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h")).agg(bit_xor(col("h"))).collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.select(xxhash64(struct(r.columns.toIndexedSeq.map(col): _*)).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: JIT-warm the probe so before/after are comparable
+    val calibBefore = calibrate()
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (t, err) = run1(name, fn); (name, fn, t, err)
     }
@@ -46,9 +63,14 @@ object Bench {
     val results = firstPass.map { case (name, fn, t, err) =>
       if (err.isEmpty && t > 5.0 && t > 5.0 * median) {
         val (t2, err2) = run1(name, fn)
-        (name, math.min(t, t2), err2, true)
+        // A retry that errors must not overwrite a valid cold measurement:
+        // keep the successful first pass and only use the rerun when it too
+        // succeeded (then report the faster of the two).
+        if (err2.isEmpty) (name, math.min(t, t2), None, true)
+        else (name, t, err, true)
       } else (name, t, err, false)
     }
+    val calibAfter = calibrate()
     val retried = results.filter(_._4).map(_._1)
     val failed = results.filter(_._3.isDefined)
     val qs = results
@@ -59,8 +81,9 @@ object Bench {
       .mkString("{", ",", "}")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val calib = f""""calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs,"stall_retries":$retriedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs,"stall_retries":$retriedJson,$calib}"""
     println(line)
     // Harness tail-windows can cut the front off the ~3 KB full line, so
     // also (a) drop a copy on disk and (b) end with a compact summary —
@@ -69,7 +92,7 @@ object Bench {
     val qsShort = results
       .map { case (k, v, _, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","failed":${failed.size},"n_queries":${results.size},"stall_retries":$retriedJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","failed":${failed.size},"n_queries":${results.size},"stall_retries":$retriedJson,$calib}""")
     failed.foreach { case (k, _, e, _) => System.err.println(s"BENCH FAIL $k: ${e.get}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

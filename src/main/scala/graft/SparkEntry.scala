@@ -126,6 +126,7 @@ object SparkEntry {
     "q97_schema_profile"    -> (BatchChecks.q97SchemaProfile(_, _)),
     "q98_key_skew"          -> (Trends.q98KeySkew(_, _)),
     "q99_cooccurrence_lift" -> (Behavior.q99CooccurrenceLift(_, _)),
+    "q100_lsh_dedup"        -> (Similarity.q100LshDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

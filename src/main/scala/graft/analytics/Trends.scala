@@ -24,10 +24,11 @@ import graft.ops.Exprs
   *     because the aggregate's size depends on the calendar, not the data.
   *   - Drift flags use cross-multiplied integer comparisons (5·n > 6·prev
   *     is +20%), never a derived-double equality — CLAUDE.md band rule.
-  *   - The OLS accumulators (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums
-  *     of integer-valued columns; doubles appear only in the final
-  *     slope/intercept/r divisions, computed with identical operation
-  *     order in both engines and then `dround`ed.
+  *   - The OLS accumulators (Σx, Σy, Σxy, Σx², Σy²) are exact integer
+  *     sums; the y² chain (syy, ryy, den·ryy) is DECIMAL because daily
+  *     counts near 3e9 overflow BIGINT when squared. Doubles appear only
+  *     in the final slope/intercept/r divisions, computed with identical
+  *     operation order in both engines and then `dround`ed.
   */
 object Trends {
 
@@ -85,10 +86,14 @@ object Trends {
         sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        // y can reach ~3e9 daily events at 100 TB, so y² (and later sy²,
+        // n_days·syy) overflow BIGINT; the y-side chain is decimal end to
+        // end. The x side (day offsets, ≤ tens of thousands) stays BIGINT.
+        sum(col("y").cast("decimal(18,0)") * col("y")).as("syy"))
       .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("ryy", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn("ryy", col("n_days") * col("syy")
+        - col("sy").cast("decimal(18,0)") * col("sy"))
     fit
       .withColumn("slope", Exprs.dround(col("num") / col("den"), 6))
       .withColumn("intercept", Exprs.dround(
@@ -109,18 +114,35 @@ object Trends {
     *
     * Scale shape: (type, key) partial counts take map-side combine; the
     * per-type rollup is bounded by |types|. The skew flag cross-multiplies
-    * BIGINTs (max·n_keys > 4·total) — no derived-double comparison. */
+    * BIGINTs (max·n_keys > 4·total) — no derived-double comparison. p50
+    * uses `percentile(n, 0.5)` (0.5 is dyadic: midpoint interpolation of
+    * two BIGINTs is exact in double on both engines); p99 is the
+    * ceil(0.99·n_keys)-th smallest count — an exact integer rank over the
+    * per-key aggregate, because 0.99 is non-dyadic and interpolated
+    * doubles cannot be compared across engines (CLAUDE.md). The rank
+    * window runs over the per-key relation (|keys| rows, already reduced
+    * from the fact table), partitioned by type — same scale class as the
+    * rollup itself. */
   def q98KeySkew(spark: SparkSession, dir: String): DataFrame = {
     val perKey = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
+    // Ties in n are irrelevant: the value at a fixed rank of the sorted
+    // multiset of counts is deterministic whatever order equal counts take.
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val p99 = perKey
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(99 * cnt + 99) div 100"))
+      .select(col("event_type"), col("n").as("p99_n"))
     perKey.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("n")).as("total"),
         max(col("n")).as("max_n"),
-        Exprs.dround(expr("percentile(n, 0.5)"), 4).as("p50_n"),
-        Exprs.dround(expr("percentile(n, 0.99)"), 4).as("p99_n"))
+        Exprs.dround(expr("percentile(n, 0.5)"), 4).as("p50_n"))
+      .join(p99, Seq("event_type"))
       .withColumn("skew_factor",
         Exprs.dround(col("max_n") * col("n_keys") / col("total"), 4))
       .withColumn("needs_salting",
@@ -135,16 +157,24 @@ object Trends {
       """WITH per_key AS (
         |  SELECT event_type, user_id, count(*) AS n
         |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM per_key),
+        |p99 AS (
+        |  SELECT event_type, n AS p99_n FROM ranked
+        |  WHERE rn = (99 * cnt + 99) // 100),
         |rolled AS (
         |  SELECT event_type, count(*) AS n_keys, sum(n)::BIGINT AS total,
         |    max(n) AS max_n,
-        |    round(quantile_cont(n, 0.5) * 10000) / 10000 AS p50_n,
-        |    round(quantile_cont(n, 0.99) * 10000) / 10000 AS p99_n
+        |    round(quantile_cont(n, 0.5) * 10000) / 10000 AS p50_n
         |  FROM per_key GROUP BY event_type)
         |SELECT event_type, n_keys, total, max_n, p50_n, p99_n,
         |  round(max_n * n_keys / total * 10000) / 10000 AS skew_factor,
         |  max_n * n_keys > 4 * total AS needs_salting
-        |FROM rolled ORDER BY event_type""".stripMargin,
+        |FROM rolled JOIN p99 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q92_drift_monitor" ->
       """WITH daily AS (

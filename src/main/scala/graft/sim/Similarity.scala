@@ -233,22 +233,73 @@ object Similarity {
       .select(col("i"), col("j"), col("ea"), col("eb"))
   }
 
-  /** q38: embedding-cosine near-dup dedup, keep-first semantics — a vector
-    * is a duplicate iff an earlier (lower-id) vector is within cosine ≥ 0.4.
-    * Output: per-label dedup accounting. Pairs come from
-    * [[exactPairsBlocked]] — an evenly-distributed shuffled hash join, not a
-    * broadcast nested loop — and the higher id of each qualifying unordered
-    * pair is the duplicate (identical to "exists earlier j with sim ≥ t"). */
+  /** Keep-first near-dup dedup over a pluggable candidate-pair generator —
+    * a vector is a duplicate iff an earlier (lower-id) vector is within
+    * cosine ≥ `threshold` AND the generator emitted the pair. The higher id
+    * of each qualifying unordered pair is the duplicate (identical to
+    * "exists earlier j with sim ≥ t" when the generator is exhaustive).
+    *
+    * `pairGen` is the scale dial: [[exactPairsBlocked]] (exhaustive, Θ(N²)
+    * compares evenly distributed — the only sound choice when the
+    * threshold sits inside the random-similarity tail, see its scaladoc)
+    * or [[lshCandidatePairs]] (linear-in-N bucketed candidates — the
+    * 100-TB default whenever true near-dups are tight, sim ≳ 0.9). Both
+    * emit the same (i, j, ea, eb) shape, so the verify/mark stages are
+    * strategy-independent. */
+  def embeddingDedup(e: DataFrame, threshold: Double,
+                     pairGen: DataFrame => DataFrame): DataFrame = {
+    val dupIds = pairGen(e)
+      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .select(greatest(col("i"), col("j")).as("vec_id")).distinct()
+    e.join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** q38: embedding-cosine near-dup dedup at θ=0.4, keep-first semantics,
+    * per-label accounting. θ=0.4 sits inside this corpus's random-tail
+    * similarity range, so the pair generator must be the exhaustive
+    * [[exactPairsBlocked]] (see its scaladoc for why LSH cannot prune
+    * here); [[q100LshDedup]] is the same operator on the LSH path. */
   def q38EmbeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
-    val dupIds = exactPairsBlocked(e, nBlocks = 16)
-      .filter(cosine(col("ea"), col("eb")) >= 0.4)
-      .select(greatest(col("i"), col("j")).as("i")).distinct()
-    e.select(col("vec_id").as("i"), col("label"))
-      .join(dupIds.withColumn("is_dup", lit(true)), Seq("i"), "left")
+    embeddingDedup(e, 0.4, exactPairsBlocked(_, nBlocks = 16))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
+        count(when(col("is_dup"), 1)).as("n_dups"))
+      .orderBy(col("label"))
+  }
+
+  /** Planted-duplicate corpus: every `every`-th vector reappears verbatim
+    * with id shifted by `offset` (> every real id, so keep-first marks the
+    * copy, never the original, as the duplicate). */
+  def plantedCorpus(e: DataFrame, every: Int, offset: Long): DataFrame =
+    e.unionByName(
+      e.filter(col("vec_id") % every === 0)
+        .withColumn("vec_id", col("vec_id") + offset))
+
+  /** q100: the LSH (100-TB) dedup path, driver-verified against the exact
+    * oracle. Corpus = embeddings ∪ exact copies of every 7th vector
+    * (id + 1e6); dedup via [[lshCandidatePairs]] at θ=0.99.
+    *
+    * Why the approximate path has an exact oracle here: an exact copy has
+    * a bit-identical hyperplane signature in EVERY hash table (the
+    * signature is a deterministic function of the embedding values alone),
+    * so each planted pair collides with certainty — recall is provably
+    * 1.0, not probabilistically high. And at θ=0.99 nothing else
+    * qualifies (the corpus's max non-identical pair similarity is ≈ 0.51),
+    * so false candidates are eliminated by the exact cosine verify stage.
+    * The DuckDB oracle computes the same answer from the exhaustive N²
+    * join — it checks the LSH machinery end-to-end, assuming nothing. */
+  def q100LshDedup(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val corpus = plantedCorpus(e, every = 7, offset = 1000000L)
+    embeddingDedup(corpus, 0.99, lshCandidatePairs(_, tables = 6, planes = 8))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("vec_id") >= 1000000L, 1)).as("n_planted"),
         count(when(col("is_dup"), 1)).as("n_dups"))
       .orderBy(col("label"))
   }
@@ -277,16 +328,11 @@ object Similarity {
   }
 
   def approxEmbeddingDedup(e: DataFrame, threshold: Double,
-                           tables: Int = 6, planes: Int = 8): DataFrame = {
+                           tables: Int = 6, planes: Int = 8): DataFrame =
     // verify before any distinct: a pair colliding in k tables costs k
     // cosines (cheap, map-side) instead of shuffling embedding arrays
     // through a pair-level distinct
-    val dupIds = lshCandidatePairs(e, tables, planes)
-      .filter(cosine(col("ea"), col("eb")) >= threshold)
-      .select(col("j").as("vec_id")).distinct()
-    e.join(dupIds.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("label"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
-  }
+    embeddingDedup(e, threshold, lshCandidatePairs(_, tables, planes))
 
   /** q94: label-centroid cosine matrix — per-class mean embedding, then
     * pairwise cosine between class centroids: the "which classes are
@@ -361,6 +407,29 @@ object Similarity {
         |  SELECT e.vec_id, e.label, (d.i IS NOT NULL) AS is_dup
         |  FROM embeddings e LEFT JOIN dup_ids d ON e.vec_id = d.i)
         |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN is_dup THEN 1 END) AS n_dups
+        |FROM marked GROUP BY label ORDER BY label""".stripMargin,
+    // Exhaustive-N² oracle for the LSH path: valid because planted exact
+    // copies collide in every hash table (recall provably 1.0, see
+    // q100LshDedup scaladoc) — the SQL assumes nothing about LSH.
+    "q100_lsh_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, embedding FROM embeddings
+        |  WHERE vec_id % 7 = 0),
+        |dup_ids AS (
+        |  SELECT DISTINCT b.vec_id AS j
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.99),
+        |marked AS (
+        |  SELECT c.vec_id, c.label, (d.j IS NOT NULL) AS is_dup
+        |  FROM corpus c LEFT JOIN dup_ids d ON c.vec_id = d.j)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN vec_id >= 1000000 THEN 1 END) AS n_planted,
         |  count(CASE WHEN is_dup THEN 1 END) AS n_dups
         |FROM marked GROUP BY label ORDER BY label""".stripMargin,
     "q26_cosine_topk" ->
