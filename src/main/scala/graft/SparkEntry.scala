@@ -127,6 +127,7 @@ object SparkEntry {
     "q98_key_skew"          -> (Trends.q98KeySkew(_, _)),
     "q99_cooccurrence_lift" -> (Behavior.q99CooccurrenceLift(_, _)),
     "q100_lsh_dedup"        -> (Similarity.q100LshDedup(_, _)),
+    "q101_salted_agg"       -> (Trends.q101SaltedAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

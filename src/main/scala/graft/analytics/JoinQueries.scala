@@ -316,10 +316,16 @@ object JoinQueries {
     * fixed prefix) and a combined verdict. Edit distance is O(len²) per
     * pair, so it runs ONLY on the already-shortlisted candidates — the
     * standard expensive-verifier-after-cheap-filter composition. */
-  def q69EditDistance(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def q69EditDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistanceFrom(Tables.documents(spark, dir),
+      graft.text.TextOps.jaccardPairs(Tables.documents(spark, dir), 3))
+
+  /** q69 body over a precomputed (possibly `TextOps.sharedPairs`-persisted)
+    * candidate-pair relation. */
+  def editDistanceFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), substring(col("text"), 1, 60).as("prefix"))
-    val top = graft.text.TextOps.jaccardPairs(Tables.documents(spark, dir), 3)
+    val top = pairs
       .orderBy(col("jaccard").desc, col("d1"), col("d2")).limit(20)
     top
       .join(d.select(col("doc_id").as("d1"), col("prefix").as("p1")), "d1")

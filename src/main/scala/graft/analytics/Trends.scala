@@ -152,7 +152,60 @@ object Trends {
       .orderBy(col("event_type"))
   }
 
+  /** q101: skew-adaptive aggregation — the CONSUMER of q98's diagnostic.
+    * A deliberately skewed key (70% of rows collapse to one bucket) is
+    * aggregated count+sum per key; the q98 banded rule (max·n_keys >
+    * 4·total, integer cross-multiply) decides between the plain one-stage
+    * hash aggregation and [[Exprs.saltedCountSum]]'s two-stage salted form
+    * — stage 1 on (key, salt) spreads the hot key over 32 reducers, stage
+    * 2 merges partials per key.
+    *
+    * The decision is a 1-row driver-evaluated aggregate (the same
+    * orchestration grain as the Cdc snapshot and k-means loops — not a
+    * data-sized collect). Salting is result-invariant, so the oracle is
+    * the plain GROUP BY; it recomputes the banded decision in SQL, which
+    * checks the wiring (was_salted=true on this data), and the sums ride
+    * decimals through both stages so partial merge order can't flip a
+    * rounded double (CLAUDE.md sum rule). */
+  def q101SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k",
+        when(col("user_id") % 10 < 7, lit(-1L)).otherwise(col("user_id")))
+    val needsSalting = e.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+        max(col("n")).as("max_n"))
+      .select((col("max_n") * col("n_keys") > lit(4) * col("total"))
+        .as("needs_salting"))
+      .collect()(0).getBoolean(0)
+    val agged =
+      if (needsSalting)
+        Exprs.saltedCountSum(e, col("k"), col("value").cast("decimal(18,2)"), 32)
+      else
+        e.groupBy(col("k").as("k")).agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("total"))
+    agged
+      .select(col("k"), col("n"), col("total").cast("double").as("sum_value"),
+        lit(needsSalting).as("was_salted"))
+      .orderBy(col("n").desc, col("k"))
+      .limit(15)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q101_salted_agg" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN -1 ELSE user_id END AS k,
+        |    value
+        |  FROM events),
+        |diag AS (
+        |  SELECT max(n) * count(*) > 4 * sum(n) AS needs_salting
+        |  FROM (SELECT k, count(*) AS n FROM keyed GROUP BY k)),
+        |agged AS (
+        |  SELECT k, count(*) AS n,
+        |    sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |  FROM keyed GROUP BY k)
+        |SELECT k, n, sum_value, needs_salting AS was_salted
+        |FROM agged CROSS JOIN diag
+        |ORDER BY n DESC, k LIMIT 15""".stripMargin,
     "q98_key_skew" ->
       """WITH per_key AS (
         |  SELECT event_type, user_id, count(*) AS n

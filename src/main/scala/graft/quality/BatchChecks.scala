@@ -221,51 +221,130 @@ object BatchChecks {
       .orderBy(col("event_type"))
   }
 
+  /** The timestamp is profiled at the MICRO grain (`ts_us` = ts_ns div
+    * 1000): the oracle engine reads nano-precision parquet at micro
+    * precision, so nano-grain min/max/distinct would compare different
+    * quantities (the repo-wide `ts_ns div 1000` ↔ `epoch_us(ts)`
+    * convention, CLAUDE.md). */
   private val ProfileCols =
-    Seq("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    Seq("event_id", "ts_us", "user_id", "event_type", "value", "props")
+
+  /** Type-aware metric sets for the q97 profile. ts_us gets min/max but NOT
+    * percentiles: interpolating ~1.7e15-magnitude values amplifies the
+    * cross-engine formula difference ((1-g)·a + g·b vs a + (b-a)·g) to
+    * observable ulps (measured 4 ulps on the nano grain at sf0.01), while
+    * the small-magnitude columns are bitwise identical across engines at
+    * both sf0.01 and sf0.1. min/max ride through DECIMAL(38,6) so large
+    * longs stay exact (double can't hold 1e18). */
+  private val NumCols = Seq("event_id", "ts_us", "user_id", "value")
+  private val PctCols = Seq("event_id", "user_id", "value")
+  private val StrCols = Seq("event_type", "props")
 
   /** q97: table profile — per column: presence, null share, distinct
-    * cardinality. The "ANALYZE TABLE"-style statistics pass a pipeline
-    * runs on a landed batch before ingestion (the reference stores
-    * per-batch quality metrics for the same purpose,
+    * cardinality, and type-aware statistics: numeric columns get exact
+    * min/max plus exact-interpolated p50/p95, string columns get
+    * min/max/avg length. The "ANALYZE TABLE"-style statistics pass a
+    * pipeline runs on a landed batch before ingestion (the reference
+    * stores per-batch quality metrics for the same purpose,
     * `sql/athena/03_create_processed_tables.sql:140-191`); its output also
     * feeds the optimizer-facing decisions this repo makes by hand
-    * (broadcast eligibility, distinct-count-based join strategies).
+    * (broadcast eligibility, distinct-count-based join strategies,
+    * q98-style salting calls).
     *
-    * Scale shape: ONE aggregation pass emits every per-column metric
-    * (Spark plans the 6 distinct-counts via a single Expand — still one
-    * scan); the per-column rows come from exploding a 6-element literal
-    * struct array over the 1-row aggregate. No per-column re-scan. */
+    * Scale shape: still ONE aggregation pass for every metric (Spark plans
+    * the 6 distinct-counts via a single Expand; min/max/percentile/length
+    * aggs ride the first Expand branch — one scan, no per-column re-scan).
+    * Exact `percentile` buffers a value→count map per partition, fine for
+    * bounded-cardinality batch profiling; at 100 TB swap in
+    * `approx_percentile` (the q46 path) — same plan shape, mergeable
+    * sketch state. */
   def q97SchemaProfile(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
-      count(col(c)).as(s"np_$c"),
-      countDistinct(col(c)).as(s"nd_$c")))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"np_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+      (if (NumCols.contains(c)) Seq(
+        min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
+        max(col(c)).cast("decimal(38,6)").as(s"mx_$c")) else Nil) ++
+      (if (PctCols.contains(c)) Seq(
+        expr(s"percentile($c, 0.5)").as(s"p50_$c"),
+        expr(s"percentile($c, 0.95)").as(s"p95_$c")) else Nil) ++
+      (if (StrCols.contains(c)) Seq(
+        min(length(col(c))).as(s"lmin_$c"),
+        max(length(col(c))).as(s"lmax_$c"),
+        sum(length(col(c))).as(s"lsum_$c")) else Nil)
+    }
     val one = e.agg(aggs.head, aggs.tail: _*)
-    val entries = array(ProfileCols.map(c => struct(
-      lit(c).as("column_name"),
-      col(s"np_$c").as("n_present"),
-      col(s"nd_$c").as("n_distinct"))): _*)
+    val nullDec = lit(null).cast("decimal(38,6)")
+    val entries = array(ProfileCols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col(s"np_$c").as("n_present"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (NumCols.contains(c)) col(s"mn_$c") else nullDec).as("min_num"),
+        (if (NumCols.contains(c)) col(s"mx_$c") else nullDec).as("max_num"),
+        (if (PctCols.contains(c)) Exprs.dround(col(s"p50_$c"), 4)
+         else lit(null).cast("double")).as("p50_num"),
+        (if (PctCols.contains(c)) Exprs.dround(col(s"p95_$c"), 4)
+         else lit(null).cast("double")).as("p95_num"),
+        (if (StrCols.contains(c)) col(s"lmin_$c")
+         else lit(null).cast("int")).as("min_len"),
+        (if (StrCols.contains(c)) col(s"lmax_$c")
+         else lit(null).cast("int")).as("max_len"),
+        (if (StrCols.contains(c)) Exprs.dround(col(s"lsum_$c") / col(s"np_$c"), 4)
+         else lit(null).cast("double")).as("avg_len"))
+    }: _*)
     one.select(col("n"), explode(entries).as("p"))
       .select(col("p.column_name"), col("n"), col("p.n_present"),
         (col("n") - col("p.n_present")).as("n_null"),
         Exprs.pctOf(col("n") - col("p.n_present"), col("n"), 4).as("null_pct"),
-        col("p.n_distinct"))
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
+        col("p.p50_num"), col("p.p95_num"),
+        col("p.min_len"), col("p.max_len"), col("p.avg_len"))
       .orderBy(col("column_name"))
   }
 
   val oracle: Map[String, String] = Map(
     "q97_schema_profile" -> {
-      val stats = ProfileCols.map(c =>
-        s"count($c) AS np_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
-      val rows = ProfileCols.map(c =>
+      val stats = ProfileCols.map { c =>
+        val base = s"count($c) AS np_$c, count(DISTINCT $c) AS nd_$c"
+        val num =
+          if (NumCols.contains(c))
+            s", min($c)::DECIMAL(38,6) AS mn_$c, max($c)::DECIMAL(38,6) AS mx_$c"
+          else ""
+        val pct =
+          if (PctCols.contains(c))
+            s", quantile_cont($c, 0.5) AS p50_$c, quantile_cont($c, 0.95) AS p95_$c"
+          else ""
+        val len =
+          if (StrCols.contains(c))
+            s", min(length($c)) AS lmin_$c, max(length($c)) AS lmax_$c," +
+              s" sum(length($c))::BIGINT AS lsum_$c"
+          else ""
+        base + num + pct + len
+      }.mkString(", ")
+      val rows = ProfileCols.map { c =>
+        val mn = if (NumCols.contains(c)) s"mn_$c" else "NULL::DECIMAL(38,6)"
+        val mx = if (NumCols.contains(c)) s"mx_$c" else "NULL::DECIMAL(38,6)"
+        val p50 = if (PctCols.contains(c))
+          s"round(p50_$c * 10000) / 10000" else "NULL::DOUBLE"
+        val p95 = if (PctCols.contains(c))
+          s"round(p95_$c * 10000) / 10000" else "NULL::DOUBLE"
+        val lmin = if (StrCols.contains(c)) s"lmin_$c" else "NULL::INT"
+        val lmax = if (StrCols.contains(c)) s"lmax_$c" else "NULL::INT"
+        val alen = if (StrCols.contains(c))
+          s"round(lsum_$c / np_$c * 10000) / 10000" else "NULL::DOUBLE"
         s"""SELECT '$c' AS column_name, n, np_$c AS n_present,
            |  n - np_$c AS n_null,
            |  round(100.0 * (n - np_$c) / n * 10000) / 10000 AS null_pct,
-           |  nd_$c AS n_distinct FROM stats""".stripMargin)
-        .mkString("\n UNION ALL\n")
+           |  nd_$c AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num,
+           |  $p50 AS p50_num, $p95 AS p95_num,
+           |  $lmin AS min_len, $lmax AS max_len, $alen AS avg_len
+           |FROM stats""".stripMargin
+      }.mkString("\n UNION ALL\n")
       s"""WITH base AS (
-        |  SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type,
+        |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |    value, props
         |  FROM events),
         |stats AS (SELECT count(*) AS n, $stats FROM base)

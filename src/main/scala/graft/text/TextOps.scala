@@ -156,12 +156,41 @@ object TextOps {
         Exprs.dround(col("common") / (col("c1") + col("c2") - col("common")), 6))
   }
 
-  /** q24: top-20 most similar doc pairs by word-3-gram Jaccard. */
-  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(Tables.documents(spark, dir), 3)
+  /** Materialized candidate-pair contract for the dedup family. q24 (top
+    * pairs), q59 (clustering), q69 (edit-distance verify) and q96 (the
+    * incremental gate's near path) all start from the same exploded-shingle
+    * self-join — the dominant cost of corpus dedup. A pipeline running
+    * several of them per batch should compute that relation ONCE:
+    *
+    * {{{
+    * val pairs = TextOps.sharedPairs(docs)     // persisted on first action
+    * try {
+    *   TextOps.topJaccard(pairs)               // q24
+    *   TextOps.dupClustersFrom(pairs)          // q59
+    *   JoinQueries.editDistanceFrom(docs, pairs)          // q69
+    *   TextOps.incrementalDedupFrom(docs, pairs, splitId) // q96 near path
+    * } finally pairs.unpersist()
+    * }}}
+    *
+    * Lifecycle contract (same as Cdc's snapshot): the CALLER owns
+    * `unpersist()` — consumers never cache or uncache it themselves. The
+    * persisted relation is (d1, d2, common, c1, c2, jaccard) — pair-grain,
+    * orders of magnitude smaller than the exploded shingle relation it
+    * collapses, so MEMORY_AND_DISK is safe at corpus scale. */
+  def sharedPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 500): DataFrame =
+    jaccardPairs(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Top-20 most similar pairs of a candidate-pair relation (q24 body). */
+  def topJaccard(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(20)
+
+  /** q24: top-20 most similar doc pairs by word-3-gram Jaccard. */
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    topJaccard(jaccardPairs(Tables.documents(spark, dir), 3))
 
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
     * each shingle; signature[i] = min over shingles. */
@@ -420,8 +449,12 @@ object TextOps {
     *
     * Oracle: transitive closure via WITH RECURSIVE + min per doc —
     * identical component labels, independently derived. */
-  def q59DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(Tables.documents(spark, dir), 3)
+  def q59DupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersFrom(jaccardPairs(Tables.documents(spark, dir), 3))
+
+  /** q59 body over a (possibly [[sharedPairs]]-persisted) pair relation. */
+  def dupClustersFrom(allPairs: DataFrame): DataFrame = {
+    val pairs = allPairs
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
     // edges are loop-invariant: hash-partition them on the probe key ONCE
@@ -474,6 +507,20 @@ object TextOps {
   def q96IncrementalDedup(spark: SparkSession, dir: String,
                           splitId: Long = 400L): DataFrame = {
     val d = Tables.documents(spark, dir)
+    incrementalDedupFrom(d,
+      jaccardPairs(d, 3,
+        aSide = col("doc_id") < splitId, bSide = col("doc_id") >= splitId),
+      splitId)
+  }
+
+  /** q96 body over a precomputed pair relation. Standalone q96 passes the
+    * side-restricted join (no old×old fan-out is ever generated); a
+    * pipeline that already holds [[sharedPairs]] passes that instead — the
+    * cross-batch filter below makes both give identical results, because
+    * side restriction never changes a surviving pair's score (denominators
+    * and the df cap always see the full corpus). */
+  def incrementalDedupFrom(d: DataFrame, pairs: DataFrame,
+                           splitId: Long): DataFrame = {
     val normKey = md5(concat_ws(" ", array_sort(tokens(col("text")))))
     val newB = d.filter(col("doc_id") >= splitId)
     val oldKeys = d.filter(col("doc_id") < splitId)
@@ -481,8 +528,9 @@ object TextOps {
     val exactIds = newB.withColumn("k", normKey)
       .join(oldKeys, Seq("k"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
-    val nearIds = jaccardPairs(d, 3,
-        aSide = col("doc_id") < splitId, bSide = col("doc_id") >= splitId)
+    // pairs carry d1 < d2, so "exactly one side is old" ≡ d1 old ∧ d2 new
+    val nearIds = pairs
+      .filter(col("d1") < splitId && col("d2") >= splitId)
       .filter(col("jaccard") >= 0.4)
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("is_near", lit(true))

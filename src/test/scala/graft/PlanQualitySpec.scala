@@ -195,6 +195,16 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q101 takes the salted path: two aggregation stages with the salt " +
+      "in the first exchange, then a per-key merge") {
+    val p = plan(graft.analytics.Trends.q101SaltedAgg(spark, Sf001))
+    assert(p.contains("__salt"),
+      s"stage-1 grouping must include the salt column:\n${p.take(3000)}")
+    // partial+final for each of the two stages
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two-stage (>=4 HashAggregate nodes) salted shape:\n${p.take(3000)}")
+  }
+
   test("q41 stats pass is broadcast into the check aggregation (no shuffle join)") {
     val p = plan(graft.quality.BatchChecks.q41BatchCheckSuite(spark, Sf001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
