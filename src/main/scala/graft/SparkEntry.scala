@@ -128,6 +128,7 @@ object SparkEntry {
     "q99_cooccurrence_lift" -> (Behavior.q99CooccurrenceLift(_, _)),
     "q100_lsh_dedup"        -> (Similarity.q100LshDedup(_, _)),
     "q101_salted_agg"       -> (Trends.q101SaltedAgg(_, _)),
+    "q102_image_decode"     -> (Multimodal.q102ImageDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -8,9 +8,12 @@ import graft.ops.Exprs
 
 /** Multimodal columns: image/audio/video as opaque `binary` content plus a
   * typed metadata struct, with decode / feature-extract / frame-sample
-  * plumbing (builder brief: the media codecs are not in this container, so
-  * the decode kernel is a clearly-marked deterministic stub — the Spark-side
-  * schema, batch shape, and partitioning behavior are real and tested).
+  * plumbing. IMAGE decode is REAL — [[decodeImage]] runs `javax.imageio`
+  * over actual PNG bytes ([[synthesizeImages]], q102) with [[decodeStub]]
+  * as the fallback for unparseable blobs. Audio/video decode remains a
+  * clearly-marked deterministic stub (no A/V codecs in this container) —
+  * for those, the Spark-side schema, batch shape, and partitioning
+  * behavior are real and tested.
   *
   * Layout decisions that matter at 100 TB:
   *   - content is a single `binary` column → parquet keeps it out of the way
@@ -137,6 +140,110 @@ object Multimodal {
       .orderBy(col("kind"))
   }
 
+  /** Deterministic REAL image table: one row per document, content = an
+    * actual PNG (constant gray g = doc_id % 256, dims 8+doc_id%16 ×
+    * 8+doc_id%8), generated partition-locally with `ImageIO.write`. Every
+    * 50th row is a deliberately corrupt 4-byte blob, so the decode
+    * fallback path is exercised deterministically. Constant-fill +
+    * lossless PNG means every decoded-pixel statistic is an arithmetic
+    * function of doc_id — which is what lets a SQL oracle check a real
+    * codec round-trip end-to-end. */
+  def synthesizeImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 50 == 0) (id, Array[Byte](0, 1, 2, 3))
+          else {
+            val g = (id % 256).toInt
+            val w = 8 + (id % 16).toInt
+            val h = 8 + (id % 8).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (g << 16) | (g << 8) | g
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** REAL image decode kernel: `javax.imageio.ImageIO` over the blob —
+    * actual pixel width/height and mean RGB luminance — falling back to
+    * [[decodeStub]]'s byte statistics (dims 0×0) when the blob doesn't
+    * parse as an image. Returns (decoded, width, height, brightness). */
+  def decodeImage(content: Array[Byte]): (Boolean, Int, Int, Double) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (img == null) {
+      val (_, b) = decodeStub(content)
+      (false, 0, 0, b)
+    } else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (true, img.getWidth, img.getHeight,
+        sum.toDouble / (img.getWidth.toLong * img.getHeight * 3))
+    }
+  }
+
+  case class DecodedImage(mediaId: Long, decoded: Boolean, w: Int, h: Int,
+                          brightness: Double, contentHash: String)
+
+  /** q102: real-codec decode audit — the [[synthesizeImages]] PNGs go
+    * through [[decodeImage]] in the same Iterator→Iterator mapPartitions
+    * batch shape as [[extractFeatures]] (partition-local, zero shuffle),
+    * then aggregate per doc_id-bucket: decode/fallback counts,
+    * decoded-pixel brightness, decoded dimensions, distinct content
+    * hashes. Because the generator fills each PNG with one gray level,
+    * the decoded statistics are exactly computable in SQL (brightness =
+    * g, dims = the generator's), so the oracle verifies the ImageIO
+    * round-trip itself — a wrong pixel, a dropped row, or a fallback
+    * misfire all flip the hash. Corrupt blobs land on the stub path:
+    * brightness 1.5 (mean of bytes 0,1,2,3), dims 0. */
+  def q102ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = synthesizeImages(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val hash = md.digest(bytes).map("%02x".format(_)).mkString
+          md.reset()
+          val (ok, w, h, b) = decodeImage(bytes)
+          DecodedImage(id, ok, w, h, math.rint(b * 10000) / 10000, hash)
+        }
+      }
+    feats.toDF()
+      .groupBy((col("mediaId") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        count(when(col("decoded"), 1)).as("n_decoded"),
+        count(when(!col("decoded"), 1)).as("n_fallback"),
+        Exprs.dround(avg(col("brightness")), 4).as("avg_brightness"),
+        sum(col("w")).as("sum_w"),
+        sum(col("h")).as("sum_h"),
+        countDistinct(col("contentHash")).as("n_distinct"))
+      .orderBy(col("bucket"))
+  }
+
   /** q34: metadata + content stats per kind. The aggregation path uses pure
     * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
     * asserts the mapPartitions decode path agrees with it row-for-row. */
@@ -154,6 +261,34 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // Decoded-pixel stats are arithmetic in doc_id because the generator
+    // fills each lossless PNG with one gray level — see q102ImageDecode.
+    "q102_image_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    doc_id % 50 = 0 AS corrupt,
+        |    (doc_id % 256)::INT AS g,
+        |    (8 + doc_id % 16)::INT AS w,
+        |    (8 + doc_id % 8)::INT AS h
+        |  FROM documents),
+        |feat AS (
+        |  SELECT media_id, media_id % 4 AS bucket,
+        |    NOT corrupt AS decoded,
+        |    CASE WHEN corrupt THEN 0 ELSE w END AS dw,
+        |    CASE WHEN corrupt THEN 0 ELSE h END AS dh,
+        |    CASE WHEN corrupt THEN 1.5 ELSE g::DOUBLE END AS brightness,
+        |    CASE WHEN corrupt THEN 'corrupt'
+        |         ELSE g::VARCHAR || 'x' || w::VARCHAR || 'x' || h::VARCHAR
+        |    END AS sig
+        |  FROM img)
+        |SELECT bucket, count(*) AS n_media,
+        |  count(CASE WHEN decoded THEN 1 END) AS n_decoded,
+        |  count(CASE WHEN NOT decoded THEN 1 END) AS n_fallback,
+        |  round(avg(brightness) * 10000) / 10000 AS avg_brightness,
+        |  sum(dw)::BIGINT AS sum_w, sum(dh)::BIGINT AS sum_h,
+        |  count(DISTINCT sig) AS n_distinct
+        |FROM feat GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q79_frame_sample" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,

@@ -452,34 +452,77 @@ object TextOps {
   def q59DupClusters(spark: SparkSession, dir: String): DataFrame =
     dupClustersFrom(jaccardPairs(Tables.documents(spark, dir), 3))
 
+  /** localCheckpoint that RETAINS the plan's hash partitioning. Under AQE,
+    * `AdaptiveSparkPlanExec` reports UnknownPartitioning when the
+    * checkpoint captures the plan, so every checkpointed relation forgot
+    * its co-partitioning and downstream joins re-shuffled it — measured on
+    * q59, whose loop-invariant edge relation re-exchanged EVERY round
+    * despite the one-time repartition (the round-5 "edges shuffle once"
+    * claim was wrong until this fix). Planning this one materialization
+    * with AQE off records `hashpartitioning(...)` in the LogicalRDD; the
+    * session flag is restored immediately.
+    *
+    * Caveat: `df` must be freshly built — QueryExecution is cached on
+    * first access, so a DataFrame whose plan was already forced under AQE
+    * (an action, `.explain`, `.queryExecution.executedPlan`) will NOT
+    * replan here and the partitioning is lost anyway. */
+  def checkpointKeepPartitioning(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint()
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  /** One min-label-propagation round (the q59 loop body, exposed so the
+    * plan spec can pin its shape): each doc takes the min label over its
+    * neighborhood. The edge relation arrives pre-partitioned on `dst`
+    * (q59's one-time repartition + partitioning-keeping checkpoint), so
+    * the round's plan shuffles ONLY the label relation into the join and
+    * the min-agg — the loop-invariant edges never re-exchange. */
+  def labelPropRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lbl = labels.select(col("doc_id").as("ldoc"), col("label"))
+    val nbrMin = edges.join(lbl, col("dst") === col("ldoc"))
+      .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+    // output carries (doc_id, label, changed) — NOT the old label as a
+    // second alias of the same attribute: the checkpoint stores ONE
+    // partitioning expression chosen among value-equivalent aliases, and
+    // only `doc_id` (the attribute the next round clusters on) must be a
+    // candidate, or rounds ≥ 2 re-shuffle both label-side joins
+    labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      .select(labels("doc_id"),
+        least(labels("label"), coalesce(col("nbr_min"), labels("label")))
+          .as("label"),
+        (coalesce(col("nbr_min"), labels("label")) < labels("label"))
+          .as("changed"))
+  }
+
   /** q59 body over a (possibly [[sharedPairs]]-persisted) pair relation. */
   def dupClustersFrom(allPairs: DataFrame): DataFrame = {
     val pairs = allPairs
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
-    // edges are loop-invariant: hash-partition them on the probe key ONCE
-    // (localCheckpoint preserves outputPartitioning), so each round's join
-    // shuffles only the label relation, never the edge relation
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // edges are loop-invariant: hash-partition them on the probe key ONCE,
+    // with a partitioning-KEEPING checkpoint (a plain localCheckpoint under
+    // AQE forgets outputPartitioning and re-shuffled them every round), so
+    // each round's join shuffles only the label relation, never the edges
+    val edges = checkpointKeepPartitioning(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .repartition(col("dst")))
+    // labels come out of distinct already hash-partitioned on doc_id;
+    // keeping that lets every round's joins skip the label-side shuffles
+    // too (checkpoint BEFORE aliasing: the stored partitioning must name
+    // doc_id, the attribute the round's joins cluster on)
+    var labels = checkpointKeepPartitioning(
+      edges.select(col("src").as("doc_id")).distinct())
+      .withColumn("label", col("doc_id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
-      val lbl = labels.select(col("doc_id").as("ldoc"), col("label"))
-      val nbrMin = edges.join(lbl, col("dst") === col("ldoc"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(labels("label"), coalesce(col("nbr_min"), labels("label")))
-            .as("new_label"),
-          labels("label").as("old_label"))
-        .localCheckpoint()
-      changed = next.filter(col("new_label") =!= col("old_label")).count()
-      labels = next.select(col("doc_id"), col("new_label").as("label"))
+      val next = checkpointKeepPartitioning(labelPropRound(edges, labels))
+      changed = next.filter(col("changed")).count()
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     labels.groupBy(col("label").as("cluster_id")).agg(

@@ -170,6 +170,77 @@ class FlightSpec extends SparkSpecBase {
     assert(deadRows.forall(_.getAs[Int]("attempts") === 3))
   }
 
+  test("replayWithPolicy: flaky fix-up recovers within the attempt budget, " +
+      "hopeless records dead-letter after exactly maxAttempts, cool-down " +
+      "rows pass through untouched") {
+    // fix-up that only works from the third attempt on (attempts >= 2)
+    val flaky: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      el => el.filter(col("raw").contains("flaky") && col("attempts") >= 2)
+        .select(col("raw"), col("source_file"), col("dlq_id"))
+    val bad = Seq(("flaky record", "f1"), ("hopeless record", "f2"))
+      .toDF("raw", "source_file")
+    val policy = Flight.RetryPolicy(maxAttempts = 3, baseDelayS = 1.0,
+      backoffMultiplier = 2.0, breakerFailureThreshold = 99)
+    var queue = Flight.enqueueDlq(bad, nowS = 1000L)
+
+    // run 1 @1000: both eligible, both fail → requeued attempt 1, backoff 1s
+    val r1 = Flight.replayWithPolicy(queue, 1000L, policy, replay = flaky)
+    assert(r1.recovered.count() === 0 && r1.dead.count() === 0)
+    val q1 = r1.requeued.collect().map(r =>
+      r.getAs[String]("raw") ->
+        (r.getAs[Int]("attempts"), r.getAs[Long]("next_eligible_s"))).toMap
+    assert(q1.values.toSet === Set((1, 1001L)))
+
+    // run 2 @1001: both eligible again, fail → attempt 2, backoff 2s
+    val r2 = Flight.replayWithPolicy(r1.requeued, 1001L, policy, replay = flaky)
+    assert(r2.recovered.count() === 0 && r2.dead.count() === 0)
+    assert(r2.requeued.collect().map(_.getAs[Long]("next_eligible_s")).toSet
+      === Set(1003L))
+
+    // @1002: inside the cool-down window — nothing replays, rows untouched
+    val rCool = Flight.replayWithPolicy(r2.requeued, 1002L, policy, replay = flaky)
+    assert(rCool.recovered.count() === 0 && rCool.dead.count() === 0)
+    assert(rCool.requeued.collect().map(r =>
+        (r.getAs[String]("raw"), r.getAs[Int]("attempts"),
+         r.getAs[Long]("next_eligible_s"))).toSet ===
+      r2.requeued.collect().map(r =>
+        (r.getAs[String]("raw"), r.getAs[Int]("attempts"),
+         r.getAs[Long]("next_eligible_s"))).toSet)
+
+    // run 3 @1003: flaky succeeds (attempts=2); hopeless exhausts → dead
+    val r3 = Flight.replayWithPolicy(rCool.requeued, 1003L, policy, replay = flaky)
+    assert(r3.recovered.collect().map(_.getAs[String]("raw")).toSeq
+      === Seq("flaky record"))
+    assert(r3.requeued.count() === 0)
+    val deadRows = r3.dead.collect()
+    assert(deadRows.map(_.getAs[String]("raw")).toSeq === Seq("hopeless record"))
+    assert(deadRows.forall(_.getAs[String]("dead_reason")
+      === "max_attempts_exhausted"))
+    assert(deadRows.forall(_.getAs[Int]("attempts") === 3))
+  }
+
+  test("replayWithPolicy: the circuit breaker opens on a failure burst and " +
+      "skips the whole queue until its cool-down elapses") {
+    val never: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      el => el.filter(lit(false))
+        .select(col("raw"), col("source_file"), col("dlq_id"))
+    val bad = (1 to 5).map(i => (s"rec $i", "f")).toDF("raw", "source_file")
+    val policy = Flight.RetryPolicy(maxAttempts = 10,
+      breakerFailureThreshold = 5, breakerCooldownS = 120L)
+    val queue = Flight.enqueueDlq(bad, nowS = 1000L)
+    val r1 = Flight.replayWithPolicy(queue, 1000L, policy, replay = never)
+    assert(r1.breakerOpenUntilS === 1120L, "5 failures must open the breaker")
+    // open breaker: everything passes through with attempts unchanged
+    val r2 = Flight.replayWithPolicy(r1.requeued, 1050L, policy,
+      breakerOpenUntilS = r1.breakerOpenUntilS, replay = never)
+    assert(r2.recovered.count() === 0 && r2.dead.count() === 0)
+    assert(r2.requeued.collect().map(_.getAs[Int]("attempts")).toSet === Set(1))
+    assert(r2.breakerOpenUntilS === 1120L)
+    // past the cool-down the queue replays again (attempts advance)
+    val r3 = Flight.replayWithPolicy(r2.requeued, 1120L, policy, replay = never)
+    assert(r3.requeued.collect().map(_.getAs[Int]("attempts")).toSet === Set(2))
+  }
+
   test("ingest + writePartitioned round-trip with hour partitions") {
     val out = Files.createTempDirectory("flight_out").toString
     Flight.writePartitioned(Flight.ingest(spark, rawDir), out)

@@ -99,4 +99,38 @@ class MultimodalSpec extends SparkSpecBase {
     val (_, b0) = Multimodal.decodeStub(Array.emptyByteArray)
     assert(b0 === 0.0)
   }
+
+  test("decodeImage recovers exact dims and brightness from a real PNG " +
+      "and falls back to byte stats on garbage") {
+    val img = new java.awt.image.BufferedImage(
+      12, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = 137
+    val rgb = (g << 16) | (g << 8) | g
+    for (y <- 0 until 9; x <- 0 until 12) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (ok, w, h, b) = Multimodal.decodeImage(bos.toByteArray)
+    assert(ok && w === 12 && h === 9 && b === g.toDouble)
+    val (ok2, w2, h2, b2) = Multimodal.decodeImage(Array[Byte](0, 1, 2, 3))
+    assert(!ok2 && w2 === 0 && h2 === 0 && b2 === 1.5)
+  }
+
+  test("q102 per-row decode agrees with the generator's parameters for " +
+      "every row (not just in aggregate)") {
+    import spark.implicits._
+    val feats = Multimodal.synthesizeImages(spark, Sf0001)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .collect()
+      .map { case (id, bytes) => id -> Multimodal.decodeImage(bytes) }
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, (ok, w, h, b)) =>
+      if (id % 50 == 0) assert(!ok && b === 1.5)
+      else {
+        assert(ok, s"doc $id must decode")
+        assert(w === 8 + (id % 16).toInt && h === 8 + (id % 8).toInt)
+        assert(b === (id % 256).toDouble, s"doc $id brightness")
+      }
+    }
+  }
 }

@@ -195,6 +195,51 @@ class PlanQualitySpec extends SparkSpecBase {
       p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q38 blocked pair generation joins on the block-pair key (equi-join, " +
+      "never a nested loop)") {
+    val p = plan(graft.sim.Similarity.q38EmbeddingDedup(spark, Sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"exact pairs must distribute over the block-pair equi-join:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q59 label-propagation round shuffles ONLY the min-aggregation: " +
+      "checkpointed edges and labels keep their hash partitioning") {
+    import graft.text.TextOps
+    import spark.implicits._
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAB = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", -1)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+      val edges = TextOps.checkpointKeepPartitioning(
+        pairs.select(col("d1").as("src"), col("d2").as("dst"))
+          .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+          .repartition(col("dst")))
+      var labels = TextOps.checkpointKeepPartitioning(
+        edges.select(col("src").as("doc_id")).distinct())
+        .withColumn("label", col("doc_id"))
+      // round 1, and round 2 through the loop's checkpoint — partitioning
+      // must survive the round boundary, not just the initial build
+      val next = TextOps.checkpointKeepPartitioning(
+        TextOps.labelPropRound(edges, labels))
+      labels = next.select(col("doc_id"), col("label"))
+      for ((round, df) <- Seq(
+          "round2" -> TextOps.labelPropRound(edges, labels))) {
+        val p = plan(df)
+        val n = "Exchange".r.findAllIn(p).size
+        assert(n === 1,
+          s"$round: expected exactly 1 Exchange (the min-agg), got $n:\n$p")
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAB)
+    }
+  }
+
   test("q101 takes the salted path: two aggregation stages with the salt " +
       "in the first exchange, then a per-key merge") {
     val p = plan(graft.analytics.Trends.q101SaltedAgg(spark, Sf001))
