@@ -129,6 +129,7 @@ object SparkEntry {
     "q100_lsh_dedup"        -> (Similarity.q100LshDedup(_, _)),
     "q101_salted_agg"       -> (Trends.q101SaltedAgg(_, _)),
     "q102_image_decode"     -> (Multimodal.q102ImageDecode(_, _)),
+    "q103_query_cost_audit" -> (Dashboard.q103QueryCostAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -253,7 +253,72 @@ object Dashboard {
       .orderBy(col("event_type"))
   }
 
+  /** q103: query-cost audit — the reference's top-25-most-expensive-queries
+    * monitor (`sql/athena/07_optimization_guide.sql:449-480`: bytes
+    * scanned, the $5/TB cost estimate, MB/s throughput, ordered by spend).
+    * No query-history table exists in this environment, so the log is
+    * DERIVED deterministically from events — one synthetic "query" per
+    * (event_type, day): bytes = Σ(octet_length(props)+64) and millis =
+    * 50 + avg-value-cents (exact decimal→BIGINT, floor div) — which keeps
+    * every audit metric integer-derived and oracle-exact while the audit
+    * expressions themselves mirror the reference formulas (gb and cost at
+    * 6dp rather than 2dp: test-scale logs are KB-sized, 2dp would round
+    * everything to 0.00 at the same formula).
+    *
+    * Scale shape: one hash aggregation at the (type, day) grain with
+    * map-side combine, then a 25-row TakeOrderedAndProject — a real
+    * query-history table drops in for `log` with zero plan change. */
+  def q103QueryCostAudit(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts_ns div 1000 div 86400000000")
+    val log = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(octet_length(col("props")) + 64).as("data_scanned_in_bytes"),
+        expr("50 + (cast(sum(cast(value as decimal(18,2)) * 100) as bigint)" +
+          " div count(1))").as("execution_time_in_millis"))
+      .withColumn("query_id",
+        concat(col("event_type"), lit("@"), col("day")))
+    log.select(
+        col("query_id"), col("n_rows"), col("data_scanned_in_bytes"),
+        Exprs.dround(col("data_scanned_in_bytes") / lit(1073741824.0), 6)
+          .as("data_scanned_gb"),
+        Exprs.dround(col("data_scanned_in_bytes") / lit(1073741824.0) * 5.0, 6)
+          .as("estimated_cost_usd"),
+        col("execution_time_in_millis"),
+        Exprs.dround(col("execution_time_in_millis") / lit(1000.0), 2)
+          .as("execution_time_seconds"),
+        Exprs.dround((col("data_scanned_in_bytes") / lit(1048576.0)) /
+          (col("execution_time_in_millis") / lit(1000.0)), 2)
+          .as("mb_per_second"))
+      .orderBy(col("data_scanned_in_bytes").desc, col("query_id"))
+      .limit(25)
+  }
+
   val oracle: Map[String, String] = Map(
+    "q103_query_cost_audit" ->
+      """WITH log AS (
+        |  SELECT event_type || '@' ||
+        |      (epoch_us(ts) // 86400000000)::VARCHAR AS query_id,
+        |    count(*) AS n_rows,
+        |    sum(octet_length(encode(props)) + 64)::BIGINT
+        |      AS data_scanned_in_bytes,
+        |    50 + (sum(value::DECIMAL(18,2) * 100)::BIGINT // count(*))
+        |      AS execution_time_in_millis
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000)
+        |SELECT query_id, n_rows, data_scanned_in_bytes,
+        |  round(data_scanned_in_bytes / 1073741824.0 * 1000000) / 1000000
+        |    AS data_scanned_gb,
+        |  round(data_scanned_in_bytes / 1073741824.0 * 5.0 * 1000000) / 1000000
+        |    AS estimated_cost_usd,
+        |  execution_time_in_millis,
+        |  round(execution_time_in_millis / 1000.0 * 100) / 100
+        |    AS execution_time_seconds,
+        |  round((data_scanned_in_bytes / 1048576.0) /
+        |    (execution_time_in_millis / 1000.0) * 100) / 100 AS mb_per_second
+        |FROM log
+        |ORDER BY data_scanned_in_bytes DESC, query_id
+        |LIMIT 25""".stripMargin,
     "q56_sampling_estimate" ->
       """SELECT event_type, count(*) AS actual_n,
         |  count(CASE WHEN event_id % 10 = 0 THEN 1 END) AS sampled_n,
