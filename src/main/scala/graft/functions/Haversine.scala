@@ -90,6 +90,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(WordShinglesFunction.info)
     ext.injectFunction(Simhash64Function.info)
     ext.injectFunction(WinnowFpsFunction.info)
+    ext.injectFunction(HyperplaneSigFunction.info)
     ext.injectOptimizerRule(_ => RewriteTokenCount)
   }
 }

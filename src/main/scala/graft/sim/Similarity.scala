@@ -44,9 +44,11 @@ object Similarity {
   /** Composed-expression cosine (no registration needed). */
   def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Idempotent registration of the native cosine kernel on a session. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  /** Idempotent registration of the native similarity kernels on a session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
     graft.functions.CosineSimFunction.register(spark)
+    graft.functions.HyperplaneSigFunction.register(spark)
+  }
 
   /** q26: exact top-3 cosine neighbors for each probe vector (vec_id ≤ 50). */
   def q26CosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -68,8 +70,19 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane signature: bit p is the sign of
     * Σ_d e[d]·sin(131·p + 17·d). No RNG state → reproducible across runs,
     * executors, and engines. `offset` shifts the plane index so independent
-    * hash tables draw disjoint hyperplanes. */
+    * hash tables draw disjoint hyperplanes.
+    *
+    * Runs on the native codegen'd [[graft.functions.HyperplaneSig]] kernel
+    * (callers must [[ensureRegistered]]); bit-identical to
+    * [[lshSignatureComposed]], which the kernel spec asserts. */
   def lshSignature(e: Column, planes: Int, offset: Column = lit(0)): Column =
+    call_function("hyperplane_sig", e, lit(planes), offset)
+
+  /** Composed-HOF form of [[lshSignature]] — three nested lambdas, every
+    * one interpreted (~planes×dim expression-tree walks per row; made the
+    * signature stage dominate q100's plan at 8.6 s). Kept as the
+    * registration-free fallback and the kernel's equivalence witness. */
+  def lshSignatureComposed(e: Column, planes: Int, offset: Column = lit(0)): Column =
     aggregate(
       transform(sequence(offset, offset + lit(planes - 1)), p =>
         when(aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
@@ -87,9 +100,12 @@ object Similarity {
     val planes = 5; val tables = 4
     val e = Tables.embeddings(spark, dir)
     // per-table bucket key: table id folded in so buckets never collide
-    // across tables; each table draws its own disjoint hyperplanes
-    val sigs = transform(sequence(lit(0), lit(tables - 1)),
-      t => t * lit(1000L) + lshSignature(col("embedding"), planes, t * lit(planes)))
+    // across tables; each table draws its own disjoint hyperplanes. The
+    // table loop unrolls Scala-side (tables is a plan-time constant) so the
+    // kernel calls sit directly in whole-stage codegen instead of inside an
+    // interpreted transform() lambda.
+    val sigs = array((0 until tables).map(t =>
+      lit(t * 1000L) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
     val signed = e.withColumn("sigs", sigs)
     val exploded = signed.select(col("vec_id"), col("embedding"), explode(col("sigs")).as("sig"))
     val probes = exploded.filter(col("vec_id") <= 50)
@@ -317,8 +333,9 @@ object Similarity {
     * repeated once per colliding table. Volume is Σ bucket²/2 — linear in N
     * for bounded buckets — never N². */
   def lshCandidatePairs(e: DataFrame, tables: Int, planes: Int): DataFrame = {
-    val sigs = transform(sequence(lit(0), lit(tables - 1)),
-      t => t * lit(1000000L) + lshSignature(col("embedding"), planes, t * lit(planes)))
+    // unrolled like q27's sigs: kernel calls in codegen, not under a lambda
+    val sigs = array((0 until tables).map(t =>
+      lit(t * 1000000L) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
     val exploded = e
       .select(col("vec_id"), col("embedding"), explode(sigs).as("sig"))
     val a = exploded.select(col("sig"), col("vec_id").as("i"), col("embedding").as("ea"))

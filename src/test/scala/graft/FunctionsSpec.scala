@@ -83,7 +83,8 @@ class FunctionsSpec extends SparkSpecBase {
           |       round(cosine_sim(array(1D, 0D), array(1D, 0D)), 6) AS cs,
           |       word_shingles('a b c', 2) AS ws,
           |       simhash64('a b c') AS sh,
-          |       size(winnow_fps('a b c d e f', 3, 4)) AS wf
+          |       size(winnow_fps('a b c d e f', 3, 4)) AS wf,
+          |       hyperplane_sig(array(0.5D, -0.25D), 4, 0) AS hs
           |""".stripMargin).head()
       assert(row.getInt(0) === 3)
       assert(row.getDouble(1) === 111.2)
@@ -91,6 +92,7 @@ class FunctionsSpec extends SparkSpecBase {
       assert(row.getSeq[String](3) === Seq("a b", "b c"))
       assert(row.getLong(4) !== 0L)
       assert(row.getInt(5) === 1)
+      assert(row.getLong(6) >= 0L && row.getLong(6) < 16L)
       // the injected optimizer rule fires without any per-session opt-in
       // (non-constant input: a literal would be constant-folded away
       // before the rule can see the split/filter/size pattern)
@@ -162,6 +164,20 @@ class FunctionsSpec extends SparkSpecBase {
       .select(call_function("word_shingles", col("text"), lit(2)).as("k"))
       .head()
     assert(nullRow.isNullAt(0))
+  }
+
+  test("hyperplane_sig participates in whole-stage codegen") {
+    graft.functions.HyperplaneSigFunction.register(spark)
+    // range source so there is a codegen stage to inspect (see token_count)
+    val df = spark.range(8)
+      .select(call_function("hyperplane_sig",
+        array(col("id").cast("double"), lit(-0.5d)), lit(6), lit(0)).as("sig"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p.take(1500))
+    // null embedding propagates (TernaryExpression null semantics)
+    val n = spark.sql("SELECT hyperplane_sig(CAST(NULL AS ARRAY<DOUBLE>), 4, 0)").head()
+    assert(n.isNullAt(0))
   }
 
   test("simhash64 / winnow_fps kernels match the composed HOF forms") {

@@ -22,12 +22,24 @@ class SimilaritySpec extends SparkSpecBase {
       }
   }
 
-  test("lshSignature: deterministic and within [0, 2^planes)") {
-    val df = Seq(Tuple1(Array.tabulate(8)(i => (i * 0.1f - 0.3f)))).toDF("e")
+  test("lshSignature: deterministic, in [0, 2^planes), kernel == composed") {
+    Similarity.ensureRegistered(spark)
+    val df = Seq.tabulate(50)(i =>
+      Tuple1(Array.tabulate(16)(d => ((i * 7 + d) * 0.13f - 1.1f)))).toDF("e")
+    for (offset <- Seq(0, 8, 40)) {
+      val rows = df.select(
+        Similarity.lshSignature(col("e"), 6, lit(offset)).as("k"),
+        Similarity.lshSignatureComposed(col("e"), 6, lit(offset)).as("c")).collect()
+      rows.foreach { r =>
+        // native kernel and the interpreted HOF tree agree bit-for-bit
+        // (same sin, same multiply/fold order — q100's oracle depends on it)
+        assert(r.getLong(0) === r.getLong(1), s"offset=$offset: $r")
+        assert(r.getLong(0) >= 0 && r.getLong(0) < 64)
+      }
+    }
     val s1 = df.select(Similarity.lshSignature(col("e"), 6)).head().getLong(0)
     val s2 = df.select(Similarity.lshSignature(col("e"), 6)).head().getLong(0)
     assert(s1 === s2)
-    assert(s1 >= 0 && s1 < 64)
   }
 
   test("q26 brute-force top-k: self excluded, ranks 1..3, sims non-increasing per probe") {
@@ -80,6 +92,7 @@ class SimilaritySpec extends SparkSpecBase {
       (1000L + id, v.zipWithIndex.map { case (x, d) => x + 0.01f * (d % 2) }, 1)
     }
     val e = (bases ++ dups).toDF("vec_id", "embedding", "label")
+    Similarity.ensureRegistered(spark)
     val marked = Similarity.approxEmbeddingDedup(e, threshold = 0.95).collect()
     val flagged = marked.filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("vec_id")).toSet
     // every planted dup has id 1000+base > base, so it is the marked side
