@@ -256,4 +256,17 @@ class PlanQualitySpec extends SparkSpecBase {
       p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q97 keeps percentiles out of the distinct-count Expand (split 1-row " +
+      "aggregates cross-joined)") {
+    // fused, the Expand's partial aggregate allocates every percentile's
+    // object buffer per distinct-key group — millions of OpenHashMaps on a
+    // unique column (was 6.6 s warm on a 100 k-row batch; 2.9 s split)
+    val p = plan(graft.quality.BatchChecks.q97SchemaProfile(spark, Sf001))
+    assert(p.contains("Expand"), p.take(3000))
+    val expandSubtree = p.substring(p.indexOf("Expand"))
+    assert(!expandSubtree.contains("percentile"),
+      s"percentile buffers must not ride the Expand branch:\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
 }
