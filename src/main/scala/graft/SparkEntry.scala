@@ -130,6 +130,7 @@ object SparkEntry {
     "q101_salted_agg"       -> (Trends.q101SaltedAgg(_, _)),
     "q102_image_decode"     -> (Multimodal.q102ImageDecode(_, _)),
     "q103_query_cost_audit" -> (Dashboard.q103QueryCostAudit(_, _)),
+    "q104_dup_clusters_star" -> (TextOps.q104DupClustersStar(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

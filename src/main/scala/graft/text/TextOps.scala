@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -525,12 +526,109 @@ object TextOps {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    clusterRollup(labels)
+  }
+
+  /** Per-component rollup shared by the two clustering paths (q59/q104):
+    * (doc_id, label) → (cluster_id, size, member list, dup count). */
+  def clusterRollup(labels: DataFrame): DataFrame =
     labels.groupBy(col("label").as("cluster_id")).agg(
         count(lit(1)).as("sz"),
         concat_ws(",", array_sort(collect_list(col("doc_id")))
           .cast("array<string>")).as("members"))
       .withColumn("n_dups", col("sz") - 1)
       .orderBy(col("cluster_id"))
+
+  /** Connected components via alternating large-star / small-star edge
+    * contraction — the web-scale path [[dupClustersFrom]]'s scaladoc
+    * promises (public algorithm: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Min-label propagation needs
+    * O(component diameter) rounds; star contraction converges in
+    * O(log n) rounds on ANY topology, which is what survives a web-scale
+    * dedup graph whose chains (A~B~C~... drift chains) can be thousands
+    * of hops long.
+    *
+    *   - large-star: every node points its larger-id neighbors at the
+    *     minimum of its closed neighborhood (strictly decreases larger-id
+    *     edges; keeps the graph connected).
+    *   - small-star: every node folds itself and its smaller-id neighbors
+    *     onto that minimum.
+    *
+    * Fixpoint = star forests rooted at each component's min id — the same
+    * labels propagation converges to, so the two paths are
+    * result-interchangeable (spec-asserted) and q104 shares q59's oracle.
+    *
+    * Plan shape per round: each star op is ONE window-min over the
+    * neighborhood orientation (hash shuffle on the grouping node) — no
+    * join, no driver-side state. Only small-star's output is
+    * `distinct`ed (large-star's bounded per-round duplicates feed the
+    * next window unchanged — a dedup there is a pure extra shuffle), so
+    * the edge SET shrinks-or-holds per round pair. `localCheckpoint`
+    * truncates the iterative lineage (plain, not partitioning-keeping:
+    * the two ops window on different keys by construction, so no
+    * partitioning survives a round anyway). Convergence check: a
+    * (count, xxhash64-xor) set signature read in ONE action off the
+    * checkpointed set — no comparison shuffle (xor, not sum: ANSI mode
+    * aborts on Long-sum overflow, and the edges are distinct so xor
+    * cancellation needs a hash collision anyway); a colliding non-equal
+    * round pair would only cost one early stop, and the oracle/specs
+    * pin end-state correctness. */
+  def starComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .distinct().localCheckpoint()
+    // nodes from the CHECKPOINTED set: deriving them from `pairs` would
+    // materialize the (expensive) upstream pair relation a second time
+    val nodes = edges.select(col("a").as("doc_id"))
+      .unionByName(edges.select(col("b").as("doc_id"))).distinct()
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
+    var iter = 0
+    val wU = Window.partitionBy(col("u"))
+    while (!converged && iter < maxIter) {
+      // large-star over both orientations of the canonical set
+      val nbr = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val large = nbr
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))    // m ≤ u < v: canonical
+      // small-star on (larger → smaller) orientation: u folds itself and
+      // every smaller neighbor onto the neighborhood minimum
+      val oriented = large.select(col("b").as("u"), col("a").as("v"))
+      val withMin = oriented.withColumn("m", min(col("v")).over(wU))
+      val small = withMin.filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionByName(withMin.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b"))                 // u may BE the min's peer
+        .distinct().localCheckpoint()
+      val sig2 = signature(small)
+      converged = sig2 == sig
+      edges = small
+      sig = sig2
+      iter += 1
+    }
+    // fixpoint is a star forest rooted at component minima: every non-root
+    // carries exactly (root, v); roots label themselves
+    nodes.join(edges.select(col("b").as("doc_id"), col("a").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("label"))
+  }
+
+  /** q104: q59's clustering through the O(log n)-round star-contraction
+    * path — identical output (shared oracle), different iteration
+    * algebra; the entry that driver-verifies the web-scale component
+    * algorithm end-to-end, the way q100 driver-verifies the LSH path. */
+  def q104DupClustersStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(Tables.documents(spark, dir), 3)
+      .filter(col("jaccard") >= 0.4)
+      .select(col("d1"), col("d2"))
+    clusterRollup(starComponents(pairs))
   }
 
   /** q96: incremental-batch dedup gate — the admission check a continuous
@@ -898,6 +996,40 @@ object TextOps {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Transitive closure via WITH RECURSIVE + min per doc — independently
+    * derived component labels; shared by q59 (min-label propagation) and
+    * q104 (star contraction), which compute the same clustering through
+    * different iteration algebras. */
+  private val DupClustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+      |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |scored AS (
+      |  SELECT d1, d2,
+      |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS j
+      |  FROM pairs JOIN counts c1 ON c1.doc_id = d1
+      |  JOIN counts c2 ON c2.doc_id = d2),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM scored WHERE j >= 0.4
+      |  UNION ALL SELECT d2, d1 FROM scored WHERE j >= 0.4),
+      |reach AS (
+      |  SELECT DISTINCT src AS a, src AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT cluster_id, count(*) AS sz,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS members,
+      |  count(*) - 1 AS n_dups
+      |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q84_bigram_pmi" ->
       """WITH toks AS (
@@ -1147,35 +1279,10 @@ object TextOps {
         |FROM per_doc LEFT JOIN bp USING (s)
         |GROUP BY source ORDER BY source""".stripMargin,
 
-    "q59_dup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
-        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |scored AS (
-        |  SELECT d1, d2,
-        |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS j
-        |  FROM pairs JOIN counts c1 ON c1.doc_id = d1
-        |  JOIN counts c2 ON c2.doc_id = d2),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM scored WHERE j >= 0.4
-        |  UNION ALL SELECT d2, d1 FROM scored WHERE j >= 0.4),
-        |reach AS (
-        |  SELECT DISTINCT src AS a, src AS b FROM edges
-        |  UNION
-        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-        |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-        |SELECT cluster_id, count(*) AS sz,
-        |  string_agg(doc_id, ',' ORDER BY doc_id) AS members,
-        |  count(*) - 1 AS n_dups
-        |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // q104 runs the same clustering through star contraction — same
+    // result by construction, so it shares q59's transitive-closure oracle
+    "q104_dup_clusters_star" -> DupClustersOracle,
+    "q59_dup_clusters" -> DupClustersOracle,
 
     "q57_repetition_filter" ->
       """WITH words0 AS (

@@ -228,4 +228,38 @@ class TextOpsSpec extends SparkSpecBase {
     } finally pairs.unpersist()
   }
 
+  test("starComponents: agrees with min-label propagation on mixed topologies " +
+      "and converges on chains far beyond the propagation round cap") {
+    import spark.implicits._
+    // path 0..15 (diameter within the propagation loop's 20-round cap),
+    // clique {200..204}, isolated pair (300,301) — edges in shuffled order
+    val path = (0L until 15L).map(i => (i, i + 1))
+    val clique = for (a <- 200L to 204L; b <- (a + 1) to 204L) yield (a, b)
+    val pairEdge = Seq((300L, 301L))
+    val edges = scala.util.Random.shuffle(path ++ clique ++ pairEdge)
+      // feed some edges reversed: the contraction must not assume d1 < d2
+      .map { case (a, b) => if ((a + b) % 3 == 0) (b, a) else (a, b) }
+    val pairs = edges.toDF("d1", "d2")
+    val star = graft.text.TextOps.starComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = graft.text.TextOps
+      .dupClustersFrom(pairs.withColumn("jaccard", lit(1.0)))
+      .collect()
+      .flatMap(r => r.getAs[String]("members").split(",")
+        .map(m => m.toLong -> r.getAs[Long]("cluster_id"))).toMap
+    assert(star === prop, "star contraction and propagation disagree")
+    assert((0L to 15L).forall(star(_) == 0L))
+    assert((200L to 204L).forall(star(_) == 200L))
+    assert(star(301L) === 300L)
+    // a 200-node chain: diameter 199 ≫ the propagation cap (20 rounds) and
+    // ≫ starComponents' own maxIter (30) — only an O(log n)-round
+    // algorithm labels it correctly within the iteration budget
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val chainLabels = graft.text.TextOps.starComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(chainLabels.length === 200)
+    assert(chainLabels.forall(_._2 == 0L),
+      s"chain not fully contracted: ${chainLabels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
 }
