@@ -131,6 +131,7 @@ object SparkEntry {
     "q102_image_decode"     -> (Multimodal.q102ImageDecode(_, _)),
     "q103_query_cost_audit" -> (Dashboard.q103QueryCostAudit(_, _)),
     "q104_dup_clusters_star" -> (TextOps.q104DupClustersStar(_, _)),
+    "q105_minhash_band_dedup" -> (TextOps.q105MinhashBandDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -235,6 +235,57 @@ object TextOps {
       .orderBy(col("band"))
   }
 
+  /** q105: the MinHash/LSH banding machinery of q25, driver-verified
+    * end-to-end — the q100 pattern applied to the second prop-only sketch.
+    * Corpus = documents ∪ exact copies of every 7th doc (id + 1e6); dedup
+    * marks a doc duplicate iff a banded candidate pair links it to an
+    * earlier doc with an IDENTICAL 3-gram shingle set.
+    *
+    * Why the probabilistic structure has an exact oracle: at Jaccard = 1
+    * the two docs' shingle sets are equal, so every minhash (min over the
+    * same set) is equal, so every band key matches — candidate generation
+    * has recall exactly 1.0, not probabilistically high. The verify stage
+    * compares a canonical set digest (md5 of the sorted distinct-shingle
+    * join), so banding false positives cannot leak. The DuckDB oracle
+    * derives the same answer from set equality on an exhaustive self-join —
+    * it assumes nothing about MinHash. Docs with no 3-gram (< 3 tokens)
+    * have no signature on either engine and are never marked.
+    *
+    * Scale shape: one explode → ONE hash-aggregate computing all 16 minima
+    * AND the digest, band keys unrolled per row, bucket self-join on the
+    * 64-bit band key (linear for bounded buckets), digest equality checked
+    * map-side before the pair distinct. */
+  def q105MinhashBandDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val sh = shingleRows(corpus, 3)
+    val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    // \u0001 separator: cannot appear inside a space-split token, so the
+    // joined string is injective in the shingle SET (digest ⟺ set equality)
+    val aggCols = minCols :+
+      md5(concat_ws("\u0001", array_sort(collect_set(col("s"))))).as("digest")
+    val sig = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val bandKeys = (0 until 4).map(b =>
+      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*), lit(b)))
+    val buckets = sig.select(col("doc_id"), col("digest"),
+      explode(array(bandKeys: _*)).as("key"))
+    val dupIds = buckets
+      .select(col("key"), col("doc_id").as("d1"), col("digest").as("g1"))
+      .join(buckets.select(col("key"), col("doc_id").as("d2"), col("digest").as("g2")),
+        Seq("key"))
+      .filter(col("d1") < col("d2") && col("g1") === col("g2"))
+      .select(col("d2").as("doc_id")).distinct()
+    corpus.join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") >= 1000000L, 1)).as("n_planted"),
+        count(when(col("is_dup"), 1)).as("n_dups"))
+      .orderBy(col("source"))
+  }
+
   /** 64-bit SimHash over tokens: bit j is the sign of Σ_tokens ±1 weighted
     * by bit j of the token's hash. Near-identical docs land within a small
     * Hamming distance (`bit_count(a ^ b)`). Built from 64 independent bit
@@ -1283,6 +1334,34 @@ object TextOps {
     // result by construction, so it shares q59's transitive-closure oracle
     "q104_dup_clusters_star" -> DupClustersOracle,
     "q59_dup_clusters" -> DupClustersOracle,
+
+    // Exhaustive set-equality oracle for the MinHash-banded dedup: valid
+    // because identical shingle sets collide in every band (recall exactly
+    // 1.0, see q105MinhashBandDedup scaladoc) — the SQL assumes nothing
+    // about MinHash, it joins canonical per-doc shingle-set strings.
+    "q105_minhash_band_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |sigs AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM sh GROUP BY doc_id),
+        |dups AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN c.doc_id >= 1000000 THEN 1 END) AS n_planted,
+        |  count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END) AS n_dups
+        |FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q57_repetition_filter" ->
       """WITH words0 AS (
