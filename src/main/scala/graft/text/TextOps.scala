@@ -577,6 +577,12 @@ object TextOps {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    // an unconverged exit would silently mis-label every component wider
+    // than the round budget — fail loudly and name the O(log n) path
+    require(changed == 0L,
+      s"label propagation did not converge in $iter rounds ($changed labels " +
+        "still changing): component diameter exceeds the round budget — " +
+        "use starComponents (O(log n) rounds) for chain-heavy graphs")
     clusterRollup(labels)
   }
 
@@ -664,6 +670,11 @@ object TextOps {
       sig = sig2
       iter += 1
     }
+    // same loud-failure contract as the propagation loop: a silent
+    // unconverged exit would extract labels off a non-star edge set
+    require(converged || sig._1 == 0L,
+      s"star contraction did not converge in $iter rounds — raise maxIter " +
+        "(round count is log-bounded, so this indicates a bug, not scale)")
     // fixpoint is a star forest rooted at component minima: every non-root
     // carries exactly (root, v); roots label themselves
     nodes.join(edges.select(col("b").as("doc_id"), col("a").as("root")),

@@ -260,6 +260,13 @@ class TextOpsSpec extends SparkSpecBase {
     assert(chainLabels.length === 200)
     assert(chainLabels.forall(_._2 == 0L),
       s"chain not fully contracted: ${chainLabels.filter(_._2 != 0L).take(5).toSeq}")
+    // the propagation loop must REFUSE the same graph rather than emit
+    // silently-unconverged labels (its round budget < the chain diameter)
+    val ex = intercept[IllegalArgumentException] {
+      graft.text.TextOps
+        .dupClustersFrom(chain.withColumn("jaccard", lit(1.0))).collect()
+    }
+    assert(ex.getMessage.contains("starComponents"), ex.getMessage)
   }
 
 }
