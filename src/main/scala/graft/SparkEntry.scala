@@ -132,6 +132,7 @@ object SparkEntry {
     "q103_query_cost_audit" -> (Dashboard.q103QueryCostAudit(_, _)),
     "q104_dup_clusters_star" -> (TextOps.q104DupClustersStar(_, _)),
     "q105_minhash_band_dedup" -> (TextOps.q105MinhashBandDedup(_, _)),
+    "q106_repeated_spans"   -> (TextOps.q106RepeatedSpans(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -286,6 +286,67 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** q106: maximal repeated cross-document token spans — the exact-substring
+    * dedup primitive (a 3-gram position is "duplicated" iff its gram occurs
+    * in ≥ 2 distinct docs; maximal runs of consecutive duplicated positions
+    * are the repeated spans). Per doc: span count, longest span in tokens,
+    * duplicated-position fraction; top 20 docs by that fraction. This is the
+    * span-level complement of q24's set-level Jaccard: q24 says WHICH docs
+    * overlap, q106 says HOW MUCH contiguous text is shared verbatim.
+    *
+    * Scale shape: the gram relation is one kernel pass over the scan
+    * (posexplode of [[graft.functions.WordShingles]] — positions for free,
+    * no window over raw tokens); cross-doc detection is a min≠max window
+    * riding one hash partitioning on the gram (not a groupBy + semi-join,
+    * which would scan the gram relation twice); the island window
+    * (partition doc_id) then runs over the duplicated subset only. Every
+    * shuffle is keyed (gram, then doc_id); nothing is collected. The
+    * island trick (pos − row_number) turns maximal-run detection into a
+    * plain groupBy — no iterative pass.
+    *
+    * Engine parity: island groups are invariant to the 0- vs 1-based
+    * position offset (a constant shift cancels in pos − row_number, span
+    * length is max−min+n on both); dup_frac is a ratio of two exact BIGINTs
+    * (identical double on both engines per the q98 rule). */
+  def q106RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpans(Tables.documents(spark, dir))
+
+  /** q106 body over any (doc_id, text) relation — see [[q106RepeatedSpans]]. */
+  def repeatedSpans(d: DataFrame): DataFrame = {
+    graft.functions.WordShinglesFunction.register(d.sparkSession)
+    val grams = d.select(col("doc_id"),
+      posexplode(call_function("word_shingles", col("text"), lit(3)))
+        .as(Seq("pos", "s")))
+    // "occurs in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the
+    // gram — a window riding ONE hash partitioning on `s`, instead of a
+    // groupBy + semi-join that scans the gram relation twice (same trick
+    // as jaccardPairs' df cap)
+    val wS = Window.partitionBy(col("s"))
+    val hits = grams
+      .withColumn("multi",
+        min(col("doc_id")).over(wS) =!= max(col("doc_id")).over(wS))
+      .filter(col("multi")).drop("multi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_pos"),
+        (max(col("pos")) - min(col("pos")) + 3).as("span_tokens"))
+    val tot = d.select(col("doc_id"),
+        (size(tokens(col("text"))) - 2).cast("long").as("n_grams"))
+      .filter(col("n_grams") >= 1)
+    tot.join(spans, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("n_grams")).agg(
+        count(col("grp")).as("n_spans"),
+        coalesce(max(col("span_tokens")), lit(0)).cast("long").as("max_span_tokens"),
+        coalesce(sum(col("n_pos")), lit(0)).cast("long").as("dup_positions"))
+      .select(col("doc_id"), col("n_spans"), col("max_span_tokens"),
+        col("dup_positions"), col("n_grams"),
+        Exprs.dround(col("dup_positions") / col("n_grams").cast("double"), 6)
+          .as("dup_frac"))
+      .orderBy(col("dup_frac").desc, col("doc_id")).limit(20)
+  }
+
   /** 64-bit SimHash over tokens: bit j is the sign of Σ_tokens ±1 weighted
     * by bit j of the token's hash. Near-identical docs land within a small
     * Hamming distance (`bit_count(a ^ b)`). Built from 64 independent bit
@@ -1373,6 +1434,39 @@ object TextOps {
         |  count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END) AS n_dups
         |FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Island detection (pos - row_number) is offset-invariant, so the
+    // 1-based generate_series positions here match Spark's 0-based
+    // posexplode grouping exactly; dup_frac is BIGINT/BIGINT (exact double
+    // both engines).
+    "q106_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, grp, count(*) AS n_pos,
+        |    max(pos) - min(pos) + 3 AS span_tokens
+        |  FROM isl GROUP BY doc_id, grp),
+        |tot AS (
+        |  SELECT doc_id, len(t) - 2 AS n_grams FROM toks WHERE len(t) >= 3),
+        |perdoc AS (
+        |  SELECT t.doc_id, t.n_grams, count(s.grp) AS n_spans,
+        |    coalesce(max(s.span_tokens), 0) AS max_span_tokens,
+        |    coalesce(sum(s.n_pos), 0)::BIGINT AS dup_positions
+        |  FROM tot t LEFT JOIN spans s USING (doc_id)
+        |  GROUP BY t.doc_id, t.n_grams)
+        |SELECT doc_id, n_spans, max_span_tokens, dup_positions, n_grams,
+        |  round(dup_positions / n_grams * 1000000) / 1000000 AS dup_frac
+        |FROM perdoc ORDER BY dup_frac DESC, doc_id LIMIT 20""".stripMargin,
 
     "q57_repetition_filter" ->
       """WITH words0 AS (

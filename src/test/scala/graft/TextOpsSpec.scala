@@ -269,4 +269,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("starComponents"), ex.getMessage)
   }
 
+  test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
+    val docs = Seq(
+      (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
+      (2L, "q q a b c d e r"),       // same run, shifted position
+      (3L, "m m m m"),               // repeats only WITHIN itself → no dup grams
+      (4L, "a b"),                   // < 3 tokens → no grams, excluded entirely
+      (5L, "a b c z1 z2 c d e")      // two disjoint 1-gram hits → two spans
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.repeatedSpans(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("max_span_tokens"), r.getAs[Long]("dup_positions"),
+        r.getAs[Long]("n_grams"), r.getAs[Double]("dup_frac")))
+    // ordered by dup_frac desc then doc_id; doc 4 absent
+    assert(out.toSeq === Seq(
+      (1L, 1L, 5L, 3L, 6L, 0.5),     // one island over gram positions 0-2
+      (2L, 1L, 5L, 3L, 6L, 0.5),     // same island at positions 2-4
+      (5L, 2L, 3L, 2L, 6L, 0.333333),
+      (3L, 0L, 0L, 0L, 2L, 0.0)))
+  }
+
 }
