@@ -133,6 +133,7 @@ object SparkEntry {
     "q104_dup_clusters_star" -> (TextOps.q104DupClustersStar(_, _)),
     "q105_minhash_band_dedup" -> (TextOps.q105MinhashBandDedup(_, _)),
     "q106_repeated_spans"   -> (TextOps.q106RepeatedSpans(_, _)),
+    "q107_heavy_hitters"    -> (Summaries.q107HeavyHitters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

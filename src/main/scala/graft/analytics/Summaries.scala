@@ -83,7 +83,54 @@ object Summaries {
       .orderBy(col("day"))
   }
 
+  /** q107: exact heavy hitters with bounded-memory candidate generation —
+    * the frequent-items companion to q75's HLL (both are mergeable one-pass
+    * sketches; reference 07:163-164's histogram family taken to the
+    * high-cardinality regime).
+    *
+    * Pass 1 runs [[graft.functions.MisraGriesAgg]] (k = 20) over a
+    * deliberately skewed key (the q101 pattern: 60% of rows collapse onto
+    * three hot keys, the rest stay per-user unique): partial state is 19
+    * counters per partition, merged driver-side — no per-key shuffle ever
+    * happens, which is what a naive GROUP BY over billions of distinct
+    * keys cannot avoid. Pass 2 recounts ONLY the ≤ 19 candidates exactly
+    * (broadcast isin filter → tiny aggregate) and keeps those with
+    * n_exact · k > total (integer cross-multiply, no doubles).
+    *
+    * Deterministic despite the sketch: MG's candidate set is a SUPERSET of
+    * every key above total/k (see MisraGriesAgg scaladoc), and the exact
+    * filter is symmetric on both engines — so the oracle is the plain
+    * GROUP BY ... HAVING, assuming nothing about the sketch. */
+  def q107HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    val key = when(col("user_id") % 100 < 60,
+        concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+      .otherwise(concat(lit("u_"), col("user_id").cast("string")))
+    val e = Tables.events(spark, dir).select(key.as("k"))
+    val (candidates, total) =
+      e.as[String].select(graft.functions.MisraGriesAgg(k).toColumn).head()
+    val hot = candidates.keys.toSeq.sorted
+    e.filter(col("k").isin(hot: _*))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") * k > lit(total))
+      .withColumn("total", lit(total))
+      .orderBy(col("n_exact").desc, col("k"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q107_heavy_hitters" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN user_id % 100 < 60 THEN 'hot_' || (user_id % 3)
+        |         ELSE 'u_' || user_id END AS k
+        |  FROM events),
+        |tot AS (SELECT count(*) AS total FROM keyed),
+        |agged AS (SELECT k, count(*) AS n_exact FROM keyed GROUP BY k)
+        |SELECT k, n_exact, total
+        |FROM agged CROSS JOIN tot
+        |WHERE n_exact * 20 > total
+        |ORDER BY n_exact DESC, k""".stripMargin,
+
     "q45_daily_via_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n,

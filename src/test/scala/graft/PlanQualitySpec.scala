@@ -257,6 +257,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q106 cross-doc gram detection is a min!=max window on the gram key " +
+      "— no semi-join, no second gram scan") {
+    val p = plan(graft.text.TextOps.q106RepeatedSpans(spark, Sf001))
+    assert(!p.contains("LeftSemi"),
+      s"dup-gram detection must not semi-join the gram relation:\n${p.take(3000)}")
+    // one scan of documents feeds the gram relation (the totals branch may
+    // scan separately; the gram branch must not be duplicated)
+    assert("word_shingles".r.findAllIn(p).size <= 1,
+      s"gram kernel must run once:\n${p.take(3000)}")
+    // both windows keyed: gram key for dup detection, doc_id for islands
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(l => l.contains("s#") || l.contains("doc_id")),
+      s"windows must partition by gram or doc_id:\n${specs.mkString("\n")}")
+  }
+
   test("q97 keeps percentiles out of the distinct-count Expand (split 1-row " +
       "aggregates cross-joined)") {
     // fused, the Expand's partial aggregate allocates every percentile's

@@ -33,4 +33,52 @@ class SummariesSpec extends SparkSpecBase {
       .filter(col("n_events") =!= col("n_direct")).count()
     assert(bad === 0)
   }
+
+  test("MisraGries guarantees: no overcount, undercount <= total/k, heavy " +
+      "hitters always survive — under adversarial partitioning") {
+    import spark.implicits._
+    // 10k rows: three heavies (2000, 1500, 1200), long tail of singletons
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle(
+      Seq.fill(2000)("A") ++ Seq.fill(1500)("B") ++ Seq.fill(1200)("C") ++
+        (1 to 5300).map(i => s"t$i"))
+    val k = 10
+    for (parts <- Seq(1, 7, 32)) {
+      val ds = rows.toDS().repartition(parts)
+      val (counters, total) =
+        ds.select(graft.functions.MisraGriesAgg(k).toColumn).head()
+      assert(total === 10000L)
+      val truth = Map("A" -> 2000L, "B" -> 1500L, "C" -> 1200L).withDefaultValue(1L)
+      counters.foreach { case (x, est) =>
+        assert(est <= truth(x), s"overcount: $x est=$est true=${truth(x)}")
+        assert(truth(x) - est <= total / k,
+          s"undercount beyond total/k: $x est=$est true=${truth(x)}")
+      }
+      // every key above total/k (=1000) must be in the candidate set
+      assert(Set("A", "B", "C").subsetOf(counters.keySet),
+        s"parts=$parts lost a heavy hitter: ${counters.keySet}")
+      assert(counters.size <= k - 1)
+    }
+  }
+
+  test("q107 emits exactly the keys above total/k with exact counts") {
+    val out = Summaries.q107HeavyHitters(spark, Sf001).collect()
+    assert(out.nonEmpty, "skewed key construction must produce heavy hitters")
+    val total = out.head.getAs[Long]("total")
+    // the three hot_ keys absorb ~60% of rows: all and only they pass 5%
+    assert(out.map(_.getAs[String]("k")).toSet === Set("hot_0", "hot_1", "hot_2"))
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") * 20 > total)
+    }
+    // exact recount matches a plain groupBy on the same key
+    val k = when(col("user_id") % 100 < 60,
+        concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+      .otherwise(concat(lit("u_"), col("user_id").cast("string")))
+    val direct = Tables.events(spark, Sf001).groupBy(k.as("k"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") === direct(r.getAs[String]("k")))
+    }
+  }
 }
