@@ -134,6 +134,7 @@ object SparkEntry {
     "q105_minhash_band_dedup" -> (TextOps.q105MinhashBandDedup(_, _)),
     "q106_repeated_spans"   -> (TextOps.q106RepeatedSpans(_, _)),
     "q107_heavy_hitters"    -> (Summaries.q107HeavyHitters(_, _)),
+    "q108_quantization_audit" -> (Similarity.q108QuantizationAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

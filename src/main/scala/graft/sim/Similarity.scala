@@ -389,7 +389,74 @@ object Similarity {
       .orderBy(col("l1"), col("l2"))
   }
 
+  /** q108: int8 scalar-quantization audit — the storage-side companion to
+    * the ANN family (builder brief: similarity search at 100 TB starts by
+    * shrinking the vectors 4×). Per-dim affine quantization to [0,255]
+    * (code = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋, the half-up trick that avoids
+    * both engines' round-to-even differences entirely — floor of the SAME
+    * double is exact), reconstruction r = mn + q/255·(mx−mn), and a per-dim
+    * distortion report: distinct codes used, max and mean absolute error.
+    *
+    * Scale shape: the exploded (vec,dim) relation aggregates per-dim stats
+    * map-side into 64 rows, which broadcast back onto the second pass —
+    * stats pass + quantize pass, no shuffle of the exploded relation
+    * beyond the 64-key aggregations (the q41 stats-pass pattern applied to
+    * vectors). Numerics: float→double casts are exact, every derived value
+    * is the same IEEE expression on both engines, max is order-free, and
+    * the mean rides per-row 9-dp rounding into an exact decimal sum
+    * (CLAUDE.md sum rule). */
+  def q108QuantizationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("xf").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") > col("mn"),
+        floor((col("x") - col("mn")) / (col("mx") - col("mn")) * lit(255.0)
+          + lit(0.5)))
+      .otherwise(lit(0L))
+    val recon = col("mn") +
+      col("q").cast("double") / lit(255.0) * (col("mx") - col("mn"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("q", code)
+      .withColumn("err", abs(col("x") - recon))
+      .groupBy(col("dim"), col("mn"), col("mx"))
+      .agg(
+        count_distinct(col("q")).as("n_codes"),
+        Exprs.dround(max(col("err")), 9).as("max_abs_err"),
+        Exprs.dround(
+          Exprs.sumExact(Exprs.dround(col("err"), 9), 9) / count(lit(1)), 9)
+          .as("mean_abs_err"))
+      .select(col("dim"), col("mn"), col("mx"), col("n_codes"),
+        col("max_abs_err"), col("mean_abs_err"))
+      .orderBy(col("dim"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q108_quantization_audit" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS dim,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+        |qz AS (
+        |  SELECT e.dim, s.mn, s.mx, e.x,
+        |    CASE WHEN s.mx > s.mn
+        |      THEN floor((e.x - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+        |      ELSE 0 END AS q
+        |  FROM ex e JOIN stats s USING (dim)),
+        |errs AS (
+        |  SELECT dim, mn, mx, q,
+        |    abs(x - (mn + q / 255 * (mx - mn))) AS err
+        |  FROM qz)
+        |SELECT dim, mn, mx, count(DISTINCT q) AS n_codes,
+        |  round(max(err) * 1000000000) / 1000000000 AS max_abs_err,
+        |  round(sum((round(err * 1000000000) / 1000000000)::DECIMAL(25,9))::DOUBLE
+        |        / count(*) * 1000000000) / 1000000000 AS mean_abs_err
+        |FROM errs GROUP BY dim, mn, mx ORDER BY dim""".stripMargin,
+
     "q94_centroid_cosine" ->
       """WITH dims AS (
         |  SELECT label,

@@ -120,4 +120,21 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q108: int8 quantization uses the full code range and bounds " +
+      "reconstruction error by half a step per dim") {
+    val rows = graft.sim.Similarity.q108QuantizationAudit(spark, Sf001).collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      val step = (mx - mn) / 255.0
+      val nCodes = r.getAs[Long]("n_codes")
+      assert(nCodes >= 2 && nCodes <= 256, s"dim=${r.get(0)} n_codes=$nCodes")
+      // half-up rounding: every value sits within step/2 of its code's
+      // reconstruction (plus an ulp of slack for the affine round trip)
+      assert(r.getAs[Double]("max_abs_err") <= step / 2 + 1e-12,
+        s"dim=${r.get(0)} max_err=${r.getAs[Double]("max_abs_err")} step=$step")
+      assert(r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("max_abs_err"))
+    }
+  }
+
 }
