@@ -135,6 +135,7 @@ object SparkEntry {
     "q106_repeated_spans"   -> (TextOps.q106RepeatedSpans(_, _)),
     "q107_heavy_hitters"    -> (Summaries.q107HeavyHitters(_, _)),
     "q108_quantization_audit" -> (Similarity.q108QuantizationAudit(_, _)),
+    "q109_source_overlap"   -> (TextOps.q109SourceOverlap(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -170,6 +170,7 @@ object TextOps {
     *   TextOps.dupClustersFrom(pairs)          // q59
     *   JoinQueries.editDistanceFrom(docs, pairs)          // q69
     *   TextOps.incrementalDedupFrom(docs, pairs, splitId) // q96 near path
+    *   TextOps.sourceOverlapFrom(docs, pairs)             // q109
     * } finally pairs.unpersist()
     * }}}
     *
@@ -192,6 +193,39 @@ object TextOps {
   /** q24: top-20 most similar doc pairs by word-3-gram Jaccard. */
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
     topJaccard(jaccardPairs(Tables.documents(spark, dir), 3))
+
+  /** Cross-source duplication matrix from a candidate-pair relation
+    * (q109 body): near-dup pairs at Jaccard ≥ θ attributed to their
+    * source pair — the corpus-curation question "which sources duplicate
+    * each other, and how hard". A natural second consumer of
+    * [[sharedPairs]] alongside q24/q59/q69/q96.
+    *
+    * The θ compare runs on the 6-dp-rounded jaccard (identical on both
+    * engines by construction) against a dyadic threshold — no raw-double
+    * equality; avg jaccard rides the exact-decimal sum rule. The source
+    * lookups join the pair-grain relation (≪ corpus), not the shingle
+    * relation. */
+  def sourceOverlapFrom(docs: DataFrame, pairs: DataFrame,
+                        theta: Double = 0.5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs.filter(col("jaccard") >= theta)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("src1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("src2")), "d2")
+      .select(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"), col("jaccard"))
+      .groupBy(col("s1"), col("s2")).agg(
+        count(lit(1)).as("n_dup_pairs"),
+        Exprs.dround(Exprs.sumExact(col("jaccard"), 6) / count(lit(1)), 6)
+          .as("avg_jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** q109: which sources duplicate each other (Jaccard ≥ 0.5 pairs,
+    * least/greatest-normalized source pair, count + mean similarity). */
+  def q109SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    sourceOverlapFrom(d, jaccardPairs(d, 3))
+  }
 
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
     * each shingle; signature[i] = min over shingles. */
@@ -1434,6 +1468,39 @@ object TextOps {
         |  count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END) AS n_dups
         |FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same pair machinery as q24 (df cap never fires at test scale — max
+    // natural df 25 ≪ 500), aggregated to the source-pair grain; the θ
+    // compare runs on the 6dp-rounded jaccard vs a dyadic 0.5.
+    "q109_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jac AS (
+        |  SELECT d1, d2,
+        |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS jaccard
+        |  FROM pairs
+        |  JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2),
+        |lab AS (
+        |  SELECT least(a.source, b.source) AS s1,
+        |    greatest(a.source, b.source) AS s2, jaccard
+        |  FROM jac
+        |  JOIN documents a ON a.doc_id = jac.d1
+        |  JOIN documents b ON b.doc_id = jac.d2
+        |  WHERE jaccard >= 0.5)
+        |SELECT s1, s2, count(*) AS n_dup_pairs,
+        |  round(sum(jaccard::DECIMAL(25,6))::DOUBLE / count(*) * 1000000)
+        |    / 1000000 AS avg_jaccard
+        |FROM lab GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
 
     // Island detection (pos - row_number) is offset-invariant, so the
     // 1-based generate_series positions here match Spark's 0-based

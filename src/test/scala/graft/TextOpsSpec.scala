@@ -269,6 +269,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("starComponents"), ex.getMessage)
   }
 
+  test("sourceOverlapFrom: cross- and within-source dup pairs land on the " +
+      "normalized source pair; sub-threshold pairs drop") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5", "web"),
+      (2L, "w1 w2 w3 w4 w5", "books"),   // exact dup across sources
+      (3L, "w1 w2 w3 w4 w5", "web"),     // exact dup within web (with doc 1)
+      (4L, "z1 z2 z3 z4 z5", "books")    // no partner → no pair
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps
+      .sourceOverlapFrom(docs, graft.text.TextOps.jaccardPairs(docs, 3))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_dup_pairs"), r.getAs[Double]("avg_jaccard")))
+    // pairs: (1,2) books|web, (1,3) web|web, (2,3) books|web — all jaccard 1
+    assert(out.toSeq === Seq(
+      ("books", "web", 2L, 1.0),
+      ("web", "web", 1L, 1.0)))
+  }
+
   test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
