@@ -136,6 +136,7 @@ object SparkEntry {
     "q107_heavy_hitters"    -> (Summaries.q107HeavyHitters(_, _)),
     "q108_quantization_audit" -> (Similarity.q108QuantizationAudit(_, _)),
     "q109_source_overlap"   -> (TextOps.q109SourceOverlap(_, _)),
+    "q110_snapshot_diff"    -> (Cdc.q110SnapshotDiff(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -122,6 +122,72 @@ object Cdc {
       .orderBy(col("user_id"))
   }
 
+  /** q110 diff cutoff: 2024-01-01 06:00:00 UTC in micros — early enough
+    * that a minority of keys exist in the "before" snapshot, so every diff
+    * class (added/removed/changed/unchanged) is populated at every SF. */
+  val DiffCutoffUs = 1704088800000000L
+
+  /** Snapshot-diff audit between two points of the change log: the state
+    * every key held at [[DiffCutoffUs]] vs its final state, classified as
+    * added / removed / changed / unchanged — the table-maintenance audit a
+    * lakehouse runs after a MERGE window ("what did this batch range do to
+    * the table"). Keys that were never live on either side (tombstone-only
+    * histories) are excluded.
+    *
+    * Scale shape: ONE hash aggregation over the log — both endpoint states
+    * come out of the same `max_by` pass (the "as of cutoff" state is a
+    * `max_by` over a key made null past the cutoff; MaxBy skips null
+    * ordering keys), so there is no second scan, no window, and no
+    * snapshot-vs-snapshot join: shuffle volume is |keys|, with map-side
+    * partial aggregation. The classifier and value deltas are plain
+    * projections on the |keys|-sized result. Value sums ride the exact
+    * decimal rule (events.value is exactly 2 dp) so partition order can't
+    * flip a rounded digit.
+    *
+    * Reference anchor: the latest-snapshot sink this diffs is
+    * `src/lambda/etl/flight_data_processor.py`'s per-batch snapshot
+    * rewrite (see [[mergeSnapshot]]); the audit itself has no reference
+    * counterpart — it is the operational check that makes incremental
+    * snapshots trustworthy.
+    */
+  def snapshotDiff(events: DataFrame, cutoffUs: Long): DataFrame = {
+    val us = expr("ts_ns div 1000")
+    val ord = struct(us, col("event_id"))
+    val state = struct(col("event_type"), col("value"))
+    val per = events.groupBy(col("user_id")).agg(
+      max_by(state, ord).as("cur"),
+      max_by(state, when(us <= lit(cutoffUs), ord)).as("old"))
+    val oldLive = col("old").isNotNull && col("old.event_type") =!= "error"
+    val curLive = col("cur.event_type") =!= "error"
+    val differs = col("old.event_type") =!= col("cur.event_type") ||
+      !(col("old.value") <=> col("cur.value"))
+    per
+      .withColumn("diff_class",
+        when(!oldLive && curLive, lit("added"))
+          .when(oldLive && !curLive, lit("removed"))
+          .when(oldLive && curLive && differs, lit("changed"))
+          .when(oldLive && curLive, lit("unchanged")))
+      .filter(col("diff_class").isNotNull)
+      .withColumn("state",
+        when(col("diff_class") === "removed", col("old.event_type"))
+          .otherwise(col("cur.event_type")))
+      .groupBy(col("diff_class"), col("state")).agg(
+        count(lit(1)).as("n_keys"),
+        count(when(col("diff_class") === "changed" &&
+          col("old.event_type") =!= col("cur.event_type"), 1)).as("n_type_changed"),
+        coalesce(Exprs.sumExact2(when(oldLive, col("old.value"))), lit(0.0))
+          .as("sum_value_before"),
+        coalesce(Exprs.sumExact2(when(curLive, col("cur.value"))), lit(0.0))
+          .as("sum_value_after"))
+      .withColumn("net_value_delta",
+        Exprs.dround(col("sum_value_after") - col("sum_value_before"), 2))
+      .orderBy(col("diff_class"), col("state"))
+  }
+
+  /** q110: snapshot-diff audit of the event log at the pinned cutoff. */
+  def q110SnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(Tables.events(spark, dir), DiffCutoffUs)
+
   /** Committed snapshot version ids present under `dir` (subdirs
     * `snap=<batchId>` carrying a `_SUCCESS` marker). Enumerated through the
     * Hadoop FileSystem API — snapshots are written by Spark's Hadoop FS
@@ -188,6 +254,56 @@ object Cdc {
       .start()
 
   val oracle: Map[String, String] = Map(
+    // Same last-wins ranking as q80, evaluated at two points of the log in
+    // two CTEs (the Spark side fuses both into one max_by pass — the oracle
+    // only needs to be correct). old keys ⊆ cur keys, so LEFT JOIN from cur
+    // is a full diff. Value compare is raw parquet doubles (no arithmetic)
+    // → IS DISTINCT FROM is exact; sums ride the decimal rule; the net
+    // delta subtracts the same two decimal-backed doubles both engines
+    // hold bit-identically.
+    "q110_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |old AS (
+        |  SELECT user_id, event_type, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |    FROM events WHERE epoch_us(ts) <= 1704088800000000) WHERE rn = 1),
+        |j AS (
+        |  SELECT c.user_id,
+        |    o.event_type IS NOT NULL AND o.event_type <> 'error' AS old_live,
+        |    c.event_type <> 'error' AS cur_live,
+        |    o.event_type AS old_type, o.value AS old_value,
+        |    c.event_type AS cur_type, c.value AS cur_value
+        |  FROM cur c LEFT JOIN old o USING (user_id)),
+        |classed AS (
+        |  SELECT *,
+        |    CASE WHEN NOT old_live AND cur_live THEN 'added'
+        |         WHEN old_live AND NOT cur_live THEN 'removed'
+        |         WHEN old_live AND cur_live AND (old_type <> cur_type
+        |           OR old_value IS DISTINCT FROM cur_value) THEN 'changed'
+        |         WHEN old_live AND cur_live THEN 'unchanged' END AS diff_class,
+        |    CASE WHEN old_live AND NOT cur_live THEN old_type
+        |         ELSE cur_type END AS state
+        |  FROM j),
+        |agged AS (
+        |  SELECT diff_class, state, count(*) AS n_keys,
+        |    count(*) FILTER (WHERE diff_class = 'changed'
+        |      AND old_type <> cur_type) AS n_type_changed,
+        |    coalesce(sum(CASE WHEN old_live THEN old_value::DECIMAL(25,2) END)::DOUBLE,
+        |      0.0) AS sum_value_before,
+        |    coalesce(sum(CASE WHEN cur_live THEN cur_value::DECIMAL(25,2) END)::DOUBLE,
+        |      0.0) AS sum_value_after
+        |  FROM classed WHERE diff_class IS NOT NULL
+        |  GROUP BY diff_class, state)
+        |SELECT diff_class, state, n_keys, n_type_changed, sum_value_before,
+        |  sum_value_after,
+        |  round((sum_value_after - sum_value_before) * 100) / 100 AS net_value_delta
+        |FROM agged ORDER BY diff_class, state""".stripMargin,
+
     "q80_cdc_upsert" ->
       """WITH ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id

@@ -145,4 +145,39 @@ class CdcSpec extends SparkSpecBase {
     assert(out(0) === ((1L, 3L, 4L, 2L, "view", 400L, 300L)))
     assert(out(1) === ((2L, 1L, 1L, 1L, "signup", 100L, 0L)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged and skips " +
+      "never-live keys; the as-of state ignores post-cutoff records") {
+    val e = log(
+      // user 1: live before and after, state changed (type flip)
+      (1L, 100L, 1L, "view", 1.00),
+      (2L, 300L, 1L, "click", 1.00),
+      // user 2: live before and after, identical newest record → unchanged
+      (3L, 100L, 2L, "view", 2.00),
+      // user 3: first event after cutoff → added
+      (4L, 300L, 3L, "signup", 3.00),
+      // user 4: live before, tombstone after → removed
+      (5L, 100L, 4L, "view", 4.00),
+      (6L, 300L, 4L, "error", 0.00),
+      // user 5: tombstone before, live after → added (not live at cutoff)
+      (7L, 100L, 5L, "error", 0.00),
+      (8L, 300L, 5L, "purchase", 5.00),
+      // user 6: tombstone-only history → excluded entirely
+      (9L, 100L, 6L, "error", 0.00),
+      // user 7: value changed at same type
+      (10L, 100L, 7L, "view", 1.00),
+      (11L, 300L, 7L, "view", 9.00))
+    val out = Cdc.snapshotDiff(e, cutoffUs = 200L)
+      .select("diff_class", "state", "n_keys", "n_type_changed",
+        "sum_value_before", "sum_value_after", "net_value_delta")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("added", "purchase", 1L, 0L, 0.00, 5.00, 5.00),
+      ("added", "signup", 1L, 0L, 0.00, 3.00, 3.00),
+      ("changed", "click", 1L, 1L, 1.00, 1.00, 0.00),
+      ("changed", "view", 1L, 0L, 1.00, 9.00, 8.00),
+      ("removed", "view", 1L, 0L, 4.00, 0.00, -4.00),
+      ("unchanged", "view", 1L, 0L, 2.00, 2.00, 0.00)))
+  }
 }

@@ -284,4 +284,24 @@ class PlanQualitySpec extends SparkSpecBase {
       s"percentile buffers must not ride the Expand branch:\n${p.take(3000)}")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
+
+  test("q110 snapshot diff is one max_by pass over the log — no window, no " +
+      "join, one events scan") {
+    // both endpoint states come out of the same aggregation: a second scan,
+    // a window, or a snapshot-vs-snapshot join here means the fused as-of
+    // formulation regressed to the naive two-snapshot diff
+    val p = plan(graft.cdc.Cdc.q110SnapshotDiff(spark, Sf001))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned once:\n${p.take(3000)}")
+  }
+
+  test("q109 source attribution joins at the pair grain over a broadcast " +
+      "doc→source lookup") {
+    val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both source lookups must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
