@@ -137,6 +137,7 @@ object SparkEntry {
     "q108_quantization_audit" -> (Similarity.q108QuantizationAudit(_, _)),
     "q109_source_overlap"   -> (TextOps.q109SourceOverlap(_, _)),
     "q110_snapshot_diff"    -> (Cdc.q110SnapshotDiff(_, _)),
+    "q111_semantic_dedup"   -> (Similarity.q111SemanticDedup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -320,6 +320,60 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Cluster-blocked candidate pairs — the SemDeDup shape (Abbas et al.
+    * 2023): k-means the corpus, generate candidates only WITHIN each
+    * cluster. The third pair-generation strategy next to
+    * [[exactPairsBlocked]] (exhaustive) and [[lshCandidatePairs]]
+    * (hash-bucketed): clusters are data-adaptive blocks, so at 100 TB the
+    * compare volume is Σ|cluster|²/2 — tunable via k (k ≈ N/target keeps
+    * clusters bounded; production SemDeDup runs k in the tens of thousands)
+    * — and the join is a plain shuffled hash join on `cid`, embeddings
+    * shuffled once each side. Centroid state is k×dim doubles through the
+    * driver ([[ivfCentroids]]); the assignment pass is broadcast+argmax.
+    *
+    * Determinism: [[assignToCentroid]] ranks (cosine desc, cid) — a pure
+    * function of the embedding VALUE — so bit-identical vectors always land
+    * in the same cluster, whatever the centroids converged to. That is what
+    * makes an exact-copy recall guarantee possible (see [[q111SemanticDedup]]). */
+  def clusterCandidatePairs(e: DataFrame, k: Int, iters: Int)
+                           (implicit spark: SparkSession): DataFrame = {
+    val assigned = assignToCentroid(e, ivfCentroids(e, k, iters))
+    val a = assigned.select(col("cid"), col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = assigned.select(col("cid"), col("vec_id").as("j"), col("embedding").as("eb"))
+    a.join(b, Seq("cid")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ea"), col("eb"))
+  }
+
+  /** q111: semantic (cluster-blocked) dedup, driver-verified against the
+    * exhaustive oracle — the q100 pattern applied to the SemDeDup strategy.
+    * Corpus = embeddings ∪ exact copies of every 5th vector (id + 2e6);
+    * dedup via [[clusterCandidatePairs]] (16 clusters, 2 Lloyd rounds) at
+    * θ=0.99.
+    *
+    * Why a clustering-based path still has an exact oracle: a planted copy
+    * is bit-identical to its original, and cluster assignment is a
+    * deterministic function of the embedding value alone — so every planted
+    * pair shares a cluster with certainty and recall on planted copies is
+    * provably 1.0, independent of where k-means converged. At θ=0.99
+    * nothing else survives the exact cosine verify (max non-identical pair
+    * similarity in this corpus ≈ 0.51), so the output is exactly the
+    * planted-duplicate set — which the DuckDB oracle recomputes from the
+    * exhaustive N² join, checking centroid build, assignment, and the
+    * within-cluster join end-to-end. */
+  def q111SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val corpus = plantedCorpus(Tables.embeddings(spark, dir), every = 5,
+      offset = 2000000L)
+    embeddingDedup(corpus, 0.99, clusterCandidatePairs(_, k = 16, iters = 2))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("vec_id") >= 2000000L, 1)).as("n_planted"),
+        count(when(col("is_dup"), 1)).as("n_dups"),
+        count(when(!col("is_dup"), 1)).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
   /** Approximate near-dup dedup for genuinely-clustered corpora: hyperplane
     * LSH buckets (OR over `tables` tables × `planes` planes each) generate
     * candidate pairs, exact cosine verifies them, the higher id of each
@@ -496,6 +550,31 @@ object Similarity {
     // Exhaustive-N² oracle for the LSH path: valid because planted exact
     // copies collide in every hash table (recall provably 1.0, see
     // q100LshDedup scaladoc) — the SQL assumes nothing about LSH.
+    // The planted-copy set is what both the LSH (q100) and cluster-blocked
+    // (q111) strategies provably recover in full; only planting params
+    // differ (every 5th, offset 2e6). n_kept is derivable but emitted by
+    // the engine, so the oracle emits it too.
+    "q111_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 2000000, label, embedding FROM embeddings
+        |  WHERE vec_id % 5 = 0),
+        |dup_ids AS (
+        |  SELECT DISTINCT b.vec_id AS j
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.99),
+        |marked AS (
+        |  SELECT c.vec_id, c.label, (d.j IS NOT NULL) AS is_dup
+        |  FROM corpus c LEFT JOIN dup_ids d ON c.vec_id = d.j)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN vec_id >= 2000000 THEN 1 END) AS n_planted,
+        |  count(CASE WHEN is_dup THEN 1 END) AS n_dups,
+        |  count(CASE WHEN NOT is_dup THEN 1 END) AS n_kept
+        |FROM marked GROUP BY label ORDER BY label""".stripMargin,
     "q100_lsh_dedup" ->
       """WITH corpus AS (
         |  SELECT vec_id, label, embedding FROM embeddings

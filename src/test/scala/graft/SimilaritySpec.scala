@@ -137,4 +137,38 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("clusterCandidatePairs: identical vectors always share a cluster " +
+      "(planted-copy recall 1.0), candidates stay within-cluster") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rnd = new scala.util.Random(11)
+    val bases = Seq.tabulate(50) { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat), 0)
+    }
+    val copies = bases.filter(_._1 % 4 == 0)
+      .map { case (id, v, _) => (500L + id, v.clone(), 1) }
+    val e = (bases ++ copies).toDF("vec_id", "embedding", "label")
+    Similarity.ensureRegistered(spark)
+    val pairs = Similarity.clusterCandidatePairs(e, k = 6, iters = 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (base, base+500) pair must be a candidate — identical
+    // vectors rank centroids identically, so they cannot be split
+    copies.foreach { case (cid, _, _) =>
+      assert(pairs.contains((cid - 500L, cid)), s"planted pair for $cid missing")
+    }
+    // blocking really prunes: well under the exhaustive pair count
+    val n = bases.size + copies.size
+    assert(pairs.size < n * (n - 1) / 2, s"${pairs.size} = exhaustive; no pruning")
+  }
+
+  test("q111 semantic dedup flags exactly the planted copies") {
+    val out = Similarity.q111SemanticDedup(spark, Sf001).collect()
+    val nPlanted = out.map(_.getAs[Long]("n_planted")).sum
+    val nDups = out.map(_.getAs[Long]("n_dups")).sum
+    assert(nPlanted > 0)
+    assert(nDups === nPlanted, s"dups $nDups != planted $nPlanted")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ===
+        r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dups"))
+    }
+  }
 }
