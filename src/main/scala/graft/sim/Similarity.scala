@@ -161,14 +161,25 @@ object Similarity {
     centroids
   }
 
-  /** Assign each vector to its max-cosine centroid (broadcast + argmax). */
+  /** Assign each vector to its max-cosine centroid. Centroid state is
+    * k×dim doubles, so it rides the plan as LITERALS (one cosine kernel
+    * call per centroid, unrolled Scala-side — the q27/q100 sig-table rule:
+    * a plan-time-constant loop bound must not become a lambda or a join):
+    * argmax = `greatest` over (csim, −cid) structs, which is a pure per-row
+    * projection in whole-stage codegen — no k× row blow-up, no window, no
+    * shuffle. Tiebreak (csim desc, cid asc) matches the former window
+    * formulation; assignment stays a pure function of the embedding value
+    * (the q111 recall proof leans on this). */
   def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    emb.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("embedding"), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val cents = centroids.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val best = greatest(cents.map { case (cid, ce) =>
+      struct(cosine(col("embedding"), typedlit(ce)).as("csim"),
+        lit(-cid).as("ncid"))
+    }.toIndexedSeq: _*)
+    emb.select(col("vec_id"), col("embedding"),
+      (-best.getField("ncid")).as("cid"))
   }
 
   /** q43: IVF ANN — 16 clusters, 2 Lloyd rounds, nprobe=2: each probe scans

@@ -297,6 +297,17 @@ class PlanQualitySpec extends SparkSpecBase {
       s"events must be scanned once:\n${p.take(3000)}")
   }
 
+  test("q111 centroid assignment is a per-row projection (no window, no " +
+      "k-times row blow-up join) and the cluster join is an equi-join") {
+    // the unrolled greatest(struct(cosine, -cid)) argmax must not regress
+    // to the crossJoin-broadcast-window formulation (16x rows + a shuffle)
+    val p = plan(graft.sim.Similarity.q111SemanticDedup(spark, Sf001))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("cosine_sim"), s"native kernel must drive the argmax:\n${p.take(3000)}")
+  }
+
   test("q109 source attribution joins at the pair grain over a broadcast " +
       "doc→source lookup") {
     val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))
