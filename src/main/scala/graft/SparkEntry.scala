@@ -138,6 +138,8 @@ object SparkEntry {
     "q109_source_overlap"   -> (TextOps.q109SourceOverlap(_, _)),
     "q110_snapshot_diff"    -> (Cdc.q110SnapshotDiff(_, _)),
     "q111_semantic_dedup"   -> (Similarity.q111SemanticDedup(_, _)),
+    "q112_shingle_novelty"  -> (TextOps.q112ShingleNovelty(_, _)),
+    "q113_dedup_roi"        -> (TextOps.q113DedupRoi(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

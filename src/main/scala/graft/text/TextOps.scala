@@ -171,6 +171,7 @@ object TextOps {
     *   JoinQueries.editDistanceFrom(docs, pairs)          // q69
     *   TextOps.incrementalDedupFrom(docs, pairs, splitId) // q96 near path
     *   TextOps.sourceOverlapFrom(docs, pairs)             // q109
+    *   TextOps.dedupRoiFrom(docs, pairs)                  // q113
     * } finally pairs.unpersist()
     * }}}
     *
@@ -225,6 +226,88 @@ object TextOps {
   def q109SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     sourceOverlapFrom(d, jaccardPairs(d, 3))
+  }
+
+  /** q112: per-source shingle novelty — a shingle is NOVEL for the
+    * lowest-doc_id document containing it (arrival order); a document's
+    * novelty is the fraction of its distinct shingles it introduced to the
+    * corpus. The curation signal behind "this source mostly re-states what
+    * we already have" (the marginal-value question quota capping (q83) and
+    * mixture weighting (q90) want answered BEFORE sampling).
+    *
+    * Plan: first-introducer per gram is a min-window on the gram key — the
+    * q106 trick: detection and per-doc rollup ride ONE hash partitioning
+    * of the exploded shingle relation, no groupBy-plus-semi-join second
+    * scan. The per-doc→per-source rollup is |docs|-sized. Ratios are
+    * BIGINT/BIGINT (exact in double on both engines); the below-half flag
+    * is an integer cross-multiply, never a double compare. At 100 TB the
+    * gram relation shuffles once on the gram key — the same bound as every
+    * shingle op in this family. */
+  def q112ShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("s"))
+    val perDoc = shingleRows(docs, 3).distinct()
+      .withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("doc_id") === col("first_doc"), 1)).as("n_novel"))
+    perDoc.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_shingles")).as("total_shingles"),
+        sum(col("n_novel")).as("novel_shingles"),
+        count(when(col("n_novel") === col("n_shingles"), 1)).as("n_fully_novel"),
+        count(when(col("n_novel") * 2 < col("n_shingles"), 1)).as("n_mostly_seen"))
+      .withColumn("novelty",
+        Exprs.dround(col("novel_shingles") / col("total_shingles"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Dedup ROI sweep from a candidate-pair relation (q113 body): for each
+    * dedup threshold θ, how many documents and tokens keep-first dedup at
+    * Jaccard ≥ θ would remove — the "which θ do we run" planning sweep a
+    * curation pipeline does before committing to a dedup pass, computed
+    * for ALL thresholds in one pass instead of re-running the pair join
+    * per θ. Another [[sharedPairs]] consumer.
+    *
+    * One groupBy on the pair relation collapses it to per-doc max-partner
+    * similarity (keep-first: the higher id of a pair is the one removed);
+    * the θ sweep then fans each |docs|-sized row out over the threshold
+    * array — explode AFTER aggregation, so the fan-out is bounded by
+    * |docs|×|θ|, never |pairs|×|θ|. Corpus totals ride the 1-row
+    * broadcast combine (J5). θ values and the rounded 6-dp jaccard are
+    * bit-identical across engines (the oracle casts its θ list ::DOUBLE —
+    * non-dyadic literals parse as DECIMAL in DuckDB otherwise). */
+  def dedupRoiFrom(docs: DataFrame, pairs: DataFrame,
+                   thetas: Seq[Double] = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      : DataFrame = {
+    graft.functions.TokenCountFunction.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"),
+      call_function("token_count", col("text")).as("tok"))
+    val totals = toks.agg(
+      count(lit(1)).as("corpus_docs"), sum(col("tok")).as("corpus_tokens"))
+    val mj = pairs.groupBy(col("d2").as("doc_id"))
+      .agg(max(col("jaccard")).as("mj"))
+    mj.join(toks, "doc_id")
+      .select(col("mj"), col("tok"),
+        explode(array(thetas.map(lit): _*)).as("theta"))
+      .filter(col("mj") >= col("theta"))
+      .groupBy(col("theta")).agg(
+        count(lit(1)).as("n_dup_docs"),
+        sum(col("tok")).as("tokens_removed"))
+      .crossJoin(broadcast(totals))
+      .select(col("theta"), col("n_dup_docs"), col("tokens_removed"),
+        Exprs.dround(col("n_dup_docs") / col("corpus_docs"), 6)
+          .as("pct_docs_removed"),
+        Exprs.dround(col("tokens_removed") / col("corpus_tokens"), 6)
+          .as("pct_tokens_removed"))
+      .orderBy(col("theta"))
+  }
+
+  /** q113: dedup ROI threshold sweep over the corpus pair relation. */
+  def q113DedupRoi(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    dedupRoiFrom(d, jaccardPairs(d, 3))
   }
 
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
@@ -1501,6 +1584,70 @@ object TextOps {
         |  round(sum(jaccard::DECIMAL(25,6))::DOUBLE / count(*) * 1000000)
         |    / 1000000 AS avg_jaccard
         |FROM lab GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin,
+
+    // First-introducer novelty: min-over-gram window (q106 trick), per-doc
+    // rollup, per-source totals. Ratios are BIGINT/BIGINT; the mostly-seen
+    // flag is an integer cross-multiply (novelty < 0.5 ⟺ 2·novel < total).
+    "q112_shingle_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |firsts AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_doc FROM sh),
+        |per_doc AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    count(CASE WHEN doc_id = first_doc THEN 1 END) AS n_novel
+        |  FROM firsts GROUP BY doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(n_shingles)::BIGINT AS total_shingles,
+        |  sum(n_novel)::BIGINT AS novel_shingles,
+        |  count(CASE WHEN n_novel = n_shingles THEN 1 END) AS n_fully_novel,
+        |  count(CASE WHEN n_novel * 2 < n_shingles THEN 1 END) AS n_mostly_seen,
+        |  round(sum(n_novel)::BIGINT / sum(n_shingles)::BIGINT * 1000000)
+        |    / 1000000 AS novelty
+        |FROM per_doc JOIN documents USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same pair machinery as q24/q109; the θ list is cast ::DOUBLE so both
+    // engines compare the same IEEE doubles (0.4 parses as DECIMAL in
+    // DuckDB otherwise — the q52 lesson). Keep-first: d2 is the removed
+    // side; max partner similarity drives every threshold at once.
+    "q113_dedup_roi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |counts AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jac AS (
+        |  SELECT d2,
+        |    round(common / (c1.c + c2.c - common) * 1000000) / 1000000 AS jaccard
+        |  FROM pairs
+        |  JOIN counts c1 ON c1.doc_id = d1
+        |  JOIN counts c2 ON c2.doc_id = d2),
+        |mj AS (SELECT d2 AS doc_id, max(jaccard) AS mj FROM jac GROUP BY d2),
+        |tk AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tot AS (
+        |  SELECT count(*) AS corpus_docs, sum(tok)::BIGINT AS corpus_tokens FROM tk),
+        |sweep AS (
+        |  SELECT theta, count(*) AS n_dup_docs, sum(tok)::BIGINT AS tokens_removed
+        |  FROM mj JOIN tk USING (doc_id),
+        |    LATERAL (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS theta)
+        |  WHERE mj >= theta GROUP BY theta)
+        |SELECT theta, n_dup_docs, tokens_removed,
+        |  round(n_dup_docs / corpus_docs * 1000000) / 1000000 AS pct_docs_removed,
+        |  round(tokens_removed / corpus_tokens * 1000000) / 1000000 AS pct_tokens_removed
+        |FROM sweep, tot ORDER BY theta""".stripMargin,
 
     // Island detection (pos - row_number) is offset-invariant, so the
     // 1-based generate_series positions here match Spark's 0-based

@@ -287,6 +287,47 @@ class TextOpsSpec extends SparkSpecBase {
       ("web", "web", 1L, 1.0)))
   }
 
+  test("shingle novelty: first introducer owns the gram; verbatim copies " +
+      "score zero novelty; fully fresh docs score one") {
+    val docs = Seq(
+      (1L, "a b c d e", "web"),    // introduces all 3 grams → novelty 1
+      (2L, "a b c d e", "web"),    // verbatim copy → novelty 0
+      (3L, "x y z w v", "books")   // fresh → novelty 1
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.text.TextOps.q112ShingleNovelty(spark, dir)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_fully_novel"), r.getAs[Long]("n_mostly_seen"),
+        r.getAs[Double]("novelty")))
+    assert(out.toSeq === Seq(
+      ("books", 1L, 1L, 0L, 1.0),
+      ("web", 2L, 1L, 1L, 0.5)))
+  }
+
+  test("dedup ROI sweep: thresholds accumulate down, keep-first removes " +
+      "only the later doc, token totals follow") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 10 tokens, original
+      (2L, "a b c d e f g h i j"),  // exact copy: mj = 1.0, removed at all θ
+      (3L, "a b c d e f g r s t"),  // partial overlap: mj between 0.4 and 0.5
+      (4L, "m n o p q r s t u v")   // no partner above noise
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val pairs = graft.text.TextOps.jaccardPairs(docs, 3)
+    val out = graft.text.TextOps.dedupRoiFrom(docs, pairs)
+      .collect().map(r => (r.getAs[Double]("theta"), r.getAs[Long]("n_dup_docs"),
+        r.getAs[Long]("tokens_removed"), r.getAs[Double]("pct_docs_removed")))
+    // doc2 (exact copy) is removed at every θ; doc3's mj (5 common of
+    // 8+8-5=11 grams ≈ 0.4545) only clears θ=0.4; doc1/doc4 never removed
+    assert(out.toSeq === Seq(
+      (0.4, 2L, 20L, 0.5),
+      (0.5, 1L, 10L, 0.25),
+      (0.6, 1L, 10L, 0.25),
+      (0.7, 1L, 10L, 0.25),
+      (0.8, 1L, 10L, 0.25),
+      (0.9, 1L, 10L, 0.25)))
+  }
+
   test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
