@@ -140,6 +140,8 @@ object SparkEntry {
     "q111_semantic_dedup"   -> (Similarity.q111SemanticDedup(_, _)),
     "q112_shingle_novelty"  -> (TextOps.q112ShingleNovelty(_, _)),
     "q113_dedup_roi"        -> (TextOps.q113DedupRoi(_, _)),
+    "q114_dedup_survivorship" -> (TextOps.q114DedupSurvivorship(_, _)),
+    "q115_cluster_safe_split" -> (TextOps.q115ClusterSafeSplit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

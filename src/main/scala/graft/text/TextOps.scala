@@ -172,6 +172,8 @@ object TextOps {
     *   TextOps.incrementalDedupFrom(docs, pairs, splitId) // q96 near path
     *   TextOps.sourceOverlapFrom(docs, pairs)             // q109
     *   TextOps.dedupRoiFrom(docs, pairs)                  // q113
+    *   TextOps.survivorshipFrom(docs, pairs)              // q114
+    *   TextOps.clusterSafeSplitFrom(docs, pairs)          // q115
     * } finally pairs.unpersist()
     * }}}
     *
@@ -308,6 +310,123 @@ object TextOps {
   def q113DedupRoi(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     dedupRoiFrom(d, jaccardPairs(d, 3))
+  }
+
+  /** Survivorship pick over the near-dup clusters (q114 body): clustering
+    * (q59) says WHICH docs are mutual near-dups; the pipeline still has to
+    * choose the ONE canonical doc per cluster and account for what the
+    * discard costs. Policy: keep the longest doc (most whitespace tokens),
+    * tie-broken to the lowest doc_id — the common keep-best rule when no
+    * richer quality signal is joined in (swap the ordering struct to change
+    * policy; the plan shape is policy-invariant).
+    *
+    * The pick is ONE `max_by` aggregation over the labeled docs — the q110
+    * two-struct trick, no window, so the exchange carries |cluster| keys
+    * and two small structs, never a row_number sort over the corpus. At
+    * 100 TB: labels are the converged loop output (|dup docs| rows ≪
+    * corpus), the token count joins in from a corpus projection, and the
+    * single shuffle is on cluster_id. Another [[sharedPairs]] consumer. */
+  def survivorshipFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val toks = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    labels.join(toks, "doc_id")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), -col("doc_id"))).as("keeper"),
+        count(lit(1)).as("sz"),
+        sum(col("n_tokens")).as("cluster_tokens"))
+      .select(col("cluster_id"),
+        col("keeper.doc_id").as("keeper_doc_id"),
+        col("keeper.n_tokens").as("keeper_tokens"),
+        col("sz"),
+        (col("sz") - 1).as("n_discarded"),
+        (col("cluster_tokens") - col("keeper.n_tokens"))
+          .as("discarded_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q114: canonical-doc survivorship per near-dup cluster. */
+  def q114DedupSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    survivorshipFrom(d, jaccardPairs(d, 3))
+  }
+
+  /** Split assignment used by q115 (and mirrored in its oracle): first hex
+    * char of md5 of the key's decimal string — 12/16 train, 2/16 val,
+    * 2/16 test, the same deterministic h<='b'/'d' ladder as q61. */
+  def hashSplit(key: Column): Column = {
+    val h = substring(md5(key.cast("string")), 1, 1)
+    when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+  }
+
+  /** Leakage-safe dataset split (q115 body): a naive per-doc hash split
+    * leaks near-duplicates across train/val/test — the eval answer is in
+    * the training set verbatim-ish. The fix is to split by CLUSTER: every
+    * doc hashes its cluster representative (its component label; itself
+    * when unclustered), so whole near-dup clusters land on one side by
+    * construction. Output compares both strategies side by side at the
+    * (strategy, split) grain — docs, clusters, tokens, doc share — plus
+    * each strategy's count of LEAKY clusters (components straddling >1
+    * split): the by_cluster row is provably 0, the by_doc row is the
+    * leak the naive split would have shipped.
+    *
+    * Plan: one corpus projection left-joins the labels (broadcast-sized:
+    * |dup docs|), then (a) strategy fan-out via explode AFTER assignment —
+    * 2·|docs| rows into one hash-agg — and (b) a per-component min≠max
+    * leak flag (the q106 one-partitioning trick) rolled up per strategy
+    * and broadcast back onto the 6 result rows. Nothing shuffles the
+    * corpus more than once per aggregation; both aggs partial-combine. */
+  def clusterSafeSplitFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val base = docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("label"), col("doc_id")))
+      .withColumn("split_doc", hashSplit(col("doc_id")))
+      .withColumn("split_cluster", hashSplit(col("rep")))
+    val stats = base
+      .select(col("n_tokens"), col("rep"), explode(array(
+        struct(lit("by_doc").as("strategy"), col("split_doc").as("split")),
+        struct(lit("by_cluster").as("strategy"),
+          col("split_cluster").as("split")))).as("sp"))
+      .groupBy(col("sp.strategy").as("strategy"), col("sp.split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("pct_docs", Exprs.pctOf(col("n_docs"),
+        sum(col("n_docs")).over(Window.partitionBy(col("strategy"))), 2))
+    // leaky components per strategy: min≠max split within a labeled
+    // component — one shuffle on the component key, then a 1-row rollup
+    val leak = base.filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(
+        (min(col("split_doc")) =!= max(col("split_doc"))).as("ld"),
+        (min(col("split_cluster")) =!= max(col("split_cluster"))).as("lc"))
+      .agg(sum(when(col("ld"), 1L).otherwise(0L)).as("by_doc"),
+        sum(when(col("lc"), 1L).otherwise(0L)).as("by_cluster"))
+      .select(explode(array(
+        struct(lit("by_doc").as("strategy"),
+          col("by_doc").as("leaky_clusters")),
+        struct(lit("by_cluster").as("strategy"),
+          col("by_cluster").as("leaky_clusters")))).as("lk"))
+      .select(col("lk.strategy").as("strategy"),
+        col("lk.leaky_clusters").as("leaky_clusters"))
+    // left + coalesce: on a cluster-free corpus the leak rollup carries
+    // nulls (Spark's global agg emits one row over empty input; DuckDB's
+    // grouped rollup emits none) — both normalize to 0 here
+    stats.join(broadcast(leak), Seq("strategy"), "left")
+      .select(col("strategy"), col("split"), col("n_docs"), col("n_groups"),
+        col("n_tokens"), col("pct_docs"),
+        coalesce(col("leaky_clusters"), lit(0L)).as("leaky_clusters"))
+      .orderBy(col("strategy"), col("split"))
+  }
+
+  /** q115: leakage-safe train/val/test split by near-dup cluster. */
+  def q115ClusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    clusterSafeSplitFrom(d, jaccardPairs(d, 3))
   }
 
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
@@ -728,7 +847,16 @@ object TextOps {
   }
 
   /** q59 body over a (possibly [[sharedPairs]]-persisted) pair relation. */
-  def dupClustersFrom(allPairs: DataFrame): DataFrame = {
+  def dupClustersFrom(allPairs: DataFrame): DataFrame =
+    clusterRollup(clusterLabels(allPairs))
+
+  /** Component labels for the near-dup graph at Jaccard ≥ 0.4 — the
+    * (doc_id, label) relation underneath q59's rollup, exposed so the
+    * survivorship pick (q114) and the cluster-safe split (q115) can reuse
+    * the same converged labels without re-deriving the loop. Only docs
+    * that appear in at least one edge are labeled (every label names a
+    * component of size ≥ 2). */
+  def clusterLabels(allPairs: DataFrame): DataFrame = {
     val pairs = allPairs
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
@@ -761,7 +889,7 @@ object TextOps {
       s"label propagation did not converge in $iter rounds ($changed labels " +
         "still changing): component diameter exceeds the round budget — " +
         "use starComponents (O(log n) rounds) for chain-heavy graphs")
-    clusterRollup(labels)
+    labels
   }
 
   /** Per-component rollup shared by the two clustering paths (q59/q104):
@@ -1240,7 +1368,11 @@ object TextOps {
     * derived component labels; shared by q59 (min-label propagation) and
     * q104 (star contraction), which compute the same clustering through
     * different iteration algebras. */
-  private val DupClustersOracle: String =
+  /** Shared CTE prefix ending at `labels` (doc_id → min-reachable
+    * cluster_id): the transitive closure of the Jaccard ≥ 0.4 graph,
+    * consumed by the q59/q104 rollup oracle and the label-derived q114
+    * (survivorship) and q115 (cluster-safe split) oracles. */
+  private val DupClusterLabelCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM documents),
@@ -1264,11 +1396,84 @@ object TextOps {
       |  SELECT DISTINCT src AS a, src AS b FROM edges
       |  UNION
       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-      |SELECT cluster_id, count(*) AS sz,
+      |labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)""".stripMargin
+
+  private val DupClustersOracle: String =
+    DupClusterLabelCtes + "\n" +
+    """SELECT cluster_id, count(*) AS sz,
       |  string_agg(doc_id, ',' ORDER BY doc_id) AS members,
       |  count(*) - 1 AS n_dups
       |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** q114 oracle: same labels, keeper picked by an explicit row_number
+    * (tokens DESC, doc_id) — the declarative statement of the max_by
+    * ordering struct. All-integer output: no rounding hazards. */
+  private val SurvivorshipOracle: String =
+    DupClusterLabelCtes + ",\n" +
+    """ntok AS (
+      |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS n_tokens
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT l.cluster_id, n.doc_id, n.n_tokens,
+      |    row_number() OVER (PARTITION BY l.cluster_id
+      |      ORDER BY n.n_tokens DESC, n.doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY l.cluster_id) AS sz,
+      |    sum(n.n_tokens) OVER (PARTITION BY l.cluster_id) AS cluster_tokens
+      |  FROM labels l JOIN ntok n USING (doc_id))
+      |SELECT cluster_id, doc_id AS keeper_doc_id, n_tokens AS keeper_tokens,
+      |  sz, sz - 1 AS n_discarded,
+      |  (cluster_tokens - n_tokens)::BIGINT AS discarded_tokens
+      |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** q115 oracle: same labels; the two split strategies unpivoted via
+    * UNION ALL, leak flags per labeled component via min<>max, left-joined
+    * + coalesced so a cluster-free corpus yields 0 (Spark emits one null
+    * row from its global agg; DuckDB emits none — both normalize). */
+  private val ClusterSafeSplitOracle: String =
+    DupClusterLabelCtes + ",\n" +
+    """ntok AS (
+      |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS n_tokens
+      |  FROM documents),
+      |asg AS (
+      |  SELECT n.doc_id, n.n_tokens, l.cluster_id AS label,
+      |    coalesce(l.cluster_id, n.doc_id) AS rep,
+      |    CASE WHEN substr(md5(n.doc_id::VARCHAR), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substr(md5(n.doc_id::VARCHAR), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split_doc,
+      |    CASE WHEN substr(md5(coalesce(l.cluster_id, n.doc_id)::VARCHAR), 1, 1)
+      |           <= 'b' THEN 'train'
+      |         WHEN substr(md5(coalesce(l.cluster_id, n.doc_id)::VARCHAR), 1, 1)
+      |           <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split_cluster
+      |  FROM ntok n LEFT JOIN labels l USING (doc_id)),
+      |stats AS (
+      |  SELECT strategy, split, count(*) AS n_docs,
+      |    count(DISTINCT rep) AS n_groups,
+      |    sum(n_tokens)::BIGINT AS n_tokens
+      |  FROM (
+      |    SELECT 'by_doc' AS strategy, split_doc AS split, rep, n_tokens FROM asg
+      |    UNION ALL
+      |    SELECT 'by_cluster', split_cluster, rep, n_tokens FROM asg)
+      |  GROUP BY strategy, split),
+      |leak AS (
+      |  SELECT strategy, sum(CASE WHEN l THEN 1 ELSE 0 END)::BIGINT
+      |      AS leaky_clusters
+      |  FROM (
+      |    SELECT 'by_doc' AS strategy,
+      |      min(split_doc) <> max(split_doc) AS l
+      |    FROM asg WHERE label IS NOT NULL GROUP BY label
+      |    UNION ALL
+      |    SELECT 'by_cluster', min(split_cluster) <> max(split_cluster)
+      |    FROM asg WHERE label IS NOT NULL GROUP BY label)
+      |  GROUP BY strategy)
+      |SELECT s.strategy, s.split, s.n_docs, s.n_groups, s.n_tokens,
+      |  round(100.0 * s.n_docs /
+      |    sum(s.n_docs) OVER (PARTITION BY s.strategy) * 100) / 100 AS pct_docs,
+      |  coalesce(k.leaky_clusters, 0) AS leaky_clusters
+      |FROM stats s LEFT JOIN leak k USING (strategy)
+      |ORDER BY strategy, split""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q84_bigram_pmi" ->
@@ -1523,6 +1728,8 @@ object TextOps {
     // result by construction, so it shares q59's transitive-closure oracle
     "q104_dup_clusters_star" -> DupClustersOracle,
     "q59_dup_clusters" -> DupClustersOracle,
+    "q114_dedup_survivorship" -> SurvivorshipOracle,
+    "q115_cluster_safe_split" -> ClusterSafeSplitOracle,
 
     // Exhaustive set-equality oracle for the MinHash-banded dedup: valid
     // because identical shingle sets collide in every band (recall exactly

@@ -308,6 +308,25 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("cosine_sim"), s"native kernel must drive the argmax:\n${p.take(3000)}")
   }
 
+  test("q114 survivorship pick is one max_by aggregation over the labeled " +
+      "docs — no window") {
+    // the keeper is chosen by max_by(struct, ordering-struct) (the q110
+    // trick): a Window here means the pick regressed to a row_number sort
+    // over the labeled corpus
+    val p = plan(graft.text.TextOps.q114DedupSurvivorship(spark, Sf001))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("max_by"), s"keeper must come from max_by:\n${p.take(3000)}")
+  }
+
+  test("q115 split assignment fans out AFTER the hash — per-strategy rows " +
+      "come from one explode, not two corpus scans in the stats agg") {
+    val p = plan(graft.text.TextOps.q115ClusterSafeSplit(spark, Sf001))
+    assert(p.contains("Generate explode"),
+      s"strategy fan-out must be the explode projection:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("q109 source attribution joins at the pair grain over a broadcast " +
       "doc→source lookup") {
     val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))

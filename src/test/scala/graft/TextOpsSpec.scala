@@ -328,6 +328,49 @@ class TextOpsSpec extends SparkSpecBase {
       (0.9, 1L, 10L, 0.25)))
   }
 
+  test("survivorship: keep-longest wins, ties break to the lowest doc_id, " +
+      "discarded tokens account for the rest of the cluster") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // 5 tokens, cluster {1,2,3}
+      (2L, "a b c d e f"),    // 6 tokens → keeper (longest)
+      (3L, "a b c d e"),      // exact copy of doc 1
+      (10L, "x y z w"),       // 4 tokens, cluster {10,11}: token tie
+      (11L, "x y z w"),       //   → keeper is the LOWER doc_id (10)
+      (20L, "p q r s t u")    // singleton → not in output
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val out = graft.text.TextOps
+      .survivorshipFrom(docs, graft.text.TextOps.jaccardPairs(docs, 3))
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("keeper_tokens"),
+        r.getAs[Long]("sz"), r.getAs[Long]("n_discarded"),
+        r.getAs[Long]("discarded_tokens")))
+    assert(out.toSeq === Seq(
+      (1L, 2L, 6L, 3L, 2L, 10L),
+      (10L, 10L, 4L, 2L, 1L, 4L)))
+  }
+
+  test("cluster-safe split: whole clusters land on one side (0 leaky), the " +
+      "naive per-doc split leaks the straddling cluster") {
+    // md5 first hex chars: "1"→c (val), "2"→c (val), "3"→e (test) — so the
+    // {1,3} dup cluster straddles under by_doc and rides rep=1 under
+    // by_cluster
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (3L, "a b c d e"),     // exact dup of doc 1
+      (2L, "x y z w v")      // singleton
+    ).toDF("doc_id", "text").withColumn("source", lit("web"))
+    val out = graft.text.TextOps
+      .clusterSafeSplitFrom(docs, graft.text.TextOps.jaccardPairs(docs, 3))
+      .collect().map(r => (r.getAs[String]("strategy"),
+        r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("pct_docs"), r.getAs[Long]("leaky_clusters")))
+    assert(out.toSeq === Seq(
+      ("by_cluster", "val", 3L, 2L, 15L, 100.0, 0L),
+      ("by_doc", "test", 1L, 1L, 5L, 33.33, 1L),
+      ("by_doc", "val", 2L, 2L, 10L, 66.67, 1L)))
+  }
+
   test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
