@@ -142,6 +142,7 @@ object SparkEntry {
     "q113_dedup_roi"        -> (TextOps.q113DedupRoi(_, _)),
     "q114_dedup_survivorship" -> (TextOps.q114DedupSurvivorship(_, _)),
     "q115_cluster_safe_split" -> (TextOps.q115ClusterSafeSplit(_, _)),
+    "q116_embedding_decontam" -> (Similarity.q116EmbeddingDecontam(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -385,6 +385,48 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** q116: embedding-space benchmark decontamination — the semantic
+    * complement of the shingle-based q49: flag corpus vectors whose max
+    * cosine to ANY benchmark probe clears θ (paraphrased eval answers that
+    * share no 5-gram survive q49 but sit next to the probe in embedding
+    * space). Probes = vec_id ≤ 30; corpus = the rest ∪ exact copies of
+    * every probe under shifted ids — the planted-contamination harness
+    * (q100/q105 pattern), giving a provable answer: planted copies score
+    * cosine ≈ 1 ≥ θ while the natural corpus tops out ≈ 0.49 ≪ 0.75-θ
+    * (measured), so recall on plants is exactly 1 with a wide margin on
+    * both sides of the dyadic threshold.
+    *
+    * Plan shape (the q111 argmax rule): a benchmark set is driver-resident
+    * by nature, so the per-vector max-sim is `greatest` over one native
+    * cosine kernel call per probe, all literals, unrolled Scala-side — a
+    * pure projection in whole-stage codegen. No crossJoin row blow-up, no
+    * per-vector re-aggregation; the only shuffle is the |labels|-row
+    * rollup. At 100 TB this is one corpus scan with map-side combine;
+    * probes×dims literals stay tiny (benchmarks are thousands of rows —
+    * beyond that, chunk the ladder like q111's centroid note). */
+  def q116EmbeddingDecontam(spark: SparkSession, dir: String,
+                            theta: Double = 0.75): DataFrame = {
+    ensureRegistered(spark)
+    val e = Tables.embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") <= 30)
+    val corpus = e.filter(col("vec_id") > 30)
+      .unionByName(probes.withColumn("vec_id", col("vec_id") + lit(3000000L)))
+    val pv = probes.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val maxSim = greatest(pv.map { case (_, pe) =>
+      cosine(col("embedding"), typedlit(pe))
+    }.toIndexedSeq: _*)
+    corpus
+      .withColumn("max_sim", Exprs.dround(maxSim, 6))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("vec_id") >= 3000000L, 1)).as("n_planted"),
+        count(when(col("max_sim") >= theta, 1)).as("n_contaminated"),
+        Exprs.avgExact(col("max_sim"), 6, 6).as("avg_max_sim"))
+      .orderBy(col("label"))
+  }
+
   /** Approximate near-dup dedup for genuinely-clustered corpora: hyperplane
     * LSH buckets (OR over `tables` tables × `planes` planes each) generate
     * candidate pairs, exact cosine verifies them, the higher id of each
@@ -606,6 +648,33 @@ object Similarity {
         |  count(CASE WHEN vec_id >= 1000000 THEN 1 END) AS n_planted,
         |  count(CASE WHEN is_dup THEN 1 END) AS n_dups
         |FROM marked GROUP BY label ORDER BY label""".stripMargin,
+    // planted copies give the decontam flag a provable answer (recall 1 on
+    // plants, natural corpus ≪ θ); max over identical per-pair doubles is
+    // bitwise-identical across engines, avg rides the exact-decimal sum
+    "q116_embedding_decontam" ->
+      """WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 30),
+        |corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id > 30
+        |  UNION ALL
+        |  SELECT vec_id + 3000000, embedding, label FROM embeddings
+        |  WHERE vec_id <= 30),
+        |scored AS (
+        |  SELECT c.vec_id, c.label,
+        |    round(max(
+        |      list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |      (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |       sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE))))
+        |    ) * 1000000) / 1000000 AS max_sim
+        |  FROM corpus c CROSS JOIN probes p
+        |  GROUP BY c.vec_id, c.label)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN vec_id >= 3000000 THEN 1 END) AS n_planted,
+        |  count(CASE WHEN max_sim >= 0.75 THEN 1 END) AS n_contaminated,
+        |  round(sum(max_sim::DECIMAL(25,6))::DOUBLE / count(max_sim)
+        |    * 1000000) / 1000000 AS avg_max_sim
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -327,6 +327,18 @@ class PlanQualitySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q116 decontam max-sim is a literal-probe kernel projection — no " +
+      "probe join, no window, no row blow-up") {
+    // probes ride the plan as literals (the q111 argmax rule): a
+    // CartesianProduct/BNLJ or Window here means the per-vector max
+    // regressed to a probes×corpus join + re-aggregation
+    val p = plan(graft.sim.Similarity.q116EmbeddingDecontam(spark, Sf001))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("cosine_sim"), s"native kernel must score probes:\n${p.take(3000)}")
+  }
+
   test("q109 source attribution joins at the pair grain over a broadcast " +
       "doc→source lookup") {
     val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))

@@ -171,4 +171,18 @@ class SimilaritySpec extends SparkSpecBase {
         r.getAs[Long]("n_vecs") - r.getAs[Long]("n_dups"))
     }
   }
+
+  test("q116 decontam flags exactly the planted probe copies; the natural " +
+      "corpus scores far below threshold") {
+    val out = Similarity.q116EmbeddingDecontam(spark, Sf001).collect()
+    val nPlanted = out.map(_.getAs[Long]("n_planted")).sum
+    val nFlagged = out.map(_.getAs[Long]("n_contaminated")).sum
+    assert(nPlanted === 31L)  // probes vec_id 0..30 all replanted
+    assert(nFlagged === nPlanted, s"flagged $nFlagged != planted $nPlanted")
+    // the margin is real: per-label avg max-sim stays well under θ even
+    // with the planted 1.0s averaged in (≤ ~50 plants over 500 vecs)
+    out.foreach { r =>
+      assert(r.getAs[Double]("avg_max_sim") < 0.6,
+        s"label ${r.get(0)} avg ${r.getAs[Double]("avg_max_sim")}") }
+  }
 }
