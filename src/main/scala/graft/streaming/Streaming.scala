@@ -215,6 +215,67 @@ object Streaming {
       }
   }
 
+  case class DocSig(docId: Long, sig: Long)
+  case class DedupDecision(docId: Long, sig: Long, dupOf: Long, kept: Boolean)
+
+  /** Streaming near-dup filter — the dedup family's ingest-time member:
+    * batch dedup (q23/q25/q37/q59) runs AFTER landing; a 100-TB ingest
+    * pipeline also wants to drop near-copies AT the stream so they never
+    * cost storage or a batch pass. Shape: the native `simhash64` kernel
+    * signs each doc in the stream (stateless, codegen), docs are keyed by
+    * the signature's top `bandBits` (one LSH band), and a
+    * `flatMapGroupsWithState` per band keeps the last `maxPerBand`
+    * signatures — a new doc within `hammingMax` bits of any remembered one
+    * is marked dropped with its partner; first-seen docs pass and enter
+    * state.
+    *
+    * Guarantees and limits (documented, not hidden): exact copies share
+    * the signature bitwise → same band, hamming 0 → recall 1 on verbatim
+    * re-crawls, the dominant stream-dup mode. Near-dups whose flipped bits
+    * land in the band prefix are missed — single-band is the
+    * state-bounded tradeoff; the batch LSH passes (q25/q100) with
+    * multi-band OR run behind the stream as the full-recall sweep.
+    * State is O(maxPerBand) per active band and bands idle past
+    * `idleTimeout` are evicted (same contract as [[stuckDetector]]);
+    * decisions within a micro-batch are processed in doc_id order so
+    * replays are deterministic. */
+  def nearDupFilter(docs: DataFrame, hammingMax: Int = 3, bandBits: Int = 16,
+                    maxPerBand: Int = 256,
+                    idleTimeout: Option[String] = Some("1 hour"))
+                   (implicit spark: SparkSession): Dataset[DedupDecision] = {
+    import spark.implicits._
+    graft.functions.Simhash64Function.register(spark)
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    docs
+      .select(col("doc_id").as("docId"),
+        call_function("simhash64", col("text")).as("sig"))
+      .as[DocSig]
+      .groupByKey(_.sig >>> (64 - bandBits))
+      .flatMapGroupsWithState[List[DocSig], DedupDecision](
+        OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[List[DocSig]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer[DedupDecision]()
+            rows.toSeq.sortBy(_.docId).foreach { d =>
+              seen.find(s =>
+                  java.lang.Long.bitCount(s.sig ^ d.sig) <= hammingMax) match {
+                case Some(s) =>
+                  out += DedupDecision(d.docId, d.sig, s.docId, kept = false)
+                case None =>
+                  seen = (seen :+ d).takeRight(maxPerBand)
+                  out += DedupDecision(d.docId, d.sig, -1L, kept = true)
+              }
+            }
+            state.update(seen)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
     * writes under its own `batch_id=` partition with dynamic partition

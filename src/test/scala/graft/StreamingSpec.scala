@@ -13,6 +13,7 @@ class StreamingSpec extends SparkSpecBase {
   private def ts(s: String) = Timestamp.valueOf(s)
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class Doc(doc_id: Long, text: String)
 
   test("readEventStream consumes landing-zone files one per micro-batch") {
     val landing = Files.createTempDirectory("landing")
@@ -226,6 +227,36 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 1L))
     assert(rows.map(_.getLong(1)).toSeq === Seq(3000L, 4000L))
+  }
+
+  test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
+      "distinct docs pass, state persists across micro-batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t2 = "completely different content about spark aggregation plans and shuffles"
+    val in = MemoryStream[Doc]
+    val q = Streaming.nearDupFilter(in.toDF(), idleTimeout = None)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    in.addData(Doc(1, t1), Doc(2, t1), Doc(3, t2))
+    q.processAllAvailable()
+    in.addData(Doc(4, t1))  // state persists: still a dup of doc 1
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select docId, sig, dupOf, kept from neardup_out order by docId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    q.stop()
+    // signatures come from the same pure kernel function the batch path uses
+    val sig1 = graft.functions.ShingleMath.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t1))
+    val sig2 = graft.functions.ShingleMath.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t2))
+    assert(rows.toSeq === Seq(
+      (1L, sig1, -1L, true),   // first seen → kept
+      (2L, sig1, 1L, false),   // verbatim copy → dropped against doc 1
+      (3L, sig2, -1L, true),   // distinct → kept (or band-disjoint entirely)
+      (4L, sig1, 1L, false)))  // next batch: state remembered doc 1
   }
 
   test("conversionJoin matches view→purchase only within the horizon") {
