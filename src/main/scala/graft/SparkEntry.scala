@@ -143,6 +143,7 @@ object SparkEntry {
     "q114_dedup_survivorship" -> (TextOps.q114DedupSurvivorship(_, _)),
     "q115_cluster_safe_split" -> (TextOps.q115ClusterSafeSplit(_, _)),
     "q116_embedding_decontam" -> (Similarity.q116EmbeddingDecontam(_, _)),
+    "q117_curation_export"  -> (TextOps.q117CurationExport(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -174,6 +174,7 @@ object TextOps {
     *   TextOps.dedupRoiFrom(docs, pairs)                  // q113
     *   TextOps.survivorshipFrom(docs, pairs)              // q114
     *   TextOps.clusterSafeSplitFrom(docs, pairs)          // q115
+    *   TextOps.curationExportFrom(docs, pairs)            // q117
     * } finally pairs.unpersist()
     * }}}
     *
@@ -427,6 +428,49 @@ object TextOps {
   def q115ClusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     clusterSafeSplitFrom(d, jaccardPairs(d, 3))
+  }
+
+  /** Curation export (q117 body): the composed doc-level decision a
+    * training run actually consumes — q114's survivorship keep flag and
+    * q115's cluster-safe split assignment in ONE pass over one set of
+    * converged labels, rolled up per (source, split). Per doc: kept =
+    * unclustered OR the cluster's keeper (longest, tie → lowest doc_id);
+    * split = hash of the component representative, so dropped near-dups
+    * and their keeper land on the same side by construction.
+    *
+    * Plan: labels join once into the token projection; the keeper
+    * relation is a |clusters|-row max_by aggregate joined back on the
+    * label key (null labels never match → unclustered docs keep
+    * trivially); one final rollup on (source, split). Three shuffles
+    * total after the loop, all on small keys — the corpus projection is
+    * scanned once. Another [[sharedPairs]] consumer. */
+  def curationExportFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val lab = docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("label"), col("doc_id")))
+    val keepers = lab.filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), -col("doc_id"))).as("keeper_doc"))
+    lab.join(keepers, Seq("label"), "left")
+      .withColumn("kept",
+        col("label").isNull || col("doc_id") === col("keeper_doc"))
+      .withColumn("split", hashSplit(col("rep")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        count(when(!col("kept"), 1)).as("n_dropped"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** q117: one-call curation export — dedup keep + leakage-safe split. */
+  def q117CurationExport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    curationExportFrom(d, jaccardPairs(d, 3))
   }
 
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
@@ -1475,7 +1519,38 @@ object TextOps {
       |FROM stats s LEFT JOIN leak k USING (strategy)
       |ORDER BY strategy, split""".stripMargin
 
+  /** q117 oracle: labels + q114's keeper pick + q115's split ladder, one
+    * doc-grain decision CTE, all-integer rollup. */
+  private val CurationExportOracle: String =
+    DupClusterLabelCtes + ",\n" +
+    """ntok AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |lab AS (
+      |  SELECT n.doc_id, n.source, n.n_tokens, l.cluster_id AS label,
+      |    coalesce(l.cluster_id, n.doc_id) AS rep
+      |  FROM ntok n LEFT JOIN labels l USING (doc_id)),
+      |keepers AS (
+      |  SELECT label, doc_id AS keeper_doc FROM (
+      |    SELECT label, doc_id, row_number() OVER (PARTITION BY label
+      |      ORDER BY n_tokens DESC, doc_id) AS rn
+      |    FROM lab WHERE label IS NOT NULL) WHERE rn = 1),
+      |fin AS (
+      |  SELECT lab.source, lab.n_tokens,
+      |    (lab.label IS NULL OR lab.doc_id = k.keeper_doc) AS kept,
+      |    CASE WHEN substr(md5(lab.rep::VARCHAR), 1, 1) <= 'b' THEN 'train'
+      |         WHEN substr(md5(lab.rep::VARCHAR), 1, 1) <= 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM lab LEFT JOIN keepers k ON lab.label = k.label)
+      |SELECT source, split, count(*) AS n_docs,
+      |  count(CASE WHEN kept THEN 1 END) AS n_kept,
+      |  count(CASE WHEN NOT kept THEN 1 END) AS n_dropped,
+      |  sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
+      |FROM fin GROUP BY source, split ORDER BY source, split""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q117_curation_export" -> CurationExportOracle,
     "q84_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -371,6 +371,26 @@ class TextOpsSpec extends SparkSpecBase {
       ("by_doc", "val", 2L, 2L, 10L, 66.67, 1L)))
   }
 
+  test("curation export: keeper survives, dropped near-dups follow it into " +
+      "the same split, singletons pass untouched") {
+    // md5("1")→'c' (val): the {1,3} cluster (keeper 3, longer) rides
+    // rep=1 into val TOGETHER although md5("3")→'e' would say test;
+    // singleton doc 2 ("c") lands in val on its own hash
+    val docs = Seq(
+      (1L, "a b c d e", "web"),        // 5 tokens, loses to doc 3
+      (3L, "a b c d e f", "web"),      // 6 tokens → keeper
+      (2L, "x y z w v", "books")       // singleton
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps
+      .curationExportFrom(docs, graft.text.TextOps.jaccardPairs(docs, 3))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped"), r.getAs[Long]("kept_tokens")))
+    assert(out.toSeq === Seq(
+      ("books", "val", 1L, 1L, 0L, 5L),
+      ("web", "val", 2L, 1L, 1L, 6L)))
+  }
+
   test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
