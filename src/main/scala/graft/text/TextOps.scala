@@ -438,25 +438,24 @@ object TextOps {
     * split = hash of the component representative, so dropped near-dups
     * and their keeper land on the same side by construction.
     *
-    * Plan: labels join once into the token projection; the keeper
-    * relation is a |clusters|-row max_by aggregate joined back on the
-    * label key (null labels never match → unclustered docs keep
-    * trivially); one final rollup on (source, split). Three shuffles
-    * total after the loop, all on small keys — the corpus projection is
-    * scanned once. Another [[sharedPairs]] consumer. */
+    * Plan: the keep decision is DOC grain (unlike q114's cluster-grain
+    * rollup), so the keeper compare rides a window over ONE partitioning
+    * instead of a cluster aggregate joined back — the joined-back shape
+    * re-scans the corpus and re-joins the labels (measured: two parquet
+    * scans, four exchanges). The window partitions by `rep`, NOT `label`:
+    * a label-partitioned window sends every unclustered doc (null label,
+    * ~the whole corpus) into ONE partition; under `rep` they are
+    * singletons. One corpus scan, one labels join, one window exchange,
+    * one rollup exchange. Another [[sharedPairs]] consumer. */
   def curationExportFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = clusterLabels(pairs)
-    val lab = docs.select(col("doc_id"), col("source"),
+    val ord = struct(col("n_tokens"), -col("doc_id"))
+    val best = max(ord).over(Window.partitionBy(col("rep")))
+    docs.select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("label"), col("doc_id")))
-    val keepers = lab.filter(col("label").isNotNull)
-      .groupBy(col("label"))
-      .agg(max_by(col("doc_id"),
-        struct(col("n_tokens"), -col("doc_id"))).as("keeper_doc"))
-    lab.join(keepers, Seq("label"), "left")
-      .withColumn("kept",
-        col("label").isNull || col("doc_id") === col("keeper_doc"))
+      .withColumn("kept", col("label").isNull || ord === best)
       .withColumn("split", hashSplit(col("rep")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),

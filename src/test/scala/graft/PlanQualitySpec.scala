@@ -339,6 +339,19 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("cosine_sim"), s"native kernel must score probes:\n${p.take(3000)}")
   }
 
+  test("q117 export decides keep inline: one corpus scan, one labels join, " +
+      "the keeper compare rides a rep-partitioned window") {
+    // the cluster-aggregate-joined-back shape re-scans the corpus and
+    // re-joins the labels (two parquet scans); the doc-grain decision
+    // must stay a single-scan window pass
+    val p = plan(graft.text.TextOps.q117CurationExport(spark, Sf001))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned once:\n${p.take(3000)}")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
   test("q109 source attribution joins at the pair grain over a broadcast " +
       "doc→source lookup") {
     val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))
