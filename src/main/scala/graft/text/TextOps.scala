@@ -374,11 +374,13 @@ object TextOps {
     * leak the naive split would have shipped.
     *
     * Plan: one corpus projection left-joins the labels (broadcast-sized:
-    * |dup docs|), then (a) strategy fan-out via explode AFTER assignment —
-    * 2·|docs| rows into one hash-agg — and (b) a per-component min≠max
-    * leak flag (the q106 one-partitioning trick) rolled up per strategy
-    * and broadcast back onto the 6 result rows. Nothing shuffles the
-    * corpus more than once per aggregation; both aggs partial-combine. */
+    * |dup docs|), then strategy fan-out via explode AFTER assignment —
+    * 2·|docs| rows into one hash-agg. The leak flags never touch the
+    * corpus: both split assignments are pure functions of (doc_id, label),
+    * and both live in the labels relation — so the per-component min≠max
+    * flag (the q106 one-partitioning trick) aggregates |dup docs| rows,
+    * rolls up to 2 rows and broadcasts onto the 6 result rows. ONE corpus
+    * scan total. */
   def clusterSafeSplitFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = clusterLabels(pairs)
     val base = docs.select(col("doc_id"), col("source"),
@@ -399,12 +401,16 @@ object TextOps {
       .withColumn("pct_docs", Exprs.pctOf(col("n_docs"),
         sum(col("n_docs")).over(Window.partitionBy(col("strategy"))), 2))
     // leaky components per strategy: min≠max split within a labeled
-    // component — one shuffle on the component key, then a 1-row rollup
-    val leak = base.filter(col("label").isNotNull)
+    // component — computed from the labels relation ALONE (split_doc is
+    // hashSplit(doc_id), split_cluster is hashSplit(label); both columns
+    // live there), so this branch never re-scans or re-joins the corpus
+    val leak = labels
       .groupBy(col("label"))
       .agg(
-        (min(col("split_doc")) =!= max(col("split_doc"))).as("ld"),
-        (min(col("split_cluster")) =!= max(col("split_cluster"))).as("lc"))
+        (min(hashSplit(col("doc_id"))) =!= max(hashSplit(col("doc_id"))))
+          .as("ld"),
+        (min(hashSplit(col("label"))) =!= max(hashSplit(col("label"))))
+          .as("lc"))
       .agg(sum(when(col("ld"), 1L).otherwise(0L)).as("by_doc"),
         sum(when(col("lc"), 1L).otherwise(0L)).as("by_cluster"))
       .select(explode(array(

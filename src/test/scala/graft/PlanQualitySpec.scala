@@ -325,6 +325,11 @@ class PlanQualitySpec extends SparkSpecBase {
       s"strategy fan-out must be the explode projection:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
+    // the leak rollup derives both split assignments from the labels
+    // relation alone — a second corpus scan means it regressed to
+    // re-joining the corpus for columns it already has
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned once:\n${p.take(3000)}")
   }
 
   test("q116 decontam max-sim is a literal-probe kernel projection — no " +
