@@ -144,6 +144,7 @@ object SparkEntry {
     "q115_cluster_safe_split" -> (TextOps.q115ClusterSafeSplit(_, _)),
     "q116_embedding_decontam" -> (Similarity.q116EmbeddingDecontam(_, _)),
     "q117_curation_export"  -> (TextOps.q117CurationExport(_, _)),
+    "q118_incremental_clusters" -> (TextOps.q118IncrementalClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -478,6 +478,46 @@ object TextOps {
     curationExportFrom(d, jaccardPairs(d, 3))
   }
 
+  /** Incremental cluster maintenance (q118 body): at corpus scale you do
+    * NOT re-cluster per ingest batch — you seed the converged old labels
+    * and propagate only the new frontier. Sound because the min-label
+    * fixpoint is history-independent: a seed is the min doc_id of the
+    * doc's OLD component, which is a member of its (only grown) new
+    * component, so seeded propagation converges to the same per-component
+    * min as a from-scratch run — which is exactly what the oracle
+    * recomputes. Convergence cost drops from component-diameter rounds to
+    * frontier-diameter rounds: pre-collapsed old components relay a
+    * bridging new doc's min in one hop ([[propagateToFixpoint]] returns
+    * the round count; the spec asserts the cut on a chain).
+    *
+    * Old state here derives from the SAME pair relation restricted to
+    * old×old (a real pipeline passes its materialized label table; the
+    * restriction makes the oracle exact under the df cap, whose shingle
+    * drops depend on corpus-wide frequencies). Output: q59's rollup plus
+    * how many docs of each component arrived in the new batch. */
+  def incrementalClustersFrom(allPairs: DataFrame, splitId: Long): DataFrame = {
+    // d1 < d2 always, so "d2 old" ⇒ both endpoints old
+    val oldLabels = clusterLabels(allPairs.filter(col("d2") < lit(splitId)))
+    val edges = propagationEdges(allPairs)
+    val init = checkpointKeepPartitioning(
+      edges.select(col("src").as("doc_id")).distinct()
+        .join(oldLabels.withColumnRenamed("label", "old_label"),
+          Seq("doc_id"), "left"))
+      .select(col("doc_id"),
+        coalesce(col("old_label"), col("doc_id")).as("label"))
+    propagateToFixpoint(edges, init)._1
+      .groupBy(col("label").as("cluster_id")).agg(
+        count(lit(1)).as("sz"),
+        concat_ws(",", array_sort(collect_list(col("doc_id")))
+          .cast("array<string>")).as("members"),
+        count(when(col("doc_id") >= splitId, 1)).as("n_new"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q118: seeded incremental clustering over the q96 batch boundary. */
+  def q118IncrementalClusters(spark: SparkSession, dir: String): DataFrame =
+    incrementalClustersFrom(jaccardPairs(Tables.documents(spark, dir), 3), 400L)
+
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
     * each shingle; signature[i] = min over shingles. */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -906,27 +946,42 @@ object TextOps {
     * that appear in at least one edge are labeled (every label names a
     * component of size ≥ 2). */
   def clusterLabels(allPairs: DataFrame): DataFrame = {
+    val edges = propagationEdges(allPairs)
+    val init = checkpointKeepPartitioning(
+      edges.select(col("src").as("doc_id")).distinct())
+      .withColumn("label", col("doc_id"))
+    propagateToFixpoint(edges, init)._1
+  }
+
+  /** Symmetrized edge relation of the Jaccard ≥ 0.4 graph, prepared for
+    * the propagation loop: hash-partitioned on the probe key ONCE, with a
+    * partitioning-KEEPING checkpoint (a plain localCheckpoint under AQE
+    * forgets outputPartitioning and re-shuffled the loop-invariant edges
+    * every round), so each round's join shuffles only the label relation. */
+  def propagationEdges(allPairs: DataFrame): DataFrame = {
     val pairs = allPairs
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
-    // edges are loop-invariant: hash-partition them on the probe key ONCE,
-    // with a partitioning-KEEPING checkpoint (a plain localCheckpoint under
-    // AQE forgets outputPartitioning and re-shuffled them every round), so
-    // each round's join shuffles only the label relation, never the edges
-    val edges = checkpointKeepPartitioning(
+    checkpointKeepPartitioning(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
         .repartition(col("dst")))
-    // labels come out of distinct already hash-partitioned on doc_id;
-    // keeping that lets every round's joins skip the label-side shuffles
-    // too (checkpoint BEFORE aliasing: the stored partitioning must name
-    // doc_id, the attribute the round's joins cluster on)
-    var labels = checkpointKeepPartitioning(
-      edges.select(col("src").as("doc_id")).distinct())
-      .withColumn("label", col("doc_id"))
+  }
+
+  /** Min-label propagation to fixpoint from an arbitrary initial labeling
+    * (labels ≤ doc_id, each naming SOME doc in the same component — both
+    * the identity seed and converged old labels qualify). Returns the
+    * converged (doc_id, label) relation and the round count, so callers
+    * can assert seeding actually cut rounds. `init` must arrive
+    * checkpointed with doc_id partitioning (the distinct/loop output both
+    * do; checkpoint BEFORE aliasing so the stored partitioning names
+    * doc_id, the attribute the round's joins cluster on). */
+  def propagateToFixpoint(edges: DataFrame, init: DataFrame,
+                          maxIter: Int = 20): (DataFrame, Int) = {
+    var labels = init
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < maxIter) {
       val next = checkpointKeepPartitioning(labelPropRound(edges, labels))
       changed = next.filter(col("changed")).count()
       labels = next.select(col("doc_id"), col("label"))
@@ -938,7 +993,7 @@ object TextOps {
       s"label propagation did not converge in $iter rounds ($changed labels " +
         "still changing): component diameter exceeds the round budget — " +
         "use starComponents (O(log n) rounds) for chain-heavy graphs")
-    labels
+    (labels, iter)
   }
 
   /** Per-component rollup shared by the two clustering paths (q59/q104):
@@ -1554,8 +1609,19 @@ object TextOps {
       |  sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS kept_tokens
       |FROM fin GROUP BY source, split ORDER BY source, split""".stripMargin
 
+  /** q118 oracle: the from-scratch transitive closure — valid for the
+    * seeded incremental path because the min-label fixpoint is
+    * history-independent (see [[incrementalClustersFrom]]). */
+  private val IncrementalClustersOracle: String =
+    DupClusterLabelCtes + "\n" +
+    """SELECT cluster_id, count(*) AS sz,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS members,
+      |  count(CASE WHEN doc_id >= 400 THEN 1 END) AS n_new
+      |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q117_curation_export" -> CurationExportOracle,
+    "q118_incremental_clusters" -> IncrementalClustersOracle,
     "q84_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

@@ -371,6 +371,39 @@ class TextOpsSpec extends SparkSpecBase {
       ("by_doc", "val", 2L, 2L, 10L, 66.67, 1L)))
   }
 
+  test("incremental clustering: a bridging new doc merges old components " +
+      "into the from-scratch fixpoint, and seeding cuts rounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // old corpus (< 400): chain 0-1-…-8 (diameter 8) and pair {100,101};
+    // new batch doc 400 bridges 8 and 100 — all three merge under min 0
+    val pairs = ((0L until 8L).map(i => (i, i + 1)) ++
+        Seq((100L, 101L), (8L, 400L), (100L, 400L)))
+      .toDF("d1", "d2").withColumn("jaccard", lit(1.0))
+    val out = graft.text.TextOps.incrementalClustersFrom(pairs, 400L)
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("sz"),
+        r.getAs[String]("members"), r.getAs[Long]("n_new")))
+    assert(out.toSeq === Seq(
+      (0L, 12L, "0,1,2,3,4,5,6,7,8,100,101,400", 1L)))
+    // the seeding claim is measurable: from-scratch pays ~diameter rounds
+    // on the old chain; seeded starts from its converged labels and only
+    // relays the bridge
+    val edges = graft.text.TextOps.propagationEdges(pairs)
+    val scratchInit = graft.text.TextOps.checkpointKeepPartitioning(
+        edges.select(col("src").as("doc_id")).distinct())
+      .withColumn("label", col("doc_id"))
+    val old = graft.text.TextOps.clusterLabels(pairs.filter(col("d2") < 400L))
+    val seededInit = graft.text.TextOps.checkpointKeepPartitioning(
+        edges.select(col("src").as("doc_id")).distinct()
+          .join(old.withColumnRenamed("label", "old_label"), Seq("doc_id"), "left"))
+      .select(col("doc_id"),
+        coalesce(col("old_label"), col("doc_id")).as("label"))
+    val (_, roundsScratch) = graft.text.TextOps.propagateToFixpoint(edges, scratchInit)
+    val (_, roundsSeeded) = graft.text.TextOps.propagateToFixpoint(edges, seededInit)
+    assert(roundsSeeded < roundsScratch,
+      s"seeded $roundsSeeded !< scratch $roundsScratch")
+  }
+
   test("curation export: keeper survives, dropped near-dups follow it into " +
       "the same split, singletons pass untouched") {
     // md5("1")→'c' (val): the {1,3} cluster (keeper 3, longer) rides
