@@ -145,6 +145,7 @@ object SparkEntry {
     "q116_embedding_decontam" -> (Similarity.q116EmbeddingDecontam(_, _)),
     "q117_curation_export"  -> (TextOps.q117CurationExport(_, _)),
     "q118_incremental_clusters" -> (TextOps.q118IncrementalClusters(_, _)),
+    "q119_image_neardup"    -> (Multimodal.q119ImageNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -244,6 +245,115 @@ object Multimodal {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic PATTERN image table for perceptual dedup: 9×8 PNGs
+    * whose gray level at (x, y) is an integer polynomial of
+    * (doc_id, x, y) in [0, 190]; every 7th doc is replanted (id + 5e6)
+    * with the SAME pattern shifted +20 gray levels — different bytes (an
+    * exact byte/md5 dedup misses it), same gradient structure (a
+    * difference hash catches it). No clipping (max 210 < 255) and PNG is
+    * lossless, so decoded pixels reproduce the formula exactly — which is
+    * what lets the SQL oracle check the codec round-trip AND the
+    * perceptual-hash extraction end-to-end (the q102 trust structure). */
+  def synthesizePatternImages(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .flatMap(id =>
+        if (id % 7 == 0) Seq((id, id, 0), (id + 5000000L, id, 20))
+        else Seq((id, id, 0)))
+      .mapPartitions { it =>
+        it.map { case (mid, pid, shift) =>
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val v = (patternGray(pid, x, y) + shift).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (mid, bos.toByteArray)
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** The pattern polynomial — mirrored term-for-term by the q119 oracle's
+    * generated SQL; keep both in sync. */
+  private def patternGray(pid: Long, x: Int, y: Int): Long =
+    (7L * x * x + 11L * y * x + 13L * y + pid * (x + y + 1)) % 191L
+
+  /** q119: perceptual image near-dup dedup — the multimodal member of the
+    * dedup family (the image-corpus analogue of q23/q25): a 63-bit
+    * difference hash over DECODED pixels (bit = right neighbor brighter,
+    * row-major, top bit dropped to keep the sum BIGINT-safe in both
+    * engines), then duplicate = shares a hash with a lower media_id. A
+    * dHash compares ADJACENT pixels, so a uniform brightness shift cancels
+    * (a + c > b + c ⇔ a > b, clipping excluded by construction): the
+    * planted +20-gray copies collide with their base with certainty while
+    * their bytes and md5 differ — exactly the match class exact dedup
+    * misses, provable recall 1.
+    *
+    * Scale shape: decode + hash are partition-local (Iterator→Iterator
+    * mapPartitions, zero shuffle); the dup decision is one min-window
+    * over the 8-byte hash key (the q106 one-partitioning trick) and the
+    * rollup re-uses that exchange's output. The oracle recomputes the
+    * hash bits from the pattern polynomial in pure SQL — a wrong decoded
+    * pixel, a flipped comparison, or a missed planted collision all flip
+    * the hash. */
+  def q119ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = synthesizePatternImages(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var dh = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val bit = y * 8 + x
+              if (bit < 63) {
+                val a = img.getRGB(x, y) & 0xff
+                val b = img.getRGB(x + 1, y) & 0xff
+                if (b > a) dh |= 1L << bit
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, dh)
+        }
+      }.toDF("media_id", "dhash")
+    hashed
+      .withColumn("first_id",
+        min(col("media_id")).over(Window.partitionBy(col("dhash"))))
+      .groupBy((col("media_id") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        count(when(col("media_id") >= 5000000L, 1)).as("n_planted"),
+        count(when(col("media_id") > col("first_id"), 1)).as("n_dup_images"),
+        countDistinct(col("dhash")).as("n_distinct_hashes"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q119 oracle, generated: the 63 comparison bits of the pattern
+    * polynomial as one BIGINT sum — pure integer SQL, so the DuckDB side
+    * needs no codec; equality proves the JVM decode + extraction chain. */
+  private def dhashSqlExpr(pid: String): String = {
+    def px(x: Int, y: Int) =
+      s"((7*$x*$x + 11*$y*$x + 13*$y + $pid*($x+$y+1)) % 191)"
+    val terms = for (y <- 0 until 8; x <- 0 until 8; if y * 8 + x < 63)
+      yield s"(CASE WHEN ${px(x + 1, y)} > ${px(x, y)} THEN ${1L << (y * 8 + x)} ELSE 0 END)"
+    terms.mkString("(", " + ", ")")
+  }
+
   /** q34: metadata + content stats per kind. The aggregation path uses pure
     * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
     * asserts the mapPartitions decode path agrees with it row-for-row. */
@@ -261,6 +371,23 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "q119_image_neardup" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS pid FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id FROM documents WHERE doc_id % 7 = 0),
+        |hashes AS (
+        |  SELECT media_id, ${dhashSqlExpr("pid")} AS dh
+        |  FROM ids),
+        |flagged AS (
+        |  SELECT media_id, dh,
+        |    min(media_id) OVER (PARTITION BY dh) AS first_id
+        |  FROM hashes)
+        |SELECT media_id % 4 AS bucket, count(*) AS n_images,
+        |  count(CASE WHEN media_id >= 5000000 THEN 1 END) AS n_planted,
+        |  count(CASE WHEN media_id > first_id THEN 1 END) AS n_dup_images,
+        |  count(DISTINCT dh) AS n_distinct_hashes
+        |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin,
     // Decoded-pixel stats are arithmetic in doc_id because the generator
     // fills each lossless PNG with one gray level — see q102ImageDecode.
     "q102_image_decode" ->

@@ -115,6 +115,37 @@ class MultimodalSpec extends SparkSpecBase {
     assert(!ok2 && w2 === 0 && h2 === 0 && b2 === 1.5)
   }
 
+  test("q119: planted brightness-shifted copies differ in bytes (exact " +
+      "dedup misses) but share the decoded-pixel dhash (perceptual catches)") {
+    import spark.implicits._
+    val imgs = Multimodal.synthesizePatternImages(spark, Sf0001)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .collect().toMap
+    val planted = imgs.keys.filter(_ >= 5000000L).toSeq.sorted
+    assert(planted.nonEmpty)
+    def dhash(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var dh = 0L
+      for (y <- 0 until 8; x <- 0 until 8; if y * 8 + x < 63)
+        if ((img.getRGB(x + 1, y) & 0xff) > (img.getRGB(x, y) & 0xff))
+          dh |= 1L << (y * 8 + x)
+      dh
+    }
+    planted.foreach { pid =>
+      val base = pid - 5000000L
+      assert(!java.util.Arrays.equals(imgs(pid), imgs(base)),
+        s"planted $pid must differ in bytes from $base")
+      assert(dhash(imgs(pid)) === dhash(imgs(base)),
+        s"planted $pid must share $base's dhash")
+    }
+    // and the rollup reflects it: at least one dup per planted copy
+    val out = Multimodal.q119ImageNearDup(spark, Sf0001).collect()
+    assert(out.map(_.getAs[Long]("n_dup_images")).sum >=
+      out.map(_.getAs[Long]("n_planted")).sum)
+  }
+
   test("q102 per-row decode agrees with the generator's parameters for " +
       "every row (not just in aggregate)") {
     import spark.implicits._
