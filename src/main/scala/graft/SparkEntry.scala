@@ -146,6 +146,7 @@ object SparkEntry {
     "q117_curation_export"  -> (TextOps.q117CurationExport(_, _)),
     "q118_incremental_clusters" -> (TextOps.q118IncrementalClusters(_, _)),
     "q119_image_neardup"    -> (Multimodal.q119ImageNearDup(_, _)),
+    "q120_audio_decode"     -> (Multimodal.q120AudioDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -10,11 +10,13 @@ import graft.ops.Exprs
 /** Multimodal columns: image/audio/video as opaque `binary` content plus a
   * typed metadata struct, with decode / feature-extract / frame-sample
   * plumbing. IMAGE decode is REAL — [[decodeImage]] runs `javax.imageio`
-  * over actual PNG bytes ([[synthesizeImages]], q102) with [[decodeStub]]
-  * as the fallback for unparseable blobs. Audio/video decode remains a
-  * clearly-marked deterministic stub (no A/V codecs in this container) —
-  * for those, the Spark-side schema, batch shape, and partitioning
-  * behavior are real and tested.
+  * over actual PNG bytes ([[synthesizeImages]], q102; perceptual dedup
+  * over decoded pixels, q119) — and AUDIO decode is REAL —
+  * [[decodeAudio]] parses actual PCM WAVs through `javax.sound.sampled`
+  * ([[synthesizeAudio]], q120) — each with [[decodeStub]]-style fallbacks
+  * for unparseable blobs. VIDEO decode remains a clearly-marked
+  * deterministic stub (no video codec in the JDK) — there, the Spark-side
+  * schema, batch shape, and partitioning behavior are real and tested.
   *
   * Layout decisions that matter at 100 TB:
   *   - content is a single `binary` column → parquet keeps it out of the way
@@ -354,6 +356,104 @@ object Multimodal {
     terms.mkString("(", " + ", ")")
   }
 
+  /** Deterministic REAL audio table: one row per document, content = an
+    * actual PCM WAV (16-bit signed mono, 8 kHz) written through
+    * `javax.sound.sampled.AudioSystem` — a real codec container, not a
+    * byte stub. Sample i of doc pid is the integer ramp
+    * `((i·(3 + pid%7) + pid) % 2001) − 1000`, n = 800 + pid%50 samples, so
+    * every decoded-sample statistic is exact integer arithmetic in
+    * (pid, i) — SQL-recomputable, the q102/q119 trust structure. Every
+    * 50th row is a corrupt 4-byte blob exercising the fallback path. */
+  def synthesizeAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 50 == 0) (id, Array[Byte](9, 9, 9, 9))
+          else {
+            val n = (800 + id % 50).toInt
+            val pcm = new Array[Byte](n * 2)
+            var i = 0
+            while (i < n) {
+              val s = (audioSample(id, i)).toShort
+              pcm(2 * i) = (s & 0xff).toByte        // little-endian PCM
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, bos.toByteArray)
+          }
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** The sample ramp — mirrored by the q120 oracle's SQL; keep in sync. */
+  private def audioSample(pid: Long, i: Int): Long =
+    ((i * (3 + pid % 7) + pid) % 2001L) - 1000L
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` over the blob —
+    * parses the WAV container, reads the PCM frames back out and returns
+    * (decoded, nSamples, sumAbsAmplitude, maxAmplitude); (false, 0, 0, 0)
+    * when the blob isn't parseable audio. */
+  def decodeAudio(content: Array[Byte]): (Boolean, Long, Long, Long) = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (ais == null) (false, 0L, 0L, 0L)
+    else {
+      val bytes = ais.readAllBytes()
+      var i = 0
+      var n = 0L
+      var sumAbs = 0L
+      var maxAmp = Long.MinValue
+      while (i + 2 <= bytes.length) {
+        val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort.toLong
+        n += 1
+        sumAbs += math.abs(s)
+        if (s > maxAmp) maxAmp = s
+        i += 2
+      }
+      (true, n, sumAbs, if (n == 0) 0L else maxAmp)
+    }
+  }
+
+  /** q120: real audio-codec decode audit — the audio analogue of q102:
+    * [[synthesizeAudio]] WAVs go through [[decodeAudio]] in the same
+    * partition-local mapPartitions batch shape (zero shuffle before the
+    * rollup), aggregated per doc_id-bucket: decode/fallback counts, total
+    * decoded samples, exact integer amplitude sums and the max amplitude.
+    * The oracle recomputes every statistic from the sample ramp with a
+    * generate_series unnest — a dropped frame, an endianness slip, or a
+    * header misparse all flip the hash. */
+  def q120AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = synthesizeAudio(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (ok, n, sumAbs, maxAmp) = decodeAudio(bytes)
+          (id, ok, n, sumAbs, maxAmp)
+        }
+      }.toDF("media_id", "decoded", "n_samples", "sum_abs", "max_amp")
+    feats
+      .groupBy((col("media_id") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        count(when(col("decoded"), 1)).as("n_decoded"),
+        count(when(!col("decoded"), 1)).as("n_fallback"),
+        sum(col("n_samples")).as("total_samples"),
+        sum(col("sum_abs")).as("total_abs_amplitude"),
+        max(col("max_amp")).as("max_amplitude"))
+      .orderBy(col("bucket"))
+  }
+
   /** q34: metadata + content stats per kind. The aggregation path uses pure
     * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
     * asserts the mapPartitions decode path agrees with it row-for-row. */
@@ -371,6 +471,31 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // Decoded-sample stats are exact integer arithmetic in (doc_id, i)
+    // because the generator writes the ramp through a lossless PCM WAV —
+    // see q120AudioDecode.
+    "q120_audio_decode" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id FROM documents),
+        |good AS (
+        |  SELECT media_id, 800 + media_id % 50 AS n, 3 + media_id % 7 AS step
+        |  FROM media WHERE media_id % 50 <> 0),
+        |samples AS (
+        |  SELECT g.media_id, ((i * g.step + g.media_id) % 2001) - 1000 AS s
+        |  FROM good g, LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i)),
+        |per AS (
+        |  SELECT media_id, count(*) AS n_samples, sum(abs(s))::BIGINT AS sum_abs,
+        |    max(s)::BIGINT AS max_amp, true AS decoded
+        |  FROM samples GROUP BY media_id
+        |  UNION ALL
+        |  SELECT media_id, 0, 0, 0, false FROM media WHERE media_id % 50 = 0)
+        |SELECT media_id % 4 AS bucket, count(*) AS n_media,
+        |  count(CASE WHEN decoded THEN 1 END) AS n_decoded,
+        |  count(CASE WHEN NOT decoded THEN 1 END) AS n_fallback,
+        |  sum(n_samples)::BIGINT AS total_samples,
+        |  sum(sum_abs)::BIGINT AS total_abs_amplitude,
+        |  max(max_amp) AS max_amplitude
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q119_image_neardup" ->
       s"""WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS pid FROM documents

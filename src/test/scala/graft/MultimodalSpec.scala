@@ -146,6 +146,28 @@ class MultimodalSpec extends SparkSpecBase {
       out.map(_.getAs[Long]("n_planted")).sum)
   }
 
+  test("q120: WAV round-trip recovers the exact sample ramp per row; " +
+      "garbage falls back") {
+    import spark.implicits._
+    val rows = Multimodal.synthesizeAudio(spark, Sf0001)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bytes) =>
+      val (ok, n, sumAbs, maxAmp) = Multimodal.decodeAudio(bytes)
+      if (id % 50 == 0) assert(!ok && n === 0L)
+      else {
+        val exp = (0 until (800 + id % 50).toInt)
+          .map(i => ((i * (3 + id % 7) + id) % 2001L) - 1000L)
+        assert(ok, s"doc $id must decode")
+        assert(n === exp.length.toLong, s"doc $id sample count")
+        assert(sumAbs === exp.map(math.abs).sum, s"doc $id sum|s|")
+        assert(maxAmp === exp.max, s"doc $id max")
+      }
+    }
+  }
+
   test("q102 per-row decode agrees with the generator's parameters for " +
       "every row (not just in aggregate)") {
     import spark.implicits._
