@@ -147,6 +147,7 @@ object SparkEntry {
     "q118_incremental_clusters" -> (TextOps.q118IncrementalClusters(_, _)),
     "q119_image_neardup"    -> (Multimodal.q119ImageNearDup(_, _)),
     "q120_audio_decode"     -> (Multimodal.q120AudioDecode(_, _)),
+    "q121_video_decode"     -> (Multimodal.q121VideoDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

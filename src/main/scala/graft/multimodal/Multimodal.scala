@@ -14,9 +14,11 @@ import graft.ops.Exprs
   * over decoded pixels, q119) — and AUDIO decode is REAL —
   * [[decodeAudio]] parses actual PCM WAVs through `javax.sound.sampled`
   * ([[synthesizeAudio]], q120) — each with [[decodeStub]]-style fallbacks
-  * for unparseable blobs. VIDEO decode remains a clearly-marked
-  * deterministic stub (no video codec in the JDK) — there, the Spark-side
-  * schema, batch shape, and partitioning behavior are real and tested.
+  * for unparseable blobs. For VIDEO the JDK has no codec-grade stack;
+  * [[decodeAnimation]] (q121) round-trips a REAL multi-frame animation
+  * container (animated GIF through ImageIO sequences) at the frame grain
+  * q79's sampling contract consumes, and [[decodeStub]] remains the
+  * labeled stand-in for codec video.
   *
   * Layout decisions that matter at 100 TB:
   *   - content is a single `binary` column → parquet keeps it out of the way
@@ -454,6 +456,117 @@ object Multimodal {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic REAL multi-frame animation table: one row per document,
+    * content = an actual animated GIF (ImageIO write-sequence) with
+    * 2 + pid%5 frames of 8×8 constant gray ((7·pid + 13·k) % 256 for
+    * frame k) — constant-fill frames palette-encode losslessly, so every
+    * decoded frame statistic is integer arithmetic in (pid, k). Not a
+    * codec-grade video stack (none ships in the JDK), but a REAL container
+    * round-trip — frame count and pixels come back from a parser, not a
+    * byte stub. Every 50th row is corrupt for the fallback path. */
+  def synthesizeAnimations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          if (id % 50 == 0) (id, Array[Byte](7, 7, 7, 7))
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val writer = javax.imageio.ImageIO
+              .getImageWritersByFormatName("gif").next()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            val n = (2 + id % 5).toInt
+            var k = 0
+            while (k < n) {
+              val g = ((7 * id + 13 * k) % 256).toInt
+              val img = new java.awt.image.BufferedImage(
+                8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val rgb = (g << 16) | (g << 8) | g
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+                y += 1
+              }
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              k += 1
+            }
+            writer.endWriteSequence()
+            ios.close()
+            writer.dispose()
+            (id, bos.toByteArray)
+          }
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** REAL animation decode: parse the GIF container, count frames and sum
+    * the red channel over every pixel of every frame. Returns
+    * (decoded, nFrames, redSum); (false, 0, 0) on unparseable blobs. */
+  def decodeAnimation(content: Array[Byte]): (Boolean, Int, Long) = {
+    try {
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content)))
+      val n = reader.getNumImages(true)
+      if (n <= 0) { reader.dispose(); (false, 0, 0L) }
+      else {
+        var redSum = 0L
+        var k = 0
+        while (k < n) {
+          val img = reader.read(k)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              redSum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          k += 1
+        }
+        reader.dispose()
+        (true, n, redSum)
+      }
+    } catch { case _: Throwable => (false, 0, 0L) }
+  }
+
+  /** q121: real animation-container decode audit — retires the last
+    * multimodal stub: [[synthesizeAnimations]] GIFs go through
+    * [[decodeAnimation]] in the partition-local mapPartitions batch shape,
+    * rolled up per doc_id-bucket with frame counts and exact integer
+    * red-channel sums the oracle recomputes from the frame formula (64
+    * pixels × gray per frame). A dropped frame, a palette distortion, or
+    * a header misparse flips the hash; q79's sampling schedule is the
+    * row-count contract downstream of exactly this frame grain. */
+  def q121VideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = synthesizeAnimations(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (ok, n, redSum) = decodeAnimation(bytes)
+          (id, ok, n, redSum)
+        }
+      }.toDF("media_id", "decoded", "n_frames", "red_sum")
+    feats
+      .groupBy((col("media_id") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        count(when(col("decoded"), 1)).as("n_decoded"),
+        count(when(!col("decoded"), 1)).as("n_fallback"),
+        sum(col("n_frames")).cast("long").as("total_frames"),
+        sum(col("red_sum")).as("total_red"),
+        max(col("n_frames")).cast("long").as("max_frames"))
+      .orderBy(col("bucket"))
+  }
+
   /** q34: metadata + content stats per kind. The aggregation path uses pure
     * column expressions (octet_length/md5 — DuckDB-reproducible); the spec
     * asserts the mapPartitions decode path agrees with it row-for-row. */
@@ -471,6 +584,31 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    // Decoded frame counts/pixels are integer arithmetic in (doc_id, k)
+    // because constant-fill frames palette-encode losslessly — see
+    // q121VideoDecode (64 px per 8x8 frame).
+    "q121_video_decode" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id FROM documents),
+        |good AS (
+        |  SELECT media_id, 2 + media_id % 5 AS n FROM media
+        |  WHERE media_id % 50 <> 0),
+        |frames AS (
+        |  SELECT g.media_id, (7 * g.media_id + 13 * k) % 256 AS gray
+        |  FROM good g, LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS k)),
+        |per AS (
+        |  SELECT media_id, count(*) AS n_frames,
+        |    (64 * sum(gray))::BIGINT AS red_sum, true AS decoded
+        |  FROM frames GROUP BY media_id
+        |  UNION ALL
+        |  SELECT media_id, 0, 0, false FROM media WHERE media_id % 50 = 0)
+        |SELECT media_id % 4 AS bucket, count(*) AS n_media,
+        |  count(CASE WHEN decoded THEN 1 END) AS n_decoded,
+        |  count(CASE WHEN NOT decoded THEN 1 END) AS n_fallback,
+        |  sum(n_frames)::BIGINT AS total_frames,
+        |  sum(red_sum)::BIGINT AS total_red,
+        |  max(n_frames)::BIGINT AS max_frames
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // Decoded-sample stats are exact integer arithmetic in (doc_id, i)
     // because the generator writes the ramp through a lossless PCM WAV —
     // see q120AudioDecode.

@@ -168,6 +168,27 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q121: the GIF container round-trip recovers frame count and exact " +
+      "frame grays per row; garbage falls back") {
+    import spark.implicits._
+    val rows = Multimodal.synthesizeAnimations(spark, Sf0001)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bytes) =>
+      val (ok, n, redSum) = Multimodal.decodeAnimation(bytes)
+      if (id % 50 == 0) assert(!ok && n === 0)
+      else {
+        val expN = (2 + id % 5).toInt
+        val expRed = (0 until expN).map(k => 64L * ((7 * id + 13 * k) % 256)).sum
+        assert(ok, s"doc $id must decode")
+        assert(n === expN, s"doc $id frame count")
+        assert(redSum === expRed, s"doc $id red sum")
+      }
+    }
+  }
+
   test("q102 per-row decode agrees with the generator's parameters for " +
       "every row (not just in aggregate)") {
     import spark.implicits._
