@@ -357,6 +357,20 @@ class PlanQualitySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("multimodal decode audits stay partition-local: the only exchanges " +
+      "are the rollup and the presentation sort (q120/q121), plus the " +
+      "hash-key window (q119)") {
+    // synth + decode are Iterator→Iterator mapPartitions — any extra
+    // Exchange means blobs started shuffling before aggregation
+    val audio = plan(graft.multimodal.Multimodal.q120AudioDecode(spark, Sf001))
+    assert("Exchange".r.findAllIn(audio).size == 2, audio.take(3000))
+    val video = plan(graft.multimodal.Multimodal.q121VideoDecode(spark, Sf001))
+    assert("Exchange".r.findAllIn(video).size == 2, video.take(3000))
+    val img = plan(graft.multimodal.Multimodal.q119ImageNearDup(spark, Sf001))
+    assert("Exchange".r.findAllIn(img).size == 3, img.take(3000))
+    assert(img.contains("Window"), img.take(3000))
+  }
+
   test("q109 source attribution joins at the pair grain over a broadcast " +
       "doc→source lookup") {
     val p = plan(graft.text.TextOps.q109SourceOverlap(spark, Sf001))
