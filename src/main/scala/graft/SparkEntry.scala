@@ -148,6 +148,7 @@ object SparkEntry {
     "q119_image_neardup"    -> (Multimodal.q119ImageNearDup(_, _)),
     "q120_audio_decode"     -> (Multimodal.q120AudioDecode(_, _)),
     "q121_video_decode"     -> (Multimodal.q121VideoDecode(_, _)),
+    "q122_post_dedup_mixture" -> (TextOps.q122PostDedupMixture(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

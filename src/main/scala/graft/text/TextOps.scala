@@ -518,6 +518,54 @@ object TextOps {
   def q118IncrementalClusters(spark: SparkSession, dir: String): DataFrame =
     incrementalClustersFrom(jaccardPairs(Tables.documents(spark, dir), 3), 400L)
 
+  /** Post-dedup mixture shift (q122 body): dedup is not mass-preserving
+    * per source — a source whose docs are mostly copies of others loses
+    * token mass under survivorship, so any mixture computed on the RAW
+    * corpus (q90) misweights the corpus that actually trains. Output per
+    * source: raw vs kept token mass, both shares, and the share SHIFT —
+    * the decision-relevant number for re-running quota/mixture planning
+    * (q83/q90) after dedup.
+    *
+    * The keep decision is q117's rep-partitioned window (kept ⇔ rank 1 in
+    * its component; singletons trivially so); the shares ride the
+    * q61-proven pct pattern and the shift subtracts two identically
+    * rounded doubles (identical op order both engines, −0.0 normalized in
+    * the oracle). One corpus scan; the rollup and the 1-row total
+    * broadcast back. Another [[sharedPairs]] consumer. */
+  def postDedupMixtureFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val ord = struct(col("n_tokens"), -col("doc_id"))
+    val kept = ord === max(ord).over(Window.partitionBy(col("rep")))
+    val bySrc = docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("label"), col("doc_id")))
+      .withColumn("kept", kept)
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_raw"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+          .as("tokens_kept"))
+    val tot = bySrc.agg(sum(col("tokens_raw")).as("tot_raw"),
+      sum(col("tokens_kept")).as("tot_kept"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("raw_share", Exprs.pctOf(col("tokens_raw"), col("tot_raw"), 4))
+      .withColumn("kept_share",
+        Exprs.pctOf(col("tokens_kept"), col("tot_kept"), 4))
+      .withColumn("share_shift",
+        Exprs.dround(col("kept_share") - col("raw_share"), 4))
+      .select(col("source"), col("n_docs"), col("tokens_raw"),
+        col("tokens_kept"), col("raw_share"), col("kept_share"),
+        col("share_shift"))
+      .orderBy(col("source"))
+  }
+
+  /** q122: how survivorship dedup shifts the per-source token mixture. */
+  def q122PostDedupMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    postDedupMixtureFrom(d, jaccardPairs(d, 3))
+  }
+
   /** MinHash signature: k permutations approximated by seeded xxhash64 of
     * each shingle; signature[i] = min over shingles. */
   def minhashSignature(shingles: Column, k: Int): Column =
@@ -1619,9 +1667,45 @@ object TextOps {
       |  count(CASE WHEN doc_id >= 400 THEN 1 END) AS n_new
       |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** q122 oracle: labels + rank-1 keep per component representative +
+    * the q61-proven pct pattern; `+ 0.0` on the shift per the negative-zero
+    * rule (a −0.00004 shift rounds to −0.0 in DuckDB, +0.0 in Spark). */
+  private val PostDedupMixtureOracle: String =
+    DupClusterLabelCtes + ",\n" +
+    """ntok AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |lab AS (
+      |  SELECT n.doc_id, n.source, n.n_tokens,
+      |    coalesce(l.cluster_id, n.doc_id) AS rep
+      |  FROM ntok n LEFT JOIN labels l USING (doc_id)),
+      |dec AS (
+      |  SELECT source, n_tokens,
+      |    row_number() OVER (PARTITION BY rep
+      |      ORDER BY n_tokens DESC, doc_id) = 1 AS kept
+      |  FROM lab),
+      |by_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    sum(n_tokens)::BIGINT AS tokens_raw,
+      |    sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT AS tokens_kept
+      |  FROM dec GROUP BY source),
+      |tot AS (
+      |  SELECT sum(tokens_raw)::BIGINT AS tot_raw,
+      |    sum(tokens_kept)::BIGINT AS tot_kept
+      |  FROM by_src)
+      |SELECT source, n_docs, tokens_raw, tokens_kept,
+      |  round(100.0 * tokens_raw / tot_raw * 10000) / 10000 AS raw_share,
+      |  round(100.0 * tokens_kept / tot_kept * 10000) / 10000 AS kept_share,
+      |  round((round(100.0 * tokens_kept / tot_kept * 10000) / 10000
+      |       - round(100.0 * tokens_raw / tot_raw * 10000) / 10000)
+      |    * 10000) / 10000 + 0.0 AS share_shift
+      |FROM by_src CROSS JOIN tot ORDER BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q117_curation_export" -> CurationExportOracle,
     "q118_incremental_clusters" -> IncrementalClustersOracle,
+    "q122_post_dedup_mixture" -> PostDedupMixtureOracle,
     "q84_bigram_pmi" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t

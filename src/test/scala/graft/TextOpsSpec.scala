@@ -424,6 +424,27 @@ class TextOpsSpec extends SparkSpecBase {
       ("web", "val", 2L, 1L, 1L, 6L)))
   }
 
+  test("post-dedup mixture: a copy-heavy source loses share to an " +
+      "original-only source after survivorship") {
+    val docs = Seq(
+      (1L, "a b c d e", "dupes"),   // cluster {1,2,3}: only ONE survives
+      (2L, "a b c d e", "dupes"),
+      (3L, "a b c d e", "dupes"),
+      (4L, "p q r s t", "clean")    // singleton survives
+    ).toDF("doc_id", "text", "source")
+    val out = graft.text.TextOps
+      .postDedupMixtureFrom(docs, graft.text.TextOps.jaccardPairs(docs, 3))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tokens_raw"), r.getAs[Long]("tokens_kept"),
+        r.getAs[Double]("raw_share"), r.getAs[Double]("kept_share"),
+        r.getAs[Double]("share_shift")))
+    // raw: dupes 15/20 = 75%, clean 5/20 = 25%
+    // kept: dupes 5/10 = 50%, clean 5/10 = 50% — a 25-point swing
+    assert(out.toSeq === Seq(
+      ("clean", 1L, 5L, 5L, 25.0, 50.0, 25.0),
+      ("dupes", 3L, 15L, 5L, 75.0, 50.0, -25.0)))
+  }
+
   test("repeatedSpans: maximal cross-doc runs merge, doc-internal repeats don't count") {
     val docs = Seq(
       (1L, "a b c d e X Y Z"),       // shares the 5-token run "a b c d e" with doc 2
