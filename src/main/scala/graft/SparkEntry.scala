@@ -64,6 +64,14 @@ object SparkEntry {
     "q35_dashboard_stats"   -> (Dashboard.q35DashboardStats(_, _)),
     "q36_imputation_values" -> (Dashboard.q36ImputationValues(_, _)),
     "q37_fingerprints"      -> (TextOps.q37Fingerprints(_, _)),
+    // q38 is the EXACT-θ dedup (deliberately Θ(N²) compares, evenly
+    // distributed via Similarity.exactPairsBlocked — the only sound plan
+    // when θ sits inside the random-similarity tail; see its scaladoc).
+    // The PRODUCTION default for real near-dup corpora (tight sims ≳ 0.9)
+    // is the linear-in-N LSH path: q100_lsh_dedup /
+    // Similarity.approxEmbeddingDedup. Reach for q38's shape only when
+    // exact threshold semantics are the requirement and the corpus is
+    // small enough to pay quadratic compares.
     "q38_embedding_dedup"   -> (Similarity.q38EmbeddingDedup(_, _)),
     "q39_peak_hours"        -> (BatchChecks.q39PeakHours(_, _)),
     "q40_iqr_outliers"      -> (BatchChecks.q40IqrOutliers(_, _)),

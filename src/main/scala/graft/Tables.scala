@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (see TESTDATA.md).
@@ -34,16 +34,65 @@ object Tables {
     .withColumn("lon",
       get_json_object(col("props"), "$.k").cast("int") * lit(3.6) - 180)
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects by default. We read nanos as a plain long (legacy conf,
-    * runtime-settable) and expose BOTH:
-    *   - `ts_ns`: exact epoch-nanos long (DuckDB parity: `epoch_ns(ts)`)
+  /** `events.parquet` has shipped with TWO physical encodings of `ts` across
+    * driver regenerations — TIMESTAMP(NANOS) (read as a plain long under the
+    * legacy nanosAsLong conf) and TIMESTAMP(isAdjustedToUTC=false, MICROS)
+    * (read as TIMESTAMP_NTZ). Producers drift; the loader must absorb that
+    * (the reference's converter re-infers arrow types per batch for the same
+    * reason — src/lambda/etl/optimized_converter.py:417-466). We branch on the
+    * dtype Spark actually read and expose BOTH, identically in either case:
+    *   - `ts_ns`: exact epoch-nanos long (DuckDB parity: `epoch_ns(ts)` —
+    *     micros data is micro-precision, so micros*1000 is exact)
     *   - `ts`:    micro-precision TimestampType for date_trunc/date_format
+    * Session TZ is pinned UTC before touching an NTZ value so the NTZ→instant
+    * cast is the identity DuckDB also applies.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    deriveEventTs(table(spark, dir, "events"))
+  }
+
+  private def deriveEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long encoding
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ => // TIMESTAMP_NTZ: UTC-cast to an instant first (TZ pinned above)
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+
+  /** Time-windowed events load, `[fromS, untilS)` in epoch SECONDS.
+    *
+    * Because `ts_ns` is DERIVED under the micros encodings (`unix_micros(ts)
+    * *1000`), a `ts_ns >= X` filter applied after [[events]] cannot reach the
+    * parquet scan — Catalyst pushes predicates on attributes, not on derived
+    * expressions. Any query whose whole point at 100 TB is "read one hour,
+    * not the corpus" (dashboards q53/q54, hour-partitioned sinks) must route
+    * the bound through here: the predicate is applied to the RAW physical
+    * `ts` column, in that column's own type, BEFORE derivation, so it lands
+    * in PushedFilters (and prunes hour partitions/row groups) under every
+    * encoding the producer has shipped. */
+  def eventsInRange(spark: SparkSession, dir: String,
+                    fromS: Option[Long], untilS: Option[Long]): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    def bound(s: Long): Column = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(s * 1000000000L)
+      case org.apache.spark.sql.types.TimestampType =>
+        lit(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)))
+      case _ =>
+        lit(java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    }
+    val lo = fromS.map(s => col("ts") >= bound(s))
+    val hi = untilS.map(s => col("ts") < bound(s))
+    deriveEventTs((lo.toSeq ++ hi).foldLeft(raw)(_.filter(_)))
   }
 }

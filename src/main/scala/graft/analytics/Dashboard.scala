@@ -101,16 +101,16 @@ object Dashboard {
     * scale (hour-partitioned sink), each collapsing to one row — the
     * cross joins are broadcast-trivial. */
   def q53RealtimeMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
     val tsS = expr("ts_ns div 1000000000")
     val k = get_json_object(col("props"), "$.k").cast("int")
-    // range filters on the RAW ts_ns column (not the derived div expression)
-    // so they reach the parquet scan as PushedFilters — the whole point of a
-    // "current hour" view at 100 TB is reading one hour, not the corpus
-    def tsRange(fromS: Long, untilS: Long): Column =
-      col("ts_ns") >= fromS * 1000000000L && col("ts_ns") < untilS * 1000000000L
+    // range filters via eventsInRange: applied to the RAW physical ts column
+    // (whatever its encoding) so they reach the parquet scan as
+    // PushedFilters — the whole point of a "current hour" view at 100 TB is
+    // reading one hour, not the corpus
+    def tsRange(fromS: Long, untilS: Long): DataFrame =
+      Tables.eventsInRange(spark, dir, Some(fromS), Some(untilS))
 
-    val cur = e.filter(tsRange(HourStart, HourStart + 3600)).agg(
+    val cur = tsRange(HourStart, HourStart + 3600).agg(
       count(lit(1)).as("current_hour_events"),
       countDistinct(col("user_id")).as("current_hour_users"),
       count(when(col("event_type") =!= "error", 1)).as("active_events"),
@@ -125,12 +125,12 @@ object Dashboard {
       count(when(tsS >= DashNowEpoch - 300, 1)).as("fresh_events"),
       count(when(col("value") > 400, 1)).as("high_value_events"))
 
-    val prev = e.filter(tsRange(PrevStart, HourStart)).agg(
+    val prev = tsRange(PrevStart, HourStart).agg(
       count(lit(1)).as("prev_hour_events"),
       count(when(col("event_type") =!= "error", 1)).as("prev_active"),
       Exprs.avgExact2(col("value"), 2).as("prev_avg_value"))
 
-    val day = e.filter(tsRange(DayStart, DayStart + 86400)).agg(
+    val day = tsRange(DayStart, DayStart + 86400).agg(
       count(lit(1)).as("today_events"),
       countDistinct(col("user_id")).as("today_users"),
       max(col("value")).as("today_max_value"))
@@ -180,11 +180,12 @@ object Dashboard {
     val now = DashNowEpoch
     val tsS = expr("ts_ns div 1000000000")
     val k = get_json_object(col("props"), "$.k").cast("int")
+    // 24h slice via eventsInRange: the bound rides the raw ts column so it
+    // is pushed to the scan under every physical encoding
     val scored = Quality.scoreColumns(lit(now))
-      .foldLeft(Tables.events(spark, dir)) {
+      .foldLeft(Tables.eventsInRange(spark, dir, Some(now - 86400), None)) {
         case (df, (name, c)) => df.withColumn(name, c)
       }
-      .filter(col("ts_ns") >= (now - 86400) * 1000000000L) // pushed to scan
     val in4h = tsS >= now - 14400
     val inHour = tsS >= HourStart && tsS < HourStart + 3600
     def cnt(c: Column) = count(when(c, 1))

@@ -404,21 +404,54 @@ object Similarity {
     * rollup. At 100 TB this is one corpus scan with map-side combine;
     * probes×dims literals stay tiny (benchmarks are thousands of rows —
     * beyond that, chunk the ladder like q111's centroid note). */
+  /** Corpus rows + a `max_sim` column = max cosine of `embCol` to ANY probe
+    * embedding, with a PROBE-COUNT GUARD choosing between two plans that
+    * produce bitwise-identical values (max over the same float set is
+    * accumulation-order-independent):
+    *
+    *  - **ladder** (probes ≤ `maxLadderProbes`): `greatest` over one literal
+    *    cosine-kernel call per probe, unrolled Scala-side — a pure projection
+    *    in whole-stage codegen; zero shuffle, zero row blow-up, one corpus
+    *    scan. Plan size grows linearly with the probe count, and codegen /
+    *    plan serialization fall over somewhere in the thousands, so the
+    *    ladder must never see an unbounded probe relation.
+    *  - **broadcast join + max-agg** (probes > `maxLadderProbes`): broadcast
+    *    the probe embeddings, fan out |corpus|×|probes| rows map-side, hash-
+    *    aggregate max per key with map-side combine, join the per-key max
+    *    back on the key. Costs a shuffle of |corpus| keys but its plan is
+    *    O(1) in the probe count — the 100-TB path for big probe sets.
+    *
+    * The guard counts the probe relation (one tiny aggregate) instead of
+    * trusting the caller's promise that it is small. */
+  def withMaxSimToProbes(corpus: DataFrame, keyCol: String, embCol: String,
+                         probes: DataFrame, probeEmbCol: String,
+                         maxLadderProbes: Int = 256): DataFrame = {
+    val nProbes = probes.count()
+    if (nProbes <= maxLadderProbes) {
+      val pv = probes.select(col(probeEmbCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      corpus.withColumn("max_sim_raw",
+        greatest(pv.map(pe => cosine(col(embCol), typedlit(pe))).toIndexedSeq: _*))
+    } else {
+      val perKey = corpus.select(col(keyCol), col(embCol))
+        .crossJoin(broadcast(probes.select(col(probeEmbCol).as("__probe_emb"))))
+        .groupBy(col(keyCol))
+        .agg(max(cosine(col(embCol), col("__probe_emb"))).as("max_sim_raw"))
+      corpus.join(perKey, Seq(keyCol))
+    }
+  }
+
   def q116EmbeddingDecontam(spark: SparkSession, dir: String,
-                            theta: Double = 0.75): DataFrame = {
+                            theta: Double = 0.75,
+                            maxLadderProbes: Int = 256): DataFrame = {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val probes = e.filter(col("vec_id") <= 30)
     val corpus = e.filter(col("vec_id") > 30)
       .unionByName(probes.withColumn("vec_id", col("vec_id") + lit(3000000L)))
-    val pv = probes.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    val maxSim = greatest(pv.map { case (_, pe) =>
-      cosine(col("embedding"), typedlit(pe))
-    }.toIndexedSeq: _*)
-    corpus
-      .withColumn("max_sim", Exprs.dround(maxSim, 6))
+    withMaxSimToProbes(corpus, "vec_id", "embedding",
+        probes, "embedding", maxLadderProbes)
+      .withColumn("max_sim", Exprs.dround(col("max_sim_raw"), 6))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
         count(when(col("vec_id") >= 3000000L, 1)).as("n_planted"),

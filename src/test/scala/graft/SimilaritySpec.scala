@@ -185,4 +185,16 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Double]("avg_max_sim") < 0.6,
         s"label ${r.get(0)} avg ${r.getAs[Double]("avg_max_sim")}") }
   }
+
+  test("q116 probe-count guard: ladder and broadcast-join branches produce " +
+      "identical output") {
+    // maxLadderProbes=0 forces the broadcast-join + max-agg fallback the
+    // guard takes when the probe set outgrows the literal ladder; max over
+    // the same float set is accumulation-order-independent, so the two
+    // plans must agree bitwise on every aggregate.
+    def rows(maxLadder: Int) =
+      Similarity.q116EmbeddingDecontam(spark, Sf001, maxLadderProbes = maxLadder)
+        .collect().map(_.toSeq).toSeq
+    assert(rows(256) === rows(0))
+  }
 }
