@@ -8,7 +8,7 @@ import graft.flight.Flight
 import graft.geo.Geo
 import graft.multimodal.Multimodal
 import graft.prep.DataPrep
-import graft.quality.{BatchChecks, Quality}
+import graft.quality.{BatchChecks, Quality, Quarantine}
 import graft.sim.Similarity
 import graft.text.TextOps
 import graft.ts.TimeSeries
@@ -157,6 +157,7 @@ object SparkEntry {
     "q120_audio_decode"     -> (Multimodal.q120AudioDecode(_, _)),
     "q121_video_decode"     -> (Multimodal.q121VideoDecode(_, _)),
     "q122_post_dedup_mixture" -> (TextOps.q122PostDedupMixture(_, _)),
+    "q123_quarantine_ledger" -> (Quarantine.q123QuarantineLedger(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,5 +169,5 @@ object SparkEntry {
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
-      Behavior.oracle ++ Trends.oracle
+      Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle
 }

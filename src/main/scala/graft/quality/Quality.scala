@@ -183,8 +183,10 @@ object Quality {
 
   /** The per-row score CTE with "now" substituted — q28/q29 pin RefNowEpoch,
     * the q54 dashboard pins an in-data now (Dashboard.DashNowEpoch). */
-  private[graft] def scoreCte(now: Long = RefNowEpoch): String =
+  private[graft] def scoreCte(now: Long = RefNowEpoch,
+                              from: String = "events"): String =
     scoreSqlTemplate.replace("1706659200", now.toString)
+      .replace("FROM events)", s"FROM $from)")
 
   private val scoreSqlTemplate =
     """scored AS (

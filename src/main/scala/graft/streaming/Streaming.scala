@@ -309,4 +309,38 @@ object Streaming {
       .partitionBy("year", "month", "day", "hour", "batch_id")
       .parquet(outDir)
   }
+
+  /** [[writePartitioned]] + the metrics side-sink: each micro-batch lands
+    * its data AND appends its own quality-metrics row (the reference
+    * publishes CloudWatch metrics + SNS alerts from the same per-file
+    * validation pass — `data_quality_validator.py:931-1021`; here the
+    * "publish" is one row in the `_metrics` parquet ledger, see
+    * [[graft.quality.Metrics]]). Both writes are replay-idempotent — the
+    * data under `batch_id=`, the metrics row under `run_id=` — so a batch
+    * re-run after a crash replaces both of its outputs. */
+  def writePartitionedWithMetrics(events: DataFrame, outDir: String,
+                                  checkpointDir: String,
+                                  metricsDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchWithMetrics(batch, batchId, outDir, metricsDir)
+      }
+      .start()
+
+  /** The foreachBatch body of [[writePartitionedWithMetrics]], exposed for
+    * direct testing. The batch is cached across the two sinks so the data
+    * write and the metrics aggregation share one source read. */
+  def writeBatchWithMetrics(batch: DataFrame, batchId: Long, outDir: String,
+                            metricsDir: String): Unit = {
+    batch.persist()
+    try {
+      val t0 = System.nanoTime()
+      writeBatch(batch, batchId, outDir)
+      graft.quality.Metrics.writeMetrics(
+        graft.quality.Metrics.batchQualityCheck(batch), metricsDir,
+        runId = s"batch_$batchId",
+        validationTimeS = (System.nanoTime() - t0) / 1e9)
+    } finally batch.unpersist()
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.quality.{BatchChecks, Metrics}
+import graft.streaming.Streaming
+
+/** Metrics side-sink (`_metrics` ledger) — the engine-scope analog of the
+  * reference's CloudWatch publish + SNS alert egress. */
+class MetricsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("q41's check row lands in the ledger with the published metric " +
+      "fields and the materialized alert decision") {
+    val dir = Files.createTempDirectory("metrics_out").toString
+    val check = BatchChecks.q41BatchCheckSuite(spark, Sf0001)
+    Metrics.writeMetrics(check, dir, runId = "run_1", validationTimeS = 1.234)
+    val back = Metrics.readMetrics(spark, dir).collect()
+    assert(back.length === 1)
+    val r = back.head
+    assert(r.getAs[String]("run_id") === "run_1")
+    assert(r.getAs[Double]("validation_time_s") === 1.234)
+    assert(r.getAs[Long]("records_validated") > 0)
+    assert(r.getAs[Long]("passed_checks") + r.getAs[Long]("failed_checks") === 16L)
+    val score = r.getAs[Double]("overall_score")
+    assert(r.getAs[Double]("overall_score_pct") === math.round(score * 1e6) / 1e6 * 100)
+    // the alert decision is materialized, consistent with the score
+    assert(r.getAs[Boolean]("quality_alert") === (score < 0.8))
+  }
+
+  test("severity bands follow the reference thresholds " +
+      "(quarantine 0.50 / acceptable 0.75 / alert 0.80)") {
+    def sev(score: Double): (Boolean, String) = {
+      val check = Seq((100L, 10, 16, score, "X"))
+        .toDF("n_rows", "passed_checks", "total_checks", "overall_score", "grade")
+      val r = Metrics.metricsRow(check, "r", 0.0).collect().head
+      (r.getAs[Boolean]("quality_alert"), r.getAs[String]("alert_severity"))
+    }
+    assert(sev(0.45) === ((true, "CRITICAL")))
+    assert(sev(0.70) === ((true, "HIGH")))
+    assert(sev(0.78) === ((true, "MEDIUM")))
+    assert(sev(0.90) === ((false, "NONE")))
+    // boundary: exactly at threshold is NOT an alert (reference:
+    // passed_threshold = overall_score >= threshold)
+    assert(sev(0.80) === ((false, "NONE")))
+  }
+
+  test("ledger appends across runs but replays of the SAME run replace " +
+      "their own row") {
+    val dir = Files.createTempDirectory("metrics_replay").toString
+    val check = Seq((10L, 3, 3, 1.0, "A"))
+      .toDF("n_rows", "passed_checks", "total_checks", "overall_score", "grade")
+    Metrics.writeMetrics(check, dir, "run_1", 0.1)
+    Metrics.writeMetrics(check, dir, "run_1", 0.2) // crash-replay of run_1
+    Metrics.writeMetrics(check, dir, "run_2", 0.3)
+    val back = Metrics.readMetrics(spark, dir)
+    assert(back.count() === 2)
+    assert(back.select("run_id").as[String].collect().sorted
+      === Array("run_1", "run_2"))
+  }
+
+  test("streaming foreachBatch body writes the data AND its per-batch " +
+      "metrics row") {
+    val out = Files.createTempDirectory("wbm_out").toString
+    val mDir = Files.createTempDirectory("wbm_metrics").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 10:06:00"), 2L, "view", 2.0),
+      (2L, ts("2024-01-01 10:07:00"), 3L, "bogus", -5.0) // dup id + invalid
+    ).toDF(cols: _*)
+    Streaming.writeBatchWithMetrics(batch, 7L, out, mDir)
+    assert(spark.read.parquet(out).count() === 3)
+    val m = Metrics.readMetrics(spark, mDir).collect()
+    assert(m.length === 1)
+    val r = m.head
+    assert(r.getAs[String]("run_id") === "batch_7")
+    assert(r.getAs[Long]("records_validated") === 3L)
+    // dup event_id fails uniqueness; bogus type + negative value fail
+    // validity — 1 of 3 checks passes
+    assert(r.getAs[Long]("passed_checks") === 1L)
+    assert(r.getAs[Long]("failed_checks") === 2L)
+    assert(r.getAs[Boolean]("quality_alert"))
+    // replay of the same batch id replaces both outputs
+    Streaming.writeBatchWithMetrics(batch, 7L, out, mDir)
+    assert(spark.read.parquet(out).count() === 3)
+    assert(Metrics.readMetrics(spark, mDir).count() === 1)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.quality.Quarantine
+
+/** Quarantine lifecycle state machine (quarantine_system.py semantics). */
+class QuarantineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // minimal ledger: the columns the transitions read/write
+  private def mkLedger(rows: (Long, String, Double, Long, Int)*): DataFrame =
+    rows.toDF("quarantine_id", "status", "quality_score", "expires_at_s",
+        "recovery_attempts")
+      .withColumn("raw", concat(lit("{\"id\":"), col("quarantine_id"), lit("}")))
+      .withColumn("reviewer", lit(null).cast("string"))
+      .withColumn("review_ts_s", lit(null).cast("long"))
+      .withColumn("review_notes", lit(null).cast("string"))
+
+  private def statusOf(df: DataFrame): Map[Long, String] =
+    df.select("quarantine_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("review transitions live records and ignores decisions aimed at " +
+      "terminal rows") {
+    val led = mkLedger(
+      (1L, "quarantined", 0.2, 100L, 0),
+      (2L, "under_review", 0.4, 100L, 0),
+      (3L, "rejected", 0.1, 100L, 0),     // terminal: decision must not land
+      (4L, "quarantined", 0.2, 100L, 0))  // no decision: untouched
+    val decisions = Seq(
+      (1L, "approved_for_release", "alice", 50L, "ok"),
+      (2L, "rejected", "bob", 60L, "bad"),
+      (3L, "approved_for_release", "mallory", 70L, "sneaky"))
+      .toDF("quarantine_id", "action", "reviewer", "review_ts_s", "review_notes")
+    val out = Quarantine.applyReview(led, decisions)
+    assert(statusOf(out) === Map(1L -> "approved_for_release",
+      2L -> "rejected", 3L -> "rejected", 4L -> "quarantined"))
+    val r1 = out.filter(col("quarantine_id") === 1).collect().head
+    assert(r1.getAs[String]("reviewer") === "alice")
+    assert(r1.getAs[Long]("review_ts_s") === 50L)
+    // the ignored decision must not leave reviewer metadata behind
+    val r3 = out.filter(col("quarantine_id") === 3).collect().head
+    assert(r3.getAs[String]("reviewer") === null)
+  }
+
+  test("expiry sweeps only still-quarantined records past expires_at") {
+    val led = mkLedger(
+      (1L, "quarantined", 0.2, 100L, 0),   // past expiry -> expired
+      (2L, "quarantined", 0.2, 999L, 0),   // not yet due -> stays
+      (3L, "under_review", 0.2, 100L, 0),  // reviewed rows never expire
+      (4L, "reprocessed", 0.2, 100L, 0))   // terminal rows never expire
+    assert(statusOf(Quarantine.expire(led, nowS = 500L)) ===
+      Map(1L -> "expired", 2L -> "quarantined", 3L -> "under_review",
+        4L -> "reprocessed"))
+  }
+
+  test("reprocessing routes approved rows through the replay hook: " +
+      "recovered -> reprocessed, failed -> attempts bumped, rest untouched") {
+    val led = mkLedger(
+      (1L, "approved_for_release", 0.2, 999L, 0),
+      (2L, "approved_for_release", 0.2, 999L, 0),
+      (3L, "quarantined", 0.2, 999L, 0))
+    // replay recovers only id 1 (the subset hook a real reprocessor is)
+    val out = Quarantine.reprocessApproved(led, nowS = 1000L,
+      replay = df => df.filter(col("dlq_id") === "1"))
+    assert(statusOf(out) === Map(1L -> "reprocessed",
+      2L -> "approved_for_release", 3L -> "quarantined"))
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("quarantine_id") ->
+        (r.getAs[Int]("recovery_attempts"),
+         r.getAs[Boolean]("recovery_successful"))).toMap
+    assert(byId(1L) === ((1, true)))
+    assert(byId(2L) === ((1, false)))  // attempted, failed, retried next run
+    assert(byId(3L) === ((0, false)))  // never entered the queue
+  }
+
+  test("q123 lifecycle pass lands every row in a legal state with legal " +
+      "reason pairing") {
+    val out = Quarantine.q123QuarantineLedger(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val legalStates =
+      Set("quarantined", "under_review", "approved_for_release", "rejected",
+        "reprocessed", "expired")
+    out.foreach { r =>
+      assert(legalStates.contains(r.getAs[String]("status")))
+      // reprocessed rows can only come from the released low-score set
+      if (r.getAs[String]("status") == "reprocessed")
+        assert(r.getAs[String]("reason") === "low_quality_score")
+      // under-review rows can only be salvageable critical issues
+      if (r.getAs[String]("status") == "under_review")
+        assert(r.getAs[String]("reason") === "critical_issue")
+    }
+  }
+}
