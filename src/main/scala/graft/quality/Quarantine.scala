@@ -96,6 +96,32 @@ object Quarantine {
       .drop("action", "d_reviewer", "d_review_ts_s", "d_review_notes", "__legal")
   }
 
+  /** Policy-driven automatic review — the reference's evaluate path
+    * (`evaluate_for_quarantine:157-238`) as opposed to a human reviewer:
+    * when the decision is a pure function of the ledger row's own columns,
+    * it rides the projection — no decisions relation, no join, nothing to
+    * broadcast, so an auto-policy over a corpus-fraction ledger costs one
+    * map-side pass at any scale. `action` must evaluate to a status string
+    * or NULL (= no decision); the same live-records-only legality rule as
+    * [[applyReview]] applies. Manual, human-scale decisions still go
+    * through [[applyReview]]'s broadcast join. */
+  def autoReview(ledger: DataFrame, action: org.apache.spark.sql.Column,
+                 reviewer: String, reviewTsS: Long, notes: String)
+      : DataFrame = {
+    val legal = action.isNotNull &&
+      col("status").isin("quarantined", "under_review")
+    // status is rewritten LAST so every legality check reads the pre-review
+    // state
+    ledger
+      .withColumn("reviewer",
+        when(legal, lit(reviewer)).otherwise(col("reviewer")))
+      .withColumn("review_ts_s",
+        when(legal, lit(reviewTsS)).otherwise(col("review_ts_s")))
+      .withColumn("review_notes",
+        when(legal, lit(notes)).otherwise(col("review_notes")))
+      .withColumn("status", when(legal, action).otherwise(col("status")))
+  }
+
   /** `cleanup_expired_records:489-520`: ONLY still-`quarantined` records
     * past `expires_at_s` flip to `expired` (the reference's scan filters on
     * status = QUARANTINED — under-review and terminal rows never expire). */
@@ -123,9 +149,11 @@ object Quarantine {
         col("recovery_attempts").as("attempts"),
         lit(0L).as("next_eligible_s"))
     val outcome = Flight.replayWithPolicy(queue, nowS, policy, 0L, replay)
-    val recovered = broadcast(outcome.recovered
+    // no forced broadcast: the approved set is a corpus fraction, not a
+    // bounded dim — AQE broadcasts it when it happens to be small
+    val recovered = outcome.recovered
       .select(col("dlq_id").cast("long").as("quarantine_id")).distinct()
-      .withColumn("__recovered", lit(true)))
+      .withColumn("__recovered", lit(true))
     val wasApproved = col("status") === "approved_for_release"
     ledger.join(recovered, Seq("quarantine_id"), "left")
       .withColumn("recovery_attempts",
@@ -174,19 +202,21 @@ object Quarantine {
     * (q28's hash-green proves it), so DuckDB replays the state machine
     * exactly. Thresholds 0.25 / 0.5 are dyadic (CLAUDE.md rule). */
   def q123QuarantineLedger(spark: SparkSession, dir: String): DataFrame = {
-    val led = ledgerFrom(plantCorruption(Tables.events(spark, dir)))
-    val decisions = led.select(
-      col("quarantine_id"),
+    // persist the bootstrap: the ledger is |quarantined| rows (~N/17 on the
+    // planted corpus) but its lineage is the full scoring scan, and the
+    // lifecycle replays that lineage 4x otherwise (decisions derivation,
+    // replay-queue build, the replay outcome count, the final join)
+    val led = ledgerFrom(plantCorruption(Tables.events(spark, dir))).persist()
+    // the policy is a pure function of (reason, quality_score) -> autoReview
+    // (projection, joinless); a human decisions relation would use
+    // applyReview's broadcast join instead
+    val policy =
       when(col("reason") === "low_quality_score",
         when(col("quality_score") >= 0.25, "approved_for_release")
           .otherwise("rejected"))
         .otherwise(when(col("quality_score") >= 0.5, "under_review"))
-        .as("action"),
-      lit("auto-reviewer").as("reviewer"),
-      lit(Quality.RefNowEpoch + 7L * 86400L).as("review_ts_s"),
-      lit("policy pass").as("review_notes"))
-      .filter(col("action").isNotNull)
-    val reviewed = applyReview(led, decisions)
+    val reviewed = autoReview(led, policy, reviewer = "auto-reviewer",
+      reviewTsS = Quality.RefNowEpoch + 7L * 86400L, notes = "policy pass")
     val reprocessed = reprocessApproved(reviewed,
       nowS = Quality.RefNowEpoch + 8L * 86400L)
     expire(reprocessed, nowS = Quality.RefNowEpoch + 31L * 86400L)

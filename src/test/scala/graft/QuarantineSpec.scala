@@ -45,6 +45,22 @@ class QuarantineSpec extends SparkSpecBase {
     assert(r3.getAs[String]("reviewer") === null)
   }
 
+  test("autoReview applies the policy projection-side but still refuses " +
+      "transitions out of terminal states") {
+    val led = mkLedger(
+      (1L, "quarantined", 0.2, 100L, 0),
+      (2L, "reprocessed", 0.2, 100L, 0),  // terminal: policy must not land
+      (3L, "under_review", 0.9, 100L, 0))
+    val out = Quarantine.autoReview(led,
+      when(col("quality_score") >= 0.5, "approved_for_release")
+        .otherwise(lit("rejected")),
+      reviewer = "auto", reviewTsS = 42L, notes = "n")
+    assert(statusOf(out) === Map(1L -> "rejected", 2L -> "reprocessed",
+      3L -> "approved_for_release"))
+    val r2 = out.filter(col("quarantine_id") === 2).collect().head
+    assert(r2.getAs[String]("reviewer") === null)
+  }
+
   test("expiry sweeps only still-quarantined records past expires_at") {
     val led = mkLedger(
       (1L, "quarantined", 0.2, 100L, 0),   // past expiry -> expired
