@@ -372,6 +372,24 @@ class PlanQualitySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q123 lifecycle rollup consumes the persisted ledger, joins it hash-" +
+      "side (no cartesian), and scores events in one pass") {
+    // building the query already ran the replay outcome's count() action,
+    // so the ledger cache is materialized by the time we look at the plan
+    val p = plan(graft.quality.Quarantine.q123QuarantineLedger(spark, Sf0001))
+    assert(p.contains("InMemoryTableScan"),
+      s"final rollup must read the cached ledger, not re-run the scoring scan:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // cached-plan nodes print their stored lineage, so each InMemoryRelation
+    // accounts for exactly one FileScan line; any FileScan beyond that count
+    // is an ACTIVE re-scan of events that leaked past the ledger cache
+    val fileScans = p.linesIterator.count(_.contains("FileScan parquet"))
+    val cachedRelations = p.linesIterator.count(_.contains("InMemoryRelation"))
+    assert(fileScans <= cachedRelations,
+      s"$fileScans FileScans vs $cachedRelations cached relations — " +
+        s"an events re-scan leaked past the ledger cache:\n${p.take(3000)}")
+  }
+
   test("multimodal decode audits stay partition-local: the only exchanges " +
       "are the rollup and the presentation sort (q120/q121), plus the " +
       "hash-key window (q119)") {

@@ -326,6 +326,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(back.select("hour").distinct().count() === 2)
   }
 
+  test("writePartitionedWithMetrics lands data AND one metrics row per " +
+      "micro-batch through a real stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Files.createTempDirectory("stream_m_out").toString
+    val chk = Files.createTempDirectory("stream_m_chk").toString
+    val mDir = Files.createTempDirectory("stream_m_metrics").toString
+    val q = Streaming.writePartitionedWithMetrics(in.toDF(), out, chk, mDir)
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:05:00"), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(
+      Ev(3, ts("2024-01-01 11:06:00"), 3, "view", -4.0)) // invalid value
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).count() === 3)
+    val m = graft.quality.Metrics.readMetrics(spark, mDir)
+      .orderBy("run_id").collect()
+    assert(m.length === 2, s"one metrics row per micro-batch, got ${m.length}")
+    assert(m.map(_.getAs[String]("run_id")).toSet === Set("batch_0", "batch_1"))
+    val b1 = m.find(_.getAs[String]("run_id") == "batch_1").get
+    assert(b1.getAs[Long]("records_validated") === 1L)
+    // the -4.0 fails exactly the validity check; (1 + 0.5 + 1)/3 ≈ 0.83
+    // stays above the 0.8 alert line (full alert semantics: MetricsSpec)
+    assert(b1.getAs[Long]("failed_checks") === 1L)
+    assert(!b1.getAs[Boolean]("quality_alert"))
+  }
+
   test("writeBatch is idempotent under micro-batch replay") {
     val out = Files.createTempDirectory("replay_out").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
