@@ -158,6 +158,7 @@ object SparkEntry {
     "q121_video_decode"     -> (Multimodal.q121VideoDecode(_, _)),
     "q122_post_dedup_mixture" -> (TextOps.q122PostDedupMixture(_, _)),
     "q123_quarantine_ledger" -> (Quarantine.q123QuarantineLedger(_, _)),
+    "q124_image_resize"     -> (Multimodal.q124ImageResize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -347,6 +347,64 @@ object Multimodal {
       .orderBy(col("bucket"))
   }
 
+  /** q124: REAL image resize (nearest-neighbor thumbnail) over decoded
+    * pixels — the pixel half of the resize operation ([[resizeStub]]
+    * carries the metadata/box-policy half): decode the 9×8 pattern PNGs
+    * and sample the exact floor grid `(sx, sy) = (3·x', 2·y')` down to a
+    * 3×4 thumbnail. Decode + resample are one partition-local
+    * Iterator→Iterator `mapPartitions` pass (zero shuffle — the q102/q119
+    * batch shape); the only exchange is the 4-row bucket rollup. The audit
+    * statistics are integers the oracle recomputes from the pattern
+    * polynomial at the SAMPLED coordinates, so a wrong sample index, an
+    * off-by-one in the grid, a codec error, or a dropped planted copy all
+    * flip the driver hash. At 100 TB this is the thumbnail-materialization
+    * pass of a multimodal ingest: embarrassingly parallel, no state, the
+    * written thumbnail replacing the audit statistics. */
+  def q124ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val resized = synthesizePatternImages(spark, dir)
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var sum = 0L
+          var mx = 0L
+          var yp = 0
+          while (yp < 4) {
+            var xp = 0
+            while (xp < 3) {
+              val v = (img.getRGB(3 * xp, 2 * yp) & 0xff).toLong
+              sum += v
+              if (v > mx) mx = v
+              xp += 1
+            }
+            yp += 1
+          }
+          (id, sum, mx)
+        }
+      }.toDF("media_id", "resized_sum", "resized_max")
+    resized
+      .groupBy((col("media_id") % 4).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        count(when(col("media_id") >= 5000000L, 1)).as("n_planted"),
+        sum(col("resized_sum")).as("total_resized"),
+        max(col("resized_max")).as("max_px"),
+        Exprs.dround(sum(col("resized_sum")) / (count(lit(1)) * lit(12.0)), 4)
+          .as("avg_px"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q124 oracle terms, generated: the 12 sampled pattern-polynomial
+    * pixels (plus the planted gray shift) as pure integer SQL. */
+  private def resizedPxTerms(pid: String): Seq[String] =
+    for (yp <- 0 until 4; xp <- 0 until 3) yield {
+      val (sx, sy) = (3 * xp, 2 * yp)
+      s"((7*$sx*$sx + 11*$sy*$sx + 13*$sy + $pid*(${sx + sy + 1})) % 191)"
+    }
+
   /** q119 oracle, generated: the 63 comparison bits of the pattern
     * polynomial as one BIGINT sum — pure integer SQL, so the DuckDB side
     * needs no codec; equality proves the JVM decode + extraction chain. */
@@ -633,6 +691,26 @@ object Multimodal {
         |  sum(n_samples)::BIGINT AS total_samples,
         |  sum(sum_abs)::BIGINT AS total_abs_amplitude,
         |  max(max_amp) AS max_amplitude
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_image_resize" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS pid, 0 AS shift FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id, 20 FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |per AS (
+        |  SELECT media_id,
+        |    (${resizedPxTerms("pid").mkString(" + ")} + 12 * shift)
+        |      AS resized_sum,
+        |    (greatest(${resizedPxTerms("pid").mkString(", ")}) + shift)
+        |      AS resized_max
+        |  FROM ids)
+        |SELECT media_id % 4 AS bucket, count(*) AS n_images,
+        |  count(CASE WHEN media_id >= 5000000 THEN 1 END) AS n_planted,
+        |  sum(resized_sum)::BIGINT AS total_resized,
+        |  max(resized_max)::BIGINT AS max_px,
+        |  round(sum(resized_sum)::DOUBLE / (count(*) * 12.0) * 10000) / 10000
+        |    AS avg_px
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "q119_image_neardup" ->
       s"""WITH ids AS (
