@@ -343,4 +343,58 @@ object Streaming {
         validationTimeS = (System.nanoTime() - t0) / 1e9)
     } finally batch.unpersist()
   }
+
+  /** Rows a micro-batch must NOT land in the good sink: the critical-core
+    * failures (out-of-range / null value, unknown / null event type) — the
+    * ingest-time subset of q29's routing predicate (`evaluate_for_
+    * quarantine`'s critical-issue arm; the low-score arm needs the full
+    * scoring pass and runs batch-side). */
+  def quarantinePredicate: org.apache.spark.sql.Column = {
+    val validTypes = Seq("click", "view", "purchase", "signup", "error")
+    !coalesce(col("value").between(0, 1000), lit(false)) ||
+      !coalesce(col("event_type").isin(validTypes: _*), lit(false))
+  }
+
+  /** The reference's per-file ETL flow — validate → route good vs
+    * quarantine → publish metrics (`main_etl_processor.py` +
+    * `quarantine_system.quarantine_record` + the CloudWatch publish) — as
+    * ONE foreachBatch body. Good rows land hour-partitioned
+    * ([[writeBatch]]); quarantined rows land under the quarantine dir with
+    * their reason and a `quarantined` status (ledger-compatible, so the
+    * batch-side [[graft.quality.Quarantine]] lifecycle picks them up);
+    * the batch's metrics row is appended either way. All three writes are
+    * replay-idempotent under their own batch/run id. One cache, one source
+    * read, three sinks. */
+  def writeValidatedBatch(batch: DataFrame, batchId: Long, outDir: String,
+                          quarantineDir: String, metricsDir: String): Unit = {
+    batch.persist()
+    try {
+      val t0 = System.nanoTime()
+      val bad = quarantinePredicate
+      writeBatch(batch.filter(!bad), batchId, outDir)
+      batch.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      batch.filter(bad)
+        .withColumn("reason", lit("critical_issue"))
+        .withColumn("status", lit("quarantined"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(quarantineDir)
+      graft.quality.Metrics.writeMetrics(
+        graft.quality.Metrics.batchQualityCheck(batch), metricsDir,
+        runId = s"batch_$batchId",
+        validationTimeS = (System.nanoTime() - t0) / 1e9)
+    } finally batch.unpersist()
+  }
+
+  /** [[writeValidatedBatch]] as a streaming sink. */
+  def writeValidatedPartitioned(events: DataFrame, outDir: String,
+                                quarantineDir: String, checkpointDir: String,
+                                metricsDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeValidatedBatch(batch, batchId, outDir, quarantineDir, metricsDir)
+      }
+      .start()
 }

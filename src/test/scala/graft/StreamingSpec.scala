@@ -355,6 +355,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(!b1.getAs[Boolean]("quality_alert"))
   }
 
+  test("writeValidatedPartitioned routes good vs quarantine AND publishes " +
+      "metrics through a real stream, replay-idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = Files.createTempDirectory("val_out").toString
+    val qDir = Files.createTempDirectory("val_q").toString
+    val chk = Files.createTempDirectory("val_chk").toString
+    val mDir = Files.createTempDirectory("val_m").toString
+    val q = Streaming.writeValidatedPartitioned(in.toDF(), out, qDir, chk, mDir)
+    in.addData(
+      Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:06:00"), 2, "bogus", 2.0),   // bad type
+      Ev(3, ts("2024-01-01 10:07:00"), 3, "view", 5000.0)) // bad value
+    q.processAllAvailable()
+    q.stop()
+    val good = spark.read.parquet(out)
+    assert(good.count() === 1)
+    assert(good.select("event_id").collect().head.getLong(0) === 1L)
+    val quarantined = spark.read.parquet(qDir)
+    assert(quarantined.count() === 2)
+    assert(quarantined.select("status").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("quarantined"))
+    assert(quarantined.select("reason").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("critical_issue"))
+    val m = graft.quality.Metrics.readMetrics(spark, mDir).collect()
+    assert(m.length === 1)
+    assert(m.head.getAs[Long]("records_validated") === 3L)
+    // a crash-replay of the same batch replaces all three outputs
+    Streaming.writeValidatedBatch(
+      Seq((1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:06:00"), 2L, "bogus", 2.0),
+        (3L, ts("2024-01-01 10:07:00"), 3L, "view", 5000.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"),
+      0L, out, qDir, mDir)
+    assert(spark.read.parquet(out).count() === 1)
+    assert(spark.read.parquet(qDir).count() === 2)
+    assert(graft.quality.Metrics.readMetrics(spark, mDir).count() === 1)
+  }
+
   test("writeBatch is idempotent under micro-batch replay") {
     val out = Files.createTempDirectory("replay_out").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
