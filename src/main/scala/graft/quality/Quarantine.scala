@@ -130,6 +130,19 @@ object Quarantine {
       when(col("status") === "quarantined" && col("expires_at_s") < nowS,
         "expired").otherwise(col("status")))
 
+  /** Retention sweep (`quarantine_retention_days = 90`,
+    * `quarantine_system.py:70` — distinct from the 30-day review expiry):
+    * TERMINAL rows (rejected / reprocessed / expired) older than the
+    * retention window leave the ledger entirely, the engine-scope analog
+    * of deleting the quarantine-bucket object and its tracking item. Live
+    * rows are never purged, whatever their age — a record awaiting review
+    * does not silently vanish. */
+  def purgeRetention(ledger: DataFrame, nowS: Long,
+                     retentionDays: Long = RetentionDays): DataFrame =
+    ledger.filter(
+      !col("status").isin("rejected", "reprocessed", "expired") ||
+        col("quarantine_ts_s") >= nowS - retentionDays * 86400L)
+
   /** Reprocess `approved_for_release` records through the DLQ replay
     * machinery (`_trigger_recovery:631-640` at engine scope): approved rows
     * are mapped onto [[Flight.replayWithPolicy]]'s queue contract

@@ -92,6 +92,21 @@ class QuarantineSpec extends SparkSpecBase {
     assert(byId(3L) === ((0, false)))  // never entered the queue
   }
 
+  test("retention purges only TERMINAL rows older than the window; live " +
+      "rows never vanish") {
+    val led = Seq(
+      (1L, "rejected", 0L),        // terminal, ancient -> purged
+      (2L, "reprocessed", 0L),     // terminal, ancient -> purged
+      (3L, "expired", 900L),       // terminal, inside window -> kept
+      (4L, "quarantined", 0L),     // live, ancient -> kept
+      (5L, "under_review", 0L))    // live, ancient -> kept
+      .toDF("quarantine_id", "status", "quarantine_ts_s")
+    // cutoff = 86900 - 1 day = 500: ts 0 is past retention, ts 900 is not
+    val kept = Quarantine.purgeRetention(led, nowS = 86900L, retentionDays = 1L)
+      .select("quarantine_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(3L, 4L, 5L))
+  }
+
   test("q123 lifecycle pass lands every row in a legal state with legal " +
       "reason pairing") {
     val out = Quarantine.q123QuarantineLedger(spark, Sf0001).collect()
