@@ -78,6 +78,44 @@ object Metrics {
   def readMetrics(spark: SparkSession, metricsDir: String): DataFrame =
     spark.read.parquet(metricsDir)
 
+  /** Gap-based alert suppression (`alerting.py:79-125`
+    * AlertSuppressionManager): emit an alert, then suppress every same-key
+    * alert within `windowS` of the last EMITTED one; the first alert at
+    * least `windowS` after it emits and restarts the window. This is NOT a
+    * fixed-bucket dedup (three alerts 20 min apart under a 30-min window
+    * must emit #1 and #3; a bucket grid gets that wrong at edges) — the
+    * state is "timestamp of last emitted", which only an in-order pass
+    * carries. Keys are (alert_type, component, severity), matching the
+    * reference's suppression key.
+    *
+    * Scale shape: flatMapGroups per key — alerts are cadence-bounded
+    * (thousands per key-month at worst, nothing like corpus scale), so the
+    * per-group sort is safely partition-local and the shuffle is one hash
+    * exchange on the key. Input columns: (alert_type, component, severity,
+    * ts_s); output adds `emitted`. */
+  def suppressAlerts(alerts: DataFrame, windowS: Long = 1800L): DataFrame = {
+    val spark = alerts.sparkSession
+    import spark.implicits._
+    alerts
+      .select(col("alert_type"), col("component"), col("severity"),
+        col("ts_s"))
+      .as[(String, String, String, Long)]
+      .groupByKey { case (t, c, s, _) => (t, c, s) }
+      .flatMapGroups { (key: (String, String, String),
+                        it: Iterator[(String, String, String, Long)]) =>
+        val (t, c, s) = key
+        val sorted = it.map(_._4).toArray
+        java.util.Arrays.sort(sorted)
+        var lastEmit = Long.MinValue
+        sorted.iterator.map { ts =>
+          val emit = lastEmit == Long.MinValue || ts - lastEmit >= windowS
+          if (emit) lastEmit = ts
+          (t, c, s, ts, emit)
+        }
+      }
+      .toDF("alert_type", "component", "severity", "ts_s", "emitted")
+  }
+
   /** Streaming-side quality check over a micro-batch's columns (`event_id`,
     * `ts`, `user_id`, `event_type`, `value` — the poll-source schema): the
     * ingest-time subset of q41's suite, mirroring the reference's

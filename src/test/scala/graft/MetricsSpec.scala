@@ -63,6 +63,36 @@ class MetricsSpec extends SparkSpecBase {
       === Array("run_1", "run_2"))
   }
 
+  test("alert suppression is gap-based per suppression key: emit restarts " +
+      "the window, bucket-edge pairs both emit") {
+    val alerts = Seq(
+      // key A: emit@0, suppress 1000/1700 (<1800 of 0), emit@1900
+      // (1900-0 >= 1800, restarts), suppress 3600 (3600-1900 < 1800)
+      ("quality", "etl", "HIGH", 0L),
+      ("quality", "etl", "HIGH", 1000L),
+      ("quality", "etl", "HIGH", 1700L),
+      ("quality", "etl", "HIGH", 1900L),
+      ("quality", "etl", "HIGH", 3600L),
+      // different severity = different suppression key: independent
+      ("quality", "etl", "CRITICAL", 1000L),
+      // a fixed 1800s bucket grid would suppress one of this >window pair
+      ("volume", "api", "LOW", 1799L),
+      ("volume", "api", "LOW", 3599L))
+      .toDF("alert_type", "component", "severity", "ts_s")
+    val out = Metrics.suppressAlerts(alerts, windowS = 1800L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)) ->
+        r.getBoolean(4)).toMap
+    assert(out(("quality", "HIGH", 0L)) === true)
+    assert(out(("quality", "HIGH", 1000L)) === false)
+    assert(out(("quality", "HIGH", 1700L)) === false)
+    assert(out(("quality", "HIGH", 1900L)) === true)
+    assert(out(("quality", "HIGH", 3600L)) === false)
+    assert(out(("quality", "CRITICAL", 1000L)) === true)
+    assert(out(("volume", "LOW", 1799L)) === true)
+    assert(out(("volume", "LOW", 3599L)) === true) // 3599-1799 = 1800 >= window
+  }
+
   test("streaming foreachBatch body writes the data AND its per-batch " +
       "metrics row") {
     val out = Files.createTempDirectory("wbm_out").toString
