@@ -186,6 +186,23 @@ object ShingleMath {
   }
 }
 
+/** Companion to [[ShingleMath.wordShingles]]: the number of DISTINCT word
+  * n-gram shingles, without materializing the (doc_id, shingle) relation.
+  * Distinctness is over the shingle STRINGS (a hash set of the
+  * UTF8Strings), bit-identical to `explode → distinct → count` and to the
+  * oracle's SQL distinct — no hash-collision hazard. */
+object ShingleDistinctCount {
+  def count(s: UTF8String, n: Int): Long = {
+    val arr = ShingleMath.wordShingles(s, n)
+    val m = arr.numElements()
+    if (m == 0) return 0L
+    val set = new java.util.HashSet[UTF8String](Math.max(16, m * 2))
+    var i = 0
+    while (i < m) { set.add(arr.getUTF8String(i)); i += 1 }
+    set.size.toLong
+  }
+}
+
 /** Native codegen word-n-gram shingler.
   *
   * Why a custom Expression (builder-brief path (b)): every shingle-based
@@ -221,6 +238,48 @@ object WordShinglesFunction {
       require(exprs.length == 2 && exprs(1).foldable,
         "word_shingles(text, n) with literal n")
       WordShingles(Cast(exprs.head, StringType),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}
+
+/** Native distinct-shingle counter (see [[ShingleDistinctCount.count]]).
+  *
+  * Why a kernel: Jaccard's denominator needs |distinct shingles| per doc.
+  * The declarative form is a SECOND corpus explode + per-doc aggregation
+  * next to the pair join's own explode (exchange reuse cannot merge them —
+  * they aggregate under different partitionings), i.e. one extra full
+  * tokenize+shuffle pass at 100 TB. The kernel folds that pass into the
+  * document scan: one partition-local byte pass per row, no explode, no
+  * exchange, whole-stage codegen. */
+case class WordShingleDistinctCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "word_shingle_distinct_count n must be >= 1")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "word_shingle_distinct_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleDistinctCount.count(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleDistinctCount.count($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleDistinctCountFunction {
+  val info = (
+    FunctionIdentifier("word_shingle_distinct_count"),
+    new ExpressionInfo(classOf[WordShingleDistinctCount].getName,
+      "word_shingle_distinct_count"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "word_shingle_distinct_count(text, n) with literal n")
+      WordShingleDistinctCount(Cast(exprs.head, StringType),
         exprs(1).eval().asInstanceOf[Number].intValue())
     })
 

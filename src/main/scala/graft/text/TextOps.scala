@@ -141,7 +141,15 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500,
                    aSide: Column = lit(true), bSide: Column = lit(true)): DataFrame = {
     val sh = shingleRows(docs, n).distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    // denominator counts via the native kernel: a per-row byte pass on the
+    // document scan instead of a SECOND corpus explode + per-doc
+    // aggregation (exchange reuse cannot merge it with the pair join's
+    // explode — different aggregation partitionings). Bit-identical to
+    // explode→distinct→count: the kernel distincts the shingle STRINGS.
+    graft.functions.WordShingleDistinctCountFunction.register(docs.sparkSession)
+    val counts = docs.select(col("doc_id"),
+      call_function("word_shingle_distinct_count", col("text"), lit(n)).as("c"))
+      .filter(col("c") > 0)
     val capped = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))

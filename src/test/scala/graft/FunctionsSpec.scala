@@ -166,6 +166,39 @@ class FunctionsSpec extends SparkSpecBase {
     assert(nullRow.isNullAt(0))
   }
 
+  test("word_shingle_distinct_count matches explode -> distinct -> count, " +
+      "including duplicate shingles and sub-n docs") {
+    graft.functions.WordShingleDistinctCountFunction.register(spark)
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b a b a b"),          // heavy duplicate shingles
+      (3L, "single"),               // shorter than n -> 0
+      (4L, ""),                     // empty -> 0
+      (5L, "héllo wörld héllo wörld ünïcode")) // UTF-8 + dup
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val kernel = docs.select(col("doc_id"),
+        call_function("word_shingle_distinct_count", col("text"), lit(n)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val declared = graft.text.TextOps.shingleRows(docs, n).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.collect().map(_.getLong(0)).foreach { id =>
+        assert(kernel(id) === declared.getOrElse(id, 0L),
+          s"n=$n doc=$id: kernel ${kernel(id)} vs declared ${declared.get(id)}")
+      }
+    }
+    // also against the real documents corpus, the jaccardPairs usage shape
+    val d = Tables.documents(spark, Sf0001)
+    val kernelC = d.select(col("doc_id"),
+      call_function("word_shingle_distinct_count", col("text"), lit(3)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declaredC = graft.text.TextOps.shingleRows(d, 3).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    declaredC.foreach { case (id, c) => assert(kernelC(id) === c) }
+  }
+
   test("hyperplane_sig participates in whole-stage codegen") {
     graft.functions.HyperplaneSigFunction.register(spark)
     // range source so there is a codegen stage to inspect (see token_count)
