@@ -7,6 +7,31 @@ import graft.sources.Sources
 class SourcesSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("eventsInRange is row-equivalent to the derived ts_ns filter under " +
+      "the current physical encoding") {
+    // the pushdown loader must select EXACTLY the rows the (non-pushable)
+    // derived-column filter selects — the invariant that survives the
+    // driver regenerating events.parquet with a different ts encoding
+    val all = Tables.events(spark, Sf0001)
+    def derived(fromS: Option[Long], untilS: Option[Long]) = {
+      val lo = fromS.map(s => col("ts_ns") >= s * 1000000000L)
+      val hi = untilS.map(s => col("ts_ns") < s * 1000000000L)
+      (lo.toSeq ++ hi).foldLeft(all)(_.filter(_))
+        .select("event_id").as[Long].collect().sorted.toSeq
+    }
+    def ranged(fromS: Option[Long], untilS: Option[Long]) =
+      Tables.eventsInRange(spark, Sf0001, fromS, untilS)
+        .select("event_id").as[Long].collect().sorted.toSeq
+    val hourStart = 1706655600L
+    for (
+      (f, u) <- Seq(
+        (Some(hourStart), Some(hourStart + 3600)), // closed window
+        (Some(hourStart), None),                   // open above
+        (None, Some(hourStart)),                   // open below
+        (None, None))                              // unbounded = whole table
+    ) assert(ranged(f, u) === derived(f, u), s"bounds ($f, $u)")
+  }
+
   private lazy val partedDir = {
     val d = Files.createTempDirectory("parted").toString + "/data"
     Seq(
