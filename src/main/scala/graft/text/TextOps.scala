@@ -504,6 +504,14 @@ object TextOps {
     * drops depend on corpus-wide frequencies). Output: q59's rollup plus
     * how many docs of each component arrived in the new batch. */
   def incrementalClustersFrom(allPairs: DataFrame, splitId: Long): DataFrame = {
+    // NOTE: deliberately NOT persisted across the two loops — the old×old
+    // closure's `d2 < splitId` filter pushes through the pair aggregation
+    // into the b-side shingle relation, so the old-labels pass computes a
+    // much SMALLER pair join than the full relation; a persist would
+    // force one full-relation materialization first and cost more
+    // cold-start than the partial recomputation it saves (measured: cold
+    // 6s -> 9s at sf0.1). A pipeline holding an already-persisted
+    // sharedPairs can still pass it in and gets reuse for free.
     // d1 < d2 always, so "d2 old" ⇒ both endpoints old
     val oldLabels = clusterLabels(allPairs.filter(col("d2") < lit(splitId)))
     val edges = propagationEdges(allPairs)
