@@ -8,7 +8,7 @@ import graft.flight.Flight
 import graft.geo.Geo
 import graft.multimodal.Multimodal
 import graft.prep.DataPrep
-import graft.quality.{BatchChecks, Quality, Quarantine}
+import graft.quality.{BatchChecks, Metrics, Quality, Quarantine}
 import graft.sim.Similarity
 import graft.text.TextOps
 import graft.ts.TimeSeries
@@ -159,6 +159,7 @@ object SparkEntry {
     "q122_post_dedup_mixture" -> (TextOps.q122PostDedupMixture(_, _)),
     "q123_quarantine_ledger" -> (Quarantine.q123QuarantineLedger(_, _)),
     "q124_image_resize"     -> (Multimodal.q124ImageResize(_, _)),
+    "q125_alert_suppression" -> (Metrics.q125AlertSuppression(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,5 +171,5 @@ object SparkEntry {
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
-      Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle
+      Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle ++ Metrics.oracle
 }

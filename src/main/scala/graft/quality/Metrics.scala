@@ -116,6 +116,90 @@ object Metrics {
       .toDF("alert_type", "component", "severity", "ts_s", "emitted")
   }
 
+  /** q125: hourly quality alerting with gap-based suppression, end-to-end
+    * and ORACLE-CHECKED — per-(event_type, hour) average quality over the
+    * planted-corruption corpus, an alert wherever the hourly average drops
+    * below a dyadic θ (27/32), and [[suppressAlerts]] (window = 2 h) deciding which
+    * alerts actually emit.
+    *
+    * Why the stateful pass has an exact SQL oracle: alert timestamps sit on
+    * a FIXED hourly grid and the window is exactly two grid steps, so
+    * "emit, then suppress within 2 h of the last emitted" collapses to
+    * "odd positions within each island of consecutive alert-hours"
+    * (within an island successive alerts are 1 h apart — the emit cadence
+    * is forced to every 2nd — and across islands every gap is ≥ 2 h, so an
+    * island always starts emitted). DuckDB replays that as gaps-and-islands
+    * (`hour − row_number()`), assuming nothing about the flatMapGroups
+    * implementation it checks.
+    *
+    * Scale shape: one corpus scan → (type, hour) hash aggregation with
+    * map-side combine; the alert relation is hours-scale, so the stateful
+    * suppression pass costs nothing at any corpus size. */
+  def q125AlertSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Quality.scoreColumns()
+      .foldLeft(Quarantine.plantCorruption(graft.Tables.events(spark, dir))) {
+        case (df, (name, c)) => df.withColumn(name, c)
+      }
+    val hourly = scored
+      .groupBy(col("event_type"),
+        expr("ts_ns div 1000000000 div 3600").as("hour"))
+      .agg(Exprs.dround(
+        Exprs.sumExact(col("quality_score"), 6) / count(lit(1)), 6)
+        .as("avg_score"))
+    val alerts = hourly.filter(col("avg_score") < 0.84375)
+      .select(lit("hourly_quality").as("alert_type"),
+        col("event_type").as("component"),
+        lit("HIGH").as("severity"),
+        (col("hour") * 3600L).as("ts_s"))
+    suppressAlerts(alerts, windowS = 7200L)
+      .groupBy(col("component")).agg(
+        count(lit(1)).as("n_alert_hours"),
+        count(when(col("emitted"), 1)).as("n_emitted"),
+        count(when(!col("emitted"), 1)).as("n_suppressed"),
+        min(col("ts_s")).as("first_alert_ts"),
+        max(when(col("emitted"), col("ts_s"))).as("last_emitted_ts"))
+      .orderBy(col("component"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q125_alert_suppression" ->
+      s"""WITH dirty AS (
+        |  SELECT * REPLACE (
+        |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+        |    CASE WHEN event_id % 34 = 0 THEN NULL ELSE user_id END AS user_id,
+        |    CASE WHEN event_id % 51 = 0 THEN 'bogus' ELSE event_type END
+        |      AS event_type,
+        |    CASE WHEN event_id % 68 = 0 THEN NULL ELSE props END AS props)
+        |  FROM events),
+        |${Quality.scoreCte(from = "dirty")},
+        |hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hour,
+        |    round(sum(quality_score::DECIMAL(25,6))::DOUBLE / count(*), 6)
+        |      AS avg_score
+        |  FROM scored GROUP BY 1, 2),
+        |alerts AS (
+        |  SELECT event_type AS component, hour
+        |  FROM hourly WHERE avg_score < 0.84375),
+        |-- fixed hourly cadence + 2h window: gap-based suppression ==
+        |-- odd positions within islands of consecutive alert-hours
+        |isl AS (
+        |  SELECT component, hour,
+        |    hour - row_number() OVER (PARTITION BY component ORDER BY hour)
+        |      AS island
+        |  FROM alerts),
+        |mark AS (
+        |  SELECT component, hour,
+        |    row_number() OVER (PARTITION BY component, island ORDER BY hour)
+        |      % 2 = 1 AS emitted
+        |  FROM isl)
+        |SELECT component, count(*) AS n_alert_hours,
+        |  count(CASE WHEN emitted THEN 1 END) AS n_emitted,
+        |  count(CASE WHEN NOT emitted THEN 1 END) AS n_suppressed,
+        |  min(hour * 3600)::BIGINT AS first_alert_ts,
+        |  max(CASE WHEN emitted THEN hour * 3600 END)::BIGINT
+        |    AS last_emitted_ts
+        |FROM mark GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** Streaming-side quality check over a micro-batch's columns (`event_id`,
     * `ts`, `user_id`, `event_type`, `value` — the poll-source schema): the
     * ingest-time subset of q41's suite, mirroring the reference's
