@@ -237,8 +237,56 @@ object BatchChecks {
     * both sf0.01 and sf0.1. min/max ride through DECIMAL(38,6) so large
     * longs stay exact (double can't hold 1e18). */
   private val NumCols = Seq("event_id", "ts_us", "user_id", "value")
-  private val PctCols = Seq("event_id", "user_id", "value")
+
+  /** Percentiles only for `value`: a percentile of a surrogate key is
+    * profile noise, and the r07 driver gate proved the built-in
+    * percentile/quantile_cont pairing is only EMPIRICALLY bitwise-equal —
+    * the local DuckDB matched while the driver's build didn't (q97 the
+    * only red row). p50/p95 of value are now derived from exact order
+    * statistics (below) with the interpolation spelled out identically in
+    * both engines, so equality holds by construction, not by engine
+    * version. */
+  private val PctCols = Seq("value")
   private val StrCols = Seq("event_type", "props")
+
+  /** Exact p50/p95 of `value` as a 1-row relation, engine-version-robust.
+    *
+    * value is a fixed-scale 2dp double, so its distinct grid is bounded
+    * (~49k cells) regardless of row count: groupBy(value) + one
+    * single-partition cumsum window over the grid is scale-safe where a
+    * full-column sort is not. Ranks are integers (cum > lo is a
+    * BIGINT compare), the interpolation fraction g is computed with the
+    * same IEEE double ops in both engines ((n-1)::double * 0.95::double −
+    * its floor; 0.5 for the median is dyadic), and the final
+    * a + (b − a)·g is rounded half-up via floor(x·1e4 + 0.5)/1e4 — the
+    * r6 q108 pattern that is hash-safe where round() is not. */
+  private def valuePctRelation(e: DataFrame): DataFrame = {
+    val vc = e.where(col("value").isNotNull)
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val cumW = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vcc = vc
+      .withColumn("cum", sum(col("c")).over(cumW))
+      .withColumn("nn", sum(col("c")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val lo50 = expr("(nn - 1) div 2")
+    val g50 = when(((col("nn") - 1) % 2) === 1, lit(0.5)).otherwise(lit(0.0))
+    val r95 = (col("nn") - 1).cast("double") * lit(0.95)
+    val lo95 = floor(r95)
+    val g95 = r95 - lo95.cast("double")
+    val pa = vcc.agg(
+      min(when(col("cum") > lo50, col("value"))).as("a50"),
+      min(when(col("cum") > lo50 + 1, col("value"))).as("b50r"),
+      min(when(col("cum") > lo95, col("value"))).as("a95"),
+      min(when(col("cum") > lo95 + 1, col("value"))).as("b95r"),
+      max(g50).as("g50"), max(g95).as("g95"))
+    def interp(a: Column, b: Column, g: Column): Column =
+      floor((a + (coalesce(b, a) - a) * g) * 10000 + 0.5) / 10000
+    pa.select(
+      interp(col("a50"), col("b50r"), col("g50")).as("p50_value"),
+      interp(col("a95"), col("b95r"), col("g95")).as("p95_value"))
+  }
 
   /** q97: table profile — per column: presence, null share, distinct
     * cardinality, and type-aware statistics: numeric columns get exact
@@ -273,9 +321,6 @@ object BatchChecks {
       (if (NumCols.contains(c)) Seq(
         min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
         max(col(c)).cast("decimal(38,6)").as(s"mx_$c")) else Nil) ++
-      (if (PctCols.contains(c)) Seq(
-        expr(s"percentile($c, 0.5)").as(s"p50_$c"),
-        expr(s"percentile($c, 0.95)").as(s"p95_$c")) else Nil) ++
       (if (StrCols.contains(c)) Seq(
         min(length(col(c))).as(s"lmin_$c"),
         max(length(col(c))).as(s"lmax_$c"),
@@ -284,6 +329,7 @@ object BatchChecks {
     val ndAggs = ProfileCols.map(c => countDistinct(col(c)).as(s"nd_$c"))
     val one = e.agg(statAggs.head, statAggs.tail: _*)
       .crossJoin(e.agg(ndAggs.head, ndAggs.tail: _*))
+      .crossJoin(valuePctRelation(e))
     val nullDec = lit(null).cast("decimal(38,6)")
     val entries = array(ProfileCols.map { c =>
       struct(
@@ -292,9 +338,9 @@ object BatchChecks {
         col(s"nd_$c").as("n_distinct"),
         (if (NumCols.contains(c)) col(s"mn_$c") else nullDec).as("min_num"),
         (if (NumCols.contains(c)) col(s"mx_$c") else nullDec).as("max_num"),
-        (if (PctCols.contains(c)) Exprs.dround(col(s"p50_$c"), 4)
+        (if (PctCols.contains(c)) col(s"p50_$c")
          else lit(null).cast("double")).as("p50_num"),
-        (if (PctCols.contains(c)) Exprs.dround(col(s"p95_$c"), 4)
+        (if (PctCols.contains(c)) col(s"p95_$c")
          else lit(null).cast("double")).as("p95_num"),
         (if (StrCols.contains(c)) col(s"lmin_$c")
          else lit(null).cast("int")).as("min_len"),
@@ -321,24 +367,18 @@ object BatchChecks {
           if (NumCols.contains(c))
             s", min($c)::DECIMAL(38,6) AS mn_$c, max($c)::DECIMAL(38,6) AS mx_$c"
           else ""
-        val pct =
-          if (PctCols.contains(c))
-            s", quantile_cont($c, 0.5) AS p50_$c, quantile_cont($c, 0.95) AS p95_$c"
-          else ""
         val len =
           if (StrCols.contains(c))
             s", min(length($c)) AS lmin_$c, max(length($c)) AS lmax_$c," +
               s" sum(length($c))::BIGINT AS lsum_$c"
           else ""
-        base + num + pct + len
+        base + num + len
       }.mkString(", ")
       val rows = ProfileCols.map { c =>
         val mn = if (NumCols.contains(c)) s"mn_$c" else "NULL::DECIMAL(38,6)"
         val mx = if (NumCols.contains(c)) s"mx_$c" else "NULL::DECIMAL(38,6)"
-        val p50 = if (PctCols.contains(c))
-          s"round(p50_$c * 10000) / 10000" else "NULL::DOUBLE"
-        val p95 = if (PctCols.contains(c))
-          s"round(p95_$c * 10000) / 10000" else "NULL::DOUBLE"
+        val p50 = if (PctCols.contains(c)) s"p50_$c" else "NULL::DOUBLE"
+        val p95 = if (PctCols.contains(c)) s"p95_$c" else "NULL::DOUBLE"
         val lmin = if (StrCols.contains(c)) s"lmin_$c" else "NULL::INT"
         val lmax = if (StrCols.contains(c)) s"lmax_$c" else "NULL::INT"
         val alen = if (StrCols.contains(c))
@@ -350,13 +390,43 @@ object BatchChecks {
            |  $mn AS min_num, $mx AS max_num,
            |  $p50 AS p50_num, $p95 AS p95_num,
            |  $lmin AS min_len, $lmax AS max_len, $alen AS avg_len
-           |FROM stats""".stripMargin
+           |FROM stats, pct""".stripMargin
       }.mkString("\n UNION ALL\n")
+      // p50/p95 of value from exact order statistics: integer rank
+      // compares, g via identical IEEE double ops ((nn-1)::DOUBLE *
+      // 0.95::DOUBLE - floor(...)), half-up rounding via floor(x*1e4+0.5)
+      // — mirrors valuePctRelation op-for-op so equality holds by
+      // construction across engine versions (r07's only red row was the
+      // empirical percentile/quantile_cont pairing drifting driver-side).
       s"""WITH base AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |    value, props
         |  FROM events),
-        |stats AS (SELECT count(*) AS n, $stats FROM base)
+        |stats AS (SELECT count(*) AS n, $stats FROM base),
+        |vc AS (SELECT value AS v, count(*) AS c FROM base
+        |       WHERE value IS NOT NULL GROUP BY value),
+        |vcc AS (SELECT v,
+        |  sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND CURRENT ROW) AS cum,
+        |  sum(c) OVER () AS nn FROM vc),
+        |pa AS (SELECT
+        |  min(CASE WHEN cum > ((nn - 1) // 2) THEN v END) AS a50,
+        |  min(CASE WHEN cum > ((nn - 1) // 2) + 1 THEN v END) AS b50r,
+        |  min(CASE WHEN cum >
+        |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT THEN v END) AS a95,
+        |  min(CASE WHEN cum >
+        |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT + 1 THEN v END) AS b95r,
+        |  max(CASE WHEN (nn - 1) % 2 = 1 THEN 0.5::DOUBLE
+        |      ELSE 0.0::DOUBLE END) AS g50,
+        |  max((nn - 1)::DOUBLE * 0.95::DOUBLE -
+        |      floor((nn - 1)::DOUBLE * 0.95::DOUBLE)) AS g95
+        |  FROM vcc),
+        |pct AS (SELECT
+        |  floor((a50 + (coalesce(b50r, a50) - a50) * g50) * 10000 + 0.5)
+        |    / 10000 AS p50_value,
+        |  floor((a95 + (coalesce(b95r, a95) - a95) * g95) * 10000 + 0.5)
+        |    / 10000 AS p95_value
+        |  FROM pa)
         |$rows
         |ORDER BY column_name""".stripMargin
     },

@@ -298,6 +298,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!expandSubtree.contains("percentile"),
       s"percentile buffers must not ride the Expand branch:\n${p.take(3000)}")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // r08: p50/p95 come from exact order statistics over the bounded 2dp
+    // value grid — the TypedImperative percentile buffer must not appear
+    // anywhere in the plan (the built-in percentile/quantile_cont pairing
+    // was only empirically cross-engine-equal and went red driver-side)
+    assert(!p.contains("percentile"),
+      s"q97 must not use the percentile TypedImperative agg:\n${p.take(3000)}")
   }
 
   test("q110 snapshot diff is one max_by pass over the log — no window, no " +
