@@ -145,41 +145,87 @@ object Quarantine {
 
   /** Reprocess `approved_for_release` records through the DLQ replay
     * machinery (`_trigger_recovery:631-640` at engine scope): approved rows
-    * are mapped onto [[Flight.replayWithPolicy]]'s queue contract
-    * (`dlq_id` = quarantine id, `attempts` = prior recovery attempts,
-    * immediately eligible) so retry budgets, exponential backoff and the
-    * circuit breaker are the same machinery the ingest DLQ uses. Rows the
-    * replay recovers go `reprocessed` (recovery_successful = true); rows it
-    * fails stay `approved_for_release` with `recovery_attempts` bumped, to
-    * be retried by the next run. */
+    * are mapped onto [[Flight.replayWithPolicy]]'s queue contract so retry
+    * budgets, exponential backoff and the circuit breaker are the same
+    * machinery the ingest DLQ uses.
+    *
+    * The queue key is the CONTENT-derived `dlq_id` the DLQ itself uses
+    * (md5 of raw ⊕ source_file, [[Flight.dlqId]]), carried back to
+    * `quarantine_id` through a side mapping — so both an id-preserving
+    * hook and [[Flight.ladderReplay]] (which recomputes the id from
+    * content) resolve recoveries to the right ledger rows. A custom
+    * `replay` must preserve either `dlq_id` or (`raw`, `source_file`)
+    * verbatim on the rows it returns.
+    *
+    * The ledger update is derived from the outcome relations themselves,
+    * never from a blanket was-approved flag:
+    *   - recovered → `reprocessed`, attempts+1, stamped `nowS`;
+    *   - requeued  → stays `approved_for_release`, attempts/stamp only if
+    *     this run actually attempted it (breaker-open and cooling-down
+    *     rows pass through untouched);
+    *   - dead      → terminal `rejected` with `dead_reason` — the engine
+    *     analog of the reference's permanent dead-letter
+    *     (`error_recovery.py:64-101`); without this, exhausted rows sat
+    *     `approved_for_release` forever with a fictitious attempt count
+    *     climbing each run. */
   def reprocessApproved(ledger: DataFrame, nowS: Long,
                         policy: Flight.RetryPolicy = Flight.RetryPolicy(),
                         replay: DataFrame => DataFrame = identity)
       : DataFrame = {
-    val queue = ledger.filter(col("status") === "approved_for_release")
-      .select(col("raw"), lit("quarantine").as("source_file"),
-        col("quarantine_id").cast("string").as("dlq_id"),
+    val keyed = ledger.filter(col("status") === "approved_for_release")
+      .select(col("quarantine_id"), col("raw"),
+        lit("quarantine").as("source_file"),
         col("recovery_attempts").as("attempts"),
         lit(0L).as("next_eligible_s"))
+      .withColumn("dlq_id", Flight.dlqId)
+    val queue = keyed.drop("quarantine_id")
+    val mapping = keyed.select(col("dlq_id"), col("quarantine_id"))
     val outcome = Flight.replayWithPolicy(queue, nowS, policy, 0L, replay)
     // no forced broadcast: the approved set is a corpus fraction, not a
-    // bounded dim — AQE broadcasts it when it happens to be small
-    val recovered = outcome.recovered
-      .select(col("dlq_id").cast("long").as("quarantine_id")).distinct()
-      .withColumn("__recovered", lit(true))
-    val wasApproved = col("status") === "approved_for_release"
-    ledger.join(recovered, Seq("quarantine_id"), "left")
+    // bounded dim — AQE broadcasts these when they happen to be small
+    val nullInt = lit(null).cast("int")
+    val nullStr = lit(null).cast("string")
+    val rec = outcome.recovered.select(col("dlq_id")).distinct()
+      .join(mapping, Seq("dlq_id"))
+      .select(col("quarantine_id"), lit("recovered").as("__res"),
+        nullInt.as("__att"), nullStr.as("__dead_reason"))
+    val dead = outcome.dead.join(mapping, Seq("dlq_id"))
+      .select(col("quarantine_id"), lit("dead").as("__res"),
+        col("attempts").cast("int").as("__att"),
+        col("dead_reason").as("__dead_reason"))
+    val requeued = outcome.requeued.join(mapping, Seq("dlq_id"))
+      .select(col("quarantine_id"), lit("requeued").as("__res"),
+        col("attempts").cast("int").as("__att"), nullStr.as("__dead_reason"))
+    val updates = rec.unionByName(dead).unionByName(requeued)
+    val prevLast =
+      if (ledger.columns.contains("last_recovery_attempt_s"))
+        col("last_recovery_attempt_s") else lit(null).cast("long")
+    val prevDeadReason =
+      if (ledger.columns.contains("dead_reason"))
+        col("dead_reason") else nullStr
+    // attempted-this-run: recovered always was; requeued/dead only when
+    // the outcome's attempt counter moved past the ledger's
+    val attempted = col("__res") === "recovered" ||
+      (col("__res").isin("dead", "requeued") &&
+        col("__att") > col("recovery_attempts"))
+    ledger.join(updates, Seq("quarantine_id"), "left")
+      .withColumn("__attempted", attempted)
       .withColumn("recovery_attempts",
-        when(wasApproved, col("recovery_attempts") + 1)
+        when(col("__res") === "recovered", col("recovery_attempts") + 1)
+          .when(col("__res").isin("dead", "requeued"), col("__att"))
           .otherwise(col("recovery_attempts")))
       .withColumn("last_recovery_attempt_s",
-        when(wasApproved, lit(nowS)).otherwise(lit(null).cast("long")))
+        when(col("__attempted"), lit(nowS)).otherwise(prevLast))
       .withColumn("recovery_successful",
-        wasApproved && coalesce(col("__recovered"), lit(false)))
+        coalesce(col("__res") === "recovered", lit(false)))
+      .withColumn("dead_reason",
+        when(col("__res") === "dead", col("__dead_reason"))
+          .otherwise(prevDeadReason))
       .withColumn("status",
-        when(wasApproved && coalesce(col("__recovered"), lit(false)),
-          "reprocessed").otherwise(col("status")))
-      .drop("__recovered")
+        when(col("__res") === "recovered", "reprocessed")
+          .when(col("__res") === "dead", "rejected")
+          .otherwise(col("status")))
+      .drop("__res", "__att", "__dead_reason", "__attempted")
   }
 
   /** Deterministic planted corruption — the q100/q105 planted-harness

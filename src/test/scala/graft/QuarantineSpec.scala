@@ -73,23 +73,44 @@ class QuarantineSpec extends SparkSpecBase {
   }
 
   test("reprocessing routes approved rows through the replay hook: " +
-      "recovered -> reprocessed, failed -> attempts bumped, rest untouched") {
+      "recovered -> reprocessed, failed -> attempts bumped, exhausted -> " +
+      "dead-lettered as rejected, rest untouched") {
     val led = mkLedger(
       (1L, "approved_for_release", 0.2, 999L, 0),
       (2L, "approved_for_release", 0.2, 999L, 0),
-      (3L, "quarantined", 0.2, 999L, 0))
-    // replay recovers only id 1 (the subset hook a real reprocessor is)
+      (3L, "quarantined", 0.2, 999L, 0),
+      (4L, "approved_for_release", 0.2, 999L, 3),  // already at maxAttempts
+      (5L, "approved_for_release", 0.2, 999L, 2))  // last budgeted attempt
+    // replay recovers only id 1 (the subset hook a real reprocessor is);
+    // the hook keys on CONTENT — dlq_id is md5-derived, not the ledger id
     val out = Quarantine.reprocessApproved(led, nowS = 1000L,
-      replay = df => df.filter(col("dlq_id") === "1"))
+      replay = df => df.filter(col("raw") === "{\"id\":1}"))
     assert(statusOf(out) === Map(1L -> "reprocessed",
-      2L -> "approved_for_release", 3L -> "quarantined"))
+      2L -> "approved_for_release", 3L -> "quarantined",
+      4L -> "rejected", 5L -> "rejected"))
     val byId = out.collect().map(r =>
       r.getAs[Long]("quarantine_id") ->
-        (r.getAs[Int]("recovery_attempts"),
-         r.getAs[Boolean]("recovery_successful"))).toMap
-    assert(byId(1L) === ((1, true)))
-    assert(byId(2L) === ((1, false)))  // attempted, failed, retried next run
-    assert(byId(3L) === ((0, false)))  // never entered the queue
+        ((r.getAs[Int]("recovery_attempts"),
+          r.getAs[Boolean]("recovery_successful"),
+          Option(r.getAs[java.lang.Long]("last_recovery_attempt_s")),
+          r.getAs[String]("dead_reason")))).toMap
+    assert(byId(1L) === ((1, true, Some(1000L), null)))
+    assert(byId(2L) === ((1, false, Some(1000L), null)))  // retried next run
+    assert(byId(3L) === ((0, false, None, null)))  // never entered the queue
+    // pre-exhausted: NOT attempted (no fictitious bump, no stamp), but
+    // terminal — the reference permanently dead-letters these
+    assert(byId(4L) === ((3, false, None, "max_attempts_exhausted")))
+    // failed on its last budgeted attempt: bumped, stamped, dead
+    assert(byId(5L) === ((3, false, Some(1000L), "max_attempts_exhausted")))
+  }
+
+  test("a content-keyed replay hook (the ladderReplay contract: dlq_id " +
+      "recomputed from raw+source_file) still resolves recoveries") {
+    val led = mkLedger((1L, "approved_for_release", 0.2, 999L, 0))
+    val out = Quarantine.reprocessApproved(led, nowS = 1000L,
+      replay = df => df.select(col("raw"), col("source_file"))
+        .withColumn("dlq_id", graft.flight.Flight.dlqId))
+    assert(statusOf(out) === Map(1L -> "reprocessed"))
   }
 
   test("retention purges only TERMINAL rows older than the window; live " +
