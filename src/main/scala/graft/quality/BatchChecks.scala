@@ -78,6 +78,22 @@ object BatchChecks {
     *   (sample variance, ddof=1 like pandas .std()) because distributed
     *   stddev of doubles is accumulation-order-dependent.
     */
+  /** The 16-check suite's (score column, pass threshold) table — shared by
+    * q41 (which computes and scores them) and [[Metrics.metricsRow]]'s
+    * per-check dimensional breakdown (the reference publishes one metric
+    * per check with a CheckName dimension,
+    * `data_quality/metrics_publisher.py` via
+    * `data_quality_validator.py:931-989`). */
+  val SuiteChecks: Seq[(String, Double)] = Seq(
+    "completeness_score" -> 0.8, "validity_score" -> 0.9,
+    "consistency_score" -> 0.85, "uniqueness_score" -> 0.95,
+    "accuracy_score" -> 0.7, "timeliness_score" -> 0.8,
+    "value_range_score" -> 0.95, "rate_range_score" -> 0.95,
+    "coordinate_score" -> 0.98, "id_format_score" -> 0.9,
+    "domain_score" -> 0.95, "ts_consistency_score" -> 0.9,
+    "precision_score" -> 0.95, "value_jump_score" -> 0.8,
+    "type_value_score" -> 0.8, "anomaly_score" -> 0.95)
+
   def q41BatchCheckSuite(spark: SparkSession, dir: String): DataFrame = {
     val refNow = Quality.RefNowEpoch
     val eBase = Tables.withSyntheticPositions(Tables.events(spark, dir))
@@ -174,15 +190,7 @@ object BatchChecks {
          cnt(abs(col("rate_r") - rMean) > lit(3.0) * rStd)) / n))
         .as("anomaly_score"))
 
-    val scoreCols = Seq(
-      "completeness_score" -> 0.8, "validity_score" -> 0.9,
-      "consistency_score" -> 0.85, "uniqueness_score" -> 0.95,
-      "accuracy_score" -> 0.7, "timeliness_score" -> 0.8,
-      "value_range_score" -> 0.95, "rate_range_score" -> 0.95,
-      "coordinate_score" -> 0.98, "id_format_score" -> 0.9,
-      "domain_score" -> 0.95, "ts_consistency_score" -> 0.9,
-      "precision_score" -> 0.95, "value_jump_score" -> 0.8,
-      "type_value_score" -> 0.8, "anomaly_score" -> 0.95)
+    val scoreCols = SuiteChecks
     val passed = scoreCols.map { case (c, thr) => (col(c) >= thr).cast("int") }
       .reduce(_ + _)
     val overall = Exprs.dround(

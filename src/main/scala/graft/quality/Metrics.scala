@@ -40,9 +40,30 @@ object Metrics {
     * `total_checks`, `overall_score`, `grade` — q41's output shape) onto the
     * metrics-ledger schema: the reference's five published metrics
     * (ValidationTime, OverallQualityScore as a percentage, PassedChecks,
-    * FailedChecks, RecordsValidated) plus the materialized alert decision. */
+    * FailedChecks, RecordsValidated) plus the materialized alert decision.
+    *
+    * `checks` names the suite's (score column, threshold) table
+    * ([[BatchChecks.SuiteChecks]] for q41, [[StreamingChecks]] for the
+    * micro-batch subset) and lands as a `check_results` array of
+    * (check_name, score, threshold, passed) structs — the engine analog of
+    * the reference's one-metric-per-check dimensional publish
+    * (`metrics_publisher.py`, per-check publish at
+    * `data_quality_validator.py:931-989`), so a dashboard can facet the
+    * ledger on check_name without re-running the suite. */
   def metricsRow(check: DataFrame, runId: String, validationTimeS: Double,
-                 threshold: Double = DefaultQualityThreshold): DataFrame =
+                 threshold: Double = DefaultQualityThreshold,
+                 checks: Seq[(String, Double)] = Nil): DataFrame = {
+    val checkResults =
+      if (checks.isEmpty)
+        array().cast("array<struct<check_name:string,score:double," +
+          "threshold:double,passed:boolean>>")
+      else array(checks.map { case (name, thr) =>
+        struct(
+          lit(name.stripSuffix("_score")).as("check_name"),
+          col(name).cast("double").as("score"),
+          lit(thr).as("threshold"),
+          (col(name) >= thr).as("passed"))
+      }: _*)
     check.select(
       lit(runId).as("run_id"),
       Exprs.dround(lit(validationTimeS), 3).as("validation_time_s"),
@@ -57,7 +78,9 @@ object Metrics {
       when(col("overall_score") < QuarantineThreshold, "CRITICAL")
         .when(col("overall_score") < AcceptableThreshold, "HIGH")
         .when(col("overall_score") < threshold, "MEDIUM")
-        .otherwise("NONE").as("alert_severity"))
+        .otherwise("NONE").as("alert_severity"),
+      checkResults.as("check_results"))
+  }
 
   /** Append one run's metrics row to the `_metrics` ledger.
     *
@@ -68,10 +91,11 @@ object Metrics {
     * instead of double-appending it. */
   def writeMetrics(check: DataFrame, metricsDir: String, runId: String,
                    validationTimeS: Double,
-                   threshold: Double = DefaultQualityThreshold): Unit = {
+                   threshold: Double = DefaultQualityThreshold,
+                   checks: Seq[(String, Double)] = Nil): Unit = {
     check.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    metricsRow(check, runId, validationTimeS, threshold)
+    metricsRow(check, runId, validationTimeS, threshold, checks)
       .write.mode("overwrite").partitionBy("run_id").parquet(metricsDir)
   }
 
@@ -208,24 +232,36 @@ object Metrics {
     * `data_quality_validator.py:80-374` shapes). One single-row aggregation
     * per micro-batch — conditional counts only, no windows, no shuffle
     * beyond the 1-row combine. */
+  /** The streaming subset's (score column, threshold) table — the
+    * micro-batch counterpart of [[BatchChecks.SuiteChecks]]. */
+  val StreamingChecks: Seq[(String, Double)] = Seq(
+    "completeness_score" -> 0.8, "validity_score" -> 0.9,
+    "uniqueness_score" -> 0.95)
+
   def batchQualityCheck(batch: DataFrame): DataFrame = {
     val validTypes = Seq("click", "view", "purchase", "signup", "error")
     val n = count(lit(1))
     def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
     def r6(c: org.apache.spark.sql.Column) = Exprs.dround(c, 6)
+    // streaming DOES deliver empty micro-batches: every ratio here is 0/0
+    // there — a DIVIDE_BY_ZERO error under ANSI mode, and a NULL that
+    // would cascade into overall_score/grade/quality_alert otherwise
+    // (alert routing then sees neither true nor false). The guard makes
+    // an empty batch vacuously pass every check; CASE short-circuits, so
+    // the division never evaluates when n = 0.
+    def guard(c: org.apache.spark.sql.Column) =
+      when(n > 0, c).otherwise(lit(1.0))
     val agged = batch.agg(
       n.as("n_rows"),
-      r6((count(col("user_id")) + count(col("value")) + count(col("ts"))) /
-        (lit(3) * n)).as("completeness_score"),
-      r6(greatest(lit(0.0), lit(1.0) -
+      r6(guard((count(col("user_id")) + count(col("value")) + count(col("ts"))) /
+        (lit(3) * n))).as("completeness_score"),
+      r6(guard(greatest(lit(0.0), lit(1.0) -
         (cnt(col("value") < 0 || col("value") > 1000) +
          cnt(col("event_type").isNotNull &&
-             !col("event_type").isin(validTypes: _*))) / (lit(2) * n)))
+             !col("event_type").isin(validTypes: _*))) / (lit(2) * n))))
         .as("validity_score"),
-      r6(countDistinct(col("event_id")) / n).as("uniqueness_score"))
-    val scoreCols = Seq(
-      "completeness_score" -> 0.8, "validity_score" -> 0.9,
-      "uniqueness_score" -> 0.95)
+      r6(guard(countDistinct(col("event_id")) / n)).as("uniqueness_score"))
+    val scoreCols = StreamingChecks
     val passed = scoreCols.map { case (c, thr) => (col(c) >= thr).cast("int") }
       .reduce(_ + _)
     val overall = Exprs.dround(

@@ -340,7 +340,8 @@ object Streaming {
       graft.quality.Metrics.writeMetrics(
         graft.quality.Metrics.batchQualityCheck(batch), metricsDir,
         runId = s"batch_$batchId",
-        validationTimeS = (System.nanoTime() - t0) / 1e9)
+        validationTimeS = (System.nanoTime() - t0) / 1e9,
+        checks = graft.quality.Metrics.StreamingChecks)
     } finally batch.unpersist()
   }
 
@@ -383,7 +384,8 @@ object Streaming {
       graft.quality.Metrics.writeMetrics(
         graft.quality.Metrics.batchQualityCheck(batch), metricsDir,
         runId = s"batch_$batchId",
-        validationTimeS = (System.nanoTime() - t0) / 1e9)
+        validationTimeS = (System.nanoTime() - t0) / 1e9,
+        checks = graft.quality.Metrics.StreamingChecks)
     } finally batch.unpersist()
   }
 

@@ -18,7 +18,8 @@ class MetricsSpec extends SparkSpecBase {
       "fields and the materialized alert decision") {
     val dir = Files.createTempDirectory("metrics_out").toString
     val check = BatchChecks.q41BatchCheckSuite(spark, Sf0001)
-    Metrics.writeMetrics(check, dir, runId = "run_1", validationTimeS = 1.234)
+    Metrics.writeMetrics(check, dir, runId = "run_1", validationTimeS = 1.234,
+      checks = BatchChecks.SuiteChecks)
     val back = Metrics.readMetrics(spark, dir).collect()
     assert(back.length === 1)
     val r = back.head
@@ -30,6 +31,36 @@ class MetricsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("overall_score_pct") === math.round(score * 1e6) / 1e6 * 100)
     // the alert decision is materialized, consistent with the score
     assert(r.getAs[Boolean]("quality_alert") === (score < 0.8))
+    // the per-check dimensional breakdown (metrics_publisher.py's
+    // one-metric-per-check publish): 16 structs, internally consistent
+    // with the aggregate passed/failed counts and named without the
+    // _score suffix
+    val checksBack =
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("check_results"))
+    assert(checksBack.length === 16)
+    assert(checksBack.map(_.getAs[String]("check_name")).toSet
+      === BatchChecks.SuiteChecks.map(_._1.stripSuffix("_score")).toSet)
+    assert(checksBack.count(_.getAs[Boolean]("passed")).toLong
+      === r.getAs[Long]("passed_checks"))
+    checksBack.foreach { c =>
+      assert(c.getAs[Boolean]("passed")
+        === (c.getAs[Double]("score") >= c.getAs[Double]("threshold")))
+    }
+  }
+
+  test("an empty micro-batch vacuously passes: no NULL scores, a defined " +
+      "grade and a false (not NULL) alert flag") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val check = Metrics.batchQualityCheck(empty)
+    val r = Metrics.metricsRow(check, "empty_run", 0.0,
+      checks = Metrics.StreamingChecks).collect().head
+    assert(r.getAs[Long]("records_validated") === 0L)
+    assert(r.getAs[Double]("overall_score") === 1.0)
+    assert(r.getAs[Long]("passed_checks") === 3L)
+    assert(r.getAs[String]("grade") !== null)
+    assert(r.getAs[Boolean]("quality_alert") === false)
+    assert(r.getAs[String]("alert_severity") === "NONE")
   }
 
   test("severity bands follow the reference thresholds " +
