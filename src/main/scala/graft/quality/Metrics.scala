@@ -116,7 +116,12 @@ object Metrics {
     * (thousands per key-month at worst, nothing like corpus scale), so the
     * per-group sort is safely partition-local and the shuffle is one hash
     * exchange on the key. Input columns: (alert_type, component, severity,
-    * ts_s); output adds `emitted`. */
+    * ts_s); output adds `emitted` and `suppressed_since_last` — each
+    * EMITTED alert reports how many same-key alerts were suppressed since
+    * the previous emission (the counter the reference returns with every
+    * sent alert, `alerting.py:108-111` get_suppressed_count; it resets on
+    * emit and accumulates across any gap, so a quiet period does not wipe
+    * an unreported suppression tally). Suppressed rows carry NULL. */
   def suppressAlerts(alerts: DataFrame, windowS: Long = 1800L): DataFrame = {
     val spark = alerts.sparkSession
     import spark.implicits._
@@ -131,13 +136,22 @@ object Metrics {
         val sorted = it.map(_._4).toArray
         java.util.Arrays.sort(sorted)
         var lastEmit = Long.MinValue
+        var suppressedSince = 0L
         sorted.iterator.map { ts =>
           val emit = lastEmit == Long.MinValue || ts - lastEmit >= windowS
-          if (emit) lastEmit = ts
-          (t, c, s, ts, emit)
+          if (emit) {
+            val reported = suppressedSince
+            suppressedSince = 0L
+            lastEmit = ts
+            (t, c, s, ts, true, Some(reported))
+          } else {
+            suppressedSince += 1
+            (t, c, s, ts, false, Option.empty[Long])
+          }
         }
       }
-      .toDF("alert_type", "component", "severity", "ts_s", "emitted")
+      .toDF("alert_type", "component", "severity", "ts_s", "emitted",
+        "suppressed_since_last")
   }
 
   /** q125: hourly quality alerting with gap-based suppression, end-to-end
@@ -181,7 +195,12 @@ object Metrics {
         count(when(col("emitted"), 1)).as("n_emitted"),
         count(when(!col("emitted"), 1)).as("n_suppressed"),
         min(col("ts_s")).as("first_alert_ts"),
-        max(when(col("emitted"), col("ts_s"))).as("last_emitted_ts"))
+        max(when(col("emitted"), col("ts_s"))).as("last_emitted_ts"),
+        // per-emission counters (NULL on suppressed rows): their sum can
+        // undershoot n_suppressed by the unreported tail after the last
+        // emission — a real discriminator the oracle replays exactly
+        sum(col("suppressed_since_last")).as("reported_suppressed"),
+        max(col("suppressed_since_last")).as("max_reported_suppressed"))
       .orderBy(col("component"))
   }
 
@@ -215,14 +234,41 @@ object Metrics {
         |  SELECT component, hour,
         |    row_number() OVER (PARTITION BY component, island ORDER BY hour)
         |      % 2 = 1 AS emitted
-        |  FROM isl)
-        |SELECT component, count(*) AS n_alert_hours,
-        |  count(CASE WHEN emitted THEN 1 END) AS n_emitted,
-        |  count(CASE WHEN NOT emitted THEN 1 END) AS n_suppressed,
-        |  min(hour * 3600)::BIGINT AS first_alert_ts,
-        |  max(CASE WHEN emitted THEN hour * 3600 END)::BIGINT
-        |    AS last_emitted_ts
-        |FROM mark GROUP BY 1 ORDER BY 1""".stripMargin)
+        |  FROM isl),
+        |-- each emitted alert reports the suppressed count since the
+        |-- previous emission: cumulative-suppressed minus its value at the
+        |-- previous emitted row (the counter resets on emit, accumulates
+        |-- across island gaps)
+        |counted AS (
+        |  SELECT component, hour, emitted,
+        |    sum(CASE WHEN emitted THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY component ORDER BY hour
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cumsupp
+        |  FROM mark),
+        |rep AS (
+        |  SELECT component,
+        |    (cumsupp - coalesce(
+        |      lag(cumsupp) OVER (PARTITION BY component ORDER BY hour),
+        |      0))::BIGINT AS since_last
+        |  FROM counted WHERE emitted),
+        |ragg AS (
+        |  SELECT component, sum(since_last)::BIGINT AS reported_suppressed,
+        |    max(since_last)::BIGINT AS max_reported_suppressed
+        |  FROM rep GROUP BY 1),
+        |magg AS (
+        |  SELECT component, count(*) AS n_alert_hours,
+        |    count(CASE WHEN emitted THEN 1 END) AS n_emitted,
+        |    count(CASE WHEN NOT emitted THEN 1 END) AS n_suppressed,
+        |    min(hour * 3600)::BIGINT AS first_alert_ts,
+        |    max(CASE WHEN emitted THEN hour * 3600 END)::BIGINT
+        |      AS last_emitted_ts
+        |  FROM mark GROUP BY 1)
+        |SELECT m.component, m.n_alert_hours, m.n_emitted, m.n_suppressed,
+        |  m.first_alert_ts, m.last_emitted_ts,
+        |  r.reported_suppressed, r.max_reported_suppressed
+        |FROM magg m JOIN ragg r USING (component)
+        |ORDER BY m.component""".stripMargin)
 
   /** Streaming-side quality check over a micro-batch's columns (`event_id`,
     * `ts`, `user_id`, `event_type`, `value` — the poll-source schema): the

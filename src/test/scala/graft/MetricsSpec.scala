@@ -110,8 +110,8 @@ class MetricsSpec extends SparkSpecBase {
       ("volume", "api", "LOW", 1799L),
       ("volume", "api", "LOW", 3599L))
       .toDF("alert_type", "component", "severity", "ts_s")
-    val out = Metrics.suppressAlerts(alerts, windowS = 1800L)
-      .collect()
+    val rows = Metrics.suppressAlerts(alerts, windowS = 1800L).collect()
+    val out = rows
       .map(r => (r.getString(0), r.getString(2), r.getLong(3)) ->
         r.getBoolean(4)).toMap
     assert(out(("quality", "HIGH", 0L)) === true)
@@ -122,6 +122,18 @@ class MetricsSpec extends SparkSpecBase {
     assert(out(("quality", "CRITICAL", 1000L)) === true)
     assert(out(("volume", "LOW", 1799L)) === true)
     assert(out(("volume", "LOW", 3599L)) === true) // 3599-1799 = 1800 >= window
+    // each emitted alert reports the suppressed count since the previous
+    // emission (alerting.py get_suppressed_count): resets on emit;
+    // suppressed rows report nothing
+    val since = rows.map(r =>
+      (r.getString(0), r.getString(2), r.getLong(3)) ->
+        Option(r.getAs[java.lang.Long]("suppressed_since_last"))).toMap
+    assert(since(("quality", "HIGH", 0L)) === Some(0L))
+    assert(since(("quality", "HIGH", 1000L)) === None)
+    assert(since(("quality", "HIGH", 1900L)) === Some(2L)) // 1000 + 1700
+    assert(since(("quality", "HIGH", 3600L)) === None)     // unreported tail
+    assert(since(("quality", "CRITICAL", 1000L)) === Some(0L))
+    assert(since(("volume", "LOW", 3599L)) === Some(0L))
   }
 
   test("streaming foreachBatch body writes the data AND its per-batch " +
