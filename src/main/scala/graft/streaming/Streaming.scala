@@ -373,14 +373,35 @@ object Streaming {
       val t0 = System.nanoTime()
       val bad = quarantinePredicate
       writeBatch(batch.filter(!bad), batchId, outDir)
-      batch.sparkSession.conf
-        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      batch.filter(bad)
+      val badRows = batch.filter(bad)
         .withColumn("reason", lit("critical_issue"))
         .withColumn("status", lit("quarantined"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(quarantineDir)
+      if (badRows.isEmpty) {
+        // an empty frame under DYNAMIC partition overwrite is a no-op: no
+        // footer lands (readers of an all-clean stream then fail schema
+        // inference) and a stale batch_id partition left by a crashed
+        // prior attempt is never cleared (dynamic mode only touches
+        // partitions present in the data). Clear-and-seed explicitly:
+        val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val qPath = new org.apache.hadoop.fs.Path(quarantineDir)
+        val fs = qPath.getFileSystem(hconf)
+        val stale = new org.apache.hadoop.fs.Path(qPath, s"batch_id=$batchId")
+        if (fs.exists(stale)) fs.delete(stale, true)
+        // one typed zero-row file inside a synthetic partition (-1 never
+        // collides with a real batch id) establishes the sink's schema;
+        // a non-partitioned empty write DOES emit a footer
+        val seed = new org.apache.hadoop.fs.Path(qPath, "batch_id=-1")
+        if (!fs.exists(seed))
+          badRows.limit(0).coalesce(1).write.mode("overwrite")
+            .parquet(seed.toString)
+      } else {
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        badRows
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(quarantineDir)
+      }
       graft.quality.Metrics.writeMetrics(
         graft.quality.Metrics.batchQualityCheck(batch), metricsDir,
         runId = s"batch_$batchId",

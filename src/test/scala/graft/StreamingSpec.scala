@@ -394,6 +394,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(graft.quality.Metrics.readMetrics(spark, mDir).count() === 1)
   }
 
+  test("an all-clean micro-batch still leaves a readable quarantine sink " +
+      "and an empty replay clears the stale partition a crash left") {
+    val out = Files.createTempDirectory("clean_out").toString
+    val qDir = Files.createTempDirectory("clean_q").toString
+    val mDir = Files.createTempDirectory("clean_m").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // 1) an all-clean FIRST batch: no bad rows ever written, yet the
+    // quarantine dir must be schema-readable (seeded typed empty file)
+    val clean = Seq((1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0))
+      .toDF(cols: _*)
+    Streaming.writeValidatedBatch(clean, 0L, out, qDir, mDir)
+    val q0 = spark.read.parquet(qDir)
+    assert(q0.count() === 0)
+    assert(q0.columns.contains("reason") && q0.columns.contains("status") &&
+      q0.columns.contains("batch_id"))
+    // 2) batch 1 quarantines a row...
+    val dirty = Seq((2L, ts("2024-01-01 10:06:00"), 2L, "bogus", 2.0))
+      .toDF(cols: _*)
+    Streaming.writeValidatedBatch(dirty, 1L, out, qDir, mDir)
+    assert(spark.read.parquet(qDir).count() === 1)
+    // 3) ...and a crash-replay of batch 1 that now yields ZERO bad rows
+    // (e.g. upstream fixed) must clear the stale batch_id=1 partition —
+    // dynamic overwrite alone would leave it behind forever
+    val fixed = Seq((2L, ts("2024-01-01 10:06:00"), 2L, "view", 2.0))
+      .toDF(cols: _*)
+    Streaming.writeValidatedBatch(fixed, 1L, out, qDir, mDir)
+    assert(spark.read.parquet(qDir).count() === 0)
+    assert(spark.read.parquet(out).filter(col("event_id") === 2L).count() === 1)
+  }
+
   test("writeBatch is idempotent under micro-batch replay") {
     val out = Files.createTempDirectory("replay_out").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
