@@ -428,17 +428,58 @@ object Similarity {
                          maxLadderProbes: Int = 256): DataFrame = {
     val nProbes = probes.count()
     if (nProbes <= maxLadderProbes) {
-      val pv = probes.select(col(probeEmbCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val pv = collectProbeVecs(probes, probeEmbCol)
       corpus.withColumn("max_sim_raw",
         greatest(pv.map(pe => cosine(col(embCol), typedlit(pe))).toIndexedSeq: _*))
-    } else {
-      val perKey = corpus.select(col(keyCol), col(embCol))
-        .crossJoin(broadcast(probes.select(col(probeEmbCol).as("__probe_emb"))))
-        .groupBy(col(keyCol))
-        .agg(max(cosine(col(embCol), col("__probe_emb"))).as("max_sim_raw"))
-      corpus.join(perKey, Seq(keyCol))
+    } else
+      // measured at 10k probes × 64 dims (graft.TimeProbes, sf0.1
+      // embeddings inflated): the chunked ladder beats the broadcast
+      // fan-out — same per-row kernel count, but no |corpus|×|probes| row
+      // materialization, no hash re-aggregation, no join-back; numbers in
+      // PLANS.md. The broadcast path stays as [[maxSimBroadcastAgg]] for
+      // probe sets too big to ride a plan (≫100k, where literal-plan
+      // serialization dominates).
+      maxSimChunkedLadder(corpus, embCol, probes, probeEmbCol,
+        chunk = math.max(1, maxLadderProbes))
+  }
+
+  private def collectProbeVecs(probes: DataFrame,
+                               probeEmbCol: String): Array[Array[Double]] =
+    probes.select(col(probeEmbCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Big-probe-set variant A — `max_sim_raw` as a ladder of literal
+    * cosine-kernel calls NESTED in `maxLadderProbes`-wide `greatest`
+    * chunks (`greatest(greatest(256 calls), greatest(256 calls), …)`).
+    * Still one corpus scan, zero shuffle, zero row blow-up; the nesting
+    * keeps each generated codegen method under the JIT's limits where one
+    * flat 10k-arg greatest would not. Plan size stays O(probes × dims)
+    * literals — fine at 10k probes (measured), not at 1M. */
+  def maxSimChunkedLadder(corpus: DataFrame, embCol: String,
+                          probes: DataFrame, probeEmbCol: String,
+                          chunk: Int = 256): DataFrame = {
+    val pv = collectProbeVecs(probes, probeEmbCol)
+    val chunkMax = pv.grouped(chunk).toSeq.map { g =>
+      if (g.length == 1) cosine(col(embCol), typedlit(g.head))
+      else greatest(g.map(pe => cosine(col(embCol), typedlit(pe))).toIndexedSeq: _*)
     }
+    corpus.withColumn("max_sim_raw",
+      if (chunkMax.length == 1) chunkMax.head else greatest(chunkMax: _*))
+  }
+
+  /** Big-probe-set variant B — broadcast the probe embeddings, fan out
+    * |corpus|×|probes| rows map-side, hash-aggregate max per key with
+    * map-side combine, join back. Plan is O(1) in the probe count — the
+    * path for probe relations too large to collect into plan literals.
+    * Bitwise-identical to the ladders: max over the same float set is
+    * accumulation-order-independent. */
+  def maxSimBroadcastAgg(corpus: DataFrame, keyCol: String, embCol: String,
+                         probes: DataFrame, probeEmbCol: String): DataFrame = {
+    val perKey = corpus.select(col(keyCol), col(embCol))
+      .crossJoin(broadcast(probes.select(col(probeEmbCol).as("__probe_emb"))))
+      .groupBy(col(keyCol))
+      .agg(max(cosine(col(embCol), col("__probe_emb"))).as("max_sim_raw"))
+    corpus.join(perKey, Seq(keyCol))
   }
 
   def q116EmbeddingDecontam(spark: SparkSession, dir: String,
