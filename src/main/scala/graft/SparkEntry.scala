@@ -160,6 +160,7 @@ object SparkEntry {
     "q123_quarantine_ledger" -> (Quarantine.q123QuarantineLedger(_, _)),
     "q124_image_resize"     -> (Multimodal.q124ImageResize(_, _)),
     "q125_alert_suppression" -> (Metrics.q125AlertSuppression(_, _)),
+    "q126_analyzer_summary" -> (Summaries.q126AnalyzerSummary(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

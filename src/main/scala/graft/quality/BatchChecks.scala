@@ -268,7 +268,7 @@ object BatchChecks {
     * its floor; 0.5 for the median is dyadic), and the final
     * a + (b − a)·g is rounded half-up via floor(x·1e4 + 0.5)/1e4 — the
     * r6 q108 pattern that is hash-safe where round() is not. */
-  private def valuePctRelation(e: DataFrame): DataFrame = {
+  private[graft] def valuePctRelation(e: DataFrame): DataFrame = {
     val vc = e.where(col("value").isNotNull)
       .groupBy(col("value")).agg(count(lit(1)).as("c"))
     val cumW = Window.orderBy(col("value"))
@@ -367,6 +367,36 @@ object BatchChecks {
       .orderBy(col("column_name"))
   }
 
+  /** The SQL mirror of [[valuePctRelation]], op-for-op (CTEs `vc`/`vcc`/
+    * `pa`/`pct`, emitting `pct(p50_value, p95_value)`), parameterized on
+    * the source relation so q97 profiles the clean corpus and q126's
+    * analyzer summary the planted-corruption one. */
+  private[graft] def valuePctCtes(from: String): String =
+    s"""vc AS (SELECT value AS v, count(*) AS c FROM $from
+      |       WHERE value IS NOT NULL GROUP BY value),
+      |vcc AS (SELECT v,
+      |  sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND CURRENT ROW) AS cum,
+      |  sum(c) OVER () AS nn FROM vc),
+      |pa AS (SELECT
+      |  min(CASE WHEN cum > ((nn - 1) // 2) THEN v END) AS a50,
+      |  min(CASE WHEN cum > ((nn - 1) // 2) + 1 THEN v END) AS b50r,
+      |  min(CASE WHEN cum >
+      |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT THEN v END) AS a95,
+      |  min(CASE WHEN cum >
+      |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT + 1 THEN v END) AS b95r,
+      |  max(CASE WHEN (nn - 1) % 2 = 1 THEN 0.5::DOUBLE
+      |      ELSE 0.0::DOUBLE END) AS g50,
+      |  max((nn - 1)::DOUBLE * 0.95::DOUBLE -
+      |      floor((nn - 1)::DOUBLE * 0.95::DOUBLE)) AS g95
+      |  FROM vcc),
+      |pct AS (SELECT
+      |  floor((a50 + (coalesce(b50r, a50) - a50) * g50) * 10000 + 0.5)
+      |    / 10000 AS p50_value,
+      |  floor((a95 + (coalesce(b95r, a95) - a95) * g95) * 10000 + 0.5)
+      |    / 10000 AS p95_value
+      |  FROM pa)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q97_schema_profile" -> {
       val stats = ProfileCols.map { c =>
@@ -411,30 +441,7 @@ object BatchChecks {
         |    value, props
         |  FROM events),
         |stats AS (SELECT count(*) AS n, $stats FROM base),
-        |vc AS (SELECT value AS v, count(*) AS c FROM base
-        |       WHERE value IS NOT NULL GROUP BY value),
-        |vcc AS (SELECT v,
-        |  sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |               AND CURRENT ROW) AS cum,
-        |  sum(c) OVER () AS nn FROM vc),
-        |pa AS (SELECT
-        |  min(CASE WHEN cum > ((nn - 1) // 2) THEN v END) AS a50,
-        |  min(CASE WHEN cum > ((nn - 1) // 2) + 1 THEN v END) AS b50r,
-        |  min(CASE WHEN cum >
-        |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT THEN v END) AS a95,
-        |  min(CASE WHEN cum >
-        |    floor((nn - 1)::DOUBLE * 0.95::DOUBLE)::BIGINT + 1 THEN v END) AS b95r,
-        |  max(CASE WHEN (nn - 1) % 2 = 1 THEN 0.5::DOUBLE
-        |      ELSE 0.0::DOUBLE END) AS g50,
-        |  max((nn - 1)::DOUBLE * 0.95::DOUBLE -
-        |      floor((nn - 1)::DOUBLE * 0.95::DOUBLE)) AS g95
-        |  FROM vcc),
-        |pct AS (SELECT
-        |  floor((a50 + (coalesce(b50r, a50) - a50) * g50) * 10000 + 0.5)
-        |    / 10000 AS p50_value,
-        |  floor((a95 + (coalesce(b95r, a95) - a95) * g95) * 10000 + 0.5)
-        |    / 10000 AS p95_value
-        |  FROM pa)
+        |${valuePctCtes(from = "base")}
         |$rows
         |ORDER BY column_name""".stripMargin
     },

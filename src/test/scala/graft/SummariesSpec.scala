@@ -81,4 +81,34 @@ class SummariesSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_exact") === direct(r.getAs[String]("k")))
     }
   }
+
+  test("q126 analyzer summary: internally consistent report over the " +
+      "planted-corruption corpus") {
+    val rows = graft.analytics.Summaries.q126AnalyzerSummary(spark, Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def v(s: String, m: String) = rows((s, m))
+    val total = v("counts", "total")
+    assert(total > 0)
+    // planted nulls: coverage strictly below total, position ⊆ value
+    assert(v("counts", "with_value") < total)
+    assert(v("counts", "with_position") <= v("counts", "with_value"))
+    // bands partition the non-null values
+    assert(v("value_bands", "le_128") + v("value_bands", "128_256") +
+      v("value_bands", "256_384") + v("value_bands", "gt_384")
+      === v("counts", "with_value"))
+    // distribution sanity: min ≤ median ≤ mean-ish ≤ max, std ≥ 0
+    assert(v("value_stats", "min") <= v("value_stats", "median"))
+    assert(v("value_stats", "median") <= v("value_stats", "max"))
+    assert(v("value_stats", "stddev") >= 0)
+    // geo ranges ride the synthetic mapping: lat = value − 50
+    assert(v("geo", "lat_min") === v("value_stats", "min") - 50)
+    assert(v("geo", "lon_min") >= -180 && v("geo", "lon_max") <= 180)
+    // top-10s present and bounded
+    val sections = rows.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sections("top_types") <= 10 && sections("top_types") >= 1)
+    assert(sections("top_k") === 10)
+    // timestamps at the micro grain, exactly representable in double
+    assert(v("meta", "ts_min_us") <= v("meta", "ts_max_us"))
+  }
 }
