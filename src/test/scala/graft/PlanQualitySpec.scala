@@ -306,6 +306,22 @@ class PlanQualitySpec extends SparkSpecBase {
       s"q97 must not use the percentile TypedImperative agg:\n${p.take(3000)}")
   }
 
+  test("q126 analyzer summary: four bounded passes, top-k via " +
+      "TakeOrderedAndProject, no percentile buffers, no fact-table window") {
+    val p = plan(graft.analytics.Summaries.q126AnalyzerSummary(spark, Sf001))
+    // one global agg (with the 2-distinct Expand), one bounded-grid median
+    // pass, one category rollup, one top-k scan — nothing else re-reads
+    // the corpus
+    assert("Scan parquet".r.findAllIn(p).size === 4, p.take(3000))
+    assert(p.contains("Expand"), p.take(3000))
+    // the top-10-by-magnitude must stay a TakeOrderedAndProject (map-side
+    // partial top-k), never a global sort of the facts
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // median from exact order statistics — the TypedImperative percentile
+    // buffer must not reappear (q97 rule)
+    assert(!p.contains("percentile"), p.take(3000))
+  }
+
   test("q110 snapshot diff is one max_by pass over the log — no window, no " +
       "join, one events scan") {
     // both endpoint states come out of the same aggregation: a second scan,
