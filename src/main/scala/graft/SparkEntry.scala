@@ -161,6 +161,7 @@ object SparkEntry {
     "q124_image_resize"     -> (Multimodal.q124ImageResize(_, _)),
     "q125_alert_suppression" -> (Metrics.q125AlertSuppression(_, _)),
     "q126_analyzer_summary" -> (Summaries.q126AnalyzerSummary(_, _)),
+    "q127_bucketed_join"    -> (JoinQueries.q127BucketedJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

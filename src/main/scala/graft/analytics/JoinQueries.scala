@@ -364,7 +364,43 @@ object JoinQueries {
       .orderBy(col("event_type"))
   }
 
+  /** q127: co-located (bucketed) equi-join — both sides written once via
+    * [[graft.sources.Sources.writeBucketed]] with the SAME bucket count on
+    * the join key, then sort-merge-joined with ZERO exchange on the key
+    * (PlanQualitySpec pins the shuffle-free shape; the MERGE hint keeps the
+    * demonstration on the sort-merge path AQE would otherwise broadcast at
+    * small SF). The one-time bucketed write is the 100-TB trade: pay the
+    * partitioning at ingest, never at query time — every later join or
+    * aggregation keyed on custkey rides the stored layout. The oracle
+    * checks the join RESULT on the raw tables; bucketing must never change
+    * answers, only plans. */
+  def q127BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val (ot, ct) = (s"g_bkt_orders_$tag", s"g_bkt_customer_$tag")
+    graft.sources.Sources.writeBucketed(
+      Tables.orders(spark, dir), ot, s"$tmp/orders", "o_custkey", 8)
+    graft.sources.Sources.writeBucketed(
+      Tables.customer(spark, dir), ct, s"$tmp/customer", "c_custkey", 8)
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        Exprs.dround(Exprs.sumExact(col("o_totalprice"), 6), 2)
+          .as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q127_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  round(sum(o_totalprice::DECIMAL(25,6))::DOUBLE, 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q07_segment_performance" ->
       """WITH per_nation AS (
         |  SELECT r_name, n_name,

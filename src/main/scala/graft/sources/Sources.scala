@@ -19,6 +19,23 @@ object Sources {
   def writeLatestSnapshot(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** Bucketed-table writer for co-located equi-joins — the cluster-scale
+    * answer to "this join shuffles both sides every run". Both relations
+    * land pre-hash-partitioned on the join key (`bucketBy`) with an
+    * in-bucket sort, so the scan reports the bucket HashPartitioning and a
+    * sort-merge join between same-bucketed tables plans with NO Exchange
+    * on the key: at 100 TB the shuffle that dominates a fact-fact join is
+    * paid once at write time and amortized over every subsequent join or
+    * aggregation on that key. External-table form (explicit `path`) so the
+    * layout lives with the data, not the session catalog; q127 pins the
+    * exchange-free plan. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+                    key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(tableName)
+
   /** S8: read only the newest hour partition of a partitioned dataset.
     * The max-partition probe aggregates partition columns only (no data
     * columns → Parquet reads nothing but metadata/dictionary pages), then

@@ -306,6 +306,19 @@ class PlanQualitySpec extends SparkSpecBase {
       s"q97 must not use the percentile TypedImperative agg:\n${p.take(3000)}")
   }
 
+  test("q127 bucketed join: both scans bucketed, sort-merge join with NO " +
+      "exchange on the join key") {
+    val p = plan(graft.analytics.JoinQueries.q127BucketedJoin(spark, Sf001))
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    assert("Bucketed: true".r.findAllIn(p).size === 2,
+      s"both sides must read their stored bucket layout:\n${p.take(3000)}")
+    // the whole point: the join key never shuffles — the only exchanges
+    // are the post-join rollup and the final sort
+    assert(!"Exchange hashpartitioning\\((o_custkey|c_custkey)".r
+      .findFirstIn(p).isDefined,
+      s"bucketed join must not re-shuffle the key:\n${p.take(3000)}")
+  }
+
   test("q126 analyzer summary: four bounded passes, top-k via " +
       "TakeOrderedAndProject, no percentile buffers, no fact-table window") {
     val p = plan(graft.analytics.Summaries.q126AnalyzerSummary(spark, Sf001))
