@@ -112,6 +112,63 @@ class PropertiesSpec extends SparkSpecBase {
     assert(math.abs(frac("test") - 0.125) < 0.03, s"test ${frac("test")}")
   }
 
+  test("suppressAlerts matches the brute-force suppression model on " +
+      "arbitrary timestamp sets, including the per-emission counters") {
+    // reference model: in ts order, emit iff >= window since last emitted;
+    // each emission reports the suppressed count since the previous one
+    def model(ts: Seq[Long], w: Long): Map[Long, (Boolean, Option[Long])] = {
+      var last = Long.MinValue; var supp = 0L
+      ts.sorted.map { t =>
+        if (last == Long.MinValue || t - last >= w) {
+          val r = supp; supp = 0L; last = t; t -> ((true, Some(r)))
+        } else { supp += 1; t -> ((false, None)) }
+      }.toMap
+    }
+    val tsSetGen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 20000L))
+    } yield ts.distinct
+    val windowGen = Gen.choose(1L, 5000L)
+    val cases = samples(Gen.zip(tsSetGen, windowGen), 25)
+    cases.zipWithIndex.foreach { case ((ts, w), i) =>
+      val df = ts.map(t => ("a", s"c$i", "HIGH", t))
+        .toDF("alert_type", "component", "severity", "ts_s")
+      val got = graft.quality.Metrics.suppressAlerts(df, windowS = w)
+        .collect()
+        .map(r => r.getLong(3) ->
+          ((r.getBoolean(4),
+            Option(r.getAs[java.lang.Long]("suppressed_since_last"))
+              .map(_.longValue()))))
+        .toMap
+      assert(got === model(ts, w), s"case $i: window=$w ts=$ts")
+    }
+  }
+
+  test("valuePctRelation matches the sorted-array percentile definition " +
+      "on arbitrary 2dp multisets") {
+    def refPct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val r = (s.length - 1).toDouble * q
+      val lo = math.floor(r).toInt
+      val g = r - math.floor(r)
+      val a = s(lo)
+      val b = if (lo + 1 < s.length) s(lo + 1) else a
+      math.floor((a + (b - a) * g) * 10000 + 0.5) / 10000
+    }
+    val multisetGen = for {
+      n <- Gen.choose(1, 60)
+      // 2dp grid values (real-data-like repr error), deliberately with
+      // repeats: 51 grid cells over up to 60 draws
+      xs <- Gen.listOfN(n, Gen.choose(0, 50).map(_ / 100.0))
+    } yield xs
+    samples(multisetGen, 20).zipWithIndex.foreach { case (xs, i) =>
+      val df = xs.toDF("value")
+      val r = graft.quality.BatchChecks.valuePctRelation(df).collect().head
+      assert(r.getAs[Double]("p50_value") === refPct(xs, 0.5), s"case $i p50 $xs")
+      assert(r.getAs[Double]("p95_value") === refPct(xs, 0.95), s"case $i p95 $xs")
+    }
+  }
+
   test("q60 stratified sample: K per class, sample mean near population mean") {
     val rows = graft.prep.DataPrep.q60StratifiedSample(spark, Sf001).collect()
     rows.foreach { r =>
