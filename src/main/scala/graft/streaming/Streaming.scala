@@ -297,6 +297,27 @@ object Streaming {
     * — re-running a batch after a crash-before-checkpoint rewrites its own
     * output instead of appending duplicates. */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    if (batch.isEmpty) {
+      // symmetric to the quarantine sink's clear-and-seed: an empty frame
+      // under dynamic overwrite is a no-op, so a replay that now yields
+      // ZERO rows (e.g. everything newly quarantined) would leave a
+      // crashed attempt's stale batch partitions serving ghost rows
+      // downstream, and an initially-empty stream would leave the sink
+      // unreadable (no footer). batch_id is the innermost partition level
+      // here, so stale dirs are globbed under every hour.
+      val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(hconf)
+      val stale = fs.globStatus(new org.apache.hadoop.fs.Path(root,
+        s"year=*/month=*/day=*/hour=*/batch_id=$batchId"))
+      if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+      val seed = new org.apache.hadoop.fs.Path(root,
+        "year=0/month=0/day=0/hour=0/batch_id=-1")
+      if (!fs.exists(seed))
+        batch.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(seed.toString)
+      return
+    }
     batch.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch

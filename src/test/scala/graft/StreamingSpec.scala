@@ -424,6 +424,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).filter(col("event_id") === 2L).count() === 1)
   }
 
+  test("writeBatch: an all-filtered-out replay clears its stale good-row " +
+      "partitions and an initially-empty sink stays readable") {
+    val out = Files.createTempDirectory("empty_good").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    // an initially-empty stream: the sink must still be schema-readable
+    Streaming.writeBatch(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+        .toDF(cols: _*), 0L, out)
+    assert(spark.read.parquet(out).count() === 0)
+    // batch 1 lands good rows...
+    Streaming.writeBatch(
+      Seq((1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0)).toDF(cols: _*),
+      1L, out)
+    assert(spark.read.parquet(out).count() === 1)
+    // ...and its crash-replay that now yields ZERO rows (all newly
+    // quarantined) must clear the stale partition — otherwise downstream
+    // reads serve ghost rows forever
+    Streaming.writeBatch(
+      Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+        .toDF(cols: _*), 1L, out)
+    assert(spark.read.parquet(out).count() === 0)
+  }
+
   test("writeBatch is idempotent under micro-batch replay") {
     val out = Files.createTempDirectory("replay_out").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
