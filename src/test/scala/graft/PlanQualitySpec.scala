@@ -306,6 +306,47 @@ class PlanQualitySpec extends SparkSpecBase {
       s"q97 must not use the percentile TypedImperative agg:\n${p.take(3000)}")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the no-salt skew " +
+      "dial q98/q101's salting complements)") {
+    // 90% of the left side lands on ONE key; with test-scale skew
+    // thresholds, AQE must mark the skewed partition and split it —
+    // the runtime re-plan the engine leans on at 100 TB when pre-salting
+    // wasn't applied. Conf changes are scoped and restored.
+    val sqlConf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(sqlConf.get(k)).toOption.flatMap(Option(_)))
+    try {
+      sqlConf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      sqlConf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      sqlConf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      sqlConf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sqlConf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      val left = spark.range(0, 60000)
+        .select((when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("dim"))
+      // no downstream distribution requirement: OptimizeSkewedJoin
+      // declines to split when a parent shuffle would have to be re-done
+      val joined = left.join(right, "k").select(col("payload"), col("dim"))
+      joined.collect() // AQE decides skew handling at runtime
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("skew=true"),
+        s"AQE must split the skewed partition:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => sqlConf.set(k, v)
+      case (k, None) => sqlConf.unset(k)
+    }
+  }
+
   test("q127 bucketed join: both scans bucketed, sort-merge join with NO " +
       "exchange on the join key") {
     val p = plan(graft.analytics.JoinQueries.q127BucketedJoin(spark, Sf001))
