@@ -196,7 +196,19 @@ object Quarantine {
     val requeued = outcome.requeued.join(mapping, Seq("dlq_id"))
       .select(col("quarantine_id"), lit("requeued").as("__res"),
         col("attempts").cast("int").as("__att"), nullStr.as("__dead_reason"))
+    // ledger rows with IDENTICAL raw content share a content dlq_id, so
+    // the mapping join can hand one quarantine_id several outcome rows
+    // (even from different classes, when the duplicates carried different
+    // attempt counts). Collapse to ONE update per id — recovered wins over
+    // dead over requeued — so the ledger join below never fans out.
     val updates = rec.unionByName(dead).unionByName(requeued)
+      .groupBy(col("quarantine_id"))
+      .agg(max(struct(
+        when(col("__res") === "recovered", 2)
+          .when(col("__res") === "dead", 1).otherwise(0).as("__prio"),
+        col("__res"), col("__att"), col("__dead_reason"))).as("u"))
+      .select(col("quarantine_id"), col("u.__res").as("__res"),
+        col("u.__att").as("__att"), col("u.__dead_reason").as("__dead_reason"))
     val prevLast =
       if (ledger.columns.contains("last_recovery_attempt_s"))
         col("last_recovery_attempt_s") else lit(null).cast("long")

@@ -104,6 +104,27 @@ class QuarantineSpec extends SparkSpecBase {
     assert(byId(5L) === ((3, false, Some(1000L), "max_attempts_exhausted")))
   }
 
+  test("duplicate raw content shares one replay identity: every duplicate " +
+      "resolves, the ledger never fans out") {
+    // ids 1 and 2 carry IDENTICAL raw (mkLedger derives raw from the id,
+    // so build rows manually), with DIFFERENT attempt counts — the replay
+    // sees one content key; the ledger update must stay 1 row per id
+    val led = Seq(
+      (1L, "approved_for_release", 0.2, 999L, 0, "{\"id\":9}"),
+      (2L, "approved_for_release", 0.2, 999L, 1, "{\"id\":9}"),
+      (3L, "approved_for_release", 0.2, 999L, 0, "{\"id\":3}"))
+      .toDF("quarantine_id", "status", "quality_score", "expires_at_s",
+        "recovery_attempts", "raw")
+      .withColumn("reviewer", lit(null).cast("string"))
+      .withColumn("review_ts_s", lit(null).cast("long"))
+      .withColumn("review_notes", lit(null).cast("string"))
+    val out = Quarantine.reprocessApproved(led, nowS = 1000L,
+      replay = df => df.filter(col("raw") === "{\"id\":9}"))
+    assert(out.count() === 3) // no fan-out from the shared dlq_id
+    assert(statusOf(out) === Map(1L -> "reprocessed", 2L -> "reprocessed",
+      3L -> "approved_for_release"))
+  }
+
   test("a content-keyed replay hook (the ladderReplay contract: dlq_id " +
       "recomputed from raw+source_file) still resolves recoveries") {
     val led = mkLedger((1L, "approved_for_release", 0.2, 999L, 0))
