@@ -229,6 +229,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).toSeq === Seq(3000L, 4000L))
   }
 
+  test("suppressAlertsStream: window restarts on emit, counters report " +
+      "across micro-batches, keys independent") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.AlertIn
+    val in = MemoryStream[AlertIn]
+    val q = Streaming.suppressAlertsStream(in.toDS(), windowS = 1800L,
+        idleTimeout = None)
+      .writeStream.format("memory").queryName("alert_out")
+      .outputMode("append").start()
+    in.addData(
+      AlertIn("quality", "etl", "HIGH", 0L),     // emit, 0 suppressed before
+      AlertIn("quality", "etl", "HIGH", 1000L),  // suppressed
+      AlertIn("volume", "api", "LOW", 500L))     // independent key: emit
+    q.processAllAvailable()
+    // state persists: 1900 is >= 1800 after the 0-emit, reports the one
+    // suppressed alert; 3600 falls back inside the restarted window
+    in.addData(
+      AlertIn("quality", "etl", "HIGH", 1900L),
+      AlertIn("quality", "etl", "HIGH", 3600L))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "select tsS, emitted, suppressedSinceLast from alert_out " +
+        "where component = 'etl' order by tsS").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.getAs[java.lang.Long](2)).map(_.longValue())))
+    q.stop()
+    assert(rows.toSeq === Seq(
+      (0L, true, Some(0L)), (1000L, false, None),
+      (1900L, true, Some(1L)), (3600L, false, None)))
+  }
+
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
       "distinct docs pass, state persists across micro-batches") {
     implicit val s = spark
