@@ -162,6 +162,7 @@ object SparkEntry {
     "q125_alert_suppression" -> (Metrics.q125AlertSuppression(_, _)),
     "q126_analyzer_summary" -> (Summaries.q126AnalyzerSummary(_, _)),
     "q127_bucketed_join"    -> (JoinQueries.q127BucketedJoin(_, _)),
+    "q128_audio_frame_features" -> (Multimodal.q128AudioFrameFeatures(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

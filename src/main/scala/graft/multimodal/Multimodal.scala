@@ -483,6 +483,84 @@ object Multimodal {
     }
   }
 
+  /** The PCM samples back out of the WAV container, or None when the blob
+    * isn't parseable audio — the sample-level form of [[decodeAudio]] for
+    * feature extraction. */
+  def decodeAudioSamples(content: Array[Byte]): Option[Array[Int]] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (ais == null) None
+    else {
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** q128: frame-level audio FEATURE EXTRACTION — the multimodal bullet's
+    * extract member, one level below q120's whole-clip stats: decode the
+    * real WAV container, cut the PCM into 20 ms frames (160 samples at the
+    * synthetic 8 kHz rate, full frames only), and compute the two classic
+    * integer-exact frame features — energy Σs² and strict zero crossings
+    * (prev·s < 0) — rolled up per media bucket. All arithmetic is integer,
+    * so the oracle recomputes the features from the generator formula
+    * exactly (the q120 trust structure, extended from samples to frames).
+    *
+    * Scale shape: decode + framing are one partition-local
+    * Iterator→Iterator pass emitting ONE row per media (frames never
+    * become rows); the only shuffle is the 4-row bucket rollup. */
+  def q128AudioFrameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FrameLen = 160
+    val feats = synthesizeAudio(spark, dir)
+      .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAudioSamples(bytes) match {
+            case None => (id, false, 0L, 0L, 0L, 0L)
+            case Some(s) =>
+              val nFrames = s.length / FrameLen
+              var f = 0; var sumE = 0L; var maxE = 0L; var zc = 0L
+              while (f < nFrames) {
+                var e = 0L
+                var j = f * FrameLen
+                val end = j + FrameLen
+                var prev = 0
+                var first = true
+                while (j < end) {
+                  val v = s(j)
+                  e += v.toLong * v
+                  if (!first && prev * v < 0) zc += 1
+                  prev = v; first = false
+                  j += 1
+                }
+                sumE += e
+                if (e > maxE) maxE = e
+                f += 1
+              }
+              (id, true, nFrames.toLong, sumE, maxE, zc)
+          }
+        }
+      }.toDF("media_id", "decoded", "n_frames", "sum_energy",
+        "max_frame_energy", "n_zero_cross")
+    feats.groupBy((col("media_id") % 4).as("bucket"))
+      .agg(
+        count(when(col("decoded"), 1)).as("n_decoded"),
+        sum(col("n_frames")).as("total_frames"),
+        sum(col("sum_energy")).as("total_energy"),
+        max(col("max_frame_energy")).as("max_frame_energy"),
+        sum(col("n_zero_cross")).as("total_zero_cross"))
+      .orderBy(col("bucket"))
+  }
+
   /** q120: real audio-codec decode audit — the audio analogue of q102:
     * [[synthesizeAudio]] WAVs go through [[decodeAudio]] in the same
     * partition-local mapPartitions batch shape (zero shuffle before the
@@ -669,6 +747,40 @@ object Multimodal {
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     // Decoded-sample stats are exact integer arithmetic in (doc_id, i)
     // because the generator writes the ramp through a lossless PCM WAV —
+    // frame features from the generator formula — frames of 160, energy
+    // and strict zero crossings in pure integer arithmetic; undecodable
+    // media (id % 50 = 0) contribute zero rows here and zero counts there
+    "q128_audio_frame_features" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id FROM documents),
+        |good AS (
+        |  SELECT media_id, 800 + media_id % 50 AS n, 3 + media_id % 7 AS step
+        |  FROM media WHERE media_id % 50 <> 0),
+        |samples AS (
+        |  SELECT g.media_id, i, ((i * g.step + g.media_id) % 2001) - 1000 AS s
+        |  FROM good g, LATERAL (SELECT unnest(generate_series(0, g.n - 1)) AS i)
+        |  WHERE i < (g.n // 160) * 160),
+        |lagged AS (
+        |  SELECT media_id, i // 160 AS frame, s,
+        |    lag(s) OVER (PARTITION BY media_id, i // 160 ORDER BY i) AS prev
+        |  FROM samples),
+        |frames AS (
+        |  SELECT media_id, frame, sum(s * s)::BIGINT AS energy,
+        |    count(CASE WHEN prev * s < 0 THEN 1 END) AS zc
+        |  FROM lagged GROUP BY 1, 2),
+        |per AS (
+        |  SELECT media_id, count(*) AS n_frames,
+        |    sum(energy)::BIGINT AS sum_energy, max(energy) AS max_frame_energy,
+        |    sum(zc)::BIGINT AS n_zero_cross
+        |  FROM frames GROUP BY media_id)
+        |SELECT media_id % 4 AS bucket,
+        |  count(*) AS n_decoded,
+        |  sum(n_frames)::BIGINT AS total_frames,
+        |  sum(sum_energy)::BIGINT AS total_energy,
+        |  max(max_frame_energy) AS max_frame_energy,
+        |  sum(n_zero_cross)::BIGINT AS total_zero_cross
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // see q120AudioDecode.
     "q120_audio_decode" ->
       """WITH media AS (

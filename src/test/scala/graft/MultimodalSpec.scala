@@ -168,6 +168,42 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("q128: frame features match a direct recompute from the generator " +
+      "ramp; every decoded clip yields exactly its full frames") {
+    import spark.implicits._
+    val FrameLen = 160
+    val rows = Multimodal.q128AudioFrameFeatures(spark, Sf0001).collect()
+    assert(rows.length === 4) // one row per media bucket
+    // brute-force reference over the generator formula, framed identically
+    val docs = graft.Tables.documents(spark, Sf0001)
+      .select(col("doc_id")).as[Long].collect()
+    case class B(var nDec: Long = 0, var frames: Long = 0, var energy: Long = 0,
+                 var maxE: Long = 0, var zc: Long = 0)
+    val ref = Array.fill(4)(B())
+    docs.filter(_ % 50 != 0).foreach { id =>
+      val n = (800 + id % 50).toInt
+      val s = (0 until n).map(i => (((i * (3 + id % 7) + id) % 2001L) - 1000L).toInt)
+      val b = ref((id % 4).toInt)
+      b.nDec += 1
+      (0 until n / FrameLen).foreach { f =>
+        val fr = s.slice(f * FrameLen, (f + 1) * FrameLen)
+        val e = fr.map(v => v.toLong * v).sum
+        b.frames += 1; b.energy += e; b.maxE = math.max(b.maxE, e)
+        b.zc += fr.sliding(2).count(p => p.head * p(1) < 0)
+      }
+    }
+    rows.foreach { r =>
+      val b = ref(r.getLong(0).toInt)
+      assert(r.getAs[Long]("n_decoded") === b.nDec)
+      assert(r.getAs[Long]("total_frames") === b.frames)
+      // n in [800, 849] → exactly 5 full frames per decoded clip
+      assert(r.getAs[Long]("total_frames") === 5 * b.nDec)
+      assert(r.getAs[Long]("total_energy") === b.energy)
+      assert(r.getAs[Long]("max_frame_energy") === b.maxE)
+      assert(r.getAs[Long]("total_zero_cross") === b.zc)
+    }
+  }
+
   test("q121: the GIF container round-trip recovers frame count and exact " +
       "frame grays per row; garbage falls back") {
     import spark.implicits._
