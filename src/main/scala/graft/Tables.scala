@@ -23,7 +23,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Embeddings with the vector column NORMALIZED to `array<float>` — the
+    * same producer-drift insurance [[events]] carries for timestamps
+    * (round 6 lost 62 queries to an encoding flip): every consumer
+    * (`getSeq[Float]` probe collects, the cosine/hyperplane kernels' typed
+    * fast paths) assumes float32, and a regeneration that ships float64
+    * would otherwise fail at runtime across the whole similarity family.
+    * When the stored type is already float32 the cast is eliminated by
+    * Catalyst (SimplifyCasts) — zero cost on the current data. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
 
   /** Deterministic synthetic coordinates for the geo operators (q20/q30-q32):
     * lat = value - 50 ∈ [-50, 50], lon = 3.6·k - 180 ∈ [-180, 176.4]. ONE

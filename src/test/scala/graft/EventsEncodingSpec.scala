@@ -82,4 +82,25 @@ class EventsEncodingSpec extends SparkSpecBase {
         s"$enc range bound did not push down:\n$plan")
     }
   }
+
+  test("Tables.embeddings normalizes a float64 regeneration to the " +
+      "array<float> contract every consumer assumes") {
+    val dir = new java.io.File(getClass.getClassLoader
+      .getResource("emb_enc/float64/embeddings.parquet").toURI)
+      .getParentFile.getPath
+    val df = Tables.embeddings(spark, dir)
+    assert(df.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    // the getSeq[Float] probe-collect path (withMaxSimToProbes) must work
+    val vecs = df.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0))
+    assert(vecs.length === 6 && vecs.forall(_.length === 8))
+    // and the native cosine kernel still runs over the normalized column
+    graft.sim.Similarity.ensureRegistered(spark)
+    val sims = df.select(graft.sim.Similarity
+        .cosine(col("embedding"), col("embedding")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-6))
+  }
 }
