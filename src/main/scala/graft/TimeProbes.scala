@@ -53,6 +53,9 @@ object TimeProbes {
           f"checksum=$chk%.6f")
       }
 
+    time("probes_kernel") {
+      Similarity.maxSimProbesKernel(corpus, "embedding", probes, "embedding")
+    }
     time("chunked_ladder") {
       Similarity.maxSimChunkedLadder(corpus, "embedding", probes, "embedding")
     }
@@ -61,11 +64,12 @@ object TimeProbes {
         probes, "embedding")
     }
 
-    // bitwise equality between the two paths
-    val a = Similarity.maxSimChunkedLadder(corpus, "embedding", probes,
+    // bitwise equality: kernel vs chunked ladder (the broadcast path was
+    // proved equal to the ladder at 10k probes in the r8 run)
+    val a = Similarity.maxSimProbesKernel(corpus, "embedding", probes,
       "embedding").select(col("vec_id"), col("max_sim_raw").as("a"))
-    val b = Similarity.maxSimBroadcastAgg(corpus, "vec_id", "embedding",
-      probes, "embedding").select(col("vec_id"), col("max_sim_raw").as("b"))
+    val b = Similarity.maxSimChunkedLadder(corpus, "embedding", probes,
+      "embedding").select(col("vec_id"), col("max_sim_raw").as("b"))
     val diff = a.join(b, "vec_id").filter(col("a") =!= col("b")).count()
     println(s"bitwise_mismatches=$diff")
     spark.stop()

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSession
+
+/** Flattened probe matrix with precomputed norms — ONE reference object
+  * shared by interpreted eval and generated code, so the probe count never
+  * shows up in plan-node or generated-method size. Arithmetic is
+  * op-for-op [[VecMath.cosineG]]: the query vector's norm accumulates in
+  * index order once, each probe's norm was accumulated in index order at
+  * construction, and each dot runs in index order — so every per-probe
+  * cosine is bitwise what `cosine_sim(vec, lit(probe))` returns. */
+final class ProbeKernel(probes: Array[Array[Double]]) extends Serializable {
+  private val k = probes.length
+  private val lens = probes.map(_.length)
+  private val maxLen = if (k == 0) 0 else lens.max
+  private val flat = new Array[Double](k * maxLen)
+  private val norms = new Array[Double](k)
+
+  locally {
+    var p = 0
+    while (p < k) {
+      val row = probes(p)
+      var s = 0.0
+      var j = 0
+      while (j < row.length) {
+        flat(p * maxLen + j) = row(j)
+        s += row(j) * row(j)
+        j += 1
+      }
+      norms(p) = math.sqrt(s)
+      p += 1
+    }
+  }
+
+  def nProbes: Int = k
+
+  /** Max over probes of cosine(a, probe). NaN cosines (zero-norm inputs)
+    * are skipped — callers guarantee non-degenerate vectors, as the ladder
+    * formulation's callers already did. */
+  def maxCosine(a: ArrayData, aFloat: Boolean): Double = {
+    val na = a.numElements()
+    val av = new Array[Double](na)
+    var sa = 0.0
+    var i = 0
+    while (i < na) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      av(i) = x
+      sa += x * x
+      i += 1
+    }
+    val sqa = math.sqrt(sa)
+    var best = Double.NegativeInfinity
+    var p = 0
+    while (p < k) {
+      val off = p * maxLen
+      val n = math.min(na, lens(p))
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += av(j) * flat(off + j); j += 1 }
+      val c = dot / (sqa * norms(p))
+      if (c > best) best = c
+      p += 1
+    }
+    best
+  }
+}
+
+/** Native max-cosine-against-a-probe-matrix kernel (builder-brief path
+  * (b)): `greatest(cosine_sim(vec, lit(p1)), …, cosine_sim(vec, lit(pk)))`
+  * is k expression nodes and k·dims literals — at 10k probes the generated
+  * projection blows Janino's 64 KB method limit, drops out of whole-stage
+  * codegen and still pays k expression evals per row. This expression is
+  * ONE plan node whose probe matrix rides along as a single reference
+  * object (flattened, norms precomputed), evaluated as one fused loop —
+  * codegen survives at any probe count, and per-row cost is the pure
+  * k·dims multiply-adds. Bitwise-identical to the ladder for
+  * non-degenerate vectors (same accumulation orders; see [[ProbeKernel]]).
+  *
+  * SQL form: `max_cosine_probes(vec, probes)` where `probes` must be a
+  * FOLDABLE array<array<double>> literal (`typedlit(...)`) — the builder
+  * extracts the matrix at resolution time, so the literal never reaches
+  * the physical plan. */
+case class MaxCosineProbes(child: Expression, probes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine_probes"
+
+  private lazy val eF = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val kernel = new ProbeKernel(probes)
+
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.maxCosine(v.asInstanceOf[ArrayData], eF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeKernel", kernel,
+      classOf[ProbeKernel].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.maxCosine($v, $eF)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxCosineProbesFunction {
+  val info = (
+    FunctionIdentifier("max_cosine_probes"),
+    new ExpressionInfo(classOf[MaxCosineProbes].getName, "max_cosine_probes"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "max_cosine_probes(vec, probes_literal)")
+      val probesExpr = exprs(1)
+      require(probesExpr.foldable,
+        "max_cosine_probes: the probe matrix must be a literal (typedlit)")
+      val outer = probesExpr.eval().asInstanceOf[ArrayData]
+      require(outer != null && outer.numElements() > 0,
+        "max_cosine_probes: empty probe matrix")
+      val elemType = probesExpr.dataType
+        .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+      val innerFloat = elemType == FloatType
+      val probes = (0 until outer.numElements()).map { i =>
+        val row = outer.getArray(i)
+        Array.tabulate(row.numElements()) { j =>
+          if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
+        }
+      }.toArray
+      def coerceVec(e: Expression): Expression = e.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
+        case _ => Cast(e, ArrayType(DoubleType))
+      }
+      MaxCosineProbes(coerceVec(exprs.head), probes)
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}

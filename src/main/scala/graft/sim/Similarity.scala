@@ -48,6 +48,7 @@ object Similarity {
   def ensureRegistered(spark: SparkSession): Unit = {
     graft.functions.CosineSimFunction.register(spark)
     graft.functions.HyperplaneSigFunction.register(spark)
+    graft.functions.MaxCosineProbesFunction.register(spark)
   }
 
   /** q26: exact top-3 cosine neighbors for each probe vector (vec_id ≤ 50). */
@@ -432,15 +433,27 @@ object Similarity {
       corpus.withColumn("max_sim_raw",
         greatest(pv.map(pe => cosine(col(embCol), typedlit(pe))).toIndexedSeq: _*))
     } else
-      // measured at 10k probes × 64 dims (graft.TimeProbes, sf0.1
-      // embeddings inflated): the chunked ladder beats the broadcast
-      // fan-out — same per-row kernel count, but no |corpus|×|probes| row
-      // materialization, no hash re-aggregation, no join-back; numbers in
-      // PLANS.md. The broadcast path stays as [[maxSimBroadcastAgg]] for
-      // probe sets too big to ride a plan (≫100k, where literal-plan
-      // serialization dominates).
-      maxSimChunkedLadder(corpus, embCol, probes, probeEmbCol,
-        chunk = math.max(1, maxLadderProbes))
+      // measured at 10k probes × 64 dims over a 200k corpus
+      // (graft.TimeProbes, PLANS.md): matrix kernel < chunked ladder <
+      // broadcast fan-out. The single-node kernel keeps whole-stage
+      // codegen alive at any probe count (the 10k-call ladder blew
+      // Janino's 64KB method limit) and pays pure k·dims multiply-adds
+      // per row. [[maxSimChunkedLadder]]/[[maxSimBroadcastAgg]] remain as
+      // the measured alternatives; all three are bitwise-equal.
+      maxSimProbesKernel(corpus, embCol, probes, probeEmbCol)
+  }
+
+  /** Big-probe-set variant C (the wired default): the whole probe matrix
+    * rides ONE native [[graft.functions.MaxCosineProbes]] expression as a
+    * flattened reference object with precomputed norms — one plan node,
+    * one fused loop per row, whole-stage codegen at any probe count. */
+  def maxSimProbesKernel(corpus: DataFrame, embCol: String,
+                         probes: DataFrame, probeEmbCol: String): DataFrame = {
+    ensureRegistered(corpus.sparkSession)
+    val pv = collectProbeVecs(probes, probeEmbCol)
+    corpus.withColumn("max_sim_raw",
+      call_function("max_cosine_probes", col(embCol),
+        typedlit(pv.map(_.toIndexedSeq).toIndexedSeq)))
   }
 
   private def collectProbeVecs(probes: DataFrame,

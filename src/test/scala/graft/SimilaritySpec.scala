@@ -210,5 +210,11 @@ class SimilaritySpec extends SparkSpecBase {
         probes, "embedding")
       .select(col("vec_id"), col("max_sim_raw").as("b"))
     assert(lad.join(bc, "vec_id").filter(col("a") =!= col("b")).count() === 0L)
+    // the single-node matrix kernel (the wired big-probe default) agrees
+    // bitwise per vector too
+    val ker = Similarity.maxSimProbesKernel(corpus, "embedding",
+        probes, "embedding")
+      .select(col("vec_id"), col("max_sim_raw").as("c"))
+    assert(lad.join(ker, "vec_id").filter(col("a") =!= col("c")).count() === 0L)
   }
 }
