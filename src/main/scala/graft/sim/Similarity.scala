@@ -397,51 +397,32 @@ object Similarity {
     * (measured), so recall on plants is exactly 1 with a wide margin on
     * both sides of the dyadic threshold.
     *
-    * Plan shape (the q111 argmax rule): a benchmark set is driver-resident
-    * by nature, so the per-vector max-sim is `greatest` over one native
-    * cosine kernel call per probe, all literals, unrolled Scala-side — a
-    * pure projection in whole-stage codegen. No crossJoin row blow-up, no
-    * per-vector re-aggregation; the only shuffle is the |labels|-row
-    * rollup. At 100 TB this is one corpus scan with map-side combine;
-    * probes×dims literals stay tiny (benchmarks are thousands of rows —
-    * beyond that, chunk the ladder like q111's centroid note). */
+    * Plan shape (the q111 argmax rule, r8-strengthened): a benchmark set
+    * is driver-resident by nature, so the per-vector max-sim is ONE
+    * native `max_cosine_probes` node carrying the whole probe matrix as a
+    * flattened reference object — a pure projection in whole-stage
+    * codegen at ANY probe count. No crossJoin row blow-up, no per-vector
+    * re-aggregation; the only shuffle is the |labels|-row rollup. At
+    * 100 TB this is one corpus scan with map-side combine. */
   /** Corpus rows + a `max_sim` column = max cosine of `embCol` to ANY probe
-    * embedding, with a PROBE-COUNT GUARD choosing between two plans that
-    * produce bitwise-identical values (max over the same float set is
-    * accumulation-order-independent):
+    * embedding — always the single-node [[maxSimProbesKernel]].
     *
-    *  - **ladder** (probes ≤ `maxLadderProbes`): `greatest` over one literal
-    *    cosine-kernel call per probe, unrolled Scala-side — a pure projection
-    *    in whole-stage codegen; zero shuffle, zero row blow-up, one corpus
-    *    scan. Plan size grows linearly with the probe count, and codegen /
-    *    plan serialization fall over somewhere in the thousands, so the
-    *    ladder must never see an unbounded probe relation.
-    *  - **broadcast join + max-agg** (probes > `maxLadderProbes`): broadcast
-    *    the probe embeddings, fan out |corpus|×|probes| rows map-side, hash-
-    *    aggregate max per key with map-side combine, join the per-key max
-    *    back on the key. Costs a shuffle of |corpus| keys but its plan is
-    *    O(1) in the probe count — the 100-TB path for big probe sets.
-    *
-    * The guard counts the probe relation (one tiny aggregate) instead of
-    * trusting the caller's promise that it is small. */
-  def withMaxSimToProbes(corpus: DataFrame, keyCol: String, embCol: String,
-                         probes: DataFrame, probeEmbCol: String,
-                         maxLadderProbes: Int = 256): DataFrame = {
-    val nProbes = probes.count()
-    if (nProbes <= maxLadderProbes) {
-      val pv = collectProbeVecs(probes, probeEmbCol)
-      corpus.withColumn("max_sim_raw",
-        greatest(pv.map(pe => cosine(col(embCol), typedlit(pe))).toIndexedSeq: _*))
-    } else
-      // measured at 10k probes × 64 dims over a 200k corpus
-      // (graft.TimeProbes, PLANS.md): matrix kernel < chunked ladder <
-      // broadcast fan-out. The single-node kernel keeps whole-stage
-      // codegen alive at any probe count (the 10k-call ladder blew
-      // Janino's 64KB method limit) and pays pure k·dims multiply-adds
-      // per row. [[maxSimChunkedLadder]]/[[maxSimBroadcastAgg]] remain as
-      // the measured alternatives; all three are bitwise-equal.
-      maxSimProbesKernel(corpus, embCol, probes, probeEmbCol)
-  }
+    * History (r7→r8): this used to be a probe-count GUARD choosing between
+    * a literal greatest-ladder (small probe sets) and a broadcast fan-out
+    * + max-agg (large ones), because the ladder's plan grew linearly with
+    * the probe count and fell over in the thousands. The
+    * `max_cosine_probes` matrix kernel dissolves the trade: ONE plan node
+    * at any probe count, whole-stage codegen survives, and the measured
+    * ordering at 10k probes × 200k corpus is kernel 4.1 s ≪ chunked
+    * ladder 16.8 s ≪ broadcast 29.6 s warm (graft.TimeProbes, PLANS.md) —
+    * so the guard no longer has a failure mode to guard against. All
+    * three formulations are bitwise-equal (same accumulation orders;
+    * pinned per-vector in SimilaritySpec); the ladder and broadcast
+    * variants remain below as the measured alternatives, broadcast being
+    * the only option for probe relations too large to collect at all. */
+  def withMaxSimToProbes(corpus: DataFrame, embCol: String,
+                         probes: DataFrame, probeEmbCol: String): DataFrame =
+    maxSimProbesKernel(corpus, embCol, probes, probeEmbCol)
 
   /** Big-probe-set variant C (the wired default): the whole probe matrix
     * rides ONE native [[graft.functions.MaxCosineProbes]] expression as a
@@ -496,15 +477,13 @@ object Similarity {
   }
 
   def q116EmbeddingDecontam(spark: SparkSession, dir: String,
-                            theta: Double = 0.75,
-                            maxLadderProbes: Int = 256): DataFrame = {
+                            theta: Double = 0.75): DataFrame = {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val probes = e.filter(col("vec_id") <= 30)
     val corpus = e.filter(col("vec_id") > 30)
       .unionByName(probes.withColumn("vec_id", col("vec_id") + lit(3000000L)))
-    withMaxSimToProbes(corpus, "vec_id", "embedding",
-        probes, "embedding", maxLadderProbes)
+    withMaxSimToProbes(corpus, "embedding", probes, "embedding")
       .withColumn("max_sim", Exprs.dround(col("max_sim_raw"), 6))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),

@@ -432,7 +432,10 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Window"), p.take(3000))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
-    assert(p.contains("cosine_sim"), s"native kernel must score probes:\n${p.take(3000)}")
+    // r8: the whole probe matrix rides ONE max_cosine_probes node (plan
+    // size probe-count-invariant), not a per-probe cosine_sim ladder
+    assert(p.contains("max_cosine_probes"),
+      s"native matrix kernel must score probes:\n${p.take(3000)}")
   }
 
   test("q117 export decides keep inline: one corpus scan, one labels join, " +

@@ -186,19 +186,12 @@ class SimilaritySpec extends SparkSpecBase {
         s"label ${r.get(0)} avg ${r.getAs[Double]("avg_max_sim")}") }
   }
 
-  test("q116 probe-count guard: flat ladder, chunked ladder and broadcast " +
-      "max-agg produce bitwise-identical output") {
-    // maxLadderProbes=0 forces the big-probe-set path (the chunked ladder,
-    // degenerate 1-wide chunks here); max over the same float set is
-    // accumulation-order-independent, so every plan must agree bitwise on
-    // every aggregate.
-    def rows(maxLadder: Int) =
-      Similarity.q116EmbeddingDecontam(spark, Sf001, maxLadderProbes = maxLadder)
-        .collect().map(_.toSeq).toSeq
-    assert(rows(256) === rows(0))
-    // the broadcast fan-out + max-agg variant (the ≫100k-probe escape
-    // hatch) agrees bitwise with the ladder per vector, not just on the
-    // rollup — same comparison graft.TimeProbes makes at 10k probes
+  test("max-sim formulations: matrix kernel, chunked ladder and broadcast " +
+      "max-agg produce bitwise-identical output per vector") {
+    // max over the same float set is accumulation-order-independent and
+    // every path computes each per-probe cosine with identical loop
+    // orders, so all three plans must agree bitwise — the same comparison
+    // graft.TimeProbes makes at 10k probes
     Similarity.ensureRegistered(spark)
     val e = graft.Tables.embeddings(spark, Sf001)
     val probes = e.filter(col("vec_id") <= 30)
