@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Core analytics operators, re-expressed Spark-first over the driver test
   * tables. Each query mirrors the *shape* of one of the reference's canonical
@@ -52,15 +52,24 @@ object CoreQueries {
         .when(col("l_extendedprice") < 20000, "M")
         .when(col("l_extendedprice") < 50000, "L")
         .otherwise("XL"))
+    // exact order-statistics percentiles (Pct): two extra passes over the
+    // banded scan, each a map-side-combined hash agg + per-band window over
+    // the distinct-value grid — engine-version robust where the
+    // percentile/quantile_cont pairing is only empirically bitwise-equal
+    val pcts = Pct.relation(banded, Seq("price_band"), "l_discount",
+        Seq("mdisc" -> 0.5))
+      .join(Pct.relation(banded, Seq("price_band"), "l_extendedprice",
+        Seq("p95p" -> 0.95)), "price_band")
     val perBand = banded.groupBy(col("price_band")).agg(
       count(lit(1)).as("n"),
-      Exprs.dround(avg(col("l_quantity")), 4).as("avg_qty"),
-      Exprs.dround(expr("percentile(l_discount, 0.5)"), 6).as("median_discount"),
-      Exprs.dround(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      Exprs.dround(avg(col("l_quantity")), 4).as("avg_qty"))
     val total = banded.agg(count(lit(1)).as("total_n"))
-    perBand.crossJoin(broadcast(total))
-      .withColumn("pct", Exprs.pctOf(col("n"), col("total_n")))
-      .drop("total_n")
+    perBand.join(broadcast(pcts), "price_band")
+      .crossJoin(broadcast(total))
+      .select(col("price_band"), col("n"), col("avg_qty"),
+        Exprs.dround(col("mdisc"), 6).as("median_discount"),
+        Exprs.dround(col("p95p"), 4).as("p95_price"),
+        Exprs.pctOf(col("n"), col("total_n")).as("pct"))
       .orderBy(col("price_band"))
   }
 
@@ -129,9 +138,11 @@ object CoreQueries {
     val stats = e.agg(
         Exprs.sumExact2(col("value")).as("sx"),
         sum(d * d).cast("double").as("sxx"),
-        count(col("value")).as("cnt"),
-        expr("percentile(value, 0.05)").as("p05"),
-        expr("percentile(value, 0.95)").as("p95"))
+        count(col("value")).as("cnt"))
+      // p05/p95 via exact order statistics (Pct): the value grid is bounded
+      // (2dp), so the extra pass is a hash agg + one grid-sized window
+      .crossJoin(Pct.relation(e, Nil, "value",
+        Seq("p05" -> 0.05, "p95" -> 0.95)))
       .select(
         (col("sx") / col("cnt")).as("m"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("cnt")) / (col("cnt") - 1)).as("sd"),
@@ -168,21 +179,29 @@ object CoreQueries {
         |FROM events""".stripMargin,
 
     "q02_band_distribution" ->
-      """WITH banded AS (
+      s"""WITH banded AS (
         |  SELECT CASE WHEN l_extendedprice < 1000 THEN 'XS'
         |              WHEN l_extendedprice < 5000 THEN 'S'
         |              WHEN l_extendedprice < 20000 THEN 'M'
         |              WHEN l_extendedprice < 50000 THEN 'L'
         |              ELSE 'XL' END AS price_band,
         |         l_quantity, l_discount, l_extendedprice
-        |  FROM lineitem)
-        |SELECT price_band,
-        |  count(*) AS n,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(quantile_cont(l_discount, 0.5), 6) AS median_discount,
-        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-        |  round(100.0 * count(*) / (SELECT count(*) FROM banded), 4) AS pct
-        |FROM banded GROUP BY price_band ORDER BY price_band""".stripMargin,
+        |  FROM lineitem),
+        |${Pct.ctes("pd", "banded", Seq("price_band"), "l_discount",
+            Seq("mdisc" -> 0.5))},
+        |${Pct.ctes("pp", "banded", Seq("price_band"), "l_extendedprice",
+            Seq("p95p" -> 0.95))},
+        |agg AS (
+        |  SELECT price_band, count(*) AS n,
+        |    round(avg(l_quantity) * 10000) / 10000 AS avg_qty,
+        |    round(100.0 * count(*) / (SELECT count(*) FROM banded) * 10000)
+        |      / 10000 AS pct
+        |  FROM banded GROUP BY price_band)
+        |SELECT price_band, n, avg_qty,
+        |  round(mdisc * 1000000) / 1000000 AS median_discount,
+        |  round(p95p * 10000) / 10000 AS p95_price, pct
+        |FROM agg JOIN pd USING (price_band) JOIN pp USING (price_band)
+        |ORDER BY price_band""".stripMargin,
 
     "q03_hourly_trend" ->
       """SELECT strftime(date_trunc('hour', ts)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS hour,
@@ -221,15 +240,16 @@ object CoreQueries {
         |FROM ranked WHERE corridor_rank <= 25 ORDER BY corridor_rank""".stripMargin,
 
     "q06_anomaly_zscore" ->
-      """WITH s0 AS (
+      s"""WITH s0 AS (
         |  SELECT sum(value::DECIMAL(18,2))::DOUBLE AS sx,
         |         sum((value::DECIMAL(18,2)) * (value::DECIMAL(18,2)))::DOUBLE AS sxx,
-        |         count(value) AS cnt,
-        |         quantile_cont(value, 0.05) AS p05, quantile_cont(value, 0.95) AS p95
+        |         count(value) AS cnt
         |  FROM events),
+        |${Pct.ctes("pq", "events", Nil, "value",
+            Seq("p05" -> 0.05, "p95" -> 0.95))},
         |stats AS (
         |  SELECT sx / cnt AS m, sqrt((sxx - sx * sx / cnt) / (cnt - 1)) AS sd, p05, p95
-        |  FROM s0)
+        |  FROM s0, pq)
         |SELECT event_id, event_type, round(value, 2) AS value,
         |  round((value - m) / sd, 4) AS z_score,
         |  concat_ws(',',

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Day-over-day pipeline health: distribution-drift monitoring and
   * least-squares trend fitting over the daily partition grain — the two
@@ -115,8 +115,9 @@ object Trends {
     * Scale shape: (type, key) partial counts take map-side combine; the
     * per-type rollup is bounded by |types|. The skew flag cross-multiplies
     * BIGINTs (max·n_keys > 4·total) — no derived-double comparison. p50
-    * uses `percentile(n, 0.5)` (0.5 is dyadic: midpoint interpolation of
-    * two BIGINTs is exact in double on both engines); p99 is the
+    * rides the shared exact order-statistics pass ([[graft.ops.Pct]] —
+    * engine-version robust, unlike the empirical percentile/quantile_cont
+    * pairing that broke on an INTEGER column in r07); p99 is the
     * ceil(0.99·n_keys)-th smallest count — an exact integer rank over the
     * per-key aggregate, because 0.99 is non-dyadic and interpolated
     * doubles cannot be compared across engines (CLAUDE.md). The rank
@@ -136,12 +137,17 @@ object Trends {
       .withColumn("cnt", count(lit(1)).over(wAll))
       .where(col("rn") === expr("(99 * cnt + 99) div 100"))
       .select(col("event_type"), col("n").as("p99_n"))
+    // exact order-statistics median of the per-key counts (Pct): counts are
+    // an INTEGER column, exactly the class where the driver's DuckDB build
+    // diverged from the empirical percentile/quantile_cont pairing in r07
+    val p50 = Pct.relation(perKey, Seq("event_type"), "n", Seq("p50" -> 0.5))
     perKey.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("n")).as("total"),
-        max(col("n")).as("max_n"),
-        Exprs.dround(expr("percentile(n, 0.5)"), 4).as("p50_n"))
+        max(col("n")).as("max_n"))
+      .join(broadcast(p50), "event_type")
+      .withColumn("p50_n", Exprs.dround(col("p50"), 4))
       .join(p99, Seq("event_type"))
       .withColumn("skew_factor",
         Exprs.dround(col("max_n") * col("n_keys") / col("total"), 4))
@@ -207,7 +213,7 @@ object Trends {
         |FROM agged CROSS JOIN diag
         |ORDER BY n DESC, k LIMIT 15""".stripMargin,
     "q98_key_skew" ->
-      """WITH per_key AS (
+      s"""WITH per_key AS (
         |  SELECT event_type, user_id, count(*) AS n
         |  FROM events GROUP BY event_type, user_id),
         |ranked AS (
@@ -218,15 +224,17 @@ object Trends {
         |p99 AS (
         |  SELECT event_type, n AS p99_n FROM ranked
         |  WHERE rn = (99 * cnt + 99) // 100),
+        |${Pct.ctes("p50c", "per_key", Seq("event_type"), "n",
+            Seq("p50" -> 0.5))},
         |rolled AS (
         |  SELECT event_type, count(*) AS n_keys, sum(n)::BIGINT AS total,
-        |    max(n) AS max_n,
-        |    round(quantile_cont(n, 0.5) * 10000) / 10000 AS p50_n
+        |    max(n) AS max_n
         |  FROM per_key GROUP BY event_type)
-        |SELECT event_type, n_keys, total, max_n, p50_n, p99_n,
+        |SELECT event_type, n_keys, total, max_n,
+        |  round(p50 * 10000) / 10000 AS p50_n, p99_n,
         |  round(max_n * n_keys / total * 10000) / 10000 AS skew_factor,
         |  max_n * n_keys > 4 * total AS needs_salting
-        |FROM rolled JOIN p99 USING (event_type)
+        |FROM rolled JOIN p99 USING (event_type) JOIN p50c USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
     "q92_drift_monitor" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Spatial analytics over the synthetic coordinate grid (SURVEY.md §2 J2
   * spatial join, the reference's two most distinctive geo reports):
@@ -64,14 +64,18 @@ object Geo {
         Exprs.bearingOctant(col("alat"), col("alon"), col("lat"), col("lon")))
     def octCount(vals: String*) =
       count(when(col("octant").isin(vals: _*), 1))
+    // exact order-statistics quartiles of dist_mi (Pct): dist_mi is 4dp —
+    // a bounded grid per airport — so the extra pass over `nearest` is a
+    // hash agg + per-airport window, engine-version robust where the
+    // percentile/quantile_cont pairing is only empirically bitwise-equal
+    val pcts = Pct.relation(nearest, Seq("airport_code"), "dist_mi",
+      Seq("q25" -> 0.25, "q75" -> 0.75))
     nearest.groupBy(col("airport_code")).agg(
         count(lit(1)).as("n_nearby"),
         countDistinct(col("user_id")).as("n_users"),
         Exprs.dround(Exprs.sumExact(col("dist_mi"), 4) / count(lit(1)), 4)
           .as("avg_dist_mi"),
         Exprs.dround(min(col("dist_mi")), 4).as("min_dist_mi"),
-        Exprs.dround(expr("percentile(dist_mi, 0.25)"), 4).as("q25_dist_mi"),
-        Exprs.dround(expr("percentile(dist_mi, 0.75)"), 4).as("q75_dist_mi"),
         count(when(col("value") < 20, 1)).as("n_low_value"),
         count(when(col("value") < 5, 1)).as("n_very_low"),
         count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
@@ -87,6 +91,10 @@ object Geo {
             count(when(col("dist_mi") < 100, 1)), lit(0.0)), 2)
           .as("avg_value_close"))
       .filter(col("n_nearby") >= 5)
+      .join(broadcast(pcts), "airport_code")
+      .withColumn("q25_dist_mi", Exprs.dround(col("q25"), 4))
+      .withColumn("q75_dist_mi", Exprs.dround(col("q75"), 4))
+      .drop("q25", "q75")
       .withColumn("events_per_hour",
         Exprs.dround(col("n_nearby") / lit(720.0), 4))
       .withColumn("ops_pct",
@@ -274,14 +282,14 @@ object Geo {
         |         WHEN brg < 292.5 THEN 'W' WHEN brg < 337.5 THEN 'NW'
         |         ELSE 'N' END AS octant
         |  FROM nearest WHERE rn = 1),
+        |${Pct.ctes("pq52", "octs", Seq("airport_code"), "dist_mi",
+            Seq("q25" -> 0.25, "q75" -> 0.75))},
         |agged AS (
         |  SELECT airport_code,
         |    count(*) AS n_nearby,
         |    count(DISTINCT user_id) AS n_users,
         |    round(sum(dist_mi::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS avg_dist_mi,
         |    round(min(dist_mi), 4) AS min_dist_mi,
-        |    round(quantile_cont(dist_mi, 0.25) * 10000) / 10000 AS q25_dist_mi,
-        |    round(quantile_cont(dist_mi, 0.75) * 10000) / 10000 AS q75_dist_mi,
         |    count(CASE WHEN value < 20 THEN 1 END) AS n_low_value,
         |    count(CASE WHEN value < 5 THEN 1 END) AS n_very_low,
         |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
@@ -296,7 +304,9 @@ object Geo {
         |      sum(CASE WHEN dist_mi < 100 THEN value END::DECIMAL(18,2))::DOUBLE /
         |        count(CASE WHEN dist_mi < 100 THEN 1 END), 0.0) * 100) / 100 AS avg_value_close
         |  FROM octs GROUP BY airport_code HAVING count(*) >= 5)
-        |SELECT *,
+        |SELECT agged.*,
+        |  round(q25 * 10000) / 10000 AS q25_dist_mi,
+        |  round(q75 * 10000) / 10000 AS q75_dist_mi,
         |  round(n_nearby / 720.0 * 10000) / 10000 AS events_per_hour,
         |  round(100.0 * (n_purchase + n_signup) / n_nearby * 100) / 100 AS ops_pct,
         |  CASE WHEN round(n_nearby / 720.0 * 10000) / 10000 > 0.05 THEN 'High'
@@ -308,7 +318,8 @@ object Geo {
         |  CASE WHEN n_east > n_west THEN 'East Dominant'
         |       WHEN n_west > n_east THEN 'West Dominant'
         |       ELSE 'Balanced E-W' END AS ew_pattern
-        |FROM agged ORDER BY n_nearby DESC, airport_code""".stripMargin,
+        |FROM agged JOIN pq52 USING (airport_code)
+        |ORDER BY n_nearby DESC, airport_code""".stripMargin,
 
     // `+ 0.0` on the grid cells: DuckDB's round(double) keeps the sign of
     // the input (round(-0.004)*10 → -0.0) while Spark's BigDecimal-based

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Training-data preparation operators (builder brief: the operations a
   * large-scale training pipeline needs beyond the reference's surface).
@@ -246,12 +246,14 @@ object DataPrep {
     * derived double. */
   def q95DecileCalibration(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val cuts = d.agg(expr(
-      "percentile(n_chars, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-      .as("cuts"))
+    // 9 exact decile cut points via order statistics (Pct) — n_chars is an
+    // INTEGER column, exactly the class where the driver's DuckDB build
+    // diverged from quantile_cont in r07; one grid pass serves all nine qs
+    val cuts = Pct.relation(d, Nil, "n_chars",
+      (1 to 9).map(i => s"c$i" -> i / 10.0))
     val dec = d.crossJoin(broadcast(cuts))
-      .withColumn("decile", (0 until 9)
-        .map(i => when(col("n_chars") > col("cuts")(i), 1).otherwise(0))
+      .withColumn("decile", (1 to 9)
+        .map(i => when(col("n_chars") > col(s"c$i"), 1).otherwise(0))
         .reduce(_ + _))
     val aggCols = count(lit(1)).as("n_docs") +:
       (0 until 10).map(i => count(when(col("decile") === i, 1)).as(s"d$i"))
@@ -273,12 +275,10 @@ object DataPrep {
         .map(i => s"count(CASE WHEN decile = $i THEN 1 END) AS d$i")
         .mkString(",\n        |    ")
       val caseSum = (1 to 9)
-        .map(i => s"(CASE WHEN n_chars > cuts[$i] THEN 1 ELSE 0 END)")
+        .map(i => s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)")
         .mkString(" +\n        |      ")
-      s"""WITH cuts AS (
-        |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
-        |    AS cuts
-        |  FROM documents),
+      s"""WITH ${Pct.ctes("cuts", "documents", Nil, "n_chars",
+            (1 to 9).map(i => s"c$i" -> i / 10.0))},
         |dec AS (
         |  SELECT source,
         |    $caseSum AS decile

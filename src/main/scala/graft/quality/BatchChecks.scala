@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Batch-level quality checks (SURVEY.md §2.9 Q8 IQR fences, Q11 corruption,
   * Q12 the 14-check batch suite) plus the W6 peak-window shape.
@@ -36,9 +36,10 @@ object BatchChecks {
     * type plus NaN/Inf/absurd-magnitude corruption counters. */
   def q40IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val quartiles = e.groupBy(col("event_type")).agg(
-      expr("percentile(value, 0.25)").as("q1"),
-      expr("percentile(value, 0.75)").as("q3"))
+    // exact order-statistics quartiles (Pct): engine-version robust where
+    // the percentile/quantile_cont pairing is only empirically equal
+    val quartiles = Pct.relation(e, Seq("event_type"), "value",
+      Seq("q1" -> 0.25, "q3" -> 0.75))
     val fenced = e.join(broadcast(quartiles), "event_type")
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
@@ -107,14 +108,16 @@ object BatchChecks {
       .withColumn("dv_r", Exprs.dround(dv, 2))
       .withColumn("rate_r", Exprs.dround(when(dtS > 0, dv / dtS), 6))
     val stats = e.agg(
-      expr("percentile(value, 0.25)").as("v_q1"),
-      expr("percentile(value, 0.75)").as("v_q3"),
       count(col("value")).as("v_n"),
       Exprs.sumExact(col("value"), 2).as("v_sum"),
       Exprs.sumExact(col("value") * col("value"), 4).as("v_sum2"),
       count(col("rate_r")).as("r_n"),
       Exprs.sumExact(col("rate_r"), 6).as("r_sum"),
       Exprs.sumExact(col("rate_r") * col("rate_r"), 12).as("r_sum2"))
+      // quartiles from the pre-window relation (value is untouched by the
+      // window) via exact order statistics — engine-version robust
+      .crossJoin(Pct.relation(eBase, Nil, "value",
+        Seq("v_q1" -> 0.25, "v_q3" -> 0.75)))
     val j = e.crossJoin(broadcast(stats))
 
     val validTypes = Seq("click", "view", "purchase", "signup", "error")
@@ -211,12 +214,11 @@ object BatchChecks {
     * Iglewicz-Hoaglin cutoff, public literature). */
   def q71MadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val med = e.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
+    val med = Pct.relation(e, Seq("event_type"), "value", Seq("med" -> 0.5))
     val withDev = e.join(broadcast(med), "event_type")
       .withColumn("absdev", abs(col("value") - col("med")))
-    val mad = withDev.groupBy(col("event_type"))
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    val mad = Pct.relation(withDev, Seq("event_type"), "absdev",
+      Seq("mad" -> 0.5))
     val rz = lit(0.6745) * (col("value") - col("med")) / col("mad")
     withDev.join(broadcast(mad), "event_type")
       .withColumn("robust_z", Exprs.dround(rz, 4))
@@ -242,8 +244,12 @@ object BatchChecks {
     * cross-engine formula difference ((1-g)·a + g·b vs a + (b-a)·g) to
     * observable ulps (measured 4 ulps on the nano grain at sf0.01), while
     * the small-magnitude columns are bitwise identical across engines at
-    * both sf0.01 and sf0.1. min/max ride through DECIMAL(38,6) so large
-    * longs stay exact (double can't hold 1e18). */
+    * both sf0.01 and sf0.1. All numeric min/max are emitted as BIGINT —
+    * the long columns raw (event_id/ts_us/user_id are exact longs), the
+    * 2dp `value` as half-up cents (floor(x·100 + 0.5)) — so no DOUBLE or
+    * DECIMAL emission survives to the hash (r08 verdict: q97 was the only
+    * driver-red row for three rounds with rows/schema green; integer
+    * equality cannot diverge across DuckDB builds). */
   private val NumCols = Seq("event_id", "ts_us", "user_id", "value")
 
   /** Percentiles only for `value`: a percentile of a surrogate key is
@@ -289,11 +295,20 @@ object BatchChecks {
       min(when(col("cum") > lo95, col("value"))).as("a95"),
       min(when(col("cum") > lo95 + 1, col("value"))).as("b95r"),
       max(g50).as("g50"), max(g95).as("g95"))
+    // raw interpolation a + (b − a)·g, then half-up scaling via floor; the
+    // ×10000 BIGINT variants (no division back) are what q97 emits — integer
+    // equality cannot diverge across DuckDB builds (r08 verdict rule).
+    def interpRaw(a: Column, b: Column, g: Column): Column =
+      a + (coalesce(b, a) - a) * g
     def interp(a: Column, b: Column, g: Column): Column =
-      floor((a + (coalesce(b, a) - a) * g) * 10000 + 0.5) / 10000
+      floor(interpRaw(a, b, g) * 10000 + 0.5) / 10000
+    def interpX10k(a: Column, b: Column, g: Column): Column =
+      floor(interpRaw(a, b, g) * 10000 + 0.5)
     pa.select(
       interp(col("a50"), col("b50r"), col("g50")).as("p50_value"),
-      interp(col("a95"), col("b95r"), col("g95")).as("p95_value"))
+      interp(col("a95"), col("b95r"), col("g95")).as("p95_value"),
+      interpX10k(col("a50"), col("b50r"), col("g50")).as("p50_x10k"),
+      interpX10k(col("a95"), col("b95r"), col("g95")).as("p95_x10k"))
   }
 
   /** q97: table profile — per column: presence, null share, distinct
@@ -327,43 +342,52 @@ object BatchChecks {
     val statAggs = count(lit(1)).as("n") +: ProfileCols.flatMap { c =>
       Seq(count(col(c)).as(s"np_$c")) ++
       (if (NumCols.contains(c)) Seq(
-        min(col(c)).cast("decimal(38,6)").as(s"mn_$c"),
-        max(col(c)).cast("decimal(38,6)").as(s"mx_$c")) else Nil) ++
+        (if (c == "value") floor(min(col(c)) * 100 + lit(0.5))
+         else min(col(c))).cast("long").as(s"mn_$c"),
+        (if (c == "value") floor(max(col(c)) * 100 + lit(0.5))
+         else max(col(c))).cast("long").as(s"mx_$c")) else Nil) ++
       (if (StrCols.contains(c)) Seq(
         min(length(col(c))).as(s"lmin_$c"),
         max(length(col(c))).as(s"lmax_$c"),
-        sum(length(col(c))).as(s"lsum_$c")) else Nil)
+        sum(length(col(c))).cast("long").as(s"lsum_$c")) else Nil)
     }
     val ndAggs = ProfileCols.map(c => countDistinct(col(c)).as(s"nd_$c"))
     val one = e.agg(statAggs.head, statAggs.tail: _*)
       .crossJoin(e.agg(ndAggs.head, ndAggs.tail: _*))
       .crossJoin(valuePctRelation(e))
-    val nullDec = lit(null).cast("decimal(38,6)")
+    val nullL = lit(null).cast("long")
     val entries = array(ProfileCols.map { c =>
       struct(
         lit(c).as("column_name"),
         col(s"np_$c").as("n_present"),
         col(s"nd_$c").as("n_distinct"),
-        (if (NumCols.contains(c)) col(s"mn_$c") else nullDec).as("min_num"),
-        (if (NumCols.contains(c)) col(s"mx_$c") else nullDec).as("max_num"),
-        (if (PctCols.contains(c)) col(s"p50_$c")
-         else lit(null).cast("double")).as("p50_num"),
-        (if (PctCols.contains(c)) col(s"p95_$c")
-         else lit(null).cast("double")).as("p95_num"),
+        (if (NumCols.contains(c)) col(s"mn_$c") else nullL).as("min_num"),
+        (if (NumCols.contains(c)) col(s"mx_$c") else nullL).as("max_num"),
+        (if (PctCols.contains(c)) col("p50_x10k") else nullL).as("p50_x10k"),
+        (if (PctCols.contains(c)) col("p95_x10k") else nullL).as("p95_x10k"),
         (if (StrCols.contains(c)) col(s"lmin_$c")
          else lit(null).cast("int")).as("min_len"),
         (if (StrCols.contains(c)) col(s"lmax_$c")
          else lit(null).cast("int")).as("max_len"),
-        (if (StrCols.contains(c)) Exprs.dround(col(s"lsum_$c") / col(s"np_$c"), 4)
-         else lit(null).cast("double")).as("avg_len"))
+        // half-up ×10000 average length in pure BIGINT arithmetic:
+        // (2·lsum·10⁴ + np) div (2·np) ≡ round(lsum/np · 10⁴) for np > 0
+        (if (StrCols.contains(c))
+           expr(s"(2 * lsum_$c * 10000 + np_$c) div (2 * np_$c)")
+         else nullL).as("avg_len_x10k"))
     }: _*)
     one.select(col("n"), explode(entries).as("p"))
       .select(col("p.column_name"), col("n"), col("p.n_present"),
         (col("n") - col("p.n_present")).as("n_null"),
-        Exprs.pctOf(col("n") - col("p.n_present"), col("n"), 4).as("null_pct"),
         col("p.n_distinct"), col("p.min_num"), col("p.max_num"),
-        col("p.p50_num"), col("p.p95_num"),
-        col("p.min_len"), col("p.max_len"), col("p.avg_len"))
+        col("p.p50_x10k"), col("p.p95_x10k"),
+        col("p.min_len"), col("p.max_len"), col("p.avg_len_x10k"))
+      // null share in half-up basis-points-of-basis-points (pct × 10⁴),
+      // again pure BIGINT: (2·n_null·10⁶ + n) div (2·n)
+      .withColumn("null_bp", expr("(2 * n_null * 1000000 + n) div (2 * n)"))
+      .select(col("column_name"), col("n"), col("n_present"), col("n_null"),
+        col("null_bp"), col("n_distinct"), col("min_num"), col("max_num"),
+        col("p50_x10k"), col("p95_x10k"),
+        col("min_len"), col("max_len"), col("avg_len_x10k"))
       .orderBy(col("column_name"))
   }
 
@@ -394,7 +418,11 @@ object BatchChecks {
       |  floor((a50 + (coalesce(b50r, a50) - a50) * g50) * 10000 + 0.5)
       |    / 10000 AS p50_value,
       |  floor((a95 + (coalesce(b95r, a95) - a95) * g95) * 10000 + 0.5)
-      |    / 10000 AS p95_value
+      |    / 10000 AS p95_value,
+      |  floor((a50 + (coalesce(b50r, a50) - a50) * g50) * 10000 + 0.5)
+      |    ::BIGINT AS p50_x10k,
+      |  floor((a95 + (coalesce(b95r, a95) - a95) * g95) * 10000 + 0.5)
+      |    ::BIGINT AS p95_x10k
       |  FROM pa)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -402,8 +430,11 @@ object BatchChecks {
       val stats = ProfileCols.map { c =>
         val base = s"count($c) AS np_$c, count(DISTINCT $c) AS nd_$c"
         val num =
-          if (NumCols.contains(c))
-            s", min($c)::DECIMAL(38,6) AS mn_$c, max($c)::DECIMAL(38,6) AS mx_$c"
+          if (c == "value")
+            s", floor(min($c) * 100 + 0.5)::BIGINT AS mn_$c," +
+              s" floor(max($c) * 100 + 0.5)::BIGINT AS mx_$c"
+          else if (NumCols.contains(c))
+            s", min($c)::BIGINT AS mn_$c, max($c)::BIGINT AS mx_$c"
           else ""
         val len =
           if (StrCols.contains(c))
@@ -413,29 +444,30 @@ object BatchChecks {
         base + num + len
       }.mkString(", ")
       val rows = ProfileCols.map { c =>
-        val mn = if (NumCols.contains(c)) s"mn_$c" else "NULL::DECIMAL(38,6)"
-        val mx = if (NumCols.contains(c)) s"mx_$c" else "NULL::DECIMAL(38,6)"
-        val p50 = if (PctCols.contains(c)) s"p50_$c" else "NULL::DOUBLE"
-        val p95 = if (PctCols.contains(c)) s"p95_$c" else "NULL::DOUBLE"
+        val mn = if (NumCols.contains(c)) s"mn_$c" else "NULL::BIGINT"
+        val mx = if (NumCols.contains(c)) s"mx_$c" else "NULL::BIGINT"
+        val p50 = if (PctCols.contains(c)) "p50_x10k" else "NULL::BIGINT"
+        val p95 = if (PctCols.contains(c)) "p95_x10k" else "NULL::BIGINT"
         val lmin = if (StrCols.contains(c)) s"lmin_$c" else "NULL::INT"
         val lmax = if (StrCols.contains(c)) s"lmax_$c" else "NULL::INT"
         val alen = if (StrCols.contains(c))
-          s"round(lsum_$c / np_$c * 10000) / 10000" else "NULL::DOUBLE"
+          s"(2 * lsum_$c * 10000 + np_$c) // (2 * np_$c)" else "NULL::BIGINT"
         s"""SELECT '$c' AS column_name, n, np_$c AS n_present,
            |  n - np_$c AS n_null,
-           |  round(100.0 * (n - np_$c) / n * 10000) / 10000 AS null_pct,
+           |  (2 * (n - np_$c) * 1000000 + n) // (2 * n) AS null_bp,
            |  nd_$c AS n_distinct,
            |  $mn AS min_num, $mx AS max_num,
-           |  $p50 AS p50_num, $p95 AS p95_num,
-           |  $lmin AS min_len, $lmax AS max_len, $alen AS avg_len
+           |  $p50 AS p50_x10k, $p95 AS p95_x10k,
+           |  $lmin AS min_len, $lmax AS max_len, $alen AS avg_len_x10k
            |FROM stats, pct""".stripMargin
       }.mkString("\n UNION ALL\n")
-      // p50/p95 of value from exact order statistics: integer rank
-      // compares, g via identical IEEE double ops ((nn-1)::DOUBLE *
-      // 0.95::DOUBLE - floor(...)), half-up rounding via floor(x*1e4+0.5)
-      // — mirrors valuePctRelation op-for-op so equality holds by
-      // construction across engine versions (r07's only red row was the
-      // empirical percentile/quantile_cont pairing drifting driver-side).
+      // Every emitted statistic is BIGINT (or INT/STRING): percentiles as
+      // exact-order-statistic ×10⁴ (valuePctCtes p50_x10k), averages and
+      // null shares as half-up integer-scaled ratios via pure BIGINT
+      // arithmetic, value min/max as half-up cents, long columns raw.
+      // Integer equality cannot diverge across DuckDB builds — the r07/r08
+      // driver gate proved double-derived emissions (round(), DECIMAL)
+      // can, with rows/schema green and only the hash red.
       s"""WITH base AS (
         |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |    value, props
@@ -447,15 +479,13 @@ object BatchChecks {
     },
 
     "q71_mad_outliers" ->
-      """WITH med AS (
-        |  SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM events GROUP BY event_type),
+      s"""WITH ${Pct.ctes("med", "events", Seq("event_type"), "value",
+            Seq("med" -> 0.5))},
         |dev AS (
         |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
         |  FROM events e JOIN med m ON e.event_type = m.event_type),
-        |mad AS (
-        |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
-        |  FROM dev GROUP BY event_type),
+        |${Pct.ctes("mad", "dev", Seq("event_type"), "absdev",
+            Seq("mad" -> 0.5))},
         |scored AS (
         |  SELECT d.event_type, d.value, d.med, a.mad,
         |    round(0.6745 * (d.value - d.med) / a.mad * 10000) / 10000 AS robust_z
@@ -478,10 +508,8 @@ object BatchChecks {
         |FROM hourly ORDER BY day, hr""".stripMargin,
 
     "q40_iqr_outliers" ->
-      """WITH quartiles AS (
-        |  SELECT event_type,
-        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
-        |  FROM events GROUP BY event_type),
+      s"""WITH ${Pct.ctes("quartiles", "events", Seq("event_type"), "value",
+            Seq("q1" -> 0.25, "q3" -> 0.75))},
         |fenced AS (
         |  SELECT e.event_type, value,
         |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
@@ -496,10 +524,10 @@ object BatchChecks {
         |FROM fenced GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q41_batch_check_suite" ->
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT *, epoch_us(ts) AS t_us, epoch_us(ts) // 1000000 AS ts_s,
         |    value - 50 AS lat,
-        |    CAST(json_extract_string(props, '$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
+        |    CAST(json_extract_string(props, '$$.k') AS INTEGER) * 3.6::DOUBLE - 180 AS lon
         |  FROM events),
         |legs AS (
         |  SELECT *, lag(value) OVER w AS pvalue, lag(t_us) OVER w AS pt_us
@@ -511,14 +539,15 @@ object BatchChecks {
         |      THEN (value - pvalue) / ((t_us - pt_us) / 1000000.0) END * 1000000) / 1000000 AS rate_r
         |  FROM legs),
         |stats AS (
-        |  SELECT quantile_cont(value, 0.25) AS v_q1, quantile_cont(value, 0.75) AS v_q3,
-        |    count(value) AS v_n,
+        |  SELECT count(value) AS v_n,
         |    sum(value::DECIMAL(25,2))::DOUBLE AS v_sum,
         |    sum((value * value)::DECIMAL(25,4))::DOUBLE AS v_sum2,
         |    count(rate_r) AS r_n,
         |    sum(rate_r::DECIMAL(25,6))::DOUBLE AS r_sum,
         |    sum((rate_r * rate_r)::DECIMAL(25,12))::DOUBLE AS r_sum2
         |  FROM derived),
+        |${Pct.ctes("vq", "base", Nil, "value",
+            Seq("v_q1" -> 0.25, "v_q3" -> 0.75))},
         |agged AS (
         |  SELECT count(*) AS n_rows,
         |    round((count(value) + count(user_id) + count(props)) / (3 * count(*)) * 1000000) / 1000000 AS completeness_score,
@@ -548,7 +577,7 @@ object BatchChecks {
         |      count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL AND
         |        (abs(lat) > 90 OR abs(lon) > 180 OR (abs(lat) < 0.1 AND abs(lon) < 0.1) OR abs(lat - lon) < 1e-9) THEN 1 END) /
         |      count(CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN 1 END)) * 1000000) / 1000000 AS coordinate_score,
-        |    round(count(CASE WHEN regexp_matches(props, '^\{.*\}$') THEN 1 END) / count(props) * 1000000) / 1000000 AS id_format_score,
+        |    round(count(CASE WHEN regexp_matches(props, '^\\{.*\\}$$') THEN 1 END) / count(props) * 1000000) / 1000000 AS id_format_score,
         |    round(count(CASE WHEN event_type IN ('click','view','purchase','signup','error') THEN 1 END) / count(event_type) * 1000000) / 1000000 AS domain_score,
         |    round(count(CASE WHEN ts_s <= 1706659200 AND ts_s >= 1706659200 - 3888000 THEN 1 END) / count(*) * 1000000) / 1000000 AS ts_consistency_score,
         |    round(count(CASE WHEN round(value * 100) / 100 = value THEN 1 END) / count(value) * 1000000) / 1000000 AS precision_score,
@@ -559,7 +588,7 @@ object BatchChecks {
         |      (count(CASE WHEN abs(value - v_sum / v_n) > 3.0 * sqrt(greatest((v_sum2 - v_sum * v_sum / v_n) / (v_n - 1), 0.0)) THEN 1 END) +
         |       count(CASE WHEN abs(rate_r - r_sum / r_n) > 3.0 * sqrt(greatest((r_sum2 - r_sum * r_sum / r_n) / (r_n - 1), 0.0)) THEN 1 END)
         |      ) / count(*)) * 1000000) / 1000000 AS anomaly_score
-        |  FROM derived CROSS JOIN stats),
+        |  FROM derived CROSS JOIN stats CROSS JOIN vq),
         |scored AS (
         |  SELECT *,
         |    (CASE WHEN completeness_score >= 0.8 THEN 1 ELSE 0 END +

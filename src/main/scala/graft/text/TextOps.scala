@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Exprs
+import graft.ops.{Exprs, Pct}
 
 /** Text-analysis and document-dedup operators for large-scale training-data
   * pipelines: token counting, quality scoring, language-ID heuristic,
@@ -1360,13 +1360,20 @@ object TextOps {
       .join(vocab, "tok")
       .crossJoin(broadcast(tot))
       .withColumn("c", Exprs.dround(-log(col("tf") / col("t_total")), 4))
+    // persisted: both the per-source rollup and the exact-median pass (Pct)
+    // consume ALL of perDoc — no consumer filter prunes below this boundary
+    // (the q118 persist caveat does not apply), and recomputing it would
+    // re-run the corpus explode + vocab join
     val perDoc = cost.groupBy(col("doc_id"), col("source")).agg(
-      Exprs.avgExact(col("c"), 4, 4).as("nll"))
+      Exprs.avgExact(col("c"), 4, 4).as("nll")).persist()
+    val medp = Pct.relation(perDoc, Seq("source"), "nll", Seq("mednll" -> 0.5))
     perDoc.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         Exprs.avgExact(col("nll"), 4, 4).as("avg_nll"),
-        Exprs.dround(expr("percentile(nll, 0.5)"), 4).as("med_nll"),
         count(when(col("nll") > flagThreshold, 1)).as("n_flagged"))
+      .join(broadcast(medp), "source")
+      .select(col("source"), col("n_docs"), col("avg_nll"),
+        Exprs.dround(col("mednll"), 4).as("med_nll"), col("n_flagged"))
       .orderBy(col("source"))
   }
 
@@ -1867,7 +1874,7 @@ object TextOps {
         |WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "q77_unigram_logprob" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
         |    x -> x <> '')) AS tok
         |  FROM documents),
@@ -1880,12 +1887,17 @@ object TextOps {
         |per_doc AS (
         |  SELECT doc_id, source,
         |    round(sum(c::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS nll
-        |  FROM cost GROUP BY doc_id, source)
-        |SELECT source, count(*) AS n_docs,
-        |  round(sum(nll::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS avg_nll,
-        |  round(quantile_cont(nll, 0.5) * 10000) / 10000 AS med_nll,
-        |  count(CASE WHEN nll > 3.45 THEN 1 END) AS n_flagged
-        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+        |  FROM cost GROUP BY doc_id, source),
+        |${Pct.ctes("medp", "per_doc", Seq("source"), "nll",
+            Seq("mednll" -> 0.5))},
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    round(sum(nll::DECIMAL(25,4))::DOUBLE / count(*) * 10000) / 10000 AS avg_nll,
+        |    count(CASE WHEN nll > 3.45 THEN 1 END) AS n_flagged
+        |  FROM per_doc GROUP BY source)
+        |SELECT source, n_docs, avg_nll,
+        |  round(mednll * 10000) / 10000 AS med_nll, n_flagged
+        |FROM agg JOIN medp USING (source) ORDER BY source""".stripMargin,
 
     "q76_corpus_funnel" ->
       """WITH corpus AS (

@@ -78,7 +78,7 @@ class QualitySpec extends SparkSpecBase {
       val n = r.getAs[Long]("n")
       assert(r.getAs[Long]("n_present") + r.getAs[Long]("n_null") === n)
       assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_present"))
-      assert(r.getAs[Double]("null_pct") >= 0.0)
+      assert(r.getAs[Long]("null_bp") >= 0L && r.getAs[Long]("null_bp") <= 1000000L)
     }
     val byName = rows.map(r => r.getAs[String]("column_name") -> r).toMap
     // event_id is the PK: fully present, fully distinct
