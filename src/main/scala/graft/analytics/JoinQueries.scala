@@ -375,13 +375,22 @@ object JoinQueries {
     * checks the join RESULT on the raw tables; bucketing must never change
     * answers, only plans. */
   def q127BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
-    val tag = java.lang.Long.toHexString(System.nanoTime())
+    // One bucketed layout per (JVM catalog, source dir): the table names are
+    // a pure function of `dir`, so re-invocations (Verify + Bench timing the
+    // query twice, stall retries) reuse the existing layout instead of
+    // leaking a fresh /tmp copy of orders+customer and two catalog entries
+    // per call — which is also the semantics the scaladoc claims (pay the
+    // partitioning once at ingest, never at query time).
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val (ot, ct) = (s"g_bkt_orders_$tag", s"g_bkt_customer_$tag")
-    graft.sources.Sources.writeBucketed(
-      Tables.orders(spark, dir), ot, s"$tmp/orders", "o_custkey", 8)
-    graft.sources.Sources.writeBucketed(
-      Tables.customer(spark, dir), ct, s"$tmp/customer", "c_custkey", 8)
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(spark, dir), ot, s"$tmp/orders", "o_custkey", 8)
+      graft.sources.Sources.writeBucketed(
+        Tables.customer(spark, dir), ct, s"$tmp/customer", "c_custkey", 8)
+    }
     spark.table(ot).hint("merge")
       .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))

@@ -39,9 +39,11 @@ final class ProbeKernel(probes: Array[Array[Double]]) extends Serializable {
 
   def nProbes: Int = k
 
-  /** Max over probes of cosine(a, probe). NaN cosines (zero-norm inputs)
-    * are skipped — callers guarantee non-degenerate vectors, as the ladder
-    * formulation's callers already did. */
+  /** Max over probes of cosine(a, probe). A NaN cosine (zero-norm query or
+    * probe vector) propagates as the result — NaN is the largest double
+    * under Spark's ordering, so this is exactly what the retired
+    * `greatest(cosine_sim(...), …)` ladder returned; a degenerate vector
+    * is loud (NaN output) rather than silently skipped. */
   def maxCosine(a: ArrayData, aFloat: Boolean): Double = {
     val na = a.numElements()
     val av = new Array[Double](na)
@@ -63,6 +65,7 @@ final class ProbeKernel(probes: Array[Array[Double]]) extends Serializable {
       var j = 0
       while (j < n) { dot += av(j) * flat(off + j); j += 1 }
       val c = dot / (sqa * norms(p))
+      if (java.lang.Double.isNaN(c)) return Double.NaN
       if (c > best) best = c
       p += 1
     }
@@ -90,6 +93,19 @@ case class MaxCosineProbes(child: Expression, probes: Array[Array[Double]])
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "max_cosine_probes"
+
+  // Array fields give a case class reference-based equals/hashCode, which
+  // defeats Catalyst canonicalization / common-subexpression elimination
+  // for structurally identical kernel calls — compare matrix CONTENTS.
+  override def equals(other: Any): Boolean = other match {
+    case m: MaxCosineProbes =>
+      child == m.child && java.util.Arrays.deepEquals(
+        probes.asInstanceOf[Array[AnyRef]], m.probes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      probes.asInstanceOf[Array[AnyRef]])
 
   private lazy val eF = child.dataType match {
     case ArrayType(FloatType, _) => true

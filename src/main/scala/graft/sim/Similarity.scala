@@ -437,10 +437,21 @@ object Similarity {
         typedlit(pv.map(_.toIndexedSeq).toIndexedSeq)))
   }
 
+  /** Probe relations are driver-resident by contract (a benchmark/probe
+    * set, not a data-sized relation); the cap makes a violated contract a
+    * loud error instead of a silent driver OOM. */
+  private val MaxCollectProbes = 100000
+
   private def collectProbeVecs(probes: DataFrame,
-                               probeEmbCol: String): Array[Array[Double]] =
-    probes.select(col(probeEmbCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+                               probeEmbCol: String): Array[Array[Double]] = {
+    val rows =
+      probes.select(col(probeEmbCol)).limit(MaxCollectProbes + 1).collect()
+    require(rows.length <= MaxCollectProbes,
+      s"probe relation exceeds $MaxCollectProbes rows — too large to collect " +
+        "into a plan-side kernel; use maxSimBroadcastAgg (variant B), the " +
+        "path for uncollectable probe relations")
+    rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
 
   /** Big-probe-set variant A — `max_sim_raw` as a ladder of literal
     * cosine-kernel calls NESTED in `maxLadderProbes`-wide `greatest`
