@@ -22,7 +22,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+
+  /** Documents with `doc_id`/`n_chars` NORMALIZED to long — the encoding-
+    * drift insurance the ts/embedding loaders carry (r6 lesson): a pandas
+    * producer can downcast the int64 ids to int32 (and ship large_string /
+    * dictionary-encoded text, which Spark absorbs natively), and every
+    * `getLong(doc_id)` consumer and committed-id arithmetic (`doc_id % k`
+    * plants, cluster labels) assumes 64-bit. No-op casts on the current
+    * data (Catalyst SimplifyCasts); pinned by DocumentsEncodingSpec. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "documents")
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    // n_chars is part of the driver schema but absent from some spec
+    // fixtures — normalize only when present
+    if (raw.columns.contains("n_chars"))
+      raw.withColumn("n_chars", col("n_chars").cast("long"))
+    else raw
+  }
 
   /** Embeddings with the vector column NORMALIZED to `array<float>` — the
     * same producer-drift insurance [[events]] carries for timestamps
@@ -30,11 +46,26 @@ object Tables {
     * (`getSeq[Float]` probe collects, the cosine/hyperplane kernels' typed
     * fast paths) assumes float32, and a regeneration that ships float64
     * would otherwise fail at runtime across the whole similarity family.
-    * When the stored type is already float32 the cast is eliminated by
-    * Catalyst (SimplifyCasts) — zero cost on the current data. */
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings")
-      .withColumn("embedding", col("embedding").cast("array<float>"))
+    * The float32 case is a no-op (no cast node at all); any OTHER stored
+    * type still gets the survival cast but is made LOUD, because the
+    * narrowing changes what precision-sensitive similarity oracles see
+    * versus the raw column DuckDB reads (r8 advice: never narrow
+    * silently). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "embeddings")
+      .withColumn("vec_id", col("vec_id").cast("long")) // getLong contract
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case other =>
+        System.err.println(
+          s"[graft.Tables] embeddings.embedding stored as $other, not " +
+            "array<float> — casting (narrowing!) so getSeq[Float] consumers " +
+            "survive; re-check precision-sensitive similarity oracles " +
+            "against the raw column before trusting a red hash")
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 
   /** Deterministic synthetic coordinates for the geo operators (q20/q30-q32):
     * lat = value - 50 ∈ [-50, 50], lon = 3.6·k - 180 ∈ [-180, 176.4]. ONE
