@@ -163,6 +163,8 @@ object SparkEntry {
     "q126_analyzer_summary" -> (Summaries.q126AnalyzerSummary(_, _)),
     "q127_bucketed_join"    -> (JoinQueries.q127BucketedJoin(_, _)),
     "q128_audio_frame_features" -> (Multimodal.q128AudioFrameFeatures(_, _)),
+    "q129_partition_audit"  -> (Dashboard.q129PartitionAudit(_, _)),
+    "q130_latency_profile"  -> (Dashboard.q130LatencyProfile(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -16,10 +16,11 @@ class CoreQueriesSpec extends SparkSpecBase {
   }
 
   test("every queries entry has an oracle or is explicitly rows-only") {
-    // ops that are genuinely not DuckDB-reproducible (sketches, seeded hashing)
+    // ops that are genuinely not DuckDB-reproducible (sketches, seeded
+    // hashing, Spark plan metadata)
     val rowsOnly = Set("q15_approx_distinct", "q25_minhash_lsh", "q27_ann_lsh",
       "q37_fingerprints", "q43_ann_ivf", "q46_approx_percentiles",
-      "q75_sketch_reagg")
+      "q75_sketch_reagg", "q129_partition_audit")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
