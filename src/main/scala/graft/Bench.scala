@@ -52,16 +52,19 @@ object Bench {
     // Stall mitigation: this host occasionally freezes queries for
     // 5-100x their normal time (CPU steal on the microVM — different
     // queries each run; observed 50s, 240s, 44s, 12s spikes on queries
-    // that run in 0.5-2s isolated). A query that took >5s AND >5x the
+    // that run in 0.5-2s isolated). A query that took >3s AND >4x the
     // suite median is re-run once (JIT-warm by now) and reports the
     // faster of the two; the JSON carries which queries were retried so
     // the number is never silently "better" than a single cold pass.
+    // (r8→r9: trigger lowered from >5s/>5x — r8's q88 "regression" was a
+    // 4.47s stall sliding just under the old threshold and polluting the
+    // round-over-round comparison for a file with no diff.)
     val median = {
       val ts = firstPass.map(_._3).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
     val results = firstPass.map { case (name, fn, t, err) =>
-      if (err.isEmpty && t > 5.0 && t > 5.0 * median) {
+      if (err.isEmpty && t > 3.0 && t > 4.0 * median) {
         val (t2, err2) = run1(name, fn)
         // A retry that errors must not overwrite a valid cold measurement:
         // keep the successful first pass and only use the rerun when it too
