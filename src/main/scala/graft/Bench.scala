@@ -59,22 +59,31 @@ object Bench {
     // (r8→r9: trigger lowered from >5s/>5x — r8's q88 "regression" was a
     // 4.47s stall sliding just under the old threshold and polluting the
     // round-over-round comparison for a file with no diff.)
+    // The lowered trigger also sweeps in queries that are GENUINELY ~3s
+    // warm (the dedup family sits at 3-4s with a ~0.65s suite median), so
+    // the report splits the retried set: "stall_retries" = the rerun came
+    // back ≥2x faster (a real freeze was clipped); "slow_confirmed" = the
+    // rerun reproduced the time (legitimately expensive query, no stall).
+    // Only the former should prompt cross-round regression suspicion.
     val median = {
       val ts = firstPass.map(_._3).sorted
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
+    // 4th field: 0 = not retried, 1 = retried + stall clipped (rerun ≥2x
+    // faster), 2 = retried + time confirmed (slow query, not a stall)
     val results = firstPass.map { case (name, fn, t, err) =>
       if (err.isEmpty && t > 3.0 && t > 4.0 * median) {
         val (t2, err2) = run1(name, fn)
         // A retry that errors must not overwrite a valid cold measurement:
         // keep the successful first pass and only use the rerun when it too
         // succeeded (then report the faster of the two).
-        if (err2.isEmpty) (name, math.min(t, t2), None, true)
-        else (name, t, err, true)
-      } else (name, t, err, false)
+        if (err2.isEmpty) (name, math.min(t, t2), None, if (t >= 2.0 * t2) 1 else 2)
+        else (name, t, err, 1)
+      } else (name, t, err, 0)
     }
     val calibAfter = calibrate()
-    val retried = results.filter(_._4).map(_._1)
+    val retried = results.filter(_._4 == 1).map(_._1)
+    val slowConfirmed = results.filter(_._4 == 2).map(_._1)
     val failed = results.filter(_._3.isDefined)
     val qs = results
       .map { case (k, v, _, _) => s"\"" + k + "\":" + v }
@@ -83,10 +92,11 @@ object Bench {
       .map { case (k, _, e, _) => s"\"" + k + "\":\"" + e.get.replace("\\", "/").replace("\"", "'") + "\"" }
       .mkString("{", ",", "}")
     val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val slowJson = slowConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val calib = f""""calib_before_s":$calibBefore%.3f,"calib_after_s":$calibAfter%.3f"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs,"stall_retries":$retriedJson,$calib}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failed.size},"errors":$errs,"stall_retries":$retriedJson,"slow_confirmed":$slowJson,$calib}"""
     println(line)
     // Harness tail-windows can cut the front off the ~3 KB full line, so
     // also (a) drop a copy on disk and (b) end with a compact summary —
@@ -95,7 +105,7 @@ object Bench {
     val qsShort = results
       .map { case (k, v, _, _) => s"\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","failed":${failed.size},"n_queries":${results.size},"stall_retries":$retriedJson,$calib}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","failed":${failed.size},"n_queries":${results.size},"stall_retries":$retriedJson,"slow_confirmed":$slowJson,$calib}""")
     failed.foreach { case (k, _, e, _) => System.err.println(s"BENCH FAIL $k: ${e.get}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
