@@ -48,6 +48,8 @@ object Pct {
   def relation(df: DataFrame, keys: Seq[String], valueCol: String,
                qs: Seq[(String, Double)]): DataFrame = {
     require(qs.nonEmpty, "at least one (alias, q) required")
+    require(qs.map(_._1).distinct.size == qs.size,
+      s"aliases must be unique, got ${qs.map(_._1)}")
     val keyCols = keys.map(col)
     val vc = df.where(col(valueCol).isNotNull)
       .groupBy((keys :+ valueCol).map(col): _*)
@@ -101,6 +103,10 @@ object Pct {
   def relationStacked(df: DataFrame, keys: Seq[String],
       cols: Seq[(String, Seq[(String, Double)])]): DataFrame = {
     require(cols.nonEmpty && cols.forall(_._2.nonEmpty))
+    // a duplicate alias would emit duplicate __a_/__b_/__g_ agg columns and
+    // only fail much later with an ambiguous-reference AnalysisException
+    require(cols.flatMap(_._2.map(_._1)).distinct.size == cols.map(_._2.size).sum,
+      s"aliases must be unique across all columns, got ${cols.flatMap(_._2.map(_._1))}")
     val keyCols = keys.map(col)
     val stacked = df.select(keyCols :+ explode(array(cols.map { case (c, _) =>
         struct(lit(c).as("__which"), col(c).cast("double").as("__v"))
@@ -153,6 +159,8 @@ object Pct {
   def ctes(tag: String, from: String, keys: Seq[String], valueExpr: String,
            qs: Seq[(String, Double)]): String = {
     require(qs.nonEmpty, "at least one (alias, q) required")
+    require(qs.map(_._1).distinct.size == qs.size,
+      s"aliases must be unique, got ${qs.map(_._1)}")
     val kSel = if (keys.isEmpty) "" else keys.mkString(", ") + ", "
     val kPart =
       if (keys.isEmpty) "" else "PARTITION BY " + keys.mkString(", ") + " "

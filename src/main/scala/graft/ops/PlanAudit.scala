@@ -26,15 +26,21 @@ object PlanAudit {
 
   /** One physical scan's audit row. `col_prune_pct` = share of the table's
     * columns NOT read (pure integer math). `scan_class` ranks the pruning
-    * that applied: partition_pruned > filter_pushdown > full_scan. */
+    * that applied: partition_pruned > filter_pushdown > full_scan.
+    * `table_bytes` is the WHOLE table's size (pre-pruning);
+    * `scanned_bytes` is the bytes of the files that survive partition
+    * pruning — the number the reference's efficiency score is actually
+    * about. On an unpartitioned table the two are equal. */
   case class ScanAudit(query_id: String, scan_idx: Int, scan_table: String,
                        n_cols_total: Int, n_cols_read: Int,
                        col_prune_pct: Long, pushed_filters: Boolean,
-                       partition_filtered: Boolean, file_bytes: Long,
-                       scan_class: String)
+                       partition_filtered: Boolean, table_bytes: Long,
+                       scanned_bytes: Long, scan_class: String)
 
   /** Audit every parquet scan in `df`'s physical plan (subqueries
-    * included). Plan-time only: nothing is executed. */
+    * included). Plan-time only: nothing is executed — `selectedPartitions`
+    * is a driver-side file-listing (the same one planning itself performs),
+    * not a job. */
   def auditScans(queryId: String, df: DataFrame): Seq[ScanAudit] = {
     val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
       case s: FileSourceScanExec => s
@@ -51,9 +57,10 @@ object PlanAudit {
         if (partFiltered) "partition_pruned"
         else if (pushed) "filter_pushdown"
         else "full_scan"
+      val scannedBytes = s.selectedPartitions.totalFileSize
       ScanAudit(queryId, i, table, total, read,
         if (total == 0) 0L else 100L * (total - read) / total,
-        pushed, partFiltered, s.relation.location.sizeInBytes, cls)
+        pushed, partFiltered, s.relation.location.sizeInBytes, scannedBytes, cls)
     }
   }
 }

@@ -21,10 +21,12 @@ class PlanAuditSpec extends SparkSpecBase {
       "q01_overview", "q03_hourly_trend", "q07_segment_performance",
       "q14_props_json", "q48_quality_filter", "q53_realtime_metrics"))
     // flat test parquet has no hive partitions: partition_filtered must be
-    // truthfully false everywhere, and every scan has real file bytes
+    // truthfully false everywhere, every scan has real file bytes, and with
+    // nothing pruned the scanned bytes equal the table bytes
     rows.values.foreach { r =>
       assert(!r.getAs[Boolean]("partition_filtered"))
-      assert(r.getAs[Long]("file_bytes") > 0L)
+      assert(r.getAs[Long]("table_bytes") > 0L)
+      assert(r.getAs[Long]("scanned_bytes") === r.getAs[Long]("table_bytes"))
       assert(r.getAs[Int]("n_cols_read") <= r.getAs[Int]("n_cols_total"))
     }
   }
@@ -67,5 +69,9 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(rows.length === 1)
     assert(rows.head.partition_filtered)
     assert(rows.head.scan_class === "partition_pruned")
+    // the audit's point: scanned bytes reflect the pruning (1 of 4 day
+    // partitions survives), table bytes the whole layout
+    assert(rows.head.scanned_bytes > 0L)
+    assert(rows.head.scanned_bytes < rows.head.table_bytes / 2)
   }
 }
