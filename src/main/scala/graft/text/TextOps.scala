@@ -137,9 +137,18 @@ object TextOps {
     * member of a pair (predicates over `doc_id`) — the incremental shape
     * (q96: old×new only) prunes the candidate join's output without
     * changing any surviving pair's score: denominators and the df cap are
-    * always computed over the full corpus. */
+    * always computed over the full corpus.
+    *
+    * `aJoinFilter` additionally prunes the LEFT join input AFTER the df-cap
+    * window (so df counts and denominators are untouched) — the hook the
+    * q96 bloom pre-filter rides. It must never drop a row whose shingle
+    * has a b-side join partner; any predicate with that guarantee leaves
+    * the output bitwise identical (rows it passes spuriously simply find
+    * no match). It sits above the window by construction — pushing it
+    * below would undercount df and change scores. */
   def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500,
-                   aSide: Column = lit(true), bSide: Column = lit(true)): DataFrame = {
+                   aSide: Column = lit(true), bSide: Column = lit(true),
+                   aJoinFilter: Column = lit(true)): DataFrame = {
     val sh = shingleRows(docs, n).distinct()
     // denominator counts via the native kernel: a per-row byte pass on the
     // document scan instead of a SECOND corpus explode + per-doc
@@ -154,7 +163,8 @@ object TextOps {
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf).drop("df")
-    val pairs = capped.filter(aSide).as("a").join(capped.filter(bSide).as("b"),
+    val pairs = capped.filter(aSide).filter(aJoinFilter).as("a")
+      .join(capped.filter(bSide).as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
@@ -1178,15 +1188,42 @@ object TextOps {
     * new-batch-sized, not corpus-sized. The near path reuses
     * [[jaccardPairs]] with its sides restricted to old×new (the candidate
     * join emits only cross-batch pairs — no old×old fan-out — while
-    * denominators and the df cap still see the full corpus); at 100 TB
-    * the old-side scan would additionally carry a shingle→batch bloom
-    * pre-filter with identical semantics. */
+    * denominators and the df cap still see the full corpus), and the OLD
+    * join input carries a shingle→batch bloom pre-filter: a bloom built
+    * over the NEW batch's raw shingle stream (a pushdown-pruned scan of
+    * the batch docs + partition-local kernel explode — no distinct, no
+    * shuffle: duplicate shingles re-set the same bits) probes the old
+    * side's capped shingle relation before the candidate join. The bloom
+    * is built over the small side by contract — the batch — so its bits
+    * stay sharp at ANY corpus size, and the relation it prunes is the
+    * corpus-scale one. Results are bitwise identical with the filter on
+    * or off: the raw new-side shingle set is a superset of the capped one
+    * the join matches against, blooms have no false negatives (same
+    * XxHash64 seed on both sides), and false positives merely pass old
+    * rows that find no join partner (DedupGateSpec pins the equality;
+    * PlanQualitySpec pins the might_contain filter in the plan). */
   def q96IncrementalDedup(spark: SparkSession, dir: String,
-                          splitId: Long = 400L): DataFrame = {
+                          splitId: Long = 400L,
+                          bloomPrefilter: Boolean = true): DataFrame = {
     val d = Tables.documents(spark, dir)
+    val aJoinFilter = if (!bloomPrefilter) lit(true) else {
+      graft.functions.BloomFunctions.register(spark)
+      // 2^22 bits (512 KiB serialized) for an expected ~1M distinct batch
+      // shingles — fixed at build time, so the collected literal is
+      // driver-safe by construction, not by guard
+      val bloom = shingleRows(d, 3).filter(col("doc_id") >= splitId)
+        .agg(call_function("graft_bloom_agg", col("s"),
+          lit(1000000L), lit(1L << 22)))
+        .head.getAs[Array[Byte]](0)
+      // an empty batch has no shingles, hence no near-dup candidates: the
+      // aggregate yields NULL and the join input legitimately empties
+      if (bloom == null) lit(false)
+      else call_function("graft_bloom_might_contain", lit(bloom), col("s"))
+    }
     incrementalDedupFrom(d,
       jaccardPairs(d, 3,
-        aSide = col("doc_id") < splitId, bSide = col("doc_id") >= splitId),
+        aSide = col("doc_id") < splitId, bSide = col("doc_id") >= splitId,
+        aJoinFilter = aJoinFilter),
       splitId)
   }
 

@@ -189,6 +189,18 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q96 near path carries the shingle→batch bloom probe on the old join " +
+      "input, and only there") {
+    val p = plan(graft.text.TextOps.q96IncrementalDedup(spark, Sf001))
+    // the collected batch bloom re-enters the plan as a literal probed by
+    // Spark's codegen'd might_contain — the pre-filter the scaladoc
+    // promises for the corpus-scale side of the candidate join
+    assert(p.contains("might_contain"), p.take(3000))
+    val pOff = plan(graft.text.TextOps.q96IncrementalDedup(spark, Sf001,
+      bloomPrefilter = false))
+    assert(!pOff.contains("might_contain"), pOff.take(3000))
+  }
+
   test("q94 centroid pairing stays an equi-join over the dim key") {
     val p = plan(graft.sim.Similarity.q94CentroidCosine(spark, Sf001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -194,6 +194,24 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out("s2") === ((1L, 0L, 0L, 1L)))
   }
 
+  test("q96 bloom pre-filter: results bitwise identical with the filter on " +
+      "and off, and an empty batch yields the same (empty) gate either way") {
+    val withBloom = TextOps.q96IncrementalDedup(spark, Sf001, 400L,
+      bloomPrefilter = true).collect().toSeq
+    val without = TextOps.q96IncrementalDedup(spark, Sf001, 400L,
+      bloomPrefilter = false).collect().toSeq
+    assert(withBloom === without)
+    assert(withBloom.nonEmpty)
+    // splitId beyond every doc_id: the batch is empty, the bloom aggregate
+    // yields NULL, and the gate must degrade to the same empty rollup the
+    // unfiltered path produces — not throw on the NULL filter
+    val emptyBatchBloom = TextOps.q96IncrementalDedup(spark, Sf001, Long.MaxValue,
+      bloomPrefilter = true).collect().toSeq
+    val emptyBatchPlain = TextOps.q96IncrementalDedup(spark, Sf001, Long.MaxValue,
+      bloomPrefilter = false).collect().toSeq
+    assert(emptyBatchBloom === emptyBatchPlain)
+  }
+
   test("sharedPairs: one persisted shingle-pair relation feeds q24/q59/q96 " +
       "with cached-plan reuse and results identical to the standalone entries") {
     val docs = Tables.documents(spark, Sf001)
