@@ -165,6 +165,9 @@ object SparkEntry {
     "q128_audio_frame_features" -> (Multimodal.q128AudioFrameFeatures(_, _)),
     "q129_partition_audit"  -> (Dashboard.q129PartitionAudit(_, _)),
     "q130_latency_profile"  -> (Dashboard.q130LatencyProfile(_, _)),
+    // rows-only: writer-benchmark timings are machine facts (EtlBenchSpec
+    // pins the config-independent invariants)
+    "q131_etl_benchmark"    -> (graft.ops.EtlBench.q131EtlBenchmark(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EtlBench
+
+/** Pins q131's config-independent invariants (the relation itself is
+  * rows-only in the driver gate — timings are machine facts):
+  * every writer scenario must produce byte-identical ROW CONTENTS, the
+  * uncompressed baseline must not be smaller than the compressed variants,
+  * and the entry must clean up its scratch outputs. */
+class EtlBenchSpec extends SparkSpecBase {
+
+  test("all writer scenarios produce identical row contents") {
+    import spark.implicits._
+    // low-cardinality strings that arrive UNCLUSTERED (hash-scrambled, so
+    // the in-partition sort genuinely creates runs for RLE/dictionary to
+    // exploit) + a long payload correlated with the sort key; enough rows
+    // that codecs visibly bite, small enough to stay fast
+    val etype = concat(lit("etype_"), pmod(xxhash64(col("id")), lit(5)).cast("string"))
+    val src = spark.range(0, 50000).select(
+      col("id"),
+      etype.as("event_type"),
+      pmod(xxhash64(col("id"), lit(7)), lit(97)).as("user_id"),
+      concat(lit("payload_"), repeat(etype, 8)).as("payload"))
+    val tmp = java.nio.file.Files.createTempDirectory("etlbench_spec").toString
+    EtlBench.runScenarios(src, tmp)
+    def contentHash(path: String): Long = {
+      val df = spark.read.parquet(path)
+      df.select(xxhash64(struct(df.columns.sorted.map(col).toIndexedSeq: _*)).as("h"))
+        .agg(sum(col("h").cast("decimal(38,0)"))).head.getDecimal(0).longValue
+    }
+    val hashes = EtlBench.scenarios.map(sc => sc.name -> contentHash(s"$tmp/${sc.name}"))
+    assert(hashes.map(_._2).distinct.size === 1,
+      s"writer configs changed row contents: $hashes")
+    // compression must never grow the data on a repetitive corpus: the
+    // uncompressed/undictionaried baseline is the upper bound
+    val bytes = EtlBench.scenarios.map { sc =>
+      sc.name -> new java.io.File(s"$tmp/${sc.name}").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    }.toMap
+    EtlBench.scenarios.filter(_.name != "s1_baseline").foreach { sc =>
+      assert(bytes(sc.name) < bytes("s1_baseline"),
+        s"${sc.name} did not compress below baseline: $bytes")
+    }
+    // the sorted snappy layout must beat unsorted snappy: sorting clusters
+    // equal values so dictionary/RLE pages bite — the scenario ladder's point
+    assert(bytes("s3_snappy_sorted") <= bytes("s2_snappy_dictionary"), bytes.toString)
+  }
+
+  test("q131 relation: one row per scenario, sane derived metrics, no scratch leak") {
+    val tmpBefore = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().count(_.getName.startsWith("graft_etlbench"))
+    val rows = EtlBench.q131EtlBenchmark(spark, Sf0001).collect()
+    val tmpAfter = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().count(_.getName.startsWith("graft_etlbench"))
+    assert(tmpAfter === tmpBefore, "q131 leaked scratch output directories")
+    assert(rows.map(_.getAs[String]("scenario")).toSeq ===
+      EtlBench.scenarios.map(_.name))
+    val nRows = rows.map(_.getAs[Long]("n_rows")).distinct
+    assert(nRows.length === 1 && nRows.head > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("output_bytes") > 0L)
+      assert(r.getAs[Long]("records_per_sec") > 0L)
+      assert(r.getAs[Long]("speedup_x100") > 0L)
+    }
+    val base = rows.find(_.getAs[String]("scenario") == "s1_baseline").get
+    assert(base.getAs[Long]("bytes_pct_of_baseline") === 100L)
+    assert(base.getAs[Long]("speedup_x100") === 100L)
+  }
+}
