@@ -168,6 +168,8 @@ object SparkEntry {
     // rows-only: writer-benchmark timings are machine facts (EtlBenchSpec
     // pins the config-independent invariants)
     "q131_etl_benchmark"    -> (graft.ops.EtlBench.q131EtlBenchmark(_, _)),
+    // rows-only: warm/cold wall times are machine facts (WarmColdSpec)
+    "q132_warm_cold_profile" -> (graft.ops.WarmCold.q132WarmColdProfile(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+/** q132: warm/cold execution profile as a relation — the TimeQ rep1/rep2
+  * split promoted from PLANS.md bookkeeping to a queryable output,
+  * completing the self-observability family (q103 cost audit: which query
+  * is expensive; q129 scan audit: why its scan is; q130 latency
+  * percentiles; q132: how much of a measured time is one-time
+  * JIT/codegen/IO-cache warmup vs steady state). The motivating use is
+  * cross-round regression triage on a noisy host: cold times carry 3-10x
+  * of compile warmup and CPU-steal exposure, so rounds should compare
+  * WARM times (CLAUDE.md bench gotchas; the r9->r10 "regression" list was
+  * cleared exactly this way).
+  *
+  * `codegen_pct` is the share of physical operators inside
+  * WholeStageCodegen spans in the final (post-AQE) executed plan — the
+  * "widen the codegen spans" dial made measurable per query.
+  *
+  * Timings are machine facts: rows-only in the driver gate; WarmColdSpec
+  * pins the structure (one row per query, positive times, codegen share
+  * in range and high for a simple agg, checksum equality across reps). */
+object WarmCold {
+
+  /** Count operators in/out of codegen spans. A WholeStageCodegenExec's
+    * span covers its subtree up to (exclusive) InputAdapter boundaries;
+    * wrapper nodes themselves are bookkeeping, not operators, so neither
+    * counts toward the denominator. AQE wrappers are unwrapped to the
+    * final plan; subquery plans are included. */
+  def codegenCounts(plan: SparkPlan): (Int, Int) = {
+    def walk(p: SparkPlan, inSpan: Boolean): (Int, Int) = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan, inSpan)
+      // AQE stage wrappers have NO children — the materialized subtree
+      // hangs off .plan, so a plain child walk would stop at every stage
+      // boundary and see a 1-node plan
+      case q: QueryStageExec => walk(q.plan, inSpan)
+      case w: WholeStageCodegenExec => walk(w.child, inSpan = true)
+      case ia: InputAdapter => walk(ia.child, inSpan = false)
+      case op =>
+        val self = (1, if (inSpan) 1 else 0)
+        val kids = (op.children ++ op.subqueries).map(walk(_, inSpan))
+        ((self +: kids).map(_._1).sum, (self +: kids).map(_._2).sum)
+    }
+    walk(plan, inSpan = false)
+  }
+
+  private case class Prof(query_id: String, cold_ms: Long, warm_ms: Long,
+                          warmup_pct: Long, codegen_pct: Long, n_ops: Long)
+
+  /** Profile `names` (keys of SparkEntry.queries): run each twice with the
+    * Bench checksum action (forcing every output column — a bare count()
+    * lets pruning delete the work under test), report per-query cold/warm
+    * wall ms, warmup share, and the codegen share of the executed plan.
+    * Integer arithmetic throughout (half-up). */
+  def warmColdProfile(spark: SparkSession, dir: String,
+                      names: Seq[String]): DataFrame = {
+    val rows = names.map { n =>
+      def run(): (Long, SparkPlan) = {
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        val chk = df
+          .select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
+          .agg(bit_xor(col("h")))
+        val t0 = System.nanoTime()
+        chk.collect()
+        // introspect the plan the action MATERIALIZED (AQE only collapses
+        // stages into WholeStageCodegen spans at execution; an unexecuted
+        // sibling plan reports zero codegen)
+        (math.max(1L, (System.nanoTime() - t0) / 1000000L),
+          chk.queryExecution.executedPlan)
+      }
+      val (cold, _) = run()
+      val (warm, plan) = run()
+      val (total, inGen) = codegenCounts(plan)
+      Prof(n, cold, warm,
+        (2 * math.max(0L, cold - warm) * 100 + cold) / (2 * cold),
+        if (total == 0) 0L else (2 * inGen.toLong * 100 + total) / (2 * total),
+        total.toLong)
+    }
+    import spark.implicits._
+    rows.toDF().orderBy(col("query_id"))
+  }
+
+  /** The q132 driver entry: a cheap representative trio (scan+agg with
+    * arg-extrema, JSON-projection, pushdown time-range) so the relation's
+    * own bench cost stays ~2s — each profiled query re-executes twice.
+    * Regression triage on the expensive families calls [[warmColdProfile]]
+    * with those names directly — the TimeQ workflow as a relation. */
+  def q132WarmColdProfile(spark: SparkSession, dir: String): DataFrame =
+    warmColdProfile(spark, dir,
+      Seq("q14_props_json", "q50_arg_extrema", "q53_realtime_metrics"))
+}
