@@ -12,19 +12,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: absorb JIT/codegen/IO-cache startup outside the timed loop
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
-    // force every output column: a bare count() lets column pruning delete
-    // the very expressions being benchmarked (windows, scores).
-    // bit_xor (not sum) folds the per-row hashes: xxhash64 spans the full
-    // Long range, so sum() overflows under ANSI mode and aborts the job.
+    // the forcing action lives in BenchReport.checksummed (shared with the
+    // q132 warm/cold profiler so the two measurements stay comparable)
     import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
     def run1(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err =
         try {
-          val df = fn(spark, sfDir)
-          df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
-            .agg(bit_xor(col("h"))).collect()
+          BenchReport.checksummed(fn(spark, sfDir)).collect()
           None
         } catch { case e: Throwable => Some(e.toString.takeWhile(_ != '\n').take(200)) }
       ((System.nanoTime() - t0) / 1e9, err)
@@ -66,7 +62,8 @@ object Bench {
       if (ts.isEmpty) 0.0 else ts(ts.size / 2)
     }
     val results: Seq[BenchReport.QRes] = firstPass.map { case (name, fn, t, err) =>
-      if (err.isEmpty && BenchReport.shouldRetry(t, median))
+      if (err.isEmpty && !BenchReport.retryExempt(name) &&
+          BenchReport.shouldRetry(t, median))
         BenchReport.classifyRetry(name, t, run1(name, fn))
       else (name, t, err, 0)
     }

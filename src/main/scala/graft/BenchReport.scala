@@ -38,6 +38,25 @@ object BenchReport {
   /** Slowest-N queries kept in the map when the budget forces truncation. */
   val TruncKeep = 60
 
+  /** The checksum action both Bench and the q132 profiler time: force every
+    * output column (a bare count() lets column pruning delete the very
+    * expressions under test) and fold per-row xxhash64 with bit_xor — NOT
+    * sum, which overflows the full Long range under ANSI mode and aborts
+    * the job. One definition so the two measurements can never
+    * desynchronize. */
+  def checksummed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
+    df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
+      .agg(bit_xor(col("h")))
+  }
+
+  /** Benchmark-relation queries whose cost IS deliberate repeated work
+    * (q131 runs four sf-scale writes, q132 re-executes a query trio twice).
+    * They exceed any median-based trigger every round by construction, so a
+    * retry proves nothing about host stalls and just doubles their cost —
+    * exempt. */
+  val retryExempt: Set[String] = Set("q131_etl_benchmark", "q132_warm_cold_profile")
+
   /** Retry trigger. r9 used `t > 3s && t > 4x median`, which let q49 regress
     * 5.3x (0.51s -> 2.68s) invisibly under the absolute floor; the floor is
     * now 1s so any many-fold regression of a sub-second query gets a rerun. */

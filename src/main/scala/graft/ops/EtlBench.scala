@@ -66,6 +66,12 @@ object EtlBench {
     * caller to inspect or delete. */
   def runScenarios(src: DataFrame, tmp: String): Seq[Measurement] = {
     val n = src.count()
+    // untimed warm-up write: the FIRST parquet write in a JVM pays one-time
+    // writer/codec class-load and JIT cost (the rep1-inflation rule from
+    // the bench notes); without this the baseline scenario — always first —
+    // absorbs it and every speedup_x100 conflates codec effect with warmup.
+    // A small slice warms the write path without a second full pass.
+    writeScenario(src.limit(1000), scenarios.head, s"$tmp/__warmup")
     scenarios.map { sc =>
       val out = s"$tmp/${sc.name}"
       val t0 = System.nanoTime()
@@ -86,8 +92,10 @@ object EtlBench {
       try runScenarios(graft.Tables.events(spark, dir), tmp.toString)
       finally { // measurements are kept, scratch bytes are not
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(tmp) // holds directory handles
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     val base = ms.find(_.scenario == "s1_baseline").get
     val rows = ms.map { m =>

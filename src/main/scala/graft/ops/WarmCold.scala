@@ -41,7 +41,10 @@ object WarmCold {
       case ia: InputAdapter => walk(ia.child, inSpan = false)
       case op =>
         val self = (1, if (inSpan) 1 else 0)
-        val kids = (op.children ++ op.subqueries).map(walk(_, inSpan))
+        // subquery plans execute separately and are never compiled into
+        // the enclosing span — they re-enter the walk OUTSIDE it
+        val kids = op.children.map(walk(_, inSpan)) ++
+          op.subqueries.map(walk(_, inSpan = false))
         ((self +: kids).map(_._1).sum, (self +: kids).map(_._2).sum)
     }
     walk(plan, inSpan = false)
@@ -59,11 +62,14 @@ object WarmCold {
                       names: Seq[String]): DataFrame = {
     val rows = names.map { n =>
       def run(): (Long, SparkPlan) = {
-        val df = graft.SparkEntry.queries(n)(spark, dir)
-        val chk = df
-          .select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
-          .agg(bit_xor(col("h")))
+        // the timer starts BEFORE construction, matching Bench.run1: some
+        // entries run driver-side jobs while building the DataFrame (q96's
+        // bloom collect, q127's first-call bucketed writes) and a profile
+        // that excluded them would attribute a regression to the wrong
+        // phase for exactly the queries being triaged
         val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(n)(spark, dir)
+        val chk = graft.BenchReport.checksummed(df)
         chk.collect()
         // introspect the plan the action MATERIALIZED (AQE only collapses
         // stages into WholeStageCodegen spans at execution; an unexecuted

@@ -139,13 +139,18 @@ object TextOps {
     * changing any surviving pair's score: denominators and the df cap are
     * always computed over the full corpus.
     *
-    * `aJoinFilter` additionally prunes the LEFT join input AFTER the df-cap
-    * window (so df counts and denominators are untouched) — the hook the
+    * `aJoinFilter` additionally prunes the LEFT join input — the hook the
     * q96 bloom pre-filter rides. It must never drop a row whose shingle
     * has a b-side join partner; any predicate with that guarantee leaves
     * the output bitwise identical (rows it passes spuriously simply find
-    * no match). It sits above the window by construction — pushing it
-    * below would undercount df and change scores. */
+    * no match). It is PLACED above the df-cap window, but Catalyst may
+    * legitimately push a predicate on `s` below it: that is still
+    * semantics-preserving, because `s` is the window's partition key, so
+    * whole partitions drop and every SURVIVING row's df is unchanged (the
+    * b-side branch is a separate plan reference and keeps full df either
+    * way). The safety argument is key-granularity, not plan position — a
+    * predicate on `doc_id` would NOT be safe below the window, so keep
+    * `aJoinFilter` a function of `s` only. */
   def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500,
                    aSide: Column = lit(true), bSide: Column = lit(true),
                    aJoinFilter: Column = lit(true)): DataFrame = {

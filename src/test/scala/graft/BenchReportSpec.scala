@@ -78,4 +78,11 @@ class BenchReportSpec extends AnyFunSuite {
     // rerun errored -> category 3, valid cold measurement kept
     assert(BenchReport.classifyRetry("q", 3.5, (0.1, Some("err"))) === (("q", 3.5, None, 3)))
   }
+
+  test("benchmark-relation queries are retry-exempt and exist in the suite") {
+    // the exemption names real queries: a rename would silently re-enable
+    // the pointless (and expensive) retry of deliberate repeated work
+    BenchReport.retryExempt.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"retryExempt names unknown query $n"))
+  }
 }

@@ -23,6 +23,18 @@ class EtlBenchSpec extends SparkSpecBase {
       pmod(xxhash64(col("id"), lit(7)), lit(97)).as("user_id"),
       concat(lit("payload_"), repeat(etype, 8)).as("payload"))
     val tmp = java.nio.file.Files.createTempDirectory("etlbench_spec").toString
+    try testScenarios(src, tmp)
+    finally { // the spec owns its scratch the way q131 owns its own
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    }
+  }
+
+  private def testScenarios(src: org.apache.spark.sql.DataFrame, tmp: String): Unit = {
     EtlBench.runScenarios(src, tmp)
     def contentHash(path: String): Long = {
       val df = spark.read.parquet(path)
