@@ -212,6 +212,40 @@ class TextOpsSpec extends SparkSpecBase {
     assert(emptyBatchBloom === emptyBatchPlain)
   }
 
+  test("q96 bloom pre-filter PRUNES: a disjoint-vocabulary old corpus loses " +
+      "essentially its whole join input to the probe") {
+    import spark.implicits._
+    // old docs speak vocabulary a*, the new batch speaks w* — no shared
+    // 3-gram exists, so an effective pre-filter must reject (almost) every
+    // old shingle; only bloom false positives may survive
+    val dir = java.nio.file.Files.createTempDirectory("bloomprune").toString
+    val docs = (0L until 100L).map(i =>
+        (i, s"a${i} a${i + 1} a${i + 2} a${i + 3} a${i + 4} a${i + 5}", "old", 1L)) ++
+      Seq((400L, "w1 w2 w3 w4 w5 w6 w7 w8", "new", 1L))
+    docs.toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = Tables.documents(spark, dir)
+    graft.functions.BloomFunctions.register(spark)
+    val bloom = TextOps.shingleRows(d, 3).filter(col("doc_id") >= 400L)
+      .agg(call_function("graft_bloom_agg", col("s"), lit(1000000L), lit(1L << 22)))
+      .head.getAs[Array[Byte]](0)
+    val oldShingles = TextOps.shingleRows(d, 3).filter(col("doc_id") < 400L)
+    val total = oldShingles.count()
+    val surviving = oldShingles
+      .filter(call_function("graft_bloom_might_contain", lit(bloom), col("s")))
+      .count()
+    assert(total >= 300L, s"corpus construction broke: $total old shingles")
+    // 2^22 bits for ~6 batch shingles: the false-positive rate is
+    // astronomically small — anything surviving beyond a stray row means
+    // the probe is not actually keyed on the batch's shingle set
+    assert(surviving <= total / 100,
+      s"bloom pre-filter failed to prune: $surviving of $total old shingles passed")
+    // and the gate output is still identical with the filter on
+    assert(TextOps.q96IncrementalDedup(spark, dir, 400L).collect().toSeq ===
+      TextOps.q96IncrementalDedup(spark, dir, 400L, bloomPrefilter = false)
+        .collect().toSeq)
+  }
+
   test("sharedPairs: one persisted shingle-pair relation feeds q24/q59/q96 " +
       "with cached-plan reuse and results identical to the standalone entries") {
     val docs = Tables.documents(spark, Sf001)
