@@ -79,6 +79,23 @@ class BenchReportSpec extends AnyFunSuite {
     assert(BenchReport.classifyRetry("q", 3.5, (0.1, Some("err"))) === (("q", 3.5, None, 3)))
   }
 
+  test("driver tail-window simulation: the last complete JSON line inside " +
+      "the final 2000 chars of stdout parses and describes the whole suite") {
+    // exactly what the driver does: keep the last 2000 chars of stdout,
+    // find the last complete JSON line, json-parse it. Both failure modes
+    // that cost past rounds — a prefix on the line (r1-4) and a compact
+    // line longer than the window (r9) — would break this test.
+    val rs = mkResults(150) // current suite + headroom
+    val stdout = BenchReport.fullLine(rs, "/root/testdata/sf0.1", 0.342, 0.339) +
+      "\n" + BenchReport.compactLine(rs, "/root/testdata/sf0.1", 0.342, 0.339) + "\n"
+    val tail = stdout.takeRight(2000)
+    val lastJson = tail.split('\n').filter(l => l.startsWith("{") && l.endsWith("}")).lastOption
+    assert(lastJson.isDefined, s"no complete JSON line in the tail window:\n$tail")
+    val j = parse(lastJson.get)
+    assert(j.get("n_queries").asInt === 150)
+    assert(j.get("metric").asText === "total")
+  }
+
   test("benchmark-relation queries are retry-exempt and exist in the suite") {
     // the exemption names real queries: a rename would silently re-enable
     // the pointless (and expensive) retry of deliberate repeated work
