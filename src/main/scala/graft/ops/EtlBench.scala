@@ -28,21 +28,29 @@ import org.apache.spark.sql.functions._
 object EtlBench {
 
   /** (name, parquet compression codec, dictionary encoding on, sort within
-    * partitions by the low-cardinality keys first). */
+    * partitions by the low-cardinality keys first, write through the
+    * bounded-retry recovery wrapper). */
   final case class Scenario(name: String, compression: String,
-                            dictionary: Boolean, sorted: Boolean)
+                            dictionary: Boolean, sorted: Boolean,
+                            recovery: Boolean = false)
 
   /** baseline = no codec, no dictionary, arrival order — the reference's
     * un-optimized converter; the rest layer the writer's levers the way
-    * the reference layers optimized_conversion → full_optimization. */
+    * the reference layers optimized_conversion → full_optimization, and
+    * s5 mirrors its with_error_recovery scenario: the same write through
+    * an attempt-bounded recovery wrapper, measuring the harness's
+    * success-path overhead (which should be ~nothing — that is the
+    * scenario's finding, not a flaw). */
   val scenarios: Seq[Scenario] = Seq(
     Scenario("s1_baseline", "none", dictionary = false, sorted = false),
     Scenario("s2_snappy_dictionary", "snappy", dictionary = true, sorted = false),
     Scenario("s3_snappy_sorted", "snappy", dictionary = true, sorted = true),
-    Scenario("s4_zstd_sorted", "zstd", dictionary = true, sorted = true))
+    Scenario("s4_zstd_sorted", "zstd", dictionary = true, sorted = true),
+    Scenario("s5_with_recovery", "snappy", dictionary = true, sorted = false,
+      recovery = true))
 
   final case class Measurement(scenario: String, n_rows: Long, n_files: Long,
-                               output_bytes: Long, wall_ms: Long)
+                               output_bytes: Long, wall_ms: Long, attempts: Long)
 
   /** Write `src` under one scenario's writer config to `out`. Public so the
     * spec drives the exact production write path when pinning that every
@@ -54,6 +62,28 @@ object EtlBench {
       .option("compression", sc.compression)
       .option("parquet.enable.dictionary", sc.dictionary.toString)
       .parquet(out)
+  }
+
+  /** Attempt-bounded write under [[graft.flight.Flight.RetryPolicy]]
+    * semantics (maxAttempts, exponential cool-down capped at maxDelayS) —
+    * the batch-write analog of the DLQ replay policy. Returns the attempts
+    * used; rethrows once the budget is spent. A healthy write uses exactly
+    * one attempt, so the success path's measurable overhead is the wrapper
+    * itself. */
+  def writeWithRecovery(src: DataFrame, sc: Scenario, out: String,
+      policy: graft.flight.Flight.RetryPolicy = graft.flight.Flight.RetryPolicy()): Long = {
+    var attempt = 1
+    while (true) {
+      try { writeScenario(src, sc, out); return attempt.toLong }
+      catch {
+        case e: Throwable if attempt < policy.maxAttempts =>
+          val delayS = math.min(policy.maxDelayS,
+            policy.baseDelayS * math.pow(policy.backoffMultiplier, attempt - 1))
+          Thread.sleep((delayS * 1000).toLong)
+          attempt += 1
+      }
+    }
+    attempt.toLong // unreachable; satisfies the definite-return check
   }
 
   private def dirStats(path: java.io.File): (Long, Long) = {
@@ -75,10 +105,12 @@ object EtlBench {
     scenarios.map { sc =>
       val out = s"$tmp/${sc.name}"
       val t0 = System.nanoTime()
-      writeScenario(src, sc, out)
+      val attempts =
+        if (sc.recovery) writeWithRecovery(src, sc, out)
+        else { writeScenario(src, sc, out); 1L }
       val wallMs = math.max(1L, (System.nanoTime() - t0) / 1000000L)
       val (files, bytes) = dirStats(new java.io.File(out))
-      Measurement(sc.name, n, files, bytes, wallMs)
+      Measurement(sc.name, n, files, bytes, wallMs, attempts)
     }
   }
 
@@ -99,14 +131,14 @@ object EtlBench {
       }
     val base = ms.find(_.scenario == "s1_baseline").get
     val rows = ms.map { m =>
-      (m.scenario, m.n_rows, m.n_files, m.output_bytes, m.wall_ms,
+      (m.scenario, m.n_rows, m.n_files, m.output_bytes, m.wall_ms, m.attempts,
         (2 * m.n_rows * 1000 + m.wall_ms) / (2 * m.wall_ms),
         (2 * m.output_bytes * 100 + base.output_bytes) / (2 * base.output_bytes),
         (2 * base.wall_ms * 100 + m.wall_ms) / (2 * m.wall_ms))
     }
     import spark.implicits._
     rows.toDF("scenario", "n_rows", "n_files", "output_bytes", "wall_ms",
-        "records_per_sec", "bytes_pct_of_baseline", "speedup_x100")
+        "attempts", "records_per_sec", "bytes_pct_of_baseline", "speedup_x100")
       .orderBy(col("scenario"))
   }
 }

@@ -78,5 +78,39 @@ class EtlBenchSpec extends SparkSpecBase {
     val base = rows.find(_.getAs[String]("scenario") == "s1_baseline").get
     assert(base.getAs[Long]("bytes_pct_of_baseline") === 100L)
     assert(base.getAs[Long]("speedup_x100") === 100L)
+    // healthy writes use exactly one attempt everywhere, including the
+    // recovery-wrapped scenario - its point is that the harness's
+    // success-path overhead is ~nothing
+    rows.foreach(r => assert(r.getAs[Long]("attempts") === 1L))
   }
+
+  test("writeWithRecovery: retries a transient failure, rethrows a permanent one") {
+    import org.apache.spark.sql.functions.udf
+    val tmp = java.nio.file.Files.createTempDirectory("etlbench_retry").toString
+    val fastPolicy = graft.flight.Flight.RetryPolicy(
+      maxAttempts = 3, baseDelayS = 0.001, maxDelayS = 0.002)
+    // transient: fails on the first evaluation pass, succeeds after - the
+    // wrapper must absorb it and report the attempts used
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    FlakyOnce.trigger = () => calls.incrementAndGet() <= 1
+    val flaky = udf((id: Long) =>
+      if (FlakyOnce.trigger()) throw new RuntimeException("transient") else id)
+    val src = spark.range(0, 10).select(flaky(org.apache.spark.sql.functions.col("id")).as("id"))
+    val attempts = EtlBench.writeWithRecovery(
+      src, EtlBench.scenarios.head, s"$tmp/transient", fastPolicy)
+    assert(attempts >= 2L, s"transient failure was not retried ($attempts)")
+    assert(spark.read.parquet(s"$tmp/transient").count() === 10L)
+    // permanent: budget spent, the original failure must surface
+    FlakyOnce.trigger = () => true
+    intercept[Throwable] {
+      EtlBench.writeWithRecovery(
+        src, EtlBench.scenarios.head, s"$tmp/permanent", fastPolicy)
+    }
+  }
+}
+
+/** Serializable closure state for the flaky-write test (a plain var in the
+  * spec would drag the non-serializable suite into the UDF closure). */
+object FlakyOnce {
+  @volatile var trigger: () => Boolean = () => false
 }
