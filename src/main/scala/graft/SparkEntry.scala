@@ -170,6 +170,7 @@ object SparkEntry {
     "q131_etl_benchmark"    -> (graft.ops.EtlBench.q131EtlBenchmark(_, _)),
     // rows-only: warm/cold wall times are machine facts (WarmColdSpec)
     "q132_warm_cold_profile" -> (graft.ops.WarmCold.q132WarmColdProfile(_, _)),
+    "q133_cache_recommendations" -> (Dashboard.q133CacheRecommendations(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -379,7 +379,115 @@ object Dashboard {
       .orderBy(col("service"))
   }
 
+  /** q133: cache-opportunity recommendations — the reference optimizer's
+    * `analyze_caching_opportunities` (`cost-optimization/query-optimization/
+    * query_optimizer.py:510-601`: normalize query texts to patterns, keep
+    * patterns seen ≥2 times, tier an estimated hit rate by frequency
+    * (≥10→0.8, ≥5→0.6, else 0.4), pick a cache strategy by avg cost / avg
+    * execution time, estimate monthly savings = total_cost·hit_rate·4, and
+    * recommend when savings exceed \$10/month).
+    *
+    * The query log is the q103 synthetic rule at the (event_type, day)
+    * grain; the reference's text normalization collapses a query family
+    * that differs only in its date literal onto one pattern, which here is
+    * exactly `event_type`. The reference FILTERS to savings > \$10; at test
+    * scale that cut would empty the relation, so the cut ships as the
+    * `recommended` flag and the rows stay deterministic at any SF — same
+    * information, stable cardinality.
+    *
+    * Every derived number is integer arithmetic (micro-USD via canonical
+    * two-step floor division, threshold compares as cross-multiplies on
+    * BIGINTs) so the oracle is hash-exact. Overflow bound: the savings
+    * product stays in Long up to ~5 TB scanned per pattern; past that the
+    * same expression rides DECIMAL(38,0) unchanged.
+    *
+    * Scale shape: two stacked map-side-combined hash aggregations
+    * ((type, day) then type) and a presentation sort on a ≤|event types|
+    * relation — a real query-history table drops in for `log` with the
+    * pattern normalization as one extra projection. */
+  def q133CacheRecommendations(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts_ns div 1000 div 86400000000")
+    val log = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(
+        sum(octet_length(col("props")) + 64).as("bytes"),
+        expr("50 + (cast(sum(cast(value as decimal(18,2)) * 100) as bigint)" +
+          " div count(1))").as("millis"))
+    cacheRecommendationsFrom(log)
+  }
+
+  /** q133 body over a (event_type, bytes, millis) per-execution log — the
+    * planted-log surface CacheRecsSpec drives the strategy ladder and
+    * recommendation cut through. */
+  def cacheRecommendationsFrom(log: DataFrame): DataFrame =
+    log.groupBy(col("event_type").as("query_pattern"))
+      .agg(count(lit(1)).as("frequency"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(col("millis")).as("total_millis"))
+      .filter(col("frequency") >= 2) // unique queries cannot cache-hit
+      .withColumn("est_hit_rate_pct",
+        when(col("frequency") >= 10, lit(80L))
+          .when(col("frequency") >= 5, lit(60L)).otherwise(lit(40L)))
+      // strategy ladder as integer cross-multiplies (never avg-then-compare
+      // on doubles): avg cost > $10 ⇔ bytes·5 > 10·2³⁰·freq at $5/TiB-ish
+      // (the q103 constant); avg millis > 60000 ⇔ Σmillis > 60000·freq
+      .withColumn("cache_strategy",
+        when(col("total_bytes") * lit(5L) >
+            lit(10L) * lit(1073741824L) * col("frequency"),
+          lit("redis_ttl_freshness"))
+        .when(col("total_millis") > lit(60000L) * col("frequency"),
+          lit("elasticache_24h_ttl"))
+        .otherwise(lit("app_level_1h_ttl")))
+      .withColumn("avg_cost_microusd",
+        expr("(total_bytes * 5000000) div 1073741824 div frequency"))
+      // monthly = cost·hit·4 in micro-USD: bytes·5·(pct/100)·4·10⁶ / 2³⁰
+      //         = bytes·pct·200000 div 2³⁰ (floor, canonical order)
+      .withColumn("monthly_savings_microusd",
+        expr("(total_bytes * est_hit_rate_pct * 200000) div 1073741824"))
+      .withColumn("recommended",
+        col("monthly_savings_microusd") > lit(10000000L)) // the $10 cut
+      .select(col("query_pattern"), col("frequency"), col("total_bytes"),
+        col("avg_cost_microusd"), col("est_hit_rate_pct"),
+        col("cache_strategy"), col("monthly_savings_microusd"),
+        col("recommended"))
+      .orderBy(col("monthly_savings_microusd").desc, col("query_pattern"))
+
   val oracle: Map[String, String] = Map(
+    "q133_cache_recommendations" ->
+      """WITH log AS (
+        |  SELECT event_type,
+        |    sum(octet_length(encode(props)) + 64)::BIGINT AS bytes,
+        |    50 + (sum(value::DECIMAL(18,2) * 100)::BIGINT // count(*))
+        |      AS millis
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+        |pat AS (
+        |  SELECT event_type AS query_pattern, count(*)::BIGINT AS frequency,
+        |    sum(bytes)::BIGINT AS total_bytes,
+        |    sum(millis)::BIGINT AS total_millis
+        |  FROM log GROUP BY event_type HAVING count(*) >= 2),
+        |rec AS (
+        |  SELECT query_pattern, frequency, total_bytes,
+        |    (total_bytes * 5000000) // 1073741824 // frequency
+        |      AS avg_cost_microusd,
+        |    (CASE WHEN frequency >= 10 THEN 80 WHEN frequency >= 5 THEN 60
+        |          ELSE 40 END)::BIGINT AS est_hit_rate_pct,
+        |    CASE WHEN total_bytes * 5 >
+        |           10::BIGINT * 1073741824::BIGINT * frequency
+        |         THEN 'redis_ttl_freshness'
+        |         WHEN total_millis > 60000::BIGINT * frequency
+        |         THEN 'elasticache_24h_ttl'
+        |         ELSE 'app_level_1h_ttl' END AS cache_strategy,
+        |    total_millis
+        |  FROM pat)
+        |SELECT query_pattern, frequency, total_bytes, avg_cost_microusd,
+        |  est_hit_rate_pct, cache_strategy,
+        |  (total_bytes * est_hit_rate_pct * 200000) // 1073741824
+        |    AS monthly_savings_microusd,
+        |  (total_bytes * est_hit_rate_pct * 200000) // 1073741824 > 10000000
+        |    AS recommended
+        |FROM rec
+        |ORDER BY monthly_savings_microusd DESC, query_pattern""".stripMargin,
+
     "q130_latency_profile" ->
       s"""WITH req AS (
         |  SELECT event_type AS service, event_id,
