@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Summaries, Trends}
+import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, StorageTiers, Summaries, Trends}
 import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
@@ -171,6 +171,8 @@ object SparkEntry {
     // rows-only: warm/cold wall times are machine facts (WarmColdSpec)
     "q132_warm_cold_profile" -> (graft.ops.WarmCold.q132WarmColdProfile(_, _)),
     "q133_cache_recommendations" -> (Dashboard.q133CacheRecommendations(_, _)),
+    "q134_storage_tier_recommendations" ->
+      (StorageTiers.q134StorageTierRecommendations(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,5 +184,6 @@ object SparkEntry {
       TextOps.oracle ++ Similarity.oracle ++ Quality.oracle ++ Flight.oracle ++
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
-      Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle ++ Metrics.oracle
+      Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle ++ Metrics.oracle ++
+      StorageTiers.oracle
 }
