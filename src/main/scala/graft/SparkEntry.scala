@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, StorageTiers, Summaries, Trends}
+import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Roi, StorageTiers, Summaries, Trends}
 import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
@@ -173,6 +173,7 @@ object SparkEntry {
     "q133_cache_recommendations" -> (Dashboard.q133CacheRecommendations(_, _)),
     "q134_storage_tier_recommendations" ->
       (StorageTiers.q134StorageTierRecommendations(_, _)),
+    "q135_roi_portfolio"    -> (Roi.q135RoiPortfolio(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -185,5 +186,5 @@ object SparkEntry {
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
       Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle ++ Metrics.oracle ++
-      StorageTiers.oracle
+      StorageTiers.oracle ++ Roi.oracle
 }
