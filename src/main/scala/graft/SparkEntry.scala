@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Behavior, CoreQueries, Dashboard, JoinQueries, Roi, StorageTiers, Summaries, Trends}
+import graft.analytics.{Behavior, CoreQueries, Dashboard, FnSizing, JoinQueries, Roi, StorageTiers, Summaries, Trends}
 import graft.cdc.Cdc
 import graft.flight.Flight
 import graft.geo.Geo
@@ -174,6 +174,7 @@ object SparkEntry {
     "q134_storage_tier_recommendations" ->
       (StorageTiers.q134StorageTierRecommendations(_, _)),
     "q135_roi_portfolio"    -> (Roi.q135RoiPortfolio(_, _)),
+    "q136_function_rightsizing" -> (FnSizing.q136FunctionRightsizing(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +187,5 @@ object SparkEntry {
       Multimodal.oracle ++ Dashboard.oracle ++ BatchChecks.oracle ++
       Summaries.oracle ++ Geo.oracle ++ DataPrep.oracle ++ Cdc.oracle ++
       Behavior.oracle ++ Trends.oracle ++ Quarantine.oracle ++ Metrics.oracle ++
-      StorageTiers.oracle ++ Roi.oracle
+      StorageTiers.oracle ++ Roi.oracle ++ FnSizing.oracle
 }
