@@ -189,6 +189,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("r10 cost-family relations stay two-stack aggregations: one grouping " +
+      "exchange plus the presentation sort, no joins") {
+    Seq(
+      "q134" -> graft.analytics.StorageTiers
+        .q134StorageTierRecommendations(spark, Sf001),
+      "q136" -> graft.analytics.FnSizing
+        .q136FunctionRightsizing(spark, Sf001)).foreach { case (n, df) =>
+      val p = plan(df)
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 3, s"$n: $exchanges exchanges\n${p.take(2000)}")
+      assert(!p.contains("Join"), s"$n grew a join:\n${p.take(2000)}")
+    }
+  }
+
   test("q96 near path carries the shingle→batch bloom probe on the old join " +
       "input, and only there") {
     val p = plan(graft.text.TextOps.q96IncrementalDedup(spark, Sf001))
