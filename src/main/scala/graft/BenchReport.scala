@@ -51,7 +51,8 @@ object BenchReport {
   }
 
   /** Benchmark-relation queries whose cost IS deliberate repeated work
-    * (q131 runs four sf-scale writes, q132 re-executes a query trio twice).
+    * (q131 runs five sf-scale scenario writes plus a warm-up slice, q132
+    * re-executes a query trio twice).
     * They exceed any median-based trigger every round by construction, so a
     * retry proves nothing about host stalls and just doubles their cost —
     * exempt. */

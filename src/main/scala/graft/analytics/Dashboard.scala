@@ -398,8 +398,9 @@ object Dashboard {
     * Every derived number is integer arithmetic (micro-USD via canonical
     * two-step floor division, threshold compares as cross-multiplies on
     * BIGINTs) so the oracle is hash-exact. Overflow bound: the savings
-    * product stays in Long up to ~5 TB scanned per pattern; past that the
-    * same expression rides DECIMAL(38,0) unchanged.
+    * product `total_bytes · hit_pct · 200000` stays in Long up to
+    * ~536 GiB scanned per pattern at the 80% tier (9.2e18 / 1.6e7); past
+    * that the same expression rides DECIMAL(38,0) unchanged.
     *
     * Scale shape: two stacked map-side-combined hash aggregations
     * ((type, day) then type) and a presentation sort on a ≤|event types|

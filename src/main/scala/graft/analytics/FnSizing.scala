@@ -119,10 +119,9 @@ object FnSizing {
       "projected_duration_ms", "current_monthly_cost_picousd",
       "projected_monthly_cost_picousd", "cost_change_picousd",
       "max_concurrent", "throttles", "recommended_concurrency",
-      "concurrency_cost_picousd", "cold_start_pct",
-      "cold_start_improvement_x1000")
+      "concurrency_cost_picousd", "cold_start_pct")
     derived.select(col("function_name") +:
-        longCols.take(17).map(c => col(c).cast("long").as(c)) :+
+        longCols.map(c => col(c).cast("long").as(c)) :+
         col("cold_start_priority") :+
         col("cold_start_improvement_x1000").cast("long")
           .as("cold_start_improvement_x1000"): _*)

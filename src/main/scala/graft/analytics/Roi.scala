@@ -120,7 +120,7 @@ object Roi {
     val derived = order.foldLeft(portfolio) { (d, c) => d.withColumn(c, expr(f(c))) }
     // exact IRR floor: largest whole-percent rate keeping NPV non-negative
     val irr = portfolio
-      .withColumn("r", explode(sequence(lit(1L), lit(200L))))
+      .withColumn("r", explode(sequence(lit(0L), lit(200L))))
       .withColumn("annual", expr(f("annual")))
       .withColumn("cf", expr(f("cf")))
       .withColumn("acf", expr(f("acf")))
@@ -133,8 +133,12 @@ object Roi {
       .orderBy(col("total_score_x100").desc, col("optimization_name"))
   }
 
-  /** The q135 driver entry: the portfolio is what q133 and q134 actually
-    * recommended on this corpus, labeled by family. */
+  /** The q135 driver entry: the portfolio is every candidate q133 and q134
+    * surfaced on this corpus, labeled by family — INCLUDING rows below
+    * their own recommendation cuts, deliberately: the ROI relation is the
+    * second opinion on those cuts (a below-cut candidate with a positive
+    * NPV is exactly the row worth a second look), and keeping the full
+    * candidate set gives the relation stable cardinality at any SF. */
   def q135RoiPortfolio(spark: SparkSession, dir: String): DataFrame = {
     def withTemplate(df: DataFrame, prefix: String, nameCol: String,
                      tpe: String): DataFrame = {
@@ -193,7 +197,7 @@ object Roi {
          |irr AS (
          |  SELECT optimization_name,
          |    max(CASE WHEN ${f("npv_at_r")} >= 0 THEN r END) AS irr_floor_pct
-         |  FROM d2, (SELECT unnest(generate_series(1, 200)) AS r) rates
+         |  FROM d2, (SELECT unnest(generate_series(0, 200)) AS r) rates
          |  GROUP BY optimization_name)
          |SELECT d5.optimization_name, opt_type,
          |  monthly_savings_microusd::BIGINT AS monthly_savings_microusd,

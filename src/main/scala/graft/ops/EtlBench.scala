@@ -76,7 +76,8 @@ object EtlBench {
     while (true) {
       try { writeScenario(src, sc, out); return attempt.toLong }
       catch {
-        case e: Throwable if attempt < policy.maxAttempts =>
+        // NonFatal only: an interrupt or OOM must abort, not sleep + rewrite
+        case scala.util.control.NonFatal(_) if attempt < policy.maxAttempts =>
           val delayS = math.min(policy.maxDelayS,
             policy.baseDelayS * math.pow(policy.backoffMultiplier, attempt - 1))
           Thread.sleep((delayS * 1000).toLong)

@@ -58,6 +58,20 @@ class RoiSpec extends SparkSpecBase {
     assert(irr === 14L || irr === 15L, s"irr_floor_pct $irr, expected ~15")
   }
 
+  test("IRR sweep includes rate 0: a barely-break-even investment reports 0, not NULL") {
+    // $1/mo savings, no maintenance, $59 implementation: NPV at 0% is
+    // +$1 (5yr savings $60), NPV at 1% is already under water — the true
+    // IRR lives in [0%, 1%), so the floor is 0 and NULL would wrongly say
+    // "never breaks even"
+    import spark.implicits._
+    val out = Roi.roiFrom(Seq(
+        ("breakeven", "s3_lifecycle", 1000000L, 59000000L, 0L, 14L, 85L))
+      .toDF("optimization_name", "opt_type", "monthly_savings_microusd",
+        "impl_microusd", "maint_microusd", "impl_days", "confidence_pct"))
+      .collect().head
+    assert(out.getAs[Long]("irr_floor_pct") === 0L)
+  }
+
   test("q135 over events: composes q133+q134, deterministic, score-ordered") {
     val rows = Roi.q135RoiPortfolio(spark, Sf0001).collect()
     assert(rows.nonEmpty)
