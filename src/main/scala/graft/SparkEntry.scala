@@ -175,6 +175,7 @@ object SparkEntry {
       (StorageTiers.q134StorageTierRecommendations(_, _)),
     "q135_roi_portfolio"    -> (Roi.q135RoiPortfolio(_, _)),
     "q136_function_rightsizing" -> (FnSizing.q136FunctionRightsizing(_, _)),
+    "q137_cost_dashboard"   -> (Dashboard.q137CostDashboard(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

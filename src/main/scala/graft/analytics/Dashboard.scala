@@ -453,7 +453,133 @@ object Dashboard {
         col("recommended"))
       .orderBy(col("monthly_savings_microusd").desc, col("query_pattern"))
 
+  /** q137: cost-monitoring dashboard — the reference's
+    * `cost-optimization/monitoring/cost_dashboard.py`: per-service spend for
+    * the current vs previous period with change% (`get_service_cost_breakdown`,
+    * :228-317), cost per million processed records (`get_daily_cost_metrics`,
+    * :91-140), and budget alerting with the severity bands of
+    * `get_budget_alerts` (:376-450: ≥90% spent or ≥100% forecast → critical,
+    * ≥80%/≥90% → high, ≥60% → medium). The reference SKIPS un-alerted
+    * budgets; here they ship as severity 'none' for stable cardinality
+    * (the q133 flag-not-filter rule).
+    *
+    * Spend is the q103 synthetic rule ($5/TiB of bytes scanned) at the
+    * (service=event_type, day) grain; the current period is the last 4
+    * days of the corpus window and the previous period the rest, split on
+    * a data-relative max(day) (pinned-now rule — never wall clock). The
+    * budget is PLANTED from the service name (the q134 plant rule class)
+    * and the forecast projects the 4-day window onto the 7-day budget
+    * period (×7/4, floor). change% is a sign-split half-up division —
+    * spend can shrink. All BIGINT, oracle hash-exact.
+    *
+    * Scale shape: one fact-grain aggregation to (service, day), a 1-row
+    * max-day broadcast (J4), one service-grain rollup — the q133/q134
+    * two-stack shape plus the broadcast. */
+  def q137CostDashboard(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("ts_ns div 1000 div 86400000000")
+    val log = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(octet_length(col("props")) + 64).as("bytes"))
+    costDashboardFrom(log)
+  }
+
+  /** q137 formula strings, rendered per dialect ([[graft.analytics.Roi]]
+    * convention: one generator, zero drift). */
+  def costDashboardFormulas(divOp: String): Map[String, String] = Map(
+    "change_x100" -> // period-over-period spend change, sign-split half-up
+      s"""CASE WHEN prev_cost_microusd > 0 THEN
+         |  CASE WHEN cur_cost_microusd >= prev_cost_microusd THEN
+         |    (2 * (cur_cost_microusd - prev_cost_microusd) * 10000
+         |      + prev_cost_microusd) $divOp (2 * prev_cost_microusd)
+         |  ELSE -((2 * (prev_cost_microusd - cur_cost_microusd) * 10000
+         |      + prev_cost_microusd) $divOp (2 * prev_cost_microusd)) END
+         | ELSE CASE WHEN cur_cost_microusd = 0 THEN 0 ELSE 10000 END
+         | END""".stripMargin,
+    "cost_per_million_microusd" ->
+      s"""CASE WHEN cur_records > 0
+         | THEN (cur_cost_microusd * 1000000) $divOp cur_records
+         | ELSE 0 END""".stripMargin,
+    "budget_microusd" -> // planted per-service budget, name-derived
+      "500 + (length(service) * 137) % 1500",
+    "spend_pct" -> s"(cur_cost_microusd * 100) $divOp budget_microusd",
+    // the reference's forecast comes from an INDEPENDENT forecasting API;
+    // a pure spend×constant projection would make the medium band dead
+    // code (forecast >= 100 always fires first), so the forecast rides a
+    // planted per-service multiplier in [1.0x, 2.0x) of spend
+    "forecast_pct" ->
+      s"(spend_pct * (100 + (length(service) * 53) % 100)) $divOp 100",
+    "severity" ->
+      """CASE WHEN spend_pct >= 90 OR forecast_pct >= 100 THEN 'critical'
+        | WHEN spend_pct >= 80 OR forecast_pct >= 90 THEN 'high'
+        | WHEN spend_pct >= 60 THEN 'medium' ELSE 'none' END""".stripMargin,
+    "alert_type" ->
+      """CASE WHEN spend_pct >= 100 THEN 'budget_exceeded'
+        | WHEN forecast_pct >= 100 THEN 'forecast_exceeded'
+        | WHEN spend_pct >= 80 OR forecast_pct >= 90 THEN 'approaching_limit'
+        | WHEN spend_pct >= 60 THEN 'early_warning' ELSE 'none' END""".stripMargin)
+
+  /** q137 body over a (event_type, day, n_rows, bytes) spend log — the
+    * planted-log surface CostDashboardSpec drives the alert bands through. */
+  def costDashboardFrom(log: DataFrame): DataFrame = {
+    val f = costDashboardFormulas("div")
+    val maxDay = log.agg(max(col("day")).as("max_day"))
+    val per = log.crossJoin(broadcast(maxDay))
+      .withColumn("cost_microusd", expr("(bytes * 5000000) div 1073741824"))
+      .withColumn("in_cur", col("day") >= col("max_day") - 3)
+      .groupBy(col("event_type").as("service"))
+      .agg(
+        sum(when(col("in_cur"), col("cost_microusd")).otherwise(0L))
+          .as("cur_cost_microusd"),
+        sum(when(!col("in_cur"), col("cost_microusd")).otherwise(0L))
+          .as("prev_cost_microusd"),
+        sum(when(col("in_cur"), col("n_rows")).otherwise(0L)).as("cur_records"))
+    Seq("change_x100", "cost_per_million_microusd", "budget_microusd",
+        "spend_pct", "forecast_pct", "severity", "alert_type")
+      .foldLeft(per) { (d, c) => d.withColumn(c, expr(f(c))) }
+      .select(col("service"), col("cur_cost_microusd"),
+        col("prev_cost_microusd"), col("change_x100"), col("cur_records"),
+        col("cost_per_million_microusd"),
+        col("budget_microusd").cast("long").as("budget_microusd"),
+        col("spend_pct"), col("forecast_pct"), col("severity"),
+        col("alert_type"))
+      .orderBy(col("cur_cost_microusd").desc, col("service"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q137_cost_dashboard" -> {
+      val f = costDashboardFormulas("//")
+      s"""WITH log AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    count(*)::BIGINT AS n_rows,
+         |    sum(octet_length(encode(props)) + 64)::BIGINT AS bytes
+         |  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000),
+         |md AS (SELECT max(day) AS max_day FROM log),
+         |per AS (
+         |  SELECT event_type AS service,
+         |    sum(CASE WHEN day >= max_day - 3
+         |        THEN (bytes * 5000000) // 1073741824 ELSE 0 END)::BIGINT
+         |      AS cur_cost_microusd,
+         |    sum(CASE WHEN day < max_day - 3
+         |        THEN (bytes * 5000000) // 1073741824 ELSE 0 END)::BIGINT
+         |      AS prev_cost_microusd,
+         |    sum(CASE WHEN day >= max_day - 3 THEN n_rows ELSE 0 END)::BIGINT
+         |      AS cur_records
+         |  FROM log, md GROUP BY event_type),
+         |d1 AS (SELECT *, ${f("change_x100")} AS change_x100,
+         |  ${f("cost_per_million_microusd")} AS cost_per_million_microusd,
+         |  (${f("budget_microusd")})::BIGINT AS budget_microusd FROM per),
+         |d2 AS (SELECT *, ${f("spend_pct")} AS spend_pct FROM d1),
+         |d3 AS (SELECT *, ${f("forecast_pct")} AS forecast_pct FROM d2)
+         |SELECT service, cur_cost_microusd, prev_cost_microusd,
+         |  change_x100::BIGINT AS change_x100, cur_records,
+         |  cost_per_million_microusd::BIGINT AS cost_per_million_microusd,
+         |  budget_microusd, spend_pct::BIGINT AS spend_pct,
+         |  forecast_pct::BIGINT AS forecast_pct,
+         |  ${f("severity")} AS severity, ${f("alert_type")} AS alert_type
+         |FROM d3 ORDER BY cur_cost_microusd DESC, service""".stripMargin
+    },
+
     "q133_cache_recommendations" ->
       """WITH log AS (
         |  SELECT event_type,
