@@ -155,7 +155,13 @@ object Roi {
     val storage = withTemplate(
       StorageTiers.q134StorageTierRecommendations(spark, dir),
       "storage:", "bucket", "s3_lifecycle")
-    roiFrom(cache.unionByName(storage))
+    // the portfolio is bucket-grain (<=|patterns|+|buckets| rows) but its
+    // lineage holds two fact scans, and roiFrom consumes it twice (derived
+    // metrics + the IRR sweep) — measured 4 parquet scans without this.
+    // One eager localCheckpoint materializes the tiny relation once; the
+    // r6 lost-partitioning caveat is moot because both consumers
+    // re-aggregate rather than join on a co-partitioned key.
+    roiFrom(cache.unionByName(storage).localCheckpoint())
   }
 
   /** Oracle: the same formula strings rendered with `//`, over the q133 and
