@@ -463,6 +463,16 @@ object Dashboard {
     * budgets; here they ship as severity 'none' for stable cardinality
     * (the q133 flag-not-filter rule).
     *
+    * DELIBERATE alert_type deviation: the reference's critical branch
+    * labels every critical alert `current >= 100 ? budget_exceeded :
+    * forecast_exceeded` — so spend in [90,100) with forecast < 100 (critical
+    * purely on spend) is called "forecast_exceeded" even though the
+    * forecast is fine. This ladder instead names the condition that fired:
+    * budget_exceeded iff spend ≥ 100, forecast_exceeded iff forecast ≥ 100,
+    * else the approaching/early bands — so a spend-only critical reads
+    * approaching_limit. Severity always matches the reference; only the
+    * label wording differs, and only in that corner.
+    *
     * Spend is the q103 synthetic rule ($5/TiB of bytes scanned) at the
     * (service=event_type, day) grain; the current period is the last 4
     * days of the corpus window and the previous period the rest, split on

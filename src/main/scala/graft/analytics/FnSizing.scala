@@ -87,11 +87,15 @@ object FnSizing {
 
   /** Monthly cost in pico-USD for a memory size: requests at 0.2 micro-USD
     * plus GB-seconds at 16.6667 micro-USD, GB-seconds floored FIRST (the
-    * canonical order that keeps the product inside Long). */
+    * canonical order that keeps the product inside Long). The divisor is
+    * 1024·1000 = 1024000 — (memory_mb/1024)·(duration_ms/1000), the
+    * reference's `_calculate_monthly_cost` (`lambda_optimizer.py:60-72`);
+    * worst-case product 10240·1e5·1e9 ≈ 1e18 still fits Long for realistic
+    * metric magnitudes here (≤1e16 on this data). */
   def costFormula(memCol: String, divOp: String): String =
     s"""monthly_invocations * 200000 +
        | (($memCol * avg_duration_ms * monthly_invocations)
-       |   $divOp 1048576000) * 16666700""".stripMargin
+       |   $divOp 1024000) * 16666700""".stripMargin
 
   /** q136 body over (function_name, invocations, avg_duration_ms,
     * current_memory_mb, avg_memory_used_mb, max_memory_used_mb,

@@ -97,12 +97,19 @@ object EtlBench {
     * caller to inspect or delete. */
   def runScenarios(src: DataFrame, tmp: String): Seq[Measurement] = {
     val n = src.count()
-    // untimed warm-up write: the FIRST parquet write in a JVM pays one-time
-    // writer/codec class-load and JIT cost (the rep1-inflation rule from
-    // the bench notes); without this the baseline scenario — always first —
-    // absorbs it and every speedup_x100 conflates codec effect with warmup.
-    // A small slice warms the write path without a second full pass.
-    writeScenario(src.limit(1000), scenarios.head, s"$tmp/__warmup")
+    // untimed warm-up writes: the FIRST parquet write in a JVM pays one-time
+    // writer class-load and JIT cost, and each CODEC pays its own class-load
+    // on first use (the rep1-inflation rule from the bench notes); warming
+    // only the baseline would leave snappy/zstd first-use cost inside the
+    // timed s2/s4 runs, biasing speedup_x100 against the compressed configs.
+    // One small slice per distinct codec warms every path without a second
+    // full pass.
+    val warm = src.limit(1000)
+    scenarios.map(_.compression).distinct.zipWithIndex.foreach {
+      case (codec, i) =>
+        writeScenario(warm, Scenario(s"warm_$codec", codec,
+          dictionary = true, sorted = false), s"$tmp/__warmup_$i")
+    }
     scenarios.map { sc =>
       val out = s"$tmp/${sc.name}"
       val t0 = System.nanoTime()

@@ -73,6 +73,19 @@ class FnSizingSpec extends SparkSpecBase {
     assert(out("quiet").getAs[String]("cold_start_priority") === "low")
   }
 
+  test("monthly cost model: 1024MB x 1000ms x 1 invocation = exactly " +
+      "1 GB-second (divisor 1024000, not 1048576000)") {
+    // 7 weekly invocations -> monthly = 7*120 div 7 = 120; 50% utilization
+    // keeps recommended == current so both cost columns use the same memory.
+    // Each 1024MB x 1000ms invocation is exactly 1 GB-s = 16666700 picoUSD,
+    // plus the 200000 picoUSD request price.
+    val out = size(Seq(("gbsec", 7L, 1000L, 1024L, 512L, 600L, 50L, 0L, 5L)))
+    assert(out("gbsec").getAs[Long]("recommended_memory_mb") === 1024L)
+    assert(out("gbsec").getAs[Long]("current_monthly_cost_picousd") ===
+      120L * (200000L + 16666700L))
+    assert(out("gbsec").getAs[Long]("cost_change_picousd") === 0L)
+  }
+
   test("q136 over events: one row per function, sane costs") {
     val rows = FnSizing.q136FunctionRightsizing(spark, Sf0001).collect()
     assert(rows.nonEmpty)
