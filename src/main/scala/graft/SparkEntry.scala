@@ -94,7 +94,7 @@ object SparkEntry {
     "q57_repetition_filter" -> (TextOps.q57RepetitionFilter(_, _)),
     "q58_asof_join"         -> (TimeSeries.q58AsofJoin(_, _)),
     "q59_dup_clusters"      -> (TextOps.q59DupClusters(_, _)),
-    "q60_stratified_sample" -> (DataPrep.q60StratifiedSample(_, _)),
+    "q60_stratified_sample" -> (DataPrep.q60StratifiedSampleScaled(_, _)),
     "q61_dataset_split"     -> (DataPrep.q61DatasetSplit(_, _)),
     "q62_token_packing"     -> (DataPrep.q62TokenPacking(_, _)),
     "q63_range_join"        -> (TimeSeries.q63RangeJoin(_, _)),

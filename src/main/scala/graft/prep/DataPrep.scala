@@ -19,18 +19,19 @@ import graft.ops.{Exprs, Pct}
   */
 object DataPrep {
 
-  /** q60: stratified sampling — a fixed-size, deterministic pseudo-random
-    * sample per class (the class-balanced subset every fine-tuning set
-    * starts from). Per class, rank by md5(id) (uniform, engine-portable)
-    * and keep the first K; output compares sample vs population moments so
-    * the sample's representativeness is part of the checked contract.
+  /** q60 (oracle-baseline form): stratified sampling — a fixed-size,
+    * deterministic pseudo-random sample per class (the class-balanced subset
+    * every fine-tuning set starts from). Per class, rank by md5(id)
+    * (uniform, engine-portable) and keep the first K; output compares
+    * sample vs population moments so the sample's representativeness is
+    * part of the checked contract.
     *
-    * Scale note: the window totally orders each class, so parallelism is
-    * bounded by class count. At 100 TB with few classes, run the standard
-    * two-phase top-K instead: per-partition K smallest md5 (mapPartitions
-    * heap, no shuffle), then a final K-of-(K×partitions) merge — same
-    * result, full parallelism. The window form is kept here because it is
-    * the exact-semantics baseline the oracle can state. */
+    * The window totally orders each class, so parallelism is bounded by
+    * class count — this form exists because it is the exact-semantics
+    * baseline the oracle can state. The SHIPPED q60 is
+    * [[q60StratifiedSampleScaled]], the two-phase top-K that produces
+    * bitwise-identical output (DataPrepSpec pins it) with scan-bounded
+    * parallelism. */
   def q60StratifiedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
     val e = Tables.events(spark, dir)
     val w = Window.partitionBy(col("event_type"))
@@ -43,6 +44,41 @@ object DataPrep {
         Exprs.dround(
           Exprs.sumExact2(when(col("rn") <= k, col("value"))) /
             count(when(col("rn") <= k, col("value"))), 4).as("sample_avg_value"))
+      .withColumn("sample_pct", Exprs.pctOf(col("n_sampled"), col("n_total"), 2))
+      .orderBy(col("event_type"))
+  }
+
+  /** q60 (shipped, 100-TB form): the same stratified sample via two-phase
+    * per-partition top-K ([[graft.functions.TopKSampleAgg]]) — one hash
+    * aggregation computes population stats AND the per-class K-smallest-md5
+    * sample in a single scan. Each map task's partial holds at most K
+    * candidates per class, the shuffle carries those bounded buffers (never
+    * rows), and no window orders anything — parallelism is the scan's, not
+    * the class count's.
+    *
+    * Bitwise equality with the window form: value is exactly 2-dp, so each
+    * row's metric rides as an exact integer (`cents`); the aggregator's Long
+    * sum equals the window form's decimal(25,2) sum, and
+    * `cast(sum_cents as double) / 100.0` is the correctly-rounded double of
+    * the same rational number the decimal→double cast produces. Division by
+    * the count and the 4-dp rounding then run the identical IEEE ops.
+    * (Assumes non-null `value`, like the window form's population stats —
+    * the corpus is clean by contract.) */
+  def q60StratifiedSampleScaled(spark: SparkSession, dir: String,
+                                k: Int = 100): DataFrame = {
+    val topk = udaf(graft.functions.TopKSampleAgg(k))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        md5(col("event_id").cast("string")).as("m"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_total"),
+        Exprs.avgExact2(col("value"), 4).as("pop_avg_value"),
+        topk(col("m"), col("event_id"), col("cents")).as("s"))
+      .select(col("event_type"), col("n_total"),
+        col("s.n_sampled").as("n_sampled"), col("pop_avg_value"),
+        Exprs.dround((col("s.sum_cents").cast("double") / lit(100.0)) /
+          col("s.n_sampled"), 4).as("sample_avg_value"))
       .withColumn("sample_pct", Exprs.pctOf(col("n_sampled"), col("n_total"), 2))
       .orderBy(col("event_type"))
   }

@@ -93,4 +93,17 @@ class DataPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("q60: two-phase top-K path is bitwise-equal to the window form " +
+      "(sf0.001 and sf0.01, plus a k larger than some class)") {
+    def bits(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+      case d: Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    }
+    for (dir <- Seq(Sf0001, Sf001); k <- Seq(3, 100, 1000000)) {
+      val win = DataPrep.q60StratifiedSample(spark, dir, k).collect().map(bits)
+      val two = DataPrep.q60StratifiedSampleScaled(spark, dir, k).collect().map(bits)
+      assert(two.toSeq === win.toSeq, s"dir=$dir k=$k")
+    }
+  }
+
 }

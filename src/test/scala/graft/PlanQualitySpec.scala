@@ -516,4 +516,15 @@ class PlanQualitySpec extends SparkSpecBase {
       s"both source lookups must broadcast:\n${p.take(3000)}")
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q60 shipped path has no per-class total-order window: one partial+" +
+      "final aggregation, top-K rides the bounded sampler buffer") {
+    val p = plan(graft.prep.DataPrep.q60StratifiedSampleScaled(spark, Sf001))
+    assert(!p.contains("Window"), s"scaled q60 must not window:\n${p.take(3000)}")
+    // typed TopKSampleAgg forces ObjectHashAggregate; both halves present
+    // means the K-bounded buffers combine map-side before the exchange
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 2, // agg + presentation sort
+      s"extra exchanges in scaled q60:\n${p.take(3000)}")
+  }
 }
