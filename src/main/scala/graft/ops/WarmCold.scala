@@ -50,8 +50,11 @@ object WarmCold {
     walk(plan, inSpan = false)
   }
 
-  private case class Prof(query_id: String, cold_ms: Long, warm_ms: Long,
-                          warmup_pct: Long, codegen_pct: Long, n_ops: Long)
+  // NOT private: the generated encoder code calls the accessors from
+  // outside the companion, and a private case class drops the whole
+  // toDF projection to interpreted eval (Janino CompileException spam)
+  case class Prof(query_id: String, cold_ms: Long, warm_ms: Long,
+                  warmup_pct: Long, codegen_pct: Long, n_ops: Long)
 
   /** Profile `names` (keys of SparkEntry.queries): run each twice with the
     * Bench checksum action (forcing every output column — a bare count()

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The committed per-round WARM-time ledger (r11): cross-round regression
+  * triage has burned judge+builder cycles three rounds running because
+  * single-shot bench times on this host carry 2-10× noise (CPU-steal
+  * episodes, cold-JIT rep1) — every "regression" list since r8 dissolved
+  * under warm re-measurement. The fix is a ledger of WARM numbers the next
+  * round can diff against instead of re-litigating cold readings:
+  * [[record]] runs the q132 profiler ([[WarmCold.warmColdProfile]] — each
+  * query executed twice, warm = rep2) over the standing watchlist and
+  * appends one `round=<r>` partition to a parquet ledger dir committed in
+  * the repo (`bench/warm_ledger`); [[regressions]] is the triage view —
+  * per query, latest-round warm vs the previous recorded round.
+  *
+  * Triage rule (supersedes comparing bench JSON times across rounds): a
+  * query is a real regression candidate only if its ledger warm time grew
+  * >2× round-over-round; anything else is host noise until a warm
+  * re-measure says otherwise. */
+object WarmLedger {
+
+  /** The standing watchlist: the dedup/clustering families that land in
+    * `slow_confirmed` every bench run (their ~3 s standalone cost is the
+    * shared-pairs recompute, not a regression — but a real plan break
+    * would surface here first), the q96 bloom-gated incremental path, the
+    * geo top-1 family (q52: one oracle flip per ~10k rows history), the
+    * codec-bound q121, and r10's four below-retry-trigger upticks
+    * (q48/q88/q89/q119 — kept to settle their noise-vs-real question with
+    * warm data each round). */
+  val watchlist: Seq[String] = Seq(
+    "q24_ngram_jaccard", "q48_quality_filter", "q52_airport_proximity",
+    "q59_dup_clusters", "q88_transitions", "q89_zorder_layout",
+    "q96_incremental_dedup", "q104_dup_clusters_star",
+    "q114_dedup_survivorship", "q115_cluster_safe_split",
+    "q117_curation_export", "q118_incremental_clusters",
+    "q119_image_neardup", "q121_video_decode", "q122_post_dedup_mixture")
+
+  /** Profile `names` at `dir` and write the round's partition. `source`
+    * distinguishes profiler-measured rows from backfilled prose numbers
+    * (r10's rows carry the TimeQ warm times recorded in PLANS.md, with
+    * nulls where only warm was written down). Returns what it wrote. */
+  def record(spark: SparkSession, dir: String, round: String,
+             ledgerDir: String,
+             names: Seq[String] = watchlist): DataFrame = {
+    val prof = WarmCold.warmColdProfile(spark, dir, names)
+      .withColumn("source", lit("profiler"))
+    // one self-contained partition per round: re-running a round replaces
+    // exactly that round's rows and can never touch another round's
+    prof.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$ledgerDir/round=$round")
+    prof
+  }
+
+  /** The whole ledger, `round` recovered from the partition dirs. */
+  def read(spark: SparkSession, ledgerDir: String): DataFrame =
+    spark.read.parquet(ledgerDir)
+
+  /** Cross-round triage view: per query, the two most recent recorded
+    * rounds' warm times and their ratio ×100 (integer, half-up). A row
+    * only exists once a query has ≥2 recorded rounds; `regressed` flags
+    * >2× growth — the rule that replaces cold-time re-litigation. Round
+    * recency is lexicographic on the round tag, which the r<NN> naming
+    * keeps truthful through round 99. */
+  def regressions(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("round").desc)
+    read(spark, ledgerDir)
+      .groupBy(col("query_id"), col("round"))
+      .agg(min(col("warm_ms")).as("warm_ms"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy(col("query_id")).agg(
+        max(when(col("rk") === 1, col("round"))).as("cur_round"),
+        max(when(col("rk") === 1, col("warm_ms"))).as("cur_warm_ms"),
+        max(when(col("rk") === 2, col("round"))).as("prev_round"),
+        max(when(col("rk") === 2, col("warm_ms"))).as("prev_warm_ms"))
+      .filter(col("prev_warm_ms").isNotNull && col("prev_warm_ms") > 0)
+      .withColumn("warm_ratio_x100",
+        expr("(2 * cur_warm_ms * 100 + prev_warm_ms) div (2 * prev_warm_ms)"))
+      .withColumn("regressed", col("warm_ratio_x100") > 200)
+      .orderBy(col("warm_ratio_x100").desc, col("query_id"))
+  }
+}
