@@ -386,6 +386,52 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** q138: planted-probe ANN retrieval with an exact oracle — the q100/q111
+    * pattern applied to the RETRIEVAL surface (q27/q43's recall was
+    * spec-only until r11; this makes the LSH index machinery
+    * driver-checkable). Probes = exact copies of every 9th vector under
+    * shifted ids; retrieval = the q27 hyperplane-LSH table join (signatures
+    * over corpus and probes, candidate iff any table's bucket matches,
+    * exact cosine re-score, top-1 per probe).
+    *
+    * Why the approximate index has an exact oracle: a planted probe is
+    * bit-identical to its original, the signature is a deterministic
+    * function of the embedding value alone, so the original collides with
+    * the probe in EVERY hash table — it is a certain candidate — and its
+    * cosine ≈ 1.0 strictly dominates every non-identical pair (corpus max
+    * ≈ 0.51). The LSH top-1 therefore provably equals the exhaustive
+    * argmax, which the DuckDB oracle recomputes with the N² scan, checking
+    * signature build, bucket join, re-score and ranking end-to-end while
+    * assuming nothing about LSH. Per-pair cosines are bitwise-identical
+    * across engines (the q26 contract), so ties rank identically.
+    *
+    * Scale shape: the candidate join is the [[lshCandidatePairs]] bucket
+    * join — both sides shuffle on the (table-folded) signature key, no
+    * broadcast of a data-sized relation, no N² pass anywhere; the exact
+    * N² argmax lives only in the oracle. */
+  def q138AnnPlanted(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val planes = 10; val tables = 4; val offset = 4000000L
+    val e = Tables.embeddings(spark, dir)
+    val sigs = array((0 until tables).map(t =>
+      lit(t * 1000000L) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
+    val corpusX = e.withColumn("sig", explode(sigs))
+      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+    val probesX = e.filter(col("vec_id") % 9 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
+        explode(sigs).as("sig"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    corpusX.join(probesX, Seq("sig"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"),
+        (col("cid") === col("qid") - offset).as("hit"))
+      .orderBy(col("qid"))
+  }
+
   /** q116: embedding-space benchmark decontamination — the semantic
     * complement of the shingle-based q49: flag corpus vectors whose max
     * cosine to ANY benchmark probe clears θ (paraphrased eval answers that
@@ -752,6 +798,29 @@ object Similarity {
         |  round(sum(max_sim::DECIMAL(25,6))::DOUBLE / count(max_sim)
         |    * 1000000) / 1000000 AS avg_max_sim
         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+    // exhaustive-argmax oracle for the LSH retrieval path: valid because a
+    // planted probe's original is a CERTAIN candidate (identical signature
+    // in every table) whose cosine ≈ 1.0 dominates the ≈0.51 natural tail —
+    // the SQL assumes nothing about LSH (q100's argument, retrieval form)
+    "q138_ann_planted" ->
+      """WITH probes AS (
+        |  SELECT vec_id + 4000000 AS qid, embedding FROM embeddings
+        |  WHERE vec_id % 9 = 0),
+        |pairs AS (
+        |  SELECT p.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM probes p CROSS JOIN embeddings c),
+        |ranked AS (
+        |  SELECT qid, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs)
+        |SELECT qid, cid AS retrieved_id,
+        |  round(sim_raw * 1000000) / 1000000 AS sim,
+        |  (cid = qid - 4000000) AS hit
+        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -210,4 +210,23 @@ class SimilaritySpec extends SparkSpecBase {
       .select(col("vec_id"), col("max_sim_raw").as("c"))
     assert(lad.join(ker, "vec_id").filter(col("a") =!= col("c")).count() === 0L)
   }
+
+  test("q138 planted-probe retrieval: one row per probe, every top-1 is " +
+      "the probe's original at sim ~ 1, and the plan is a bucket join") {
+    val df = Similarity.q138AnnPlanted(spark, Sf001)
+    val rows = df.collect()
+    val nProbes = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 9 === 0).count()
+    assert(rows.length.toLong === nProbes)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Long]("retrieved_id") === r.getAs[Long]("qid") - 4000000L)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    // retrieval must stay a shuffled/broadcast HASH join on the signature
+    // key — a nested-loop or cartesian means the index stopped indexing
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
