@@ -176,8 +176,9 @@ object SparkEntry {
     "q135_roi_portfolio"    -> (Roi.q135RoiPortfolio(_, _)),
     "q136_function_rightsizing" -> (FnSizing.q136FunctionRightsizing(_, _)),
     "q137_cost_dashboard"   -> (Dashboard.q137CostDashboard(_, _)),
-    // LSH retrieval with planted probes: recall provably 1.0, oracle exact
+    // LSH/IVF retrieval with planted probes: recall provably 1.0, oracle exact
     "q138_ann_planted"      -> (Similarity.q138AnnPlanted(_, _)),
+    "q139_ivf_planted"      -> (Similarity.q139IvfPlanted(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -432,6 +432,56 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q139: planted-probe IVF retrieval with an exact oracle — [[q138AnnPlanted]]'s
+    * argument applied to the OTHER index family (q43's cluster-probing
+    * path): probes are exact copies of every 11th vector; retrieval is the
+    * q43 machinery (Lloyd centroids, nprobe=2 nearest clusters per probe,
+    * exact cosine inside, top-1).
+    *
+    * Why a k-means index has an exact oracle: cluster assignment ranks
+    * (cosine to centroid desc, cid) — a pure function of the embedding
+    * VALUE — so the probe's top-1 centroid IS its original's assigned
+    * cluster, whatever the centroids converged to; the original is
+    * therefore always scanned, and its cosine ≈ 1.0 dominates the ≈0.51
+    * natural tail. The top-1 is the original = the exhaustive argmax,
+    * INDEPENDENT of centroid noise (the averaging pass is
+    * accumulation-order-dependent, so the candidate SET varies run to run —
+    * but the winner never does; q111 leans on the same invariant).
+    *
+    * Scale shape: centroid state is k×dim doubles through the driver (like
+    * every Spark k-means); the corpus-side work is one assignment
+    * projection and one hash join on `cid` — no N² anywhere but the
+    * oracle. */
+  def q139IvfPlanted(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val offset = 5000000L
+    val e = Tables.embeddings(spark, dir)
+    val centroids = ivfCentroids(e, k = 16, iters = 2)
+    val assigned = assignToCentroid(e, centroids)
+      .select(col("vec_id").as("cid_vec"), col("embedding").as("ce2"), col("cid"))
+    val probes = e.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"))
+    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeClusters = probes.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= 2)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid_vec"))
+    // no distinct needed: each corpus vector lives in exactly one cluster,
+    // so a (qid, cid_vec) pair can appear at most once
+    probeClusters.join(assigned, "cid")
+      .withColumn("sim_raw", cosine(col("qe"), col("ce2")))
+      .select(col("qid"), col("cid_vec"), col("sim_raw"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid_vec").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"),
+        (col("cid_vec") === col("qid") - offset).as("hit"))
+      .orderBy(col("qid"))
+  }
+
   /** q116: embedding-space benchmark decontamination — the semantic
     * complement of the shingle-based q49: flag corpus vectors whose max
     * cosine to ANY benchmark probe clears θ (paraphrased eval answers that
@@ -802,6 +852,30 @@ object Similarity {
     // planted probe's original is a CERTAIN candidate (identical signature
     // in every table) whose cosine ≈ 1.0 dominates the ≈0.51 natural tail —
     // the SQL assumes nothing about LSH (q100's argument, retrieval form)
+    // q138's exhaustive oracle, IVF form: the probe's top-1 centroid is its
+    // original's cluster (assignment is a pure function of the embedding
+    // value), so the original is always scanned and always wins — the
+    // answer is centroid-noise-independent even though the candidate set
+    // is not
+    "q139_ivf_planted" ->
+      """WITH probes AS (
+        |  SELECT vec_id + 5000000 AS qid, embedding FROM embeddings
+        |  WHERE vec_id % 11 = 0),
+        |pairs AS (
+        |  SELECT p.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM probes p CROSS JOIN embeddings c),
+        |ranked AS (
+        |  SELECT qid, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs)
+        |SELECT qid, cid AS retrieved_id,
+        |  round(sim_raw * 1000000) / 1000000 AS sim,
+        |  (cid = qid - 5000000) AS hit
+        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "q138_ann_planted" ->
       """WITH probes AS (
         |  SELECT vec_id + 4000000 AS qid, embedding FROM embeddings

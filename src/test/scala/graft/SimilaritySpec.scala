@@ -229,4 +229,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("q139 planted-probe IVF retrieval: every top-1 is the probe's " +
+      "original regardless of where the centroids converged") {
+    val rows = Similarity.q139IvfPlanted(spark, Sf001).collect()
+    val nProbes = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 11 === 0).count()
+    assert(rows.length.toLong === nProbes)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Long]("retrieved_id") === r.getAs[Long]("qid") - 5000000L)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+  }
 }
