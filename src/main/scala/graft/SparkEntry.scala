@@ -179,6 +179,7 @@ object SparkEntry {
     // LSH/IVF retrieval with planted probes: recall provably 1.0, oracle exact
     "q138_ann_planted"      -> (Similarity.q138AnnPlanted(_, _)),
     "q139_ivf_planted"      -> (Similarity.q139IvfPlanted(_, _)),
+    "q140_simhash_planted"  -> (TextOps.q140SimhashPlanted(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -780,6 +780,57 @@ object TextOps {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** q140: SimHash-band dedup with planted copies and an exact oracle —
+    * the q138/q139 pattern applied to the last big prop-only index family
+    * (q37's fingerprints): corpus = documents ∪ exact text copies of every
+    * 13th doc under shifted ids; candidates = pairs sharing ANY 16-bit band
+    * of the 64-bit SimHash (the classic Hamming≤3 pigeonhole banding);
+    * verify = exact content equality on the md5 digest (the q23 contract);
+    * keep-first marks the higher id.
+    *
+    * Why the seeded-hash index has an exact oracle: an exact copy has
+    * identical text → identical SimHash → shares every band with its
+    * original, so each planted pair is a CERTAIN candidate — recall is 1.0
+    * by construction, not probabilistically — and the md5 verify removes
+    * every non-identical candidate. The output is exactly the
+    * identical-content duplicate set, which DuckDB recomputes from an
+    * md5-equality join assuming nothing about SimHash; a band-extraction
+    * bug, sign error in the bit sums, or a broken explode would all break
+    * recall and flip the driver hash.
+    *
+    * Scale shape: fingerprint is the one-pass native kernel (q37's); the
+    * band join shuffles (band-key, id, digest) — never text — and the N²
+    * pass exists only in the oracle. */
+  def q140SimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Simhash64Function.register(spark)
+    val offset = 6000000L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.unionByName(
+      d.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + offset))
+    val fp = corpus.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"),
+      call_function("simhash64", col("text")).as("sig"))
+    // band key: table index folded into bits 16.. so bands never collide
+    // across band positions (the q27/q100 signature-folding rule)
+    val banded = fp.withColumn("band",
+      explode(array((0 until 4).map(b =>
+        lit(b.toLong << 16) +
+          shiftright(col("sig"), 16 * b).bitwiseAND(0xFFFFL)): _*)))
+    val a = banded.select(col("band"), col("doc_id").as("i"), col("digest").as("da"))
+    val b = banded.select(col("band"), col("doc_id").as("j"), col("digest").as("db"))
+    val dupIds = a.join(b, Seq("band"))
+      .filter(col("i") < col("j") && col("da") === col("db"))
+      .select(col("j").as("doc_id")).distinct()
+    corpus.join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("doc_id") >= offset, 1)).as("n_planted"),
+        count(when(col("is_dup"), 1)).as("n_dups"))
+      .orderBy(col("source"))
+  }
+
   /** q37: per-source fingerprint stats — winnowing fingerprints (k=3, w=4)
     * + SimHash. Rows-only (seeded hashes are engine-specific); the spec
     * asserts near-dup docs share fingerprints and sit at small Hamming
@@ -1768,6 +1819,25 @@ object TextOps {
       |FROM by_src CROSS JOIN tot ORDER BY source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exhaustive identical-content oracle for the SimHash-band index:
+    // valid because an exact copy shares EVERY band with its original
+    // (recall provably 1.0) and the md5 verify removes all non-identical
+    // candidates — the SQL assumes nothing about SimHash (q138's argument)
+    "q140_simhash_planted" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, source, text FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |dup_ids AS (
+        |  SELECT DISTINCT b.doc_id AS j
+        |  FROM corpus a JOIN corpus b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id >= 6000000 THEN 1 END) AS n_planted,
+        |  count(CASE WHEN d.j IS NOT NULL THEN 1 END) AS n_dups
+        |FROM corpus c LEFT JOIN dup_ids d ON c.doc_id = d.j
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q117_curation_export" -> CurationExportOracle,
     "q118_incremental_clusters" -> IncrementalClustersOracle,
     "q122_post_dedup_mixture" -> PostDedupMixtureOracle,

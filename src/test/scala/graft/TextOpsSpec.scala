@@ -517,4 +517,23 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, 0L, 0L, 0L, 2L, 0.0)))
   }
 
+  test("q140: every planted copy is caught through the SimHash bands " +
+      "(recall 1.0 by construction), and the join is band-keyed") {
+    val df = TextOps.q140SimhashPlanted(spark, Sf001)
+    val rows = df.collect()
+    val plantedPerSource = Tables.documents(spark, Sf001)
+      .filter(col("doc_id") % 13 === 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_planted") === plantedPerSource.getOrElse(src, 0L))
+      // keep-first marks every planted copy (plus any natural exact dup)
+      assert(r.getAs[Long]("n_dups") >= r.getAs[Long]("n_planted"), r.toString)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
 }
