@@ -102,14 +102,15 @@ object EtlBench {
     // on first use (the rep1-inflation rule from the bench notes); warming
     // only the baseline would leave snappy/zstd first-use cost inside the
     // timed s2/s4 runs, biasing speedup_x100 against the compressed configs.
-    // One small slice per distinct codec warms every path without a second
-    // full pass.
+    // One small slice per distinct (codec, dictionary) config actually used
+    // warms every path — including the baseline's dictionary-disabled
+    // encoder — without a second full pass.
     val warm = src.limit(1000)
-    scenarios.map(_.compression).distinct.zipWithIndex.foreach {
-      case (codec, i) =>
+    scenarios.map(sc => (sc.compression, sc.dictionary)).distinct.zipWithIndex
+      .foreach { case ((codec, dict), i) =>
         writeScenario(warm, Scenario(s"warm_$codec", codec,
-          dictionary = true, sorted = false), s"$tmp/__warmup_$i")
-    }
+          dictionary = dict, sorted = false), s"$tmp/__warmup_$i")
+      }
     scenarios.map { sc =>
       val out = s"$tmp/${sc.name}"
       val t0 = System.nanoTime()

@@ -44,6 +44,10 @@ object WarmLedger {
   def record(spark: SparkSession, dir: String, round: String,
              ledgerDir: String,
              names: Seq[String] = watchlist): DataFrame = {
+    // a malformed tag would silently corrupt the triage artifact (the
+    // regression view orders rounds by their numeric suffix)
+    require(round.matches("r\\d+"),
+      s"round tag must be r<N> (e.g. r11), got '$round'")
     val prof = WarmCold.warmColdProfile(spark, dir, names)
       .withColumn("source", lit("profiler"))
     // one self-contained partition per round: re-running a round replaces
@@ -61,11 +65,12 @@ object WarmLedger {
     * rounds' warm times and their ratio ×100 (integer, half-up). A row
     * only exists once a query has ≥2 recorded rounds; `regressed` flags
     * >2× growth — the rule that replaces cold-time re-litigation. Round
-    * recency is lexicographic on the round tag, which the r<NN> naming
-    * keeps truthful through round 99. */
+    * recency orders on the tag's NUMERIC suffix ([[record]] enforces the
+    * r<N> shape), so r100 correctly follows r99. */
   def regressions(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val roundNum = expr("cast(substring(round, 2) as int)")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("round").desc)
+      .partitionBy(col("query_id")).orderBy(roundNum.desc)
     read(spark, ledgerDir)
       .groupBy(col("query_id"), col("round"))
       .agg(min(col("warm_ms")).as("warm_ms"))

@@ -299,13 +299,16 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  /** Planted-duplicate corpus: every `every`-th vector reappears verbatim
-    * with id shifted by `offset` (> every real id, so keep-first marks the
-    * copy, never the original, as the duplicate). */
-  def plantedCorpus(e: DataFrame, every: Int, offset: Long): DataFrame =
+  /** Planted-duplicate corpus: every `every`-th row reappears verbatim
+    * with `idCol` shifted by `offset` (> every real id, so keep-first marks
+    * the copy, never the original, as the duplicate). The single source of
+    * the planting contract all the planted oracles lean on (q100/q111
+    * dedup, q138/q139 retrieval, q140 via doc_id). */
+  def plantedCorpus(e: DataFrame, every: Int, offset: Long,
+                    idCol: String = "vec_id"): DataFrame =
     e.unionByName(
-      e.filter(col("vec_id") % every === 0)
-        .withColumn("vec_id", col("vec_id") + offset))
+      e.filter(col(idCol) % every === 0)
+        .withColumn(idCol, col(idCol) + offset))
 
   /** q100: the LSH (100-TB) dedup path, driver-verified against the exact
     * oracle. Corpus = embeddings ∪ exact copies of every 7th vector
@@ -713,6 +716,30 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** The shared q138/q139 oracle body: exhaustive top-1 cosine over probes
+    * planted as exact copies of every `modulus`-th vector under `offset`-
+    * shifted ids. See the map entries below for why this exact SQL checks
+    * both approximate indexes. */
+  private def plantedRetrievalOracle(modulus: Int, offset: Long): String =
+    s"""WITH probes AS (
+       |  SELECT vec_id + $offset AS qid, embedding FROM embeddings
+       |  WHERE vec_id % $modulus = 0),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS cid,
+       |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+       |  FROM probes p CROSS JOIN embeddings c),
+       |ranked AS (
+       |  SELECT qid, cid, sim_raw,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+       |  FROM pairs)
+       |SELECT qid, cid AS retrieved_id,
+       |  round(sim_raw * 1000000) / 1000000 AS sim,
+       |  (cid = qid - $offset) AS hit
+       |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q108_quantization_audit" ->
       """WITH ex AS (
@@ -848,53 +875,17 @@ object Similarity {
         |  round(sum(max_sim::DECIMAL(25,6))::DOUBLE / count(max_sim)
         |    * 1000000) / 1000000 AS avg_max_sim
         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
-    // exhaustive-argmax oracle for the LSH retrieval path: valid because a
-    // planted probe's original is a CERTAIN candidate (identical signature
-    // in every table) whose cosine ≈ 1.0 dominates the ≈0.51 natural tail —
-    // the SQL assumes nothing about LSH (q100's argument, retrieval form)
-    // q138's exhaustive oracle, IVF form: the probe's top-1 centroid is its
-    // original's cluster (assignment is a pure function of the embedding
-    // value), so the original is always scanned and always wins — the
-    // answer is centroid-noise-independent even though the candidate set
-    // is not
-    "q139_ivf_planted" ->
-      """WITH probes AS (
-        |  SELECT vec_id + 5000000 AS qid, embedding FROM embeddings
-        |  WHERE vec_id % 11 = 0),
-        |pairs AS (
-        |  SELECT p.qid, c.vec_id AS cid,
-        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
-        |  FROM probes p CROSS JOIN embeddings c),
-        |ranked AS (
-        |  SELECT qid, cid, sim_raw,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
-        |  FROM pairs)
-        |SELECT qid, cid AS retrieved_id,
-        |  round(sim_raw * 1000000) / 1000000 AS sim,
-        |  (cid = qid - 5000000) AS hit
-        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
-    "q138_ann_planted" ->
-      """WITH probes AS (
-        |  SELECT vec_id + 4000000 AS qid, embedding FROM embeddings
-        |  WHERE vec_id % 9 = 0),
-        |pairs AS (
-        |  SELECT p.qid, c.vec_id AS cid,
-        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
-        |  FROM probes p CROSS JOIN embeddings c),
-        |ranked AS (
-        |  SELECT qid, cid, sim_raw,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
-        |  FROM pairs)
-        |SELECT qid, cid AS retrieved_id,
-        |  round(sim_raw * 1000000) / 1000000 AS sim,
-        |  (cid = qid - 4000000) AS hit
-        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
+    // ONE exhaustive-argmax oracle for BOTH planted-retrieval queries (the
+    // r10 one-generator rule — only the planting parameters differ): valid
+    // because a planted probe's original is a CERTAIN candidate — identical
+    // signature in every LSH table (q138) / same assigned cluster, the
+    // assignment being a pure function of the embedding value (q139) — and
+    // its cosine ≈ 1.0 dominates the ≈0.51 natural tail, so each index's
+    // top-1 provably equals this SQL's N² argmax, which assumes nothing
+    // about either index (and is centroid-noise-independent for q139 even
+    // though the candidate SET is not).
+    "q138_ann_planted" -> plantedRetrievalOracle(modulus = 9, offset = 4000000L),
+    "q139_ivf_planted" -> plantedRetrievalOracle(modulus = 11, offset = 5000000L),
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -806,9 +806,8 @@ object TextOps {
     val offset = 6000000L
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    val corpus = d.unionByName(
-      d.filter(col("doc_id") % 13 === 0)
-        .withColumn("doc_id", col("doc_id") + offset))
+    val corpus =
+      graft.sim.Similarity.plantedCorpus(d, every = 13, offset, idCol = "doc_id")
     val fp = corpus.select(col("doc_id"), col("source"),
       md5(col("text")).as("digest"),
       call_function("simhash64", col("text")).as("sig"))

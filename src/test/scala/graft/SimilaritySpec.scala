@@ -211,18 +211,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lad.join(ker, "vec_id").filter(col("a") =!= col("c")).count() === 0L)
   }
 
-  test("q138 planted-probe retrieval: one row per probe, every top-1 is " +
-      "the probe's original at sim ~ 1, and the plan is a bucket join") {
-    val df = Similarity.q138AnnPlanted(spark, Sf001)
+  /** Shared planted-retrieval contract: one row per probe, every top-1 is
+    * the probe's original at cosine ≈ 1 — the recall-1.0 statement both
+    * index families must satisfy by construction. */
+  private def checkPlantedRetrieval(df: org.apache.spark.sql.DataFrame,
+                                    modulus: Int, offset: Long): Unit = {
     val rows = df.collect()
     val nProbes = Tables.embeddings(spark, Sf001)
-      .filter(col("vec_id") % 9 === 0).count()
+      .filter(col("vec_id") % modulus === 0).count()
     assert(rows.length.toLong === nProbes)
     rows.foreach { r =>
       assert(r.getAs[Boolean]("hit"), r.toString)
-      assert(r.getAs[Long]("retrieved_id") === r.getAs[Long]("qid") - 4000000L)
+      assert(r.getAs[Long]("retrieved_id") === r.getAs[Long]("qid") - offset)
       assert(r.getAs[Double]("sim") > 0.999999, r.toString)
     }
+  }
+
+  test("q138 planted-probe retrieval: one row per probe, every top-1 is " +
+      "the probe's original at sim ~ 1, and the plan is a bucket join") {
+    val df = Similarity.q138AnnPlanted(spark, Sf001)
+    checkPlantedRetrieval(df, modulus = 9, offset = 4000000L)
     // retrieval must stay a shuffled/broadcast HASH join on the signature
     // key — a nested-loop or cartesian means the index stopped indexing
     val p = df.queryExecution.executedPlan.toString
@@ -232,14 +240,7 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("q139 planted-probe IVF retrieval: every top-1 is the probe's " +
       "original regardless of where the centroids converged") {
-    val rows = Similarity.q139IvfPlanted(spark, Sf001).collect()
-    val nProbes = Tables.embeddings(spark, Sf001)
-      .filter(col("vec_id") % 11 === 0).count()
-    assert(rows.length.toLong === nProbes)
-    rows.foreach { r =>
-      assert(r.getAs[Boolean]("hit"), r.toString)
-      assert(r.getAs[Long]("retrieved_id") === r.getAs[Long]("qid") - 5000000L)
-      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
-    }
+    checkPlantedRetrieval(Similarity.q139IvfPlanted(spark, Sf001),
+      modulus = 11, offset = 5000000L)
   }
 }
