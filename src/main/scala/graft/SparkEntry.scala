@@ -180,6 +180,8 @@ object SparkEntry {
     "q138_ann_planted"      -> (Similarity.q138AnnPlanted(_, _)),
     "q139_ivf_planted"      -> (Similarity.q139IvfPlanted(_, _)),
     "q140_simhash_planted"  -> (TextOps.q140SimhashPlanted(_, _)),
+    // the local dashboard's summary endpoint, sampled-stats quirks and all
+    "q141_flight_summary"   -> (Flight.q141FlightSummary(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

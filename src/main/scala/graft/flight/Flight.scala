@@ -386,7 +386,183 @@ object Flight {
       .orderBy(col("altitude_category"), col("speed_category"), col("flight_phase"))
   }
 
+  /** q141: the local dashboard's flight-summary endpoint as a relation —
+    * `dashboard-api.py handle_flight_summary_api` (:88-205), the one
+    * query-shaped reference file §3.4 had not named: airborne/ground
+    * split, position coverage over the FIRST-100 slice, speed/altitude
+    * stats and the 4 altitude bands computed over the endpoint's
+    * every-10th-state SAMPLE (its "sample for performance" quirk, mirrored
+    * faithfully — including that only values > 0 enter the stats), top-10
+    * countries over ALL states, and top-10 fastest aircraft (> 200 kn)
+    * drawn from the sampled subset. Long format (section, rank, item,
+    * n, v) — the q126 analyzer-summary shape.
+    *
+    * Pseudo-telemetry is the q33 derivation (alt = 600·value ft — integer-
+    * valued since value is exactly 2 dp; speed = 6·k kn), country rides
+    * event_type, callsign = 'FL'||user_id, and the endpoint's positional
+    * i%10 / first-100 slices become event_id predicates (the q56 rule:
+    * deterministic membership, not row order). Python's stable sort on
+    * ties becomes explicit (count desc, country) / (speed desc, event_id)
+    * tiebreaks. All sums are exact integers; means guard n > 0 before
+    * dividing (ANSI).
+    *
+    * Scale shape: one conditional-aggregation pass over the scan for every
+    * scalar stat and band (J5 1-row combine), a count-grain top-10 on
+    * countries, and a 10-row TakeOrderedAndProject for the fastest table —
+    * three column-pruned scans, no window over the fact table. */
+  def q141FlightSummary(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      // EXACT integer telemetry: value is 2-dp, so decimal×600 is integral
+      // and the BIGINT cast is unambiguous — a double alt_ft would make
+      // Spark's truncating cast and DuckDB's rounding cast disagree 1 ulp
+      // below an integer
+      .withColumn("alt_ft",
+        (col("value").cast("decimal(18,2)") * 600).cast("long"))
+      .withColumn("speed_kn", (col("k") * 6).cast("long"))
+      .withColumn("on_ground", col("k") % 5 === 0)
+      .withColumn("has_position", col("k") % 3 =!= 0)
+      .withColumn("sampled", col("event_id") % 10 === 0)
+    val sAlt = col("sampled") && col("alt_ft") > 0
+    val sSpd = col("sampled") && col("speed_kn") > 0
+    def nul = lit(null).cast("double")
+    def nuln = lit(null).cast("bigint")
+    val stats = e.groupBy().agg(
+      count(lit(1)).as("total"),
+      count(when(!col("on_ground"), 1)).as("airborne"),
+      count(when(col("on_ground"), 1)).as("ground"),
+      count(when(col("has_position") && col("event_id") < 100, 1)).as("wpos"),
+      sum(when(sAlt, col("alt_ft"))).as("alt_sum"),
+      count(when(sAlt, 1)).as("alt_n"),
+      max(when(sAlt, col("alt_ft"))).as("alt_max"),
+      min(when(sAlt, col("alt_ft"))).as("alt_min"),
+      count(when(sAlt && col("alt_ft") <= 10000, 1)).as("b_low"),
+      count(when(sAlt && col("alt_ft") > 10000 && col("alt_ft") <= 30000, 1)).as("b_med"),
+      count(when(sAlt && col("alt_ft") > 30000 && col("alt_ft") <= 50000, 1)).as("b_high"),
+      count(when(sAlt && col("alt_ft") > 50000, 1)).as("b_vhigh"),
+      sum(when(sSpd, col("speed_kn"))).as("spd_sum"),
+      count(when(sSpd, 1)).as("spd_n"),
+      max(when(sSpd, col("speed_kn"))).as("spd_max"))
+    // identical field NAMES in every struct, or array() rejects the mix
+    def rowOf(section: String, item: String, n: Column, v: Column) =
+      struct(lit(section).as("section"), lit(0L).as("rank"),
+        lit(item).as("item"), n.cast("bigint").as("n"),
+        v.cast("double").as("v"))
+    val scalarRows = stats.select(array(
+        rowOf("overview", "total_flights", col("total"), nul),
+        rowOf("overview", "flights_airborne", col("airborne"), nul),
+        rowOf("overview", "flights_on_ground", col("ground"), nul),
+        rowOf("overview", "flights_with_position", col("wpos"), nul),
+        rowOf("altitude_stats", "mean_altitude_ft", nuln,
+          when(col("alt_n") > 0, Exprs.dround(
+            col("alt_sum").cast("double") / col("alt_n"), 4)).otherwise(0.0)),
+        rowOf("altitude_stats", "max_altitude_ft", nuln,
+          coalesce(col("alt_max"), lit(0.0))),
+        rowOf("altitude_stats", "min_altitude_ft", nuln,
+          coalesce(col("alt_min"), lit(0.0))),
+        rowOf("altitude_distribution", "Low (0-10k ft)", col("b_low"), nul),
+        rowOf("altitude_distribution", "Medium (10-30k ft)", col("b_med"), nul),
+        rowOf("altitude_distribution", "High (30-50k ft)", col("b_high"), nul),
+        rowOf("altitude_distribution", "Very High (>50k ft)", col("b_vhigh"), nul),
+        rowOf("speed_stats", "mean_speed_knots", nuln,
+          when(col("spd_n") > 0, Exprs.dround(
+            col("spd_sum").cast("double") / col("spd_n"), 4)).otherwise(0.0)),
+        rowOf("speed_stats", "max_speed_knots", nuln,
+          coalesce(col("spd_max"), lit(0.0)))).as("rows"))
+      .select(explode(col("rows")).as("r")).select(col("r.*"))
+    val countries = e.groupBy(col("event_type").as("item"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(10)
+      .select(lit("top_countries").as("section"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("item")))).cast("long").as("rank"),
+        col("item"), col("n"), nul.as("v"))
+    val fastest = e.filter(col("sampled") && col("speed_kn") > 200)
+      .orderBy(col("speed_kn").desc, col("event_id")).limit(10)
+      .select(lit("top_fastest").as("section"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("speed_kn").desc, col("event_id")))).cast("long").as("rank"),
+        concat(lit("FL"), col("user_id")).as("item"),
+        nuln.as("n"), col("speed_kn").cast("double").as("v"))
+    scalarRows.unionByName(countries).unionByName(fastest)
+      .orderBy(col("section"), col("rank"), col("item"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q141_flight_summary" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    (value::DECIMAL(18,2) * 600)::BIGINT AS alt_ft
+        |  FROM events),
+        |st AS (
+        |  SELECT *, (k * 6)::BIGINT AS speed_kn,
+        |    (k % 5 = 0) AS on_ground, (k % 3 <> 0) AS has_position,
+        |    (event_id % 10 = 0) AS sampled
+        |  FROM base),
+        |stats AS (
+        |  SELECT count(*)::BIGINT AS total,
+        |    count(CASE WHEN NOT on_ground THEN 1 END)::BIGINT AS airborne,
+        |    count(CASE WHEN on_ground THEN 1 END)::BIGINT AS ground,
+        |    count(CASE WHEN has_position AND event_id < 100 THEN 1 END)::BIGINT AS wpos,
+        |    sum(CASE WHEN sampled AND alt_ft > 0 THEN alt_ft END)::BIGINT AS alt_sum,
+        |    count(CASE WHEN sampled AND alt_ft > 0 THEN 1 END)::BIGINT AS alt_n,
+        |    max(CASE WHEN sampled AND alt_ft > 0 THEN alt_ft END) AS alt_max,
+        |    min(CASE WHEN sampled AND alt_ft > 0 THEN alt_ft END) AS alt_min,
+        |    count(CASE WHEN sampled AND alt_ft > 0 AND alt_ft <= 10000 THEN 1 END)::BIGINT AS b_low,
+        |    count(CASE WHEN sampled AND alt_ft > 10000 AND alt_ft <= 30000 THEN 1 END)::BIGINT AS b_med,
+        |    count(CASE WHEN sampled AND alt_ft > 30000 AND alt_ft <= 50000 THEN 1 END)::BIGINT AS b_high,
+        |    count(CASE WHEN sampled AND alt_ft > 50000 THEN 1 END)::BIGINT AS b_vhigh,
+        |    sum(CASE WHEN sampled AND speed_kn > 0 THEN speed_kn END)::BIGINT AS spd_sum,
+        |    count(CASE WHEN sampled AND speed_kn > 0 THEN 1 END)::BIGINT AS spd_n,
+        |    max(CASE WHEN sampled AND speed_kn > 0 THEN speed_kn END) AS spd_max
+        |  FROM st),
+        |scalar AS (
+        |  SELECT 'overview' AS section, 0::BIGINT AS "rank",
+        |    'total_flights' AS item, total AS n, NULL::DOUBLE AS v FROM stats
+        |  UNION ALL SELECT 'overview', 0, 'flights_airborne', airborne, NULL FROM stats
+        |  UNION ALL SELECT 'overview', 0, 'flights_on_ground', ground, NULL FROM stats
+        |  UNION ALL SELECT 'overview', 0, 'flights_with_position', wpos, NULL FROM stats
+        |  UNION ALL SELECT 'altitude_stats', 0, 'mean_altitude_ft', NULL,
+        |    CASE WHEN alt_n > 0
+        |      THEN round(alt_sum::DOUBLE / alt_n * 10000) / 10000
+        |      ELSE 0.0 END FROM stats
+        |  UNION ALL SELECT 'altitude_stats', 0, 'max_altitude_ft', NULL,
+        |    coalesce(alt_max, 0)::DOUBLE FROM stats
+        |  UNION ALL SELECT 'altitude_stats', 0, 'min_altitude_ft', NULL,
+        |    coalesce(alt_min, 0)::DOUBLE FROM stats
+        |  UNION ALL SELECT 'altitude_distribution', 0, 'Low (0-10k ft)', b_low, NULL FROM stats
+        |  UNION ALL SELECT 'altitude_distribution', 0, 'Medium (10-30k ft)', b_med, NULL FROM stats
+        |  UNION ALL SELECT 'altitude_distribution', 0, 'High (30-50k ft)', b_high, NULL FROM stats
+        |  UNION ALL SELECT 'altitude_distribution', 0, 'Very High (>50k ft)', b_vhigh, NULL FROM stats
+        |  UNION ALL SELECT 'speed_stats', 0, 'mean_speed_knots', NULL,
+        |    CASE WHEN spd_n > 0
+        |      THEN round(spd_sum::DOUBLE / spd_n * 10000) / 10000
+        |      ELSE 0.0 END FROM stats
+        |  UNION ALL SELECT 'speed_stats', 0, 'max_speed_knots', NULL,
+        |    coalesce(spd_max, 0)::DOUBLE FROM stats),
+        |countries AS (
+        |  SELECT event_type AS item, count(*)::BIGINT AS n
+        |  FROM st GROUP BY event_type),
+        |top_c AS (
+        |  SELECT 'top_countries' AS section, rn AS "rank", item, n,
+        |    NULL::DOUBLE AS v
+        |  FROM (SELECT item, n,
+        |          row_number() OVER (ORDER BY n DESC, item)::BIGINT AS rn
+        |        FROM countries)
+        |  WHERE rn <= 10),
+        |top_f AS (
+        |  SELECT 'top_fastest' AS section, rn AS "rank",
+        |    'FL' || user_id AS item, NULL::BIGINT AS n, speed_kn::DOUBLE AS v
+        |  FROM (SELECT user_id, speed_kn,
+        |          row_number() OVER (ORDER BY speed_kn DESC, event_id)::BIGINT AS rn
+        |        FROM st WHERE sampled AND speed_kn > 200)
+        |  WHERE rn <= 10)
+        |SELECT * FROM scalar
+        |UNION ALL SELECT * FROM top_c
+        |UNION ALL SELECT * FROM top_f
+        |ORDER BY section, "rank", item""".stripMargin,
+
     "q33_flight_enrich" ->
       """WITH telem AS (
         |  SELECT value, value * 600 AS alt_ft,

@@ -249,4 +249,34 @@ class FlightSpec extends SparkSpecBase {
     assert(back.columns.contains("hour"))
     assert(back.select("flight_phase").distinct().count() >= 1)
   }
+
+  test("q141 flight summary: internally consistent sections (bands tile " +
+      "the altitude sample, fastest ranks ordered, counts reconcile)") {
+    val rows = graft.flight.Flight.q141FlightSummary(spark, Sf001).collect()
+    def sec(s: String) = rows.filter(_.getAs[String]("section") == s)
+    def n(s: String, item: String): Long =
+      sec(s).find(_.getAs[String]("item") == item).get.getAs[Long]("n")
+    val total = n("overview", "total_flights")
+    assert(total === Tables.events(spark, Sf001).count())
+    assert(n("overview", "flights_airborne") +
+      n("overview", "flights_on_ground") === total)
+    // the 4 bands tile exactly the >0-altitude sampled subset
+    val bands = sec("altitude_distribution").map(_.getAs[Long]("n")).sum
+    val sampledAlt = Tables.events(spark, Sf001)
+      .filter(org.apache.spark.sql.functions.expr(
+        "event_id % 10 = 0 AND cast(value as decimal(18,2)) * 600 > 0")).count()
+    assert(bands === sampledAlt)
+    // fastest: ranks 1..k, speeds non-increasing, all > 200 kn
+    val fast = sec("top_fastest").sortBy(_.getAs[Long]("rank"))
+    assert(fast.nonEmpty && fast.length <= 10)
+    assert(fast.map(_.getAs[Long]("rank")).toSeq === (1L to fast.length).toSeq)
+    val speeds = fast.map(_.getAs[Double]("v"))
+    assert(speeds.zip(speeds.tail).forall { case (a, b) => a >= b })
+    assert(speeds.forall(_ > 200.0))
+    // countries: counts sum to total, ranks ordered by count desc
+    val cs = sec("top_countries").sortBy(_.getAs[Long]("rank"))
+    val cn = cs.map(_.getAs[Long]("n"))
+    assert(cn.zip(cn.tail).forall { case (a, b) => a >= b })
+    assert(cn.sum <= total)
+  }
 }
