@@ -430,7 +430,6 @@ object Flight {
     val stats = e.groupBy().agg(
       count(lit(1)).as("total"),
       count(when(!col("on_ground"), 1)).as("airborne"),
-      count(when(col("on_ground"), 1)).as("ground"),
       count(when(col("has_position") && col("event_id") < 100, 1)).as("wpos"),
       sum(when(sAlt, col("alt_ft"))).as("alt_sum"),
       count(when(sAlt, 1)).as("alt_n"),
@@ -451,7 +450,10 @@ object Flight {
     val scalarRows = stats.select(array(
         rowOf("overview", "total_flights", col("total"), nul),
         rowOf("overview", "flights_airborne", col("airborne"), nul),
-        rowOf("overview", "flights_on_ground", col("ground"), nul),
+        // the reference computes ground = total - airborne (:107), so a row
+        // whose on_ground is unknowable still lands in a bucket
+        rowOf("overview", "flights_on_ground",
+          col("total") - col("airborne"), nul),
         rowOf("overview", "flights_with_position", col("wpos"), nul),
         rowOf("altitude_stats", "mean_altitude_ft", nuln,
           when(col("alt_n") > 0, Exprs.dround(
@@ -470,7 +472,11 @@ object Flight {
         rowOf("speed_stats", "max_speed_knots", nuln,
           coalesce(col("spd_max"), lit(0.0)))).as("rows"))
       .select(explode(col("rows")).as("r")).select(col("r.*"))
-    val countries = e.groupBy(col("event_type").as("item"))
+    // the endpoint only counts truthy countries (:129); the guard also
+    // keeps a hypothetical NULL group out of the rank tiebreak, where the
+    // engines' NULL ordering differs
+    val countries = e.filter(col("event_type").isNotNull)
+      .groupBy(col("event_type").as("item"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("item")).limit(10)
       .select(lit("top_countries").as("section"),
@@ -503,7 +509,6 @@ object Flight {
         |stats AS (
         |  SELECT count(*)::BIGINT AS total,
         |    count(CASE WHEN NOT on_ground THEN 1 END)::BIGINT AS airborne,
-        |    count(CASE WHEN on_ground THEN 1 END)::BIGINT AS ground,
         |    count(CASE WHEN has_position AND event_id < 100 THEN 1 END)::BIGINT AS wpos,
         |    sum(CASE WHEN sampled AND alt_ft > 0 THEN alt_ft END)::BIGINT AS alt_sum,
         |    count(CASE WHEN sampled AND alt_ft > 0 THEN 1 END)::BIGINT AS alt_n,
@@ -521,7 +526,7 @@ object Flight {
         |  SELECT 'overview' AS section, 0::BIGINT AS "rank",
         |    'total_flights' AS item, total AS n, NULL::DOUBLE AS v FROM stats
         |  UNION ALL SELECT 'overview', 0, 'flights_airborne', airborne, NULL FROM stats
-        |  UNION ALL SELECT 'overview', 0, 'flights_on_ground', ground, NULL FROM stats
+        |  UNION ALL SELECT 'overview', 0, 'flights_on_ground', total - airborne, NULL FROM stats
         |  UNION ALL SELECT 'overview', 0, 'flights_with_position', wpos, NULL FROM stats
         |  UNION ALL SELECT 'altitude_stats', 0, 'mean_altitude_ft', NULL,
         |    CASE WHEN alt_n > 0
@@ -543,7 +548,7 @@ object Flight {
         |    coalesce(spd_max, 0)::DOUBLE FROM stats),
         |countries AS (
         |  SELECT event_type AS item, count(*)::BIGINT AS n
-        |  FROM st GROUP BY event_type),
+        |  FROM st WHERE event_type IS NOT NULL GROUP BY event_type),
         |top_c AS (
         |  SELECT 'top_countries' AS section, rn AS "rank", item, n,
         |    NULL::DOUBLE AS v
