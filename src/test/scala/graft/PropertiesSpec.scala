@@ -224,4 +224,40 @@ class PropertiesSpec extends SparkSpecBase {
         s"${r.getAs[String]("event_type")}: sample $samp vs pop $pop")
     }
   }
+
+  test("TopKSampleAgg: any partitioning of any input reduces+merges to the " +
+      "global K smallest — the mergeable-partial contract the shipped q60 " +
+      "rests on") {
+    import graft.functions.{SampleCand, TopKSampleAgg}
+    // cents derives from the id so a generated duplicate id is a fully
+    // identical record (the real q60 has unique ids; this keeps tie order
+    // unambiguous in the reference sort)
+    val candGen = for {
+      id <- Gen.choose(0L, 500L)
+    } yield SampleCand(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id, (id * 31) % 10000)
+    val caseGen = for {
+      n <- Gen.choose(0, 120)
+      cands <- Gen.listOfN(n, candGen)
+      k <- Gen.oneOf(1, 3, 7, 50, 200)
+      nParts <- Gen.choose(1, 8)
+    } yield (cands, k, nParts)
+    samples(caseGen, n = 200).foreach { case (cands, k, nParts) =>
+      val agg = TopKSampleAgg(k)
+      // split into nParts arbitrary chunks, reduce each, merge pairwise in
+      // a left fold — the shapes Spark's partial aggregation actually runs
+      val parts = cands.grouped(math.max(1, (cands.size + nParts - 1) / nParts))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      val out = agg.finish(merged)
+      // reference: plain global sort by (m, id), take k
+      val ref = cands.sortBy(c => (c.m, c.id)).take(k)
+      assert(out.n_sampled === ref.size.toLong, s"k=$k n=${cands.size}")
+      assert(out.sum_cents === ref.map(_.cents).sum, s"k=$k n=${cands.size}")
+      // and the buffer itself holds exactly the reference set, in order
+      assert(merged.items.toSeq === ref, s"k=$k n=${cands.size}")
+    }
+  }
 }
