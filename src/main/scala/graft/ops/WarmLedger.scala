@@ -28,14 +28,18 @@ object WarmLedger {
     * geo top-1 family (q52: one oracle flip per ~10k rows history), the
     * codec-bound q121, and r10's four below-retry-trigger upticks
     * (q48/q88/q89/q119 — kept to settle their noise-vs-real question with
-    * warm data each round). */
+    * warm data each round), and (r12) the approximate-index oracle family
+    * q138-q140 plus the q141 endpoint mirror — index-machinery breaks
+    * should surface warm here before they surface as oracle reds. */
   val watchlist: Seq[String] = Seq(
     "q24_ngram_jaccard", "q48_quality_filter", "q52_airport_proximity",
     "q59_dup_clusters", "q88_transitions", "q89_zorder_layout",
     "q96_incremental_dedup", "q104_dup_clusters_star",
     "q114_dedup_survivorship", "q115_cluster_safe_split",
     "q117_curation_export", "q118_incremental_clusters",
-    "q119_image_neardup", "q121_video_decode", "q122_post_dedup_mixture")
+    "q119_image_neardup", "q121_video_decode", "q122_post_dedup_mixture",
+    "q138_ann_planted", "q139_ivf_planted", "q140_simhash_planted",
+    "q141_flight_summary")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
