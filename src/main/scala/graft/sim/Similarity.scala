@@ -69,9 +69,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane signature: bit p is the sign of
-    * Σ_d e[d]·sin(131·p + 17·d). No RNG state → reproducible across runs,
-    * executors, and engines. `offset` shifts the plane index so independent
-    * hash tables draw disjoint hyperplanes.
+    * Σ_d e[d]·sin(131·p + (17 + 0.731·p)·d) — the cross term gives every
+    * plane its own d-frequency so the hyperplane family is full-rank (the
+    * r12 fix: the old sin(131p + 17d) family lay entirely in one 2-d
+    * subspace, capping ANY signature at ~2·planes distinct values — see
+    * [[graft.functions.SigMath.hyperplaneSigG]]). No RNG state →
+    * reproducible across runs, executors, and engines. `offset` shifts the
+    * plane index so independent hash tables draw disjoint hyperplanes.
     *
     * Runs on the native codegen'd [[graft.functions.HyperplaneSig]] kernel
     * (callers must [[ensureRegistered]]); bit-identical to
@@ -87,7 +91,8 @@ object Similarity {
     aggregate(
       transform(sequence(offset, offset + lit(planes - 1)), p =>
         when(aggregate(zip_with(e, sequence(lit(0), size(e) - 1),
-            (x, d) => x.cast("double") * sin(lit(131.0) * p.cast("double") + lit(17.0) * d.cast("double"))),
+            (x, d) => x.cast("double") * sin(lit(131.0) * p.cast("double") +
+              (lit(17.0) + lit(0.731) * p.cast("double")) * d.cast("double"))),
           lit(0.0), (acc, v) => acc + v) >= 0, lit(1L)).otherwise(lit(0L))),
       lit(0L), (acc, bit) => acc * 2 + bit)
 
@@ -414,17 +419,26 @@ object Similarity {
     * N² argmax lives only in the oracle. */
   def q138AnnPlanted(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    val planes = 10; val tables = 4; val offset = 4000000L
+    val tables = 4; val offset = 4000000L
     val e = Tables.embeddings(spark, dir)
+    // r12: plane count derives from the corpus count (keyspace ∝ n keeps
+    // expected bucket occupancy, hence candidates per probe, constant —
+    // the r11 verdict's fixed-parameter soft spot), and the bucket join
+    // rides the hot-bucket guard. Both are output-invariant here: the
+    // planted argument above is parameter-independent by construction.
+    val planes = IndexParams.lshPlanes(e.count())
+    // table id folded ABOVE the widest possible signature (planes ≤ 24 <
+    // 32 bits) so buckets never collide across tables at any scale — the
+    // old t*1e6 spacing only held for the fixed 10-plane keyspace
     val sigs = array((0 until tables).map(t =>
-      lit(t * 1000000L) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
+      lit(t.toLong << 32) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
     val corpusX = e.withColumn("sig", explode(sigs))
       .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val probesX = e.filter(col("vec_id") % 9 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
         explode(sigs).as("sig"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
-    corpusX.join(probesX, Seq("sig"))
+    guardedSigJoin(corpusX, "ce", probesX, "qe", IndexParams.hotBucketCap())
       .withColumn("sim_raw", cosine(col("qe"), col("ce")))
       .select(col("qid"), col("cid"), col("sim_raw")).distinct()
       .withColumn("rn", row_number().over(w))
@@ -460,7 +474,10 @@ object Similarity {
     implicit val s: SparkSession = spark
     val offset = 5000000L
     val e = Tables.embeddings(spark, dir)
-    val centroids = ivfCentroids(e, k = 16, iters = 2)
+    // r12: k ~ √n from the corpus count (IVF-flat's probe-vs-centroid-scan
+    // balance) instead of the fixed 16 — output-invariant by the planted
+    // argument above, which holds for ANY centroid set
+    val centroids = ivfCentroids(e, k = IndexParams.ivfK(e.count()), iters = 2)
     val assigned = assignToCentroid(e, centroids)
       .select(col("vec_id").as("cid_vec"), col("embedding").as("ce2"), col("cid"))
     val probes = e.filter(col("vec_id") % 11 === 0)
@@ -625,6 +642,46 @@ object Similarity {
     val b = exploded.select(col("sig"), col("vec_id").as("j"), col("embedding").as("eb"))
     a.join(b, Seq("sig")).filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("ea"), col("eb"))
+  }
+
+  /** Hot-bucket-guarded signature-bucket join — the r12 scale fix for the
+    * LSH candidate stage (r11 verdict: a bucket keyspace that doesn't grow
+    * with the corpus turns a near-constant-embedding bucket into an
+    * n²/keyspace straggler). Buckets whose CORPUS-side occupancy exceeds
+    * `cap` get their join key refined with `refinePlanes` extra hyperplane
+    * bits drawn at a plane offset (1 << 20) disjoint from every table's;
+    * cold buckets keep a −1 sentinel sub-key, so the join key is always
+    * (sig, sub).
+    *
+    * Recall: the refinement is a pure function of the embedding VALUE, so
+    * an exact copy refines identically to its original and planted recall
+    * stays exactly 1.0 (the q138 oracle argument survives unchanged);
+    * genuinely-different vectors that merely share a coarse bucket split
+    * ~2^refinePlanes ways. The irreducible case — a hot bucket of
+    * bit-identical embeddings — cannot be split by ANY content-derived
+    * refinement; that mass is exact-duplicate pathology and belongs to the
+    * digest-grain dedup path (q23/q140's min-per-group star), not to ANN
+    * candidate generation.
+    *
+    * Scale shape: the occupancy pass is one map-side-combinable count over
+    * the exploded corpus; the hot-key relation is the skew TAIL (≤ n/cap
+    * keys in theory, a handful in practice once planes scale with n —
+    * [[IndexParams.lshPlanes]]), so it broadcasts; both join sides then
+    * shuffle on (sig, sub). SimilaritySpec pins the bounded fan-out. */
+  def guardedSigJoin(corpusX: DataFrame, corpusEmb: String,
+                     probesX: DataFrame, probesEmb: String,
+                     cap: Int, refinePlanes: Int = 8): DataFrame = {
+    val hot = corpusX.groupBy(col("sig")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > cap)
+      .select(col("sig"), lit(true).as("hot"))
+    def keyed(df: DataFrame, embCol: String) =
+      df.join(broadcast(hot), Seq("sig"), "left")
+        .withColumn("sub",
+          when(col("hot"),
+            lshSignature(col(embCol), refinePlanes, lit(1 << 20)))
+            .otherwise(lit(-1L)))
+        .drop("hot")
+    keyed(corpusX, corpusEmb).join(keyed(probesX, probesEmb), Seq("sig", "sub"))
   }
 
   def approxEmbeddingDedup(e: DataFrame, threshold: Double,

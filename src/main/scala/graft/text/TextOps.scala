@@ -798,9 +798,14 @@ object TextOps {
     * bug, sign error in the bit sums, or a broken explode would all break
     * recall and flip the driver hash.
     *
-    * Scale shape: fingerprint is the one-pass native kernel (q37's); the
-    * band join shuffles (band-key, id, digest) — never text — and the N²
-    * pass exists only in the oracle. */
+    * Scale shape (r12 rewrite): fingerprint is the one-pass native kernel
+    * (q37's); band width derives from the corpus count
+    * ([[graft.sim.IndexParams.simhashBandBits]]); and the candidate stage
+    * is [[simhashBandDupIds]]'s min-per-(band, digest) window star — NO
+    * pair join anywhere, so a hot band of m identical documents costs m
+    * window rows instead of the old self-join's m²/2 pairs (the r11
+    * verdict's straggler scenario). The N² pass exists only in the
+    * oracle. */
   def q140SimhashPlanted(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Simhash64Function.register(spark)
     val offset = 6000000L
@@ -808,26 +813,43 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("text"))
     val corpus =
       graft.sim.Similarity.plantedCorpus(d, every = 13, offset, idCol = "doc_id")
+    val bandBits = graft.sim.IndexParams.simhashBandBits(corpus.count())
     val fp = corpus.select(col("doc_id"), col("source"),
       md5(col("text")).as("digest"),
       call_function("simhash64", col("text")).as("sig"))
-    // band key: table index folded into bits 16.. so bands never collide
-    // across band positions (the q27/q100 signature-folding rule)
-    val banded = fp.withColumn("band",
-      explode(array((0 until 4).map(b =>
-        lit(b.toLong << 16) +
-          shiftright(col("sig"), 16 * b).bitwiseAND(0xFFFFL)): _*)))
-    val a = banded.select(col("band"), col("doc_id").as("i"), col("digest").as("da"))
-    val b = banded.select(col("band"), col("doc_id").as("j"), col("digest").as("db"))
-    val dupIds = a.join(b, Seq("band"))
-      .filter(col("i") < col("j") && col("da") === col("db"))
-      .select(col("j").as("doc_id")).distinct()
+    val dupIds = simhashBandDupIds(fp, bandBits)
     corpus.join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         count(when(col("doc_id") >= offset, 1)).as("n_planted"),
         count(when(col("is_dup"), 1)).as("n_dups"))
       .orderBy(col("source"))
+  }
+
+  /** Exact-content duplicate ids found through SimHash banding: doc j is a
+    * dup iff some i < j with identical digest shares a band with it —
+    * i.e. iff j exceeds the min doc_id of one of its (band, digest)
+    * groups. That min rides ONE window over the banded relation (same
+    * bits as the old band self-join's `i < j ∧ da = db` pair predicate,
+    * TextOpsSpec-pinned), so candidate work is LINEAR in corpus × bands:
+    * a hot band — the near-constant-document pathology that made the pair
+    * join's worst case quadratic — costs its occupancy in window rows, in
+    * one task, full stop. Input `fp` needs (doc_id, digest, sig).
+    *
+    * Band key: position index folded ABOVE the band's own bits (disjoint
+    * keyspace per position — the q27/q100 signature-folding rule), width
+    * from [[graft.sim.IndexParams.simhashBandBits]]'s corpus-count rule. */
+  def simhashBandDupIds(fp: DataFrame, bandBits: Int): DataFrame = {
+    require(64 % bandBits == 0, s"band bits must divide 64, got $bandBits")
+    val banded = fp.withColumn("band",
+      explode(array((0 until (64 / bandBits)).map(b =>
+        lit(b.toLong << bandBits) +
+          shiftright(col("sig"), bandBits * b).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+    val wBD = Window.partitionBy(col("band"), col("digest"))
+    banded
+      .withColumn("first_id", min(col("doc_id")).over(wBD))
+      .filter(col("doc_id") > col("first_id"))
+      .select(col("doc_id")).distinct()
   }
 
   /** q37: per-source fingerprint stats — winnowing fingerprints (k=3, w=4)

@@ -243,4 +243,71 @@ class SimilaritySpec extends SparkSpecBase {
     checkPlantedRetrieval(Similarity.q139IvfPlanted(spark, Sf001),
       modulus = 11, offset = 5000000L)
   }
+
+  /** 600 diverse synthetic vectors under a deliberately tiny 2-plane
+    * keyspace (4 buckets, every one hot at cap=32) — the skew scenario the
+    * r12 hot-bucket guard exists for. */
+  private def guardFixtures() = {
+    Similarity.ensureRegistered(spark)
+    // seeded-Random components, not a sin/affine lattice: structured
+    // fixtures (sin(i*0.37+...) repeats at i+17; affine hashes correlate
+    // sign sums across i) plant near-identical families refinement must
+    // NOT split — this test needs genuinely diverse vectors. Seeded
+    // java.util LCG is spec-pinned, so the fixture is deterministic.
+    val corpus = Seq.tabulate(600) { i =>
+      val rnd = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("cid", "ce")
+    val sig2 = Similarity.lshSignature(col("ce"), 2)
+    val corpusX = corpus.select(sig2.as("sig"), col("cid"), col("ce"))
+    val probesX = corpus.filter(col("cid") % 10 === 0)
+      .select(sig2.as("sig"), (col("cid") + 100000L).as("qid"),
+        col("ce").as("qe"))
+    (corpusX, probesX)
+  }
+
+  test("guardedSigJoin: hot buckets split to bounded fan-out, planted " +
+      "recall stays exactly 1.0") {
+    val (corpusX, probesX) = guardFixtures()
+    val unguarded = corpusX.join(probesX, Seq("sig")).count()
+    val guarded = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
+      cap = 32, refinePlanes = 8)
+    // every probe is an exact copy: identical embedding → identical sig AND
+    // identical refinement bits → the original is ALWAYS a candidate
+    assert(guarded.filter(col("cid") === col("qid") - 100000L).count() === 60L)
+    // refinement splits the 4 hot ~150-occupant buckets ~2^8 ways: the
+    // candidate set collapses from occ_c x occ_p per bucket to near-diagonal
+    val guardedCount = guarded.count()
+    assert(guardedCount < unguarded / 10,
+      s"guard did not reduce candidates: $guardedCount vs $unguarded")
+    // bounded fan-out pin: no refined corpus bucket exceeds the cap
+    val maxOcc = guarded.groupBy(col("sig"), col("sub"))
+      .agg(countDistinct(col("cid")).as("occ"))
+      .agg(max(col("occ"))).head().getLong(0)
+    assert(maxOcc <= 32, s"refined bucket occupancy $maxOcc exceeds cap")
+  }
+
+  test("guardedSigJoin: with no hot buckets it is exactly the plain sig join") {
+    val (corpusX, probesX) = guardFixtures()
+    val plain = corpusX.join(probesX, Seq("sig"))
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val guarded = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
+      cap = 100000, refinePlanes = 8)
+      .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(guarded.toSeq === plain.toSeq)
+  }
+
+  test("index parameters derive from the corpus count (q138/q139 wiring): " +
+      "sf0.01's 500 vectors -> 5 planes, k=23") {
+    // the wiring contract, not the formula (IndexParamsSpec owns that):
+    // both planted queries run their count-derived parameters end-to-end
+    // and the planted argument holds at whatever the formulas return —
+    // checked by the two retrieval tests above; here pin the derivation
+    // inputs so a silent count regression (filtered/planted corpus passed
+    // where the base corpus was meant) surfaces loudly
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(n === 500L)
+    assert(graft.sim.IndexParams.lshPlanes(n) === 5)
+    assert(graft.sim.IndexParams.ivfK(n) === 23)
+  }
 }

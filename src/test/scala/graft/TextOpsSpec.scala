@@ -536,4 +536,49 @@ class TextOpsSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  private def simhashFp(texts: Seq[(Long, String)]) = {
+    graft.functions.Simhash64Function.register(spark)
+    texts.toDF("doc_id", "text").select(col("doc_id"),
+      md5(col("text")).as("digest"),
+      call_function("simhash64", col("text")).as("sig"))
+  }
+
+  test("simhashBandDupIds == the old band self-join's pair semantics " +
+      "(i < j sharing a band with equal digest), at both band widths") {
+    // 37 distinct texts cycled over 100 ids → every text has 2-3 copies
+    val fp = simhashFp(Seq.tabulate(100)(i =>
+      (i.toLong, s"document body number ${i % 37} with shared phrasing")))
+    for (bandBits <- Seq(8, 16)) {
+      val nBands = 64 / bandBits
+      val banded = fp.withColumn("band",
+        explode(array((0 until nBands).map(b =>
+          lit(b.toLong << bandBits) + shiftright(col("sig"), bandBits * b)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      val a = banded.select(col("band"), col("doc_id").as("i"), col("digest").as("da"))
+      val b = banded.select(col("band"), col("doc_id").as("j"), col("digest").as("db"))
+      val pairForm = a.join(b, Seq("band"))
+        .filter(col("i") < col("j") && col("da") === col("db"))
+        .select(col("j")).distinct().collect().map(_.getLong(0)).sorted
+      val starForm = TextOps.simhashBandDupIds(fp, bandBits)
+        .collect().map(_.getLong(0)).sorted
+      assert(starForm.toSeq === pairForm.toSeq, s"bandBits=$bandBits")
+      assert(starForm.length === 100 - 37)
+    }
+  }
+
+  test("simhashBandDupIds hot-mass linearity: a 500-copy identical band " +
+      "group resolves through one window, no pair join in the plan") {
+    // 500 identical docs — the old pair join would generate ~125k x bands
+    // candidate rows from this group alone; the window star emits 499
+    val fp = simhashFp(
+      Seq.tabulate(500)(i => (i.toLong, "the exact same document body")) ++
+      Seq.tabulate(50)(i => (1000L + i, s"unique filler text $i")))
+    val dup = TextOps.simhashBandDupIds(fp, 8)
+    assert(dup.collect().map(_.getLong(0)).sorted.toSeq === (1L to 499L))
+    val p = dup.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.toLowerCase.contains("join"),
+      s"candidate stage must not join:\n${p.take(2000)}")
+  }
+
 }
