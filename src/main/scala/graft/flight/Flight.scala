@@ -474,7 +474,12 @@ object Flight {
       .select(explode(col("rows")).as("r")).select(col("r.*"))
     // the endpoint only counts truthy countries (:129); the guard also
     // keeps a hypothetical NULL group out of the rank tiebreak, where the
-    // engines' NULL ordering differs
+    // engines' NULL ordering differs.
+    // The two partition-less rank windows below are safe ONLY because each
+    // sits on a post-limit <=10-row relation (one task, ten rows); on an
+    // unbounded relation a global Window.orderBy serializes the whole
+    // dataset through a single task — do not copy this shape upstream of a
+    // limit
     val countries = e.filter(col("event_type").isNotNull)
       .groupBy(col("event_type").as("item"))
       .agg(count(lit(1)).as("n"))
