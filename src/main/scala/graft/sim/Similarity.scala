@@ -332,7 +332,10 @@ object Similarity {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val corpus = plantedCorpus(e, every = 7, offset = 1000000L)
-    embeddingDedup(corpus, 0.99, lshCandidatePairs(_, tables = 6, planes = 8))
+    // r12: planes from the (planted) corpus count — output-invariant, the
+    // planted recall proof above holds at any parameter choice
+    val planes = IndexParams.lshPlanes(corpus.count())
+    embeddingDedup(corpus, 0.99, lshCandidatePairs(_, tables = 6, planes))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
         count(when(col("vec_id") >= 1000000L, 1)).as("n_planted"),
@@ -385,7 +388,10 @@ object Similarity {
     implicit val s: SparkSession = spark
     val corpus = plantedCorpus(Tables.embeddings(spark, dir), every = 5,
       offset = 2000000L)
-    embeddingDedup(corpus, 0.99, clusterCandidatePairs(_, k = 16, iters = 2))
+    // r12: k ~ √n from the corpus count (identical-copy recall is
+    // k-independent: assignment is a pure function of the embedding value)
+    val k = IndexParams.ivfK(corpus.count())
+    embeddingDedup(corpus, 0.99, clusterCandidatePairs(_, k = k, iters = 2))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
         count(when(col("vec_id") >= 2000000L, 1)).as("n_planted"),
@@ -633,14 +639,21 @@ object Similarity {
     * repeated once per colliding table. Volume is Σ bucket²/2 — linear in N
     * for bounded buckets — never N². */
   def lshCandidatePairs(e: DataFrame, tables: Int, planes: Int): DataFrame = {
-    // unrolled like q27's sigs: kernel calls in codegen, not under a lambda
+    // unrolled like q27's sigs: kernel calls in codegen, not under a lambda;
+    // table id folded above the widest signature (planes ≤ 24 < 32 bits) so
+    // buckets stay disjoint across tables at any scaled plane count (r12 —
+    // the old t*1e6 spacing collided past 20 planes)
     val sigs = array((0 until tables).map(t =>
-      lit(t * 1000000L) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
+      lit(t.toLong << 32) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
     val exploded = e
       .select(col("vec_id"), col("embedding"), explode(sigs).as("sig"))
     val a = exploded.select(col("sig"), col("vec_id").as("i"), col("embedding").as("ea"))
     val b = exploded.select(col("sig"), col("vec_id").as("j"), col("embedding").as("eb"))
-    a.join(b, Seq("sig")).filter(col("i") < col("j"))
+    // self-join through the hot-bucket guard (r12): skewed buckets refine
+    // with extra planes, so the pair fan-out stays bounded; exact copies
+    // refine identically, keeping the q100 planted-recall proof intact
+    guardedSigJoin(a, "ea", b, "eb", IndexParams.hotBucketCap())
+      .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("ea"), col("eb"))
   }
 
