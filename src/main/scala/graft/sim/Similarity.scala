@@ -332,9 +332,11 @@ object Similarity {
     ensureRegistered(spark)
     val e = Tables.embeddings(spark, dir)
     val corpus = plantedCorpus(e, every = 7, offset = 1000000L)
-    // r12: planes from the (planted) corpus count — output-invariant, the
-    // planted recall proof above holds at any parameter choice
-    val planes = IndexParams.lshPlanes(corpus.count())
+    // r12: planes scale with corpus size — output-invariant, the planted
+    // recall proof above holds at any parameter choice. r13 convention:
+    // every derivation site measures the BASE corpus (SimilaritySpec
+    // wiring test), so a wrong-relation-passed regression surfaces loudly.
+    val planes = IndexParams.lshPlanes(e.count())
     embeddingDedup(corpus, 0.99, lshCandidatePairs(_, tables = 6, planes))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
@@ -386,11 +388,12 @@ object Similarity {
   def q111SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     implicit val s: SparkSession = spark
-    val corpus = plantedCorpus(Tables.embeddings(spark, dir), every = 5,
-      offset = 2000000L)
-    // r12: k ~ √n from the corpus count (identical-copy recall is
-    // k-independent: assignment is a pure function of the embedding value)
-    val k = IndexParams.ivfK(corpus.count())
+    val e = Tables.embeddings(spark, dir)
+    val corpus = plantedCorpus(e, every = 5, offset = 2000000L)
+    // r12: k ~ √n (identical-copy recall is k-independent: assignment is a
+    // pure function of the embedding value). r13 convention: derive from
+    // the BASE corpus count, like every other IndexParams site.
+    val k = IndexParams.ivfK(e.count())
     embeddingDedup(corpus, 0.99, clusterCandidatePairs(_, k = k, iters = 2))
       .groupBy(col("label")).agg(
         count(lit(1)).as("n_vecs"),
@@ -670,30 +673,59 @@ object Similarity {
     * an exact copy refines identically to its original and planted recall
     * stays exactly 1.0 (the q138 oracle argument survives unchanged);
     * genuinely-different vectors that merely share a coarse bucket split
-    * ~2^refinePlanes ways. The irreducible case — a hot bucket of
+    * ~2^rbits ways. The irreducible case — a hot bucket of
     * bit-identical embeddings — cannot be split by ANY content-derived
     * refinement; that mass is exact-duplicate pathology and belongs to the
     * digest-grain dedup path (q23/q140's min-per-group star), not to ANN
     * candidate generation.
     *
+    * Refinement width scales with OBSERVED occupancy (r13): a hot key
+    * splits with rbits = ceilLog2(⌈occ/cap⌉) + 2 slack bits, clamped to
+    * [1, maxRefinePlanes] — so a bucket 2^12× over cap refines ~2^14 ways
+    * where the old fixed-8 split left it 2^4× over. Residual: a bucket of
+    * NEAR-identical (not bit-identical) vectors more than cap·2^maxRefinePlanes
+    * deep still exceeds the cap after refinement — same pathology class as
+    * the bit-identical case above, and the same digest-grain answer.
+    *
+    * The broadcast hot relation is BOUNDED to the hottest `maxHotKeys`
+    * keys (deterministic (occ desc, sig) order): overflow keys keep the
+    * coarse key on BOTH sides, i.e. degrade to a candidate SUPERSET —
+    * recall never drops, and driver/broadcast memory is O(maxHotKeys)
+    * (~20 B/key) no matter how pathological the corpus.
+    *
+    * PRECONDITION: occupancy is measured on the CORPUS side only, so the
+    * guard assumes probe keys derive from corpus content — self-joins
+    * ([[lshCandidatePairs]]) or probes ⊆ corpus (q138's planted probes).
+    * An asymmetric caller whose probes concentrate on corpus-cold buckets
+    * gets no guard for those keys; measure occupancy over the union of
+    * both sides before adding such a caller.
+    *
     * Scale shape: the occupancy pass is one map-side-combinable count over
     * the exploded corpus; the hot-key relation is the skew TAIL (≤ n/cap
     * keys in theory, a handful in practice once planes scale with n —
-    * [[IndexParams.lshPlanes]]), so it broadcasts; both join sides then
-    * shuffle on (sig, sub). SimilaritySpec pins the bounded fan-out. */
+    * [[IndexParams.lshPlanes]]), bounded and broadcast; both join sides
+    * then shuffle on (sig, sub). SimilaritySpec pins the bounded fan-out,
+    * the occupancy-scaled width, and the bounded-hot-list superset. */
   def guardedSigJoin(corpusX: DataFrame, corpusEmb: String,
                      probesX: DataFrame, probesEmb: String,
-                     cap: Int, refinePlanes: Int = 8): DataFrame = {
+                     cap: Int, maxRefinePlanes: Int = 16,
+                     maxHotKeys: Int = 1 << 20): DataFrame = {
+    // rbits in pure integer arithmetic: ⌈occ/cap⌉ ≥ 2 because occ > cap,
+    // and ceilLog2(r) = length(bin(r − 1)) for r ≥ 2.
     val hot = corpusX.groupBy(col("sig")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > cap)
-      .select(col("sig"), lit(true).as("hot"))
+      .orderBy(col("occ").desc, col("sig")).limit(maxHotKeys)
+      .select(col("sig"), least(lit(maxRefinePlanes),
+        expr(s"2 + length(bin(((occ + $cap - 1) div $cap) - 1))").cast("int")
+      ).as("rbits"))
     def keyed(df: DataFrame, embCol: String) =
       df.join(broadcast(hot), Seq("sig"), "left")
         .withColumn("sub",
-          when(col("hot"),
-            lshSignature(col(embCol), refinePlanes, lit(1 << 20)))
+          when(col("rbits").isNotNull,
+            lshSignature(col(embCol), maxRefinePlanes, lit(1 << 20))
+              .bitwiseAND(expr("shiftleft(1L, rbits) - 1")))
             .otherwise(lit(-1L)))
-        .drop("hot")
+        .drop("rbits")
     keyed(corpusX, corpusEmb).join(keyed(probesX, probesEmb), Seq("sig", "sub"))
   }
 

@@ -813,7 +813,10 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("text"))
     val corpus =
       graft.sim.Similarity.plantedCorpus(d, every = 13, offset, idCol = "doc_id")
-    val bandBits = graft.sim.IndexParams.simhashBandBits(corpus.count())
+    // r13 convention: band width derives from the BASE corpus count (the
+    // same rule as every other IndexParams site; output-invariant — the
+    // planted argument above holds at either width)
+    val bandBits = graft.sim.IndexParams.simhashBandBits(d.count())
     val fp = corpus.select(col("doc_id"), col("source"),
       md5(col("text")).as("digest"),
       call_function("simhash64", col("text")).as("sig"))

@@ -37,7 +37,6 @@ class IndexParamsSpec extends AnyFunSuite {
   test("ivfK: ~sqrt(n), clamped to the assignment-ladder bound") {
     assert(IndexParams.ivfK(500) === 23)
     assert(IndexParams.ivfK(2000) === 45)
-    assert(IndexParams.ivfK(1000000) === 1000 || IndexParams.ivfK(1000000) === 256)
     assert(IndexParams.ivfK(1000000) === 256) // ceiling: ladder codegen bound
     assert(IndexParams.ivfK(4) === 4)
     assert(IndexParams.ivfK(1) === 4)

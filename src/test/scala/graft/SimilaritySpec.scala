@@ -271,7 +271,7 @@ class SimilaritySpec extends SparkSpecBase {
     val (corpusX, probesX) = guardFixtures()
     val unguarded = corpusX.join(probesX, Seq("sig")).count()
     val guarded = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
-      cap = 32, refinePlanes = 8)
+      cap = 32)
     // every probe is an exact copy: identical embedding → identical sig AND
     // identical refinement bits → the original is ALWAYS a candidate
     assert(guarded.filter(col("cid") === col("qid") - 100000L).count() === 60L)
@@ -292,22 +292,79 @@ class SimilaritySpec extends SparkSpecBase {
     val plain = corpusX.join(probesX, Seq("sig"))
       .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val guarded = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
-      cap = 100000, refinePlanes = 8)
+      cap = 100000)
       .select(col("qid"), col("cid")).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(guarded.toSeq === plain.toSeq)
   }
 
-  test("index parameters derive from the corpus count (q138/q139 wiring): " +
-      "sf0.01's 500 vectors -> 5 planes, k=23") {
+  test("guardedSigJoin: refinement width scales with observed occupancy " +
+      "and holds the refined fan-out near the cap at any depth") {
+    // one constant coarse bucket, 600 diverse embeddings: occ/cap is the
+    // only dial. rbits = ceilLog2(ceil(occ/cap)) + 2, so cap=64 splits
+    // ~2^6 ways while cap=4 splits ~2^10 — the fixed-8 width would leave
+    // the deep case 2^...x over and over-split the shallow one.
+    val corpus = Seq.tabulate(600) { i =>
+      val rnd = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("cid", "ce")
+    val cX = corpus.select(lit(0L).as("sig"), col("cid"), col("ce"))
+    val pX = cX.select(col("sig"), col("cid").as("qid"), col("ce").as("qe"))
+    for (cap <- Seq(4, 64)) {
+      val guarded = Similarity.guardedSigJoin(cX, "ce", pX, "qe", cap = cap)
+      // identical-copy recall first: every self pair survives refinement
+      assert(guarded.filter(col("cid") === col("qid")).count() === 600L)
+      val maxOcc = guarded.groupBy(col("sig"), col("sub"))
+        .agg(countDistinct(col("cid")).as("occ"))
+        .agg(max(col("occ"))).head().getLong(0)
+      // expected refined occupancy ≈ cap/4 (the +2 slack bits); allow the
+      // Poisson tail but pin the order of magnitude
+      assert(maxOcc <= cap * 2L,
+        s"cap=$cap: refined occupancy $maxOcc not held near the cap")
+    }
+  }
+
+  test("guardedSigJoin: bounded hot list refines the hottest keys and " +
+      "degrades overflow keys to a candidate superset (recall-safe)") {
+    val (corpusX, probesX) = guardFixtures()
+    val plain = corpusX.join(probesX, Seq("sig")).count()
+    val full = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
+      cap = 32).count()
+    // maxHotKeys=0: every hot key overflows -> exactly the plain sig join
+    val none = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
+      cap = 32, maxHotKeys = 0)
+    assert(none.count() === plain)
+    // maxHotKeys=1: only the hottest bucket refines -> strictly between
+    val one = Similarity.guardedSigJoin(corpusX, "ce", probesX, "qe",
+      cap = 32, maxHotKeys = 1)
+    val oneCount = one.count()
+    assert(oneCount < plain && oneCount > full,
+      s"expected full=$full < one=$oneCount < plain=$plain")
+    // recall is monotone in the degradation: all planted copies survive
+    assert(one.filter(col("cid") === col("qid") - 100000L).count() === 60L)
+  }
+
+  test("index parameters derive from the BASE corpus count (q100/q111/" +
+      "q138/q139/q140 wiring): sf0.01 -> 5 planes, k=23, 8-bit bands") {
     // the wiring contract, not the formula (IndexParamsSpec owns that):
-    // both planted queries run their count-derived parameters end-to-end
+    // the planted queries run their count-derived parameters end-to-end
     // and the planted argument holds at whatever the formulas return —
-    // checked by the two retrieval tests above; here pin the derivation
-    // inputs so a silent count regression (filtered/planted corpus passed
-    // where the base corpus was meant) surfaces loudly
+    // checked by the planted tests above; here pin the derivation inputs
+    // so a silent count regression (filtered/planted corpus passed where
+    // the base corpus was meant) surfaces loudly. r13 convention: EVERY
+    // derivation site — retrieval (q138/q139) and dedup (q100/q111/q140)
+    // alike — measures the base relation, never the planted union (whose
+    // count is base + base/every and would shift thresholds invisibly).
     val n = Tables.embeddings(spark, Sf001).count()
     assert(n === 500L)
     assert(graft.sim.IndexParams.lshPlanes(n) === 5)
     assert(graft.sim.IndexParams.ivfK(n) === 23)
+    val nDocs = Tables.documents(spark, Sf001).count()
+    assert(nDocs === 500L)
+    assert(graft.sim.IndexParams.simhashBandBits(nDocs) === 8)
+    // the planted union the dedup queries used to (wrongly) measure gives
+    // a DIFFERENT parameter at this very corpus — the convention is
+    // load-bearing, not cosmetic (outputs stay invariant by the planted
+    // argument, but thresholds would shift invisibly)
+    assert(graft.sim.IndexParams.lshPlanes(n + n / 7) === 6)
   }
 }
