@@ -182,6 +182,10 @@ object SparkEntry {
     "q140_simhash_planted"  -> (TextOps.q140SimhashPlanted(_, _)),
     // the local dashboard's summary endpoint, sampled-stats quirks and all
     "q141_flight_summary"   -> (Flight.q141FlightSummary(_, _)),
+    // r13: persisted-index probe paths — pay the index at ingest, prune at
+    // query time (bucket pruning / partition pruning), exact planted oracles
+    "q142_lsh_index_probe"  -> (Similarity.q142LshIndexProbe(_, _)),
+    "q143_ivf_partitioned_probe" -> (Similarity.q143IvfPartitionedProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

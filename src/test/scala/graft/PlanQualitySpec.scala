@@ -386,6 +386,34 @@ class PlanQualitySpec extends SparkSpecBase {
       s"bucketed join must not re-shuffle the key:\n${p.take(3000)}")
   }
 
+  test("q142 persisted LSH index probe: the corpus scan is BUCKET-PRUNED " +
+      "to the probe batch's signatures and the probe side broadcasts") {
+    val p = plan(graft.sim.Similarity.q142LshIndexProbe(spark, Sf001))
+    // sf0.01: 5 probes × 4 tables = ≤20 distinct signatures → at most 20
+    // of the 64 buckets are read; the whole 100-TB point of the layout
+    val sel = "SelectedBucketsCount: (\\d+) out of 64".r.findFirstMatchIn(p)
+    assert(sel.isDefined, s"index scan must report bucket pruning:\n${p.take(3000)}")
+    assert(sel.get.group(1).toInt <= 20,
+      s"probe batch must touch ≤20 buckets, read ${sel.get.group(1)}")
+    // probe batch joins by broadcast: the index side never shuffles
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!"Exchange hashpartitioning\\(sig".r.findFirstIn(p).isDefined,
+      s"index side must not shuffle on sig:\n${p.take(3000)}")
+  }
+
+  test("q143 IVF partitioned probe: the corpus scan is PARTITION-PRUNED " +
+      "to the probes' nprobe clusters") {
+    val p = plan(graft.sim.Similarity.q143IvfPartitionedProbe(spark, Sf001))
+    // the cid IN (...) predicate must land in PartitionFilters (cid is the
+    // partition column), never in a post-scan Filter
+    assert("PartitionFilters: \\[cid".r.findFirstIn(p).isDefined ||
+      p.contains("PartitionFilters: [cid"),
+      s"cluster filter must prune partitions:\n${p.take(3000)}")
+    // sf0.01: 4 probes × nprobe=2 → ≤8 of k=23 cluster partitions read
+    val parts = "Scan parquet .*graft_ivf_idx.*assigned".r
+    assert(parts.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("q126 analyzer summary: four bounded passes, top-k via " +
       "TakeOrderedAndProject, no percentile buffers, no fact-table window") {
     val p = plan(graft.analytics.Summaries.q126AnalyzerSummary(spark, Sf001))

@@ -244,6 +244,26 @@ class SimilaritySpec extends SparkSpecBase {
       modulus = 11, offset = 5000000L)
   }
 
+  test("q142 persisted LSH index probe: every top-1 is the probe's " +
+      "original, served from the bucketed layout") {
+    checkPlantedRetrieval(Similarity.q142LshIndexProbe(spark, Sf001),
+      modulus = 100, offset = 7000000L)
+    // a second invocation reuses the persisted layout (fingerprint-named
+    // table already in the catalog) and returns the identical answer
+    checkPlantedRetrieval(Similarity.q142LshIndexProbe(spark, Sf001),
+      modulus = 100, offset = 7000000L)
+  }
+
+  test("q143 IVF partitioned probe: every top-1 is the probe's original, " +
+      "served from the partition-pruned layout with persisted centroids") {
+    checkPlantedRetrieval(Similarity.q143IvfPartitionedProbe(spark, Sf001),
+      modulus = 150, offset = 8000000L)
+    // reuse path: the layout (and its centroids) survive re-invocation —
+    // probe ranking against persisted centroids keeps routing exact
+    checkPlantedRetrieval(Similarity.q143IvfPartitionedProbe(spark, Sf001),
+      modulus = 150, offset = 8000000L)
+  }
+
   /** 600 diverse synthetic vectors under a deliberately tiny 2-plane
     * keyspace (4 buckets, every one hot at cap=32) — the skew scenario the
     * r12 hot-bucket guard exists for. */
