@@ -120,6 +120,36 @@ object TimeBuckets {
       time(s"simhash n=$n windowstar")(TextOps.simhashBandDupIds(fp, bandBits).count())
       corpus.unpersist()
     }
+
+    // ---- deep-hot refinement: occupancy-scaled width vs the old fixed 8 ----
+    // One coarse bucket ~780× over cap — the r13 ADVICE scenario (occupancy
+    // far beyond cap·2^8, where the old fixed-8 split leaves every subbucket
+    // still ~3× over cap). Content is DIVERSE (deterministic sin-derived
+    // vectors), so refinement can split; the guard's occupancy-scaled width
+    // (ceilLog2(⌈occ/cap⌉)+2 → 12 bits here, 16-bit clamp) should cut
+    // candidate pairs ~2^4 vs maxRefinePlanes=8 at the same wall-time
+    // order. Bit-identical mass is the other, unsplittable pathology —
+    // measured by the simhash hot-digest section above, owned by the
+    // digest-grain dedup path.
+    val m = 100000
+    // hash-derived components (NOT sin-derived: the hyperplane family is
+    // sin-based, and a sin-derived fixture correlates with it — measured
+    // 3.5× over-uniform bucket skew before the switch)
+    val deep = spark.range(m).select(
+      col("id").as("cid"),
+      array((0 until 16).map(d =>
+        (pmod(xxhash64(col("id") * 16 + d), lit(20001)).cast("double") / 10000.0 - 1.0)
+          .cast("float")): _*).as("ce"))
+      .withColumn("sig", lit(0L))
+      .repartition(spark.sparkContext.defaultParallelism).persist()
+    deep.count()
+    val deepProbes = deep.select(col("sig"), col("cid").as("qid"), col("ce").as("qe"))
+    for (bits <- Seq(8, 16)) {
+      time(s"deep-hot m=$m cap=128 maxRefine=$bits")(
+        Similarity.guardedSigJoin(deep.select(col("sig"), col("cid"), col("ce")),
+          "ce", deepProbes, "qe", cap = 128, maxRefinePlanes = bits).count())
+    }
+    deep.unpersist()
     spark.stop()
   }
 }
