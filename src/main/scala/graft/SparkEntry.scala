@@ -186,6 +186,9 @@ object SparkEntry {
     // query time (bucket pruning / partition pruning), exact planted oracles
     "q142_lsh_index_probe"  -> (Similarity.q142LshIndexProbe(_, _)),
     "q143_ivf_partitioned_probe" -> (Similarity.q143IvfPartitionedProbe(_, _)),
+    // r13: exact-integer Efraimidis–Spirakis weighted sampling over the
+    // bounded two-phase top-K sampler
+    "q144_weighted_sample"  -> (DataPrep.q144WeightedSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

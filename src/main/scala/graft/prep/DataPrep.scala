@@ -304,7 +304,71 @@ object DataPrep {
       .orderBy(col("source"))
   }
 
+  /** q144: deterministic WEIGHTED sampling — the quality-weighted draw a
+    * curated training mix uses where q60's uniform stratified sample is not
+    * enough (up-weight long/high-quality documents without giving up
+    * reproducibility). The Efraimidis–Spirakis priority idea (`u^(1/w)`)
+    * made exact-integer so both engines compute identical bits: priority =
+    * u div w, where u is the first 12 md5 hex chars of the doc id as a
+    * 48-bit integer (`conv(...,16,10)` ≡ DuckDB `('0x'||...)::BIGINT` —
+    * verified bitwise) and w ∈ [1,10] is an integer weight derived from
+    * n_chars. Inclusion probability is monotone in w (a doc with twice the
+    * weight halves its priority), the draw is a pure function of
+    * (doc_id, n_chars) — stable under reprocessing, partitioning and
+    * engine, the same property q61 gives splits. Both operands are
+    * non-negative, so Spark `div` (truncate) and DuckDB `//` (floor) agree
+    * (the r10 sign-split rule never triggers).
+    *
+    * Scale shape: the shipped path is the q60 two-phase bounded sampler
+    * ([[graft.functions.TopKSampleAgg]]) over the zero-padded priority —
+    * one scan, map-side ≤K buffers per source, no window, no total order;
+    * the per-source total-order window lives only in the oracle. Output:
+    * per-source sample size plus population-vs-sample mean weight as
+    * half-up ×10⁴ BIGINTs (integer-emission rule) — the sample mean weight
+    * exceeding the population's is the weighting working, which the spec
+    * asserts and the oracle checks exactly. */
+  def q144WeightedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val topk = udaf(graft.functions.TopKSampleAgg(k))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        least(lit(10L), expr("n_chars div 200") + 1L).as("w"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("u"))
+      .withColumn("priority", expr("u div w"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_total"),
+        sum(col("w")).as("sum_w"),
+        topk(lpad(col("priority").cast("string"), 20, "0"),
+          col("doc_id"), col("w")).as("s"))
+      .select(col("source"), col("n_total"),
+        col("s").getField("n_sampled").as("n_sampled"),
+        expr("(2*sum_w*10000 + n_total) div (2*n_total)").as("pop_w_avg_x10k"),
+        expr("(2*s.sum_cents*10000 + s.n_sampled) div (2*s.n_sampled)")
+          .as("samp_w_avg_x10k"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q144_weighted_sample" ->
+      """WITH wdocs AS (
+        |  SELECT source, doc_id,
+        |    least(10, n_chars // 200 + 1) AS w,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS u
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, w,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY u // w, doc_id) AS rn
+        |  FROM wdocs)
+        |SELECT source,
+        |  count(*) AS n_total,
+        |  count(CASE WHEN rn <= 25 THEN 1 END) AS n_sampled,
+        |  ((2*sum(w)*10000 + count(*)) // (2*count(*)))::BIGINT AS pop_w_avg_x10k,
+        |  ((2*sum(CASE WHEN rn <= 25 THEN w END)*10000
+        |     + count(CASE WHEN rn <= 25 THEN 1 END))
+        |    // (2*count(CASE WHEN rn <= 25 THEN 1 END)))::BIGINT AS samp_w_avg_x10k
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
     "q95_decile_calibration" -> {
       val dSum = (0 until 10).map(i => s"d$i * d$i").mkString(" + ")
       val dCols = (0 until 10)

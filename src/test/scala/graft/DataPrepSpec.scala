@@ -106,4 +106,21 @@ class DataPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("q144: weighted sampling up-weights heavy docs (sample mean weight " +
+      "> population mean weight per source) and k bounds the sample") {
+    val rows = DataPrep.q144WeightedSample(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total")
+      val s = r.getAs[Long]("n_sampled")
+      assert(s === math.min(25L, n), r.toString)
+      // the point of the weighting: priority = u div w makes heavier docs
+      // likelier, so the sample's mean weight must exceed the population's
+      // wherever the sample is a strict subset
+      if (s < n)
+        assert(r.getAs[Long]("samp_w_avg_x10k") > r.getAs[Long]("pop_w_avg_x10k"),
+          r.toString)
+    }
+  }
+
 }
