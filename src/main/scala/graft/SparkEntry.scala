@@ -189,6 +189,9 @@ object SparkEntry {
     // r13: exact-integer Efraimidis–Spirakis weighted sampling over the
     // bounded two-phase top-K sampler
     "q144_weighted_sample"  -> (DataPrep.q144WeightedSample(_, _)),
+    // r13: incremental index maintenance — delta batch appended into the
+    // bucketed layout, probes served from base ∪ delta without a rebuild
+    "q145_index_append_probe" -> (Similarity.q145IndexAppendProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -590,6 +590,68 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q145: INCREMENTAL index maintenance — the append path without which a
+    * persisted index ([[q142LshIndexProbe]]) is a one-shot artifact: at
+    * 100 TB you never rebuild, you append each ingest batch. The base
+    * corpus is indexed once into the sig-bucketed table; a later delta
+    * batch (here: reversed embeddings under shifted ids — genuinely new
+    * content, max cosine to any base vector ≈ 0.53, measured) lands via
+    * `insertInto`, which writes its own bucket files under the SAME
+    * hash-bucket layout — so bucket pruning spans base and delta files
+    * alike and a probe batch serves from both without any rebuild or
+    * compaction. The layout is fingerprint-named and built+appended inside
+    * one existence check, so re-invocations reuse it (no double-append).
+    *
+    * Probes are exact copies of every 113th vector of the UNION — the
+    * modulus lands on both halves, so the oracle proves base AND delta rows
+    * are retrievable through the appended index: a probe of a delta row
+    * collides with it in every table (signature is a pure function of the
+    * value), and its cosine 1.0 dominates the ≈0.55 natural/reversal tail,
+    * so the index top-1 equals the exhaustive argmax DuckDB recomputes over
+    * the same union (`list_reverse` mirrors `reverse`; float→float
+    * reversal is bit-exact). A broken append — delta rows missing, or
+    * insertInto not respecting the bucket function (pruning would then
+    * skip delta files) — flips retrieved ids and breaks the driver hash. */
+  def q145IndexAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    import spark.implicits._
+    val tables = 4; val deltaShift = 9000000L; val offset = 10000000L
+    val e = Tables.embeddings(spark, dir)
+    val planes = IndexParams.lshPlanes(e.count())
+    def sigsOf(emb: Column) = array((0 until tables).map(t =>
+      lit(t.toLong << 32) + lshSignature(emb, planes, lit(t * planes))): _*)
+    def indexed(src: DataFrame) = src.select(col("vec_id"), col("embedding"),
+      explode(sigsOf(col("embedding"))).as("sig"))
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val idx = "g_lsh_index_inc_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString)
+    if (!spark.catalog.tableExists(idx)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+      graft.sources.Sources.writeBucketed(indexed(eSlim), idx, s"$tmp/index", "sig", 64)
+      // the incremental ingest: position-based insert, bucketing preserved
+      indexed(delta).write.insertInto(idx)
+    }
+    val probesX = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
+        explode(sigsOf(col("embedding"))).as("sig"))
+    val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    spark.table(idx)
+      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
+      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(probesX), Seq("sig"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"),
+        (col("cid") === col("qid") - offset).as("hit"))
+      .orderBy(col("qid"))
+  }
+
   /** q143: IVF with a PARTITION-PRUNED persisted layout — q139's index
     * made storage-native: the corpus is written once `partitionBy(cid)`
     * (cluster id from [[assignToCentroid]] against Lloyd centroids), the
@@ -1143,6 +1205,33 @@ object Similarity {
     // small batch is also what makes bucket/partition pruning visible)
     "q142_lsh_index_probe" -> plantedRetrievalOracle(modulus = 100, offset = 7000000L),
     "q143_ivf_partitioned_probe" -> plantedRetrievalOracle(modulus = 150, offset = 8000000L),
+    // q145: same exhaustive argmax, over the base ∪ appended-delta corpus
+    // (probes of every 113th union vector hit BOTH halves — the proof that
+    // insertInto-appended rows serve through the same bucket layout)
+    "q145_index_append_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 9000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id + 10000000 AS qid, embedding FROM corpus
+        |  WHERE vec_id % 113 = 0),
+        |pairs AS (
+        |  SELECT p.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM probes p CROSS JOIN corpus c),
+        |ranked AS (
+        |  SELECT qid, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs)
+        |SELECT qid, cid AS retrieved_id,
+        |  round(sim_raw * 1000000) / 1000000 AS sim,
+        |  (cid = qid - 10000000) AS hit
+        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

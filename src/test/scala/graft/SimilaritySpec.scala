@@ -254,6 +254,25 @@ class SimilaritySpec extends SparkSpecBase {
       modulus = 100, offset = 7000000L)
   }
 
+  test("q145 index append: probes of BOTH the base and the appended delta " +
+      "retrieve their originals through one bucket-pruned layout") {
+    val rows = Similarity.q145IndexAppendProbe(spark, Sf001).collect()
+    // sf0.01: base ids {0,113,226,339,452} + delta ids {9000111,9000224,
+    // 9000337,9000450} — the modulus lands on both halves by construction
+    assert(rows.length === 9, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val deltaHits = rows.count(_.getAs[Long]("qid") >= 19000000L)
+    assert(deltaHits === 4, s"append must serve delta rows, got $deltaHits")
+    // the scan must still bucket-prune across base + appended files
+    val p = Similarity.q145IndexAppendProbe(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 64".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("q143 IVF partitioned probe: every top-1 is the probe's original, " +
       "served from the partition-pruned layout with persisted centroids") {
     checkPlantedRetrieval(Similarity.q143IvfPartitionedProbe(spark, Sf001),
