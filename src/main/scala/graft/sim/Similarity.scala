@@ -436,11 +436,7 @@ object Similarity {
     // rides the hot-bucket guard. Both are output-invariant here: the
     // planted argument above is parameter-independent by construction.
     val planes = IndexParams.lshPlanes(e.count())
-    // table id folded ABOVE the widest possible signature (planes ≤ 24 <
-    // 32 bits) so buckets never collide across tables at any scale — the
-    // old t*1e6 spacing only held for the fixed 10-plane keyspace
-    val sigs = array((0 until tables).map(t =>
-      lit(t.toLong << 32) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
+    val sigs = sigTableArray(col("embedding"), planes, tables)
     val corpusX = e.withColumn("sig", explode(sigs))
       .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
     val probesX = e.filter(col("vec_id") % 9 === 0)
@@ -559,20 +555,16 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     // r13 convention: parameters derive from the BASE corpus count
     val planes = IndexParams.lshPlanes(e.count())
-    def sigsOf(emb: Column) = array((0 until tables).map(t =>
-      lit(t.toLong << 32) + lshSignature(emb, planes, lit(t * planes))): _*)
     val idx = "g_lsh_index_" +
       layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString)
     if (!spark.catalog.tableExists(idx)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
       graft.sources.Sources.writeBucketed(
-        e.select(col("vec_id"), col("embedding"),
-          explode(sigsOf(col("embedding"))).as("sig")),
-        idx, s"$tmp/index", "sig", 64)
+        indexedRelation(e, planes, tables), idx, s"$tmp/index", "sig", 64)
     }
     val probesX = e.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
-        explode(sigsOf(col("embedding"))).as("sig"))
+        explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
     // bounded driver state: |probe batch| × tables signatures
     val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
@@ -588,6 +580,24 @@ object Similarity {
         Exprs.dround(col("sim_raw"), 6).as("sim"),
         (col("cid") === col("qid") - offset).as("hit"))
       .orderBy(col("qid"))
+  }
+
+  /** The OR-amplified multi-table signature array: one entry per hash
+    * table, table id folded above the widest signature (planes ≤ 24 < 32
+    * bits) so buckets never collide across tables at any scale. The one
+    * source of truth for every signature-index site (q138/q142/q145,
+    * [[lshCandidatePairs]], the streaming server). */
+  def sigTableArray(emb: Column, planes: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      lit(t.toLong << 32) + lshSignature(emb, planes, lit(t * planes))): _*)
+
+  /** The persisted-index relation shape: (sig, vec_id, embedding), one row
+    * per (vector, table). Self-registering (the signature kernel resolves
+    * at analysis time, and this is public API). */
+  def indexedRelation(src: DataFrame, planes: Int, tables: Int): DataFrame = {
+    ensureRegistered(src.sparkSession)
+    src.select(col("vec_id"), col("embedding"),
+      explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
   }
 
   /** q145: INCREMENTAL index maintenance — the append path without which a
@@ -618,10 +628,7 @@ object Similarity {
     val tables = 4; val deltaShift = 9000000L; val offset = 10000000L
     val e = Tables.embeddings(spark, dir)
     val planes = IndexParams.lshPlanes(e.count())
-    def sigsOf(emb: Column) = array((0 until tables).map(t =>
-      lit(t.toLong << 32) + lshSignature(emb, planes, lit(t * planes))): _*)
-    def indexed(src: DataFrame) = src.select(col("vec_id"), col("embedding"),
-      explode(sigsOf(col("embedding"))).as("sig"))
+    def indexed(src: DataFrame) = indexedRelation(src, planes, tables)
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
       reverse(col("embedding")).as("embedding"))
@@ -635,7 +642,7 @@ object Similarity {
     }
     val probesX = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
-        explode(sigsOf(col("embedding"))).as("sig"))
+        explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
     val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
     spark.table(idx)
@@ -854,14 +861,10 @@ object Similarity {
     * repeated once per colliding table. Volume is Σ bucket²/2 — linear in N
     * for bounded buckets — never N². */
   def lshCandidatePairs(e: DataFrame, tables: Int, planes: Int): DataFrame = {
-    // unrolled like q27's sigs: kernel calls in codegen, not under a lambda;
-    // table id folded above the widest signature (planes ≤ 24 < 32 bits) so
-    // buckets stay disjoint across tables at any scaled plane count (r12 —
-    // the old t*1e6 spacing collided past 20 planes)
-    val sigs = array((0 until tables).map(t =>
-      lit(t.toLong << 32) + lshSignature(col("embedding"), planes, lit(t * planes))): _*)
-    val exploded = e
-      .select(col("vec_id"), col("embedding"), explode(sigs).as("sig"))
+    // unrolled like q27's sigs: kernel calls in codegen, not under a lambda
+    // (r12: the old t*1e6 table spacing collided past 20 planes — the
+    // shared sigTableArray folds the table id above the widest signature)
+    val exploded = indexedRelation(e, planes, tables)
     val a = exploded.select(col("sig"), col("vec_id").as("i"), col("embedding").as("ea"))
     val b = exploded.select(col("sig"), col("vec_id").as("j"), col("embedding").as("eb"))
     // self-join through the hot-bucket guard (r12): skewed buckets refine

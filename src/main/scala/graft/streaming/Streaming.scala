@@ -333,6 +333,54 @@ object Streaming {
       }
   }
 
+  case class AnnResult(qid: Long, retrievedId: Long, sim: Double)
+
+  /** Streaming ANN serving — the query-side twin of the persisted LSH
+    * index ([[graft.sim.Similarity.q142LshIndexProbe]] builds it; this
+    * serves it continuously): a stream of probe vectors is signed with the
+    * SAME kernel/parameters the index was built with
+    * ([[graft.sim.Similarity.sigTableArray]] is the one source of truth),
+    * stream-static equi-joined to the index relation on `sig` (stateless
+    * on the stream side — the static side is the bucketed table, so each
+    * micro-batch reads only its probes' buckets), exact-cosine re-scored,
+    * and reduced to the per-probe argmax.
+    *
+    * The argmax runs as a stateless `flatMapGroupsWithState` (state never
+    * set): streaming append mode forbids a non-time window, but a probe's
+    * candidates are all produced by its own micro-batch (the join is
+    * row-local, no cross-batch candidates), so a within-batch group fold
+    * is exact. Ties break (sim desc, cid asc) like the batch path; the
+    * multi-table signature fan-out dedups inside the fold. State is ZERO —
+    * this is a serving pipeline, not an accumulation. */
+  def annServeStream(probes: DataFrame, index: DataFrame,
+                     planes: Int, tables: Int)
+                    (implicit spark: SparkSession): Dataset[AnnResult] = {
+    import spark.implicits._
+    graft.sim.Similarity.ensureRegistered(spark)
+    val probesX = probes.select(col("qid"), col("embedding").as("qe"),
+      explode(graft.sim.Similarity.sigTableArray(col("embedding"), planes, tables))
+        .as("sig"))
+    probesX
+      .join(index.select(col("sig"), col("vec_id").as("cid"),
+        col("embedding").as("ce")), Seq("sig"))
+      .withColumn("sim", graft.sim.Similarity.cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, AnnResult](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, rows, _) =>
+          var bestCid = Long.MaxValue; var bestSim = Double.NegativeInfinity
+          rows.foreach { case (_, cid, sim) =>
+            if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+              bestCid = cid; bestSim = sim
+            }
+          }
+          if (bestCid == Long.MaxValue) Iterator.empty
+          else Iterator.single(AnnResult(qid, bestCid, bestSim))
+      }
+  }
+
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
     * writes under its own `batch_id=` partition with dynamic partition

@@ -14,6 +14,7 @@ class StreamingSpec extends SparkSpecBase {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class Doc(doc_id: Long, text: String)
+  case class Probe(qid: Long, embedding: Array[Float])
 
   test("readEventStream consumes landing-zone files one per micro-batch") {
     val landing = Files.createTempDirectory("landing")
@@ -259,6 +260,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.toSeq === Seq(
       (0L, true, Some(0L)), (1000L, false, None),
       (1900L, true, Some(1L)), (3600L, false, None)))
+  }
+
+  test("annServeStream: planted probes retrieve their originals per " +
+      "micro-batch against the static signature index, across batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val planes = 5; val tables = 4
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.sim.Similarity.indexedRelation(corpus, planes, tables)
+    // probe vectors copied from the corpus (the planted argument: identical
+    // value → identical signature in every table → certain candidate whose
+    // cosine 1.0 wins the argmax)
+    val picks = corpus.filter(col("vec_id").isin(3L, 77L, 200L, 341L))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[Probe]
+    val q = Streaming.annServeStream(in.toDF(), index, planes, tables)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode("append").start()
+    in.addData(picks.take(2).map { case (id, e) => Probe(id + 500000L, e) }.toSeq)
+    q.processAllAvailable()
+    in.addData(picks.drop(2).map { case (id, e) => Probe(id + 500000L, e) }.toSeq)
+    q.processAllAvailable()
+    val rows = spark.sql("select qid, retrievedId, sim from ann_out order by qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.map(_._1).toSeq === picks.map(_._1 + 500000L).toSeq.sorted)
+    rows.foreach { case (qid, rid, sim) =>
+      assert(rid === qid - 500000L, s"probe $qid retrieved $rid")
+      assert(sim > 0.999999, s"probe $qid sim $sim")
+    }
   }
 
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
