@@ -39,7 +39,11 @@ object WarmLedger {
     "q117_curation_export", "q118_incremental_clusters",
     "q119_image_neardup", "q121_video_decode", "q122_post_dedup_mixture",
     "q138_ann_planted", "q139_ivf_planted", "q140_simhash_planted",
-    "q141_flight_summary")
+    "q141_flight_summary",
+    // r13: the persisted-index family + the weighted sampler — layout
+    // build/reuse regressions surface warm here
+    "q142_lsh_index_probe", "q143_ivf_partitioned_probe",
+    "q144_weighted_sample", "q145_index_append_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
