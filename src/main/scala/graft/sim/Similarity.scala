@@ -562,23 +562,10 @@ object Similarity {
       graft.sources.Sources.writeBucketed(
         indexedRelation(e, planes, tables), idx, s"$tmp/index", "sig", 64)
     }
-    val probesX = e.filter(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
-        explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
-    // bounded driver state: |probe batch| × tables signatures
-    val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
-    spark.table(idx)
-      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
-      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(broadcast(probesX), Seq("sig"))
-      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
-      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("cid").as("retrieved_id"),
-        Exprs.dround(col("sim_raw"), 6).as("sim"),
-        (col("cid") === col("qid") - offset).as("hit"))
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
 
@@ -598,6 +585,33 @@ object Similarity {
     ensureRegistered(src.sparkSession)
     src.select(col("vec_id"), col("embedding"),
       explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
+  }
+
+  /** The serving path against a persisted signature index (the q142 probe
+    * shape, shared with [[q145IndexAppendProbe]] and the streaming
+    * maintenance spec): the batch's signatures collect driver-side
+    * (bounded: |batch|×tables longs), prune the scan to their buckets
+    * (`sig IN (...)` → SelectedBucketsCount), the probe batch broadcasts,
+    * exact cosine re-scores, and a per-probe window takes the argmax.
+    * `probes` must carry (qid, embedding). */
+  def probeIndex(spark: SparkSession, indexTable: String, probes: DataFrame,
+                 planes: Int, tables: Int): DataFrame = {
+    import spark.implicits._
+    ensureRegistered(spark)
+    val probesX = probes.select(col("qid"), col("embedding").as("qe"),
+      explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
+    val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    spark.table(indexTable)
+      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
+      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(probesX), Seq("sig"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
   }
 
   /** q145: INCREMENTAL index maintenance — the append path without which a
@@ -640,22 +654,10 @@ object Similarity {
       // the incremental ingest: position-based insert, bucketing preserved
       indexed(delta).write.insertInto(idx)
     }
-    val probesX = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"),
-        explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
-    val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
-    spark.table(idx)
-      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
-      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(broadcast(probesX), Seq("sig"))
-      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
-      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("cid").as("retrieved_id"),
-        Exprs.dround(col("sim_raw"), 6).as("sim"),
-        (col("cid") === col("qid") - offset).as("hit"))
+    val probes = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
 

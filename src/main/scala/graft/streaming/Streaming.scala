@@ -381,6 +381,67 @@ object Streaming {
       }
   }
 
+  /** Create the APPENDABLE persisted signature index: partitioned by
+    * `batch_id` (so each streaming micro-batch owns a partition it can
+    * idempotently replace) and bucketed by `sig` within every partition
+    * (so bucket pruning spans all batches' files at serving time —
+    * readers prune `batch_id` away like any partition column). The empty
+    * typed write registers schema + layout in the catalog; rows arrive via
+    * [[appendIndexBatch]]. */
+  def createAppendableIndex(spark: SparkSession, table: String, path: String,
+                            buckets: Int = 64): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, Array[Float], Long, Long)]
+      .toDF("vec_id", "embedding", "sig", "batch_id")
+      .write.partitionBy("batch_id").bucketBy(buckets, "sig").sortBy("sig")
+      .option("path", path).format("parquet").saveAsTable(table)
+  }
+
+  /** Streaming incremental index maintenance — q145's append path as a
+    * LIVE pipeline: each micro-batch of new vectors is signed
+    * ([[graft.sim.Similarity.indexedRelation]], the same kernel/parameters
+    * as every other index site) and lands in the index under its own
+    * `batch_id` partition with dynamic partition overwrite — the
+    * [[writeBatch]] idempotence contract: a batch replayed after a
+    * crash-before-checkpoint replaces its own partition instead of
+    * double-appending. Serving queries
+    * ([[graft.sim.Similarity.probeIndex]]) see each batch as soon as its
+    * commit lands (the table is refreshed after every append). */
+  def indexAppendStream(vectors: DataFrame, indexTable: String,
+                        planes: Int, tables: Int,
+                        checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIndexBatch(batch, batchId, indexTable, planes, tables)
+      }
+      .start()
+
+  /** The foreachBatch body of [[indexAppendStream]], exposed for direct
+    * testing. Empty batches follow the writeBatch stale-partition rule: an
+    * empty frame under dynamic overwrite is a no-op, so a replay that now
+    * yields zero rows must explicitly clear the crashed attempt's stale
+    * partition or it would keep serving ghost vectors. */
+  def appendIndexBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                       planes: Int, tables: Int): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (batch.isEmpty) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+        .location
+      val stale = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), s"batch_id=$batchId")
+      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, true)
+    } else {
+      graft.sim.Similarity.indexedRelation(batch, planes, tables)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").insertInto(indexTable)
+    }
+    spark.catalog.refreshTable(indexTable)
+  }
+
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
     * writes under its own `batch_id=` partition with dynamic partition

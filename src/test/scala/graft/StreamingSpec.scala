@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.streaming.Streaming
 import graft.streaming.Streaming.{Obs, StuckEvent}
 
+/** Top-level so its encoder needs no outer scope (toDF on a local Seq of an
+  * inner test case class fails ResolveNewInstance). */
+case class Vec(vec_id: Long, embedding: Array[Float])
+
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -291,6 +295,47 @@ class StreamingSpec extends SparkSpecBase {
       assert(rid === qid - 500000L, s"probe $qid retrieved $rid")
       assert(sim > 0.999999, s"probe $qid sim $sim")
     }
+  }
+
+  test("indexAppendStream: batches land under their own batch_id with " +
+      "bucket layout, serving sees each append, replays are idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val planes = 5; val tables = 4
+    val tbl = "g_stream_idx_test"
+    val path = Files.createTempDirectory("stream_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index")
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val in = MemoryStream[Vec]
+    val q = Streaming.indexAppendStream(in.toDF(), tbl, planes, tables,
+      Files.createTempDirectory("stream_idx_ck").toString)
+    def top1(id: Long): Long = {
+      val probes = Seq((id + 500000L, corpus.find(_.vec_id == id).get.embedding))
+        .toDF("qid", "embedding")
+      graft.sim.Similarity.probeIndex(spark, tbl, probes, planes, tables)
+        .collect()(0).getAs[Long]("retrieved_id")
+    }
+    in.addData(corpus.take(20).toSeq)
+    q.processAllAvailable()
+    assert(top1(3) === 3L)
+    in.addData(corpus.slice(20, 40).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(top1(25L) === 25L, "the appended batch must serve")
+    assert(top1(3L) === 3L, "the first batch must still serve")
+    assert(spark.table(tbl).count() === 2L * 20 * tables)
+    // replay idempotence: re-running a batch body replaces its partition
+    Streaming.appendIndexBatch(corpus.slice(20, 40).toSeq.toDF(), 1L,
+      tbl, planes, tables)
+    assert(spark.table(tbl).count() === 2L * 20 * tables)
+    // a replay that now yields ZERO rows clears the stale partition
+    Streaming.appendIndexBatch(
+      Tables.embeddings(spark, Sf001).select(col("vec_id"), col("embedding"))
+        .limit(0), 1L, tbl, planes, tables)
+    assert(spark.table(tbl).count() === 1L * 20 * tables)
+    assert(top1(3L) === 3L, "batch 0 survives batch 1's empty replay")
   }
 
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
