@@ -192,6 +192,9 @@ object SparkEntry {
     // r13: incremental index maintenance — delta batch appended into the
     // bucketed layout, probes served from base ∪ delta without a rebuild
     "q145_index_append_probe" -> (Similarity.q145IndexAppendProbe(_, _)),
+    // r13: the IVF-side append — frozen persisted centroids, crash-atomic
+    // temp-dir build, partition-pruned serving over base ∪ delta
+    "q146_ivf_append_probe" -> (Similarity.q146IvfAppendProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

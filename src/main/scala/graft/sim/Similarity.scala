@@ -704,17 +704,32 @@ object Similarity {
       assignToCentroid(e, spark.read.parquet(s"$idxDir/centroids"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$idxDir/assigned")
     }
-    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
     val probes = e.filter(col("vec_id") % 150 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding").as("qe"))
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIvf(spark, idxDir, probes, nprobe)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** The serving path against a persisted IVF layout (shared by
+    * [[q143IvfPartitionedProbe]] and [[q146IvfAppendProbe]]): rank the
+    * PERSISTED centroids per probe (broadcast of k×dim doubles), collect
+    * the wanted cluster ids (bounded: ≤ k ints — int literals so the
+    * pruning predicate matches the int-inferred partition column with no
+    * cast), read only those partitions (PartitionFilters), exact-cosine
+    * re-score, per-probe argmax. `probes` must carry (qid, embedding). */
+  def probeIvf(spark: SparkSession, idxDir: String, probes: DataFrame,
+               nprobe: Int): DataFrame = {
+    import spark.implicits._
+    ensureRegistered(spark)
+    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
     val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probeClusters = probes.crossJoin(broadcast(centroidsDisk))
+    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroidsDisk))
       .withColumn("csim", cosine(col("qe"), col("ce")))
       .withColumn("crn", row_number().over(wC))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("qe"), col("cid"))
-    // bounded driver state: ≤ k cluster ids; int literals so the pruning
-    // predicate matches the int-inferred partition column with no cast
     val wantedCids = probeClusters.select(col("cid")).distinct()
       .as[Long].collect().sorted.map(_.toInt)
     val cand = spark.read.parquet(s"$idxDir/assigned")
@@ -727,8 +742,63 @@ object Similarity {
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") === 1)
       .select(col("qid"), col("cid_vec").as("retrieved_id"),
-        Exprs.dround(col("sim_raw"), 6).as("sim"),
-        (col("cid_vec") === col("qid") - offset).as("hit"))
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** q146: IVF incremental append under FROZEN centroids — [[q145IndexAppendProbe]]'s
+    * maintenance story for the other index family. A delta batch is
+    * assigned against the PERSISTED centroid relation (never re-trained:
+    * re-running Lloyd on base+delta would reshuffle existing assignments
+    * and invalidate every stored partition — the production IVF contract
+    * is frozen centroids between rebuilds) and appended into the same
+    * `cid`-partitioned layout; serving reads nprobe partitions spanning
+    * base and delta files alike.
+    *
+    * The build is CRASH-ATOMIC via temp-dir + rename (the
+    * [[graft.sources.Sources.compact]] convention): a failure between the
+    * base write and the delta append leaves only the `.build` dir, so a
+    * re-invocation rebuilds from scratch instead of serving a base-only
+    * layout that silently fails every delta probe.
+    *
+    * Exactness: assignment ranks (cosine, cid) against the frozen persisted
+    * centroids — a pure function of (embedding, centroids) — so a planted
+    * probe's top-1 cluster IS its original's stored partition whether the
+    * original arrived in the base build or the append; cosine ≈ 1 then
+    * dominates the ≈0.55 natural/reversal tail and the index top-1 equals
+    * the exhaustive argmax the DuckDB oracle recomputes over the union. */
+  def q146IvfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val deltaShift = 11000000L; val offset = 12000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_inc_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    if (!new java.io.File(idxDir).exists) {
+      val build = new java.io.File(idxDir + ".build")
+      if (build.exists) {
+        val fs = new org.apache.hadoop.fs.Path(build.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      }
+      ivfCentroids(e, k, iters = 2)
+        .write.parquet(s"$build/centroids")
+      val cd = spark.read.parquet(s"$build/centroids")
+      assignToCentroid(eSlim, cd)
+        .write.partitionBy("cid").parquet(s"$build/assigned")
+      // the incremental append: frozen centroids, same partition scheme
+      assignToCentroid(delta, cd)
+        .write.mode("append").partitionBy("cid").parquet(s"$build/assigned")
+      if (!build.renameTo(new java.io.File(idxDir)))
+        sys.error(s"atomic publish of $idxDir failed")
+    }
+    val probes = eSlim.unionByName(delta).filter(col("vec_id") % 127 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIvf(spark, idxDir, probes, nprobe)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
 
@@ -1059,6 +1129,36 @@ object Similarity {
        |  (cid = qid - $offset) AS hit
        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin
 
+  /** The shared q145/q146 oracle body: [[plantedRetrievalOracle]] over the
+    * base ∪ delta union (delta = reversed embeddings under `deltaShift` —
+    * `list_reverse` mirrors Spark `reverse`, float reversal is bit-exact).
+    * One generator, only the planting parameters differ (r10 rule). */
+  private def plantedUnionRetrievalOracle(modulus: Int, offset: Long,
+                                          deltaShift: Long): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $deltaShift AS vec_id, list_reverse(embedding) AS embedding
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id + $offset AS qid, embedding FROM corpus
+       |  WHERE vec_id % $modulus = 0),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS cid,
+       |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+       |  FROM probes p CROSS JOIN corpus c),
+       |ranked AS (
+       |  SELECT qid, cid, sim_raw,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+       |  FROM pairs)
+       |SELECT qid, cid AS retrieved_id,
+       |  round(sim_raw * 1000000) / 1000000 AS sim,
+       |  (cid = qid - $offset) AS hit
+       |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q108_quantization_audit" ->
       """WITH ex AS (
@@ -1210,33 +1310,15 @@ object Similarity {
     // small batch is also what makes bucket/partition pruning visible)
     "q142_lsh_index_probe" -> plantedRetrievalOracle(modulus = 100, offset = 7000000L),
     "q143_ivf_partitioned_probe" -> plantedRetrievalOracle(modulus = 150, offset = 8000000L),
-    // q145: same exhaustive argmax, over the base ∪ appended-delta corpus
-    // (probes of every 113th union vector hit BOTH halves — the proof that
-    // insertInto-appended rows serve through the same bucket layout)
+    // q145/q146: same exhaustive argmax, over the base ∪ appended-delta
+    // corpus (probes of every modulus-th union vector hit BOTH halves —
+    // the proof that appended rows serve through the same persisted layout)
     "q145_index_append_probe" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 9000000 AS vec_id, list_reverse(embedding) AS embedding
-        |  FROM embeddings),
-        |probes AS (
-        |  SELECT vec_id + 10000000 AS qid, embedding FROM corpus
-        |  WHERE vec_id % 113 = 0),
-        |pairs AS (
-        |  SELECT p.qid, c.vec_id AS cid,
-        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
-        |  FROM probes p CROSS JOIN corpus c),
-        |ranked AS (
-        |  SELECT qid, cid, sim_raw,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
-        |  FROM pairs)
-        |SELECT qid, cid AS retrieved_id,
-        |  round(sim_raw * 1000000) / 1000000 AS sim,
-        |  (cid = qid - 10000000) AS hit
-        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
+      plantedUnionRetrievalOracle(modulus = 113, offset = 10000000L,
+        deltaShift = 9000000L),
+    "q146_ivf_append_probe" ->
+      plantedUnionRetrievalOracle(modulus = 127, offset = 12000000L,
+        deltaShift = 11000000L),
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

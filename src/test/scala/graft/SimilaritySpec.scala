@@ -273,6 +273,18 @@ class SimilaritySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q146 IVF append: probes of BOTH the base and the frozen-centroid " +
+      "appended delta retrieve their originals through pruned partitions") {
+    val rows = Similarity.q146IvfAppendProbe(spark, Sf001).collect()
+    assert(rows.length === 8, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val deltaHits = rows.count(_.getAs[Long]("qid") >= 23000000L)
+    assert(deltaHits === 4, s"append must serve delta rows, got $deltaHits")
+  }
+
   test("q143 IVF partitioned probe: every top-1 is the probe's original, " +
       "served from the partition-pruned layout with persisted centroids") {
     checkPlantedRetrieval(Similarity.q143IvfPartitionedProbe(spark, Sf001),
