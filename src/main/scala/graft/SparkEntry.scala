@@ -195,6 +195,9 @@ object SparkEntry {
     // r13: the IVF-side append — frozen persisted centroids, crash-atomic
     // temp-dir build, partition-pruned serving over base ∪ delta
     "q146_ivf_append_probe" -> (Similarity.q146IvfAppendProbe(_, _)),
+    // r13: index health audit (rows-only: signatures engine-seeded,
+    // centroids accumulation-noisy; IndexStatsSpec pins conservation)
+    "q147_index_stats" -> (Similarity.q147IndexStats(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -802,6 +802,76 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q147: index health audit — the MONITOR arm of the index lifecycle
+    * (build q142/q143, serve [[probeIndex]]/[[probeIvf]], append
+    * q145/q146): per-LSH-table bucket occupancy, IVF cluster balance and
+    * SimHash band occupancy as one long-format relation — what an operator
+    * watches to decide when to re-derive parameters
+    * ([[IndexParams.lshPlanes]] as the corpus grows) or rebuild (IVF
+    * imbalance from centroid drift). All statistics are integers (counts,
+    * min/max, half-up ×100 mean) so the relation is hash-stable per run.
+    *
+    * Rows-only in the driver gate (signatures are engine-seeded and
+    * centroids accumulation-noisy — not SQL-reproducible); IndexStatsSpec
+    * pins the conservation invariants instead: every LSH table's and every
+    * band position's occupancies sum to the corpus count, the IVF row
+    * conserves n, min ≤ mean ≤ max, and the LSH/SimHash rows are
+    * bit-deterministic across invocations (pure functions of content).
+    *
+    * Scale shape: each family is one map-side-combinable count aggregation
+    * over its exploded relation, collapsed to keys×1 rows then to a
+    * per-unit stats row — the same two-level aggregation at any corpus
+    * size; nothing driver-side but the ≤k×dim centroid state IVF always
+    * carries. */
+  def q147IndexStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val e = Tables.embeddings(spark, dir)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val tables = 4
+    val cap = IndexParams.hotBucketCap()
+    def statsOf(occ: DataFrame, family: String, unit: Column,
+                hot: Column): DataFrame =
+      occ.groupBy(unit.as("unit")).agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("occ")).as("n_entries"),
+        min(col("occ")).as("occ_min"),
+        max(col("occ")).as("occ_max"),
+        count(when(hot, 1)).as("n_hot"))
+      .select(lit(family).as("family"), col("unit"), col("n_keys"),
+        col("n_entries"), col("occ_min"), col("occ_max"),
+        expr("(2*n_entries*100 + n_keys) div (2*n_keys)").as("occ_avg_x100"),
+        col("n_hot"))
+    val lsh = statsOf(
+      indexedRelation(eSlim, planes, tables)
+        .groupBy(shiftright(col("sig"), 32).cast("int").as("t"), col("sig"))
+        .agg(count(lit(1)).as("occ")),
+      "lsh", concat(lit("table_"), col("t")), col("occ") > cap)
+    val k = IndexParams.ivfK(n)
+    val ivf = statsOf(
+      assignToCentroid(eSlim, ivfCentroids(eSlim, k, iters = 2))
+        .groupBy(col("cid")).agg(count(lit(1)).as("occ")),
+      // hot = cluster more than 4× its fair share — the rebuild signal
+      "ivf", lit("clusters"), col("occ") * k > lit(4L) * n)
+    graft.functions.Simhash64Function.register(spark)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bandBits = IndexParams.simhashBandBits(d.count())
+    val nBands = 64 / bandBits
+    val banded = d.select(col("doc_id"),
+      call_function("simhash64", col("text")).as("sig"))
+      .withColumn("band", explode(array((0 until nBands).map(b =>
+        lit(b.toLong << bandBits) + shiftright(col("sig"), bandBits * b)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+    val simhash = statsOf(
+      banded.groupBy(shiftright(col("band"), bandBits).cast("int").as("bp"), col("band"))
+        .agg(count(lit(1)).as("occ")),
+      "simhash", concat(lit("band_"), col("bp")), col("occ") > cap)
+    lsh.unionByName(ivf).unionByName(simhash)
+      .orderBy(col("family"), col("unit"))
+  }
+
   /** q116: embedding-space benchmark decontamination — the semantic
     * complement of the shingle-based q49: flag corpus vectors whose max
     * cosine to ANY benchmark probe clears θ (paraphrased eval answers that

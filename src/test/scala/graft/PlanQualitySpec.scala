@@ -414,6 +414,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(parts.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q146 IVF append probe: the appended layout still serves through " +
+      "PARTITION-PRUNED reads") {
+    val p = plan(graft.sim.Similarity.q146IvfAppendProbe(spark, Sf001))
+    assert(p.contains("PartitionFilters: [cid"),
+      s"cluster filter must prune partitions of the appended layout:\n${p.take(3000)}")
+  }
+
   test("q126 analyzer summary: four bounded passes, top-k via " +
       "TakeOrderedAndProject, no percentile buffers, no fact-table window") {
     val p = plan(graft.analytics.Summaries.q126AnalyzerSummary(spark, Sf001))
