@@ -338,6 +338,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(top1(3L) === 3L, "batch 0 survives batch 1's empty replay")
   }
 
+  test("annServeStream over the PERSISTED appendable index: a live serving " +
+      "stream sees batches appended while it runs (refreshTable claim)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val planes = 5; val tables = 4
+    val tbl = "g_stream_idx_serve_test"
+    val path = Files.createTempDirectory("stream_idx_serve")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index")
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    Streaming.appendIndexBatch(corpus.take(20).toSeq.toDF(), 0L,
+      tbl, planes, tables)
+    val in = MemoryStream[Probe]
+    val q = Streaming.annServeStream(in.toDF(), spark.table(tbl),
+      planes, tables)
+      .writeStream.format("memory").queryName("ann_serve_out")
+      .outputMode("append").start()
+    def emb(id: Long) = corpus.find(_.vec_id == id).get.embedding
+    in.addData(Probe(500005L, emb(5)))
+    q.processAllAvailable()
+    // append WHILE the serving stream is running — later batches must see it
+    Streaming.appendIndexBatch(corpus.slice(20, 40).toSeq.toDF(), 1L,
+      tbl, planes, tables)
+    in.addData(Probe(500030L, emb(30)))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "select qid, retrievedId from ann_serve_out order by qid")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq === Seq((500005L, 5L), (500030L, 30L)))
+  }
+
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
       "distinct docs pass, state persists across micro-batches") {
     implicit val s = spark
