@@ -327,7 +327,13 @@ object DataPrep {
     * half-up ×10⁴ BIGINTs (integer-emission rule) — the sample mean weight
     * exceeding the population's is the weighting working, which the spec
     * asserts and the oracle checks exactly. */
-  def q144WeightedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+  /** The one k both q144 sides share — the Spark path's default and the
+    * oracle generator's interpolation (the r10 one-generator rule: a
+    * parameter that exists in two dialects must have one source). */
+  val Q144SampleK: Int = 25
+
+  def q144WeightedSample(spark: SparkSession, dir: String,
+                         k: Int = Q144SampleK): DataFrame = {
     val topk = udaf(graft.functions.TopKSampleAgg(k))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
@@ -350,7 +356,7 @@ object DataPrep {
 
   val oracle: Map[String, String] = Map(
     "q144_weighted_sample" ->
-      """WITH wdocs AS (
+      s"""WITH wdocs AS (
         |  SELECT source, doc_id,
         |    least(10, n_chars // 200 + 1) AS w,
         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS u
@@ -362,11 +368,11 @@ object DataPrep {
         |  FROM wdocs)
         |SELECT source,
         |  count(*) AS n_total,
-        |  count(CASE WHEN rn <= 25 THEN 1 END) AS n_sampled,
+        |  count(CASE WHEN rn <= $Q144SampleK THEN 1 END) AS n_sampled,
         |  ((2*sum(w)*10000 + count(*)) // (2*count(*)))::BIGINT AS pop_w_avg_x10k,
-        |  ((2*sum(CASE WHEN rn <= 25 THEN w END)*10000
-        |     + count(CASE WHEN rn <= 25 THEN 1 END))
-        |    // (2*count(CASE WHEN rn <= 25 THEN 1 END)))::BIGINT AS samp_w_avg_x10k
+        |  ((2*sum(CASE WHEN rn <= $Q144SampleK THEN w END)*10000
+        |     + count(CASE WHEN rn <= $Q144SampleK THEN 1 END))
+        |    // (2*count(CASE WHEN rn <= $Q144SampleK THEN 1 END)))::BIGINT AS samp_w_avg_x10k
         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     "q95_decile_calibration" -> {

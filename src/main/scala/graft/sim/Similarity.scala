@@ -517,6 +517,14 @@ object Similarity {
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
+  /** Included in every persisted-layout fingerprint; bump when
+    * layout-producing code changes semantics (signature family, assignment
+    * tiebreak, schema) — a /tmp- or catalog-persisted layout built by
+    * OLDER code must never be silently served to newer probe code on a
+    * long-lived machine (layouts are only valid together with the code
+    * that wrote them). */
+  private val LayoutVersion = "v1"
+
   private def fileFp(p: String): String = {
     val f = new java.io.File(p)
     s"$p|${f.length}|${f.lastModified}"
@@ -556,7 +564,7 @@ object Similarity {
     // r13 convention: parameters derive from the BASE corpus count
     val planes = IndexParams.lshPlanes(e.count())
     val idx = "g_lsh_index_" +
-      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString)
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
     if (!spark.catalog.tableExists(idx)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
       graft.sources.Sources.writeBucketed(
@@ -596,16 +604,23 @@ object Similarity {
     * `probes` must carry (qid, embedding). */
   def probeIndex(spark: SparkSession, indexTable: String, probes: DataFrame,
                  planes: Int, tables: Int): DataFrame = {
-    import spark.implicits._
     ensureRegistered(spark)
     val probesX = probes.select(col("qid"), col("embedding").as("qe"),
       explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
-    val probeSigs = probesX.select(col("sig")).distinct().as[Long].collect().sorted
+    // ONE pass over the probe lineage: the collected batch (bounded —
+    // |batch|×tables rows, embeddings included; serving batches are small
+    // by contract) yields both the literal sig list for bucket pruning AND
+    // the local relation the join broadcasts, instead of re-running the
+    // probe scan + kernel once per use
+    val localProbes = probesX.collect()
+    val probeSigs = localProbes.map(_.getAs[Long]("sig")).distinct.sorted
+    val probesLocal = spark.createDataFrame(
+      java.util.Arrays.asList(localProbes: _*), probesX.schema)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
     spark.table(indexTable)
       .filter(col("sig").isin(probeSigs.map(Long.box): _*))
       .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
-      .join(broadcast(probesX), Seq("sig"))
+      .join(broadcast(probesLocal), Seq("sig"))
       .withColumn("sim_raw", cosine(col("qe"), col("ce")))
       .select(col("qid"), col("cid"), col("sim_raw")).distinct()
       .withColumn("rn", row_number().over(w))
@@ -647,12 +662,20 @@ object Similarity {
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
       reverse(col("embedding")).as("embedding"))
     val idx = "g_lsh_index_inc_" +
-      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString)
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
     if (!spark.catalog.tableExists(idx)) {
+      // failure-atomic publish (the q146 temp+rename rule, catalog flavor):
+      // build + append under a staging NAME, rename into place only once
+      // the delta landed — a failure mid-append can never leave a
+      // registered base-only index that later invocations silently serve
+      val staging = s"${idx}_build"
+      if (spark.catalog.tableExists(staging))
+        spark.sql(s"DROP TABLE $staging")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
-      graft.sources.Sources.writeBucketed(indexed(eSlim), idx, s"$tmp/index", "sig", 64)
+      graft.sources.Sources.writeBucketed(indexed(eSlim), staging, s"$tmp/index", "sig", 64)
       // the incremental ingest: position-based insert, bucketing preserved
-      indexed(delta).write.insertInto(idx)
+      indexed(delta).write.insertInto(staging)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $idx")
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -686,7 +709,15 @@ object Similarity {
     * partitioned write (k ~ √n directories); per query, centroid ranking is
     * a broadcast of k×dim doubles, the wanted cluster ids collect as ≤ k
     * ints (bounded driver state), and the scan reads nprobe partitions per
-    * probe — no shuffle of the corpus at query time. */
+    * probe — no shuffle of the corpus at query time.
+    *
+    * Layout naming: the fingerprint includes the source file identity AND
+    * [[LayoutVersion]], so a regeneration or a semantic code change mints a
+    * fresh directory rather than silently serving a stale layout. The old
+    * generation's directory is deliberately left behind (one small /tmp
+    * dir per regeneration — reclaiming it is an ops sweep's job, not the
+    * query path's; deleting sibling tags here could race a concurrent
+    * session still probing them). */
   def q143IvfPartitionedProbe(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     implicit val s: SparkSession = spark
@@ -695,7 +726,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_idx_" +
-      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString)
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
     def built(sub: String) = new java.io.File(s"$idxDir/$sub/_SUCCESS").exists
     if (!built("centroids") || !built("assigned")) {
       val centroids = ivfCentroids(e, k, iters = 2)
@@ -773,7 +804,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_inc_" +
-      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString)
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
       reverse(col("embedding")).as("embedding"))

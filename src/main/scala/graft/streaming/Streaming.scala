@@ -341,9 +341,18 @@ object Streaming {
     * SAME kernel/parameters the index was built with
     * ([[graft.sim.Similarity.sigTableArray]] is the one source of truth),
     * stream-static equi-joined to the index relation on `sig` (stateless
-    * on the stream side — the static side is the bucketed table, so each
-    * micro-batch reads only its probes' buckets), exact-cosine re-scored,
-    * and reduced to the per-probe argmax.
+    * on the stream side), exact-cosine re-scored, and reduced to the
+    * per-probe argmax.
+    *
+    * Cost model — be honest about what the static side pays: a
+    * stream-static join carries NO literal `sig` predicate, so there is no
+    * bucket pruning here; each micro-batch hash-joins against the full
+    * index scan. That amortizes for steady probe traffic (the scan is
+    * shared by every probe in the batch and the join is the only corpus
+    * work), but for SMALL sporadic batches the bucket-pruned batch path is
+    * strictly cheaper — run [[graft.sim.Similarity.probeIndex]] inside a
+    * `foreachBatch` sink instead, which collects each batch's signatures
+    * into the literal `IN` list Spark can prune on.
     *
     * The argmax runs as a stateless `flatMapGroupsWithState` (state never
     * set): streaming append mode forbids a non-time window, but a probe's
@@ -370,13 +379,19 @@ object Streaming {
       .flatMapGroupsWithState[Long, AnnResult](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (qid, rows, _) =>
-          var bestCid = Long.MaxValue; var bestSim = Double.NegativeInfinity
+          // Double.compare, not >: the batch path's `ORDER BY sim DESC`
+          // ranks NaN as greatest (Spark sort semantics), and `NaN > x` is
+          // false for every x — a plain > fold would silently DROP a probe
+          // whose candidates all scored NaN where probeIndex emits a row
+          var bestCid = Long.MaxValue; var bestSim = Double.NaN
+          var any = false
           rows.foreach { case (_, cid, sim) =>
-            if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
-              bestCid = cid; bestSim = sim
+            val c = java.lang.Double.compare(sim, bestSim)
+            if (!any || c > 0 || (c == 0 && cid < bestCid)) {
+              bestCid = cid; bestSim = sim; any = true
             }
           }
-          if (bestCid == Long.MaxValue) Iterator.empty
+          if (!any) Iterator.empty
           else Iterator.single(AnnResult(qid, bestCid, bestSim))
       }
   }

@@ -406,12 +406,14 @@ class PlanQualitySpec extends SparkSpecBase {
     val p = plan(graft.sim.Similarity.q143IvfPartitionedProbe(spark, Sf001))
     // the cid IN (...) predicate must land in PartitionFilters (cid is the
     // partition column), never in a post-scan Filter
-    assert("PartitionFilters: \\[cid".r.findFirstIn(p).isDefined ||
-      p.contains("PartitionFilters: [cid"),
+    val pf = "PartitionFilters: \\[cid#\\d+ IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(pf.isDefined,
       s"cluster filter must prune partitions:\n${p.take(3000)}")
-    // sf0.01: 4 probes × nprobe=2 → ≤8 of k=23 cluster partitions read
-    val parts = "Scan parquet .*graft_ivf_idx.*assigned".r
-    assert(parts.findFirstIn(p).isDefined, p.take(3000))
+    // sf0.01: 4 probes × nprobe=2 → at most 8 of k=23 cluster partitions;
+    // a regression that collects ALL cluster ids (no pruning left) would
+    // inflate the IN list to k and still "have" PartitionFilters
+    val nWanted = pf.get.group(1).split(",").length
+    assert(nWanted <= 8, s"probes must read ≤8 cluster partitions, got $nWanted")
   }
 
   test("q146 IVF append probe: the appended layout still serves through " +
