@@ -101,6 +101,14 @@ object TimeIndex {
           .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
           .join(broadcast(probes), Seq("sig")))
       }
+      // the stream-static serving shape (annServeStream): the persisted
+      // index WITHOUT the literal sig predicate — no bucket pruning, a
+      // full index scan per batch, but no signature kernel either
+      time(f"batch=$batch%2d index unpruned (stream-static shape)") {
+        argmax(spark.table("g_time_idx")
+          .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+          .join(broadcast(probes), Seq("sig")))
+      }
       probes.unpersist()
     }
     spark.stop()
