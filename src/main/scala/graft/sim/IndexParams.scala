@@ -56,6 +56,22 @@ object IndexParams {
   def ivfK(n: Long, minK: Int = 4, maxK: Int = 256): Int =
     math.min(maxK, math.max(minK, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
 
+  /** Bucket count for a PERSISTED signature index (q142/q145): the index
+    * relation is n×tables rows, and one bucket should hold ~targetRows of
+    * them (≈128 MB at typical embedding widths) so a probe batch's bucket
+    * reads stay file-sized. Floored at 64 — small corpora still
+    * demonstrate pruning — and capped at 65536 (each append writes up to
+    * buckets×writer-tasks files; past the cap, widen targetRows instead).
+    * At 10⁹ vectors × 4 tables this gives 4,000 buckets, so a 100-probe
+    * batch touches ≤ 400/4000 = 10% of the files — the pruning fraction
+    * the r13 TimeIndex measurement shows is the whole game. */
+  def indexBuckets(n: Long, tables: Int, targetRows: Long = 1000000L,
+                   minBuckets: Int = 64, maxBuckets: Int = 65536): Int = {
+    val rows = math.max(1L, n * tables)
+    math.min(maxBuckets.toLong, math.max(minBuckets.toLong,
+      (rows + targetRows - 1) / targetRows)).toInt
+  }
+
   /** SimHash band width in bits over the 64-bit fingerprint. Narrow bands
     * (8 bits → 8 bands) give the Hamming≤7 pigeonhole guarantee and more
     * recall slack — affordable while the per-band keyspace (256 values ×

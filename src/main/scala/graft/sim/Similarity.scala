@@ -562,13 +562,17 @@ object Similarity {
     val tables = 4; val offset = 7000000L
     val e = Tables.embeddings(spark, dir)
     // r13 convention: parameters derive from the BASE corpus count
-    val planes = IndexParams.lshPlanes(e.count())
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
     val idx = "g_lsh_index_" +
       layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
     if (!spark.catalog.tableExists(idx)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      // bucket count derives from the corpus like every other parameter
+      // (64 at test SFs, ~n·tables/1M at scale — IndexParamsSpec)
       graft.sources.Sources.writeBucketed(
-        indexedRelation(e, planes, tables), idx, s"$tmp/index", "sig", 64)
+        indexedRelation(e, planes, tables), idx, s"$tmp/index", "sig",
+        IndexParams.indexBuckets(n, tables))
     }
     val probes = e.filter(col("vec_id") % 100 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -656,7 +660,8 @@ object Similarity {
     import spark.implicits._
     val tables = 4; val deltaShift = 9000000L; val offset = 10000000L
     val e = Tables.embeddings(spark, dir)
-    val planes = IndexParams.lshPlanes(e.count())
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
     def indexed(src: DataFrame) = indexedRelation(src, planes, tables)
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
@@ -672,7 +677,8 @@ object Similarity {
       if (spark.catalog.tableExists(staging))
         spark.sql(s"DROP TABLE $staging")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
-      graft.sources.Sources.writeBucketed(indexed(eSlim), staging, s"$tmp/index", "sig", 64)
+      graft.sources.Sources.writeBucketed(indexed(eSlim), staging, s"$tmp/index", "sig",
+        IndexParams.indexBuckets(n, tables))
       // the incremental ingest: position-based insert, bucketing preserved
       indexed(delta).write.insertInto(staging)
       spark.sql(s"ALTER TABLE $staging RENAME TO $idx")

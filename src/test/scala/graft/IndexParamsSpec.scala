@@ -42,6 +42,21 @@ class IndexParamsSpec extends AnyFunSuite {
     assert(IndexParams.ivfK(1) === 4)
   }
 
+  test("indexBuckets: ~n·tables/1M, floored at 64 and capped at 65536") {
+    // the driver corpora stay at the floor — the plan pins' "out of 64"
+    assert(IndexParams.indexBuckets(500, 4) === 64)
+    assert(IndexParams.indexBuckets(2000, 4) === 64)
+    // a billion-vector corpus: 4,000 file-sized buckets
+    assert(IndexParams.indexBuckets(1000000000L, 4) === 4000)
+    // cap: past ~16B index rows, widen targetRows instead of file count
+    assert(IndexParams.indexBuckets(100000000000L, 4) === 65536)
+    // monotone non-decreasing
+    val pts = Seq(1L, 100000L, 100000000L, 1000000000L, 1000000000000L)
+    pts.zip(pts.tail).foreach { case (a, b) =>
+      assert(IndexParams.indexBuckets(a, 4) <= IndexParams.indexBuckets(b, 4))
+    }
+  }
+
   test("simhashBandBits: narrow bands while the keyspace dwarfs the corpus, wide after") {
     assert(IndexParams.simhashBandBits(500) === 8)
     assert(IndexParams.simhashBandBits(5500) === 8)
