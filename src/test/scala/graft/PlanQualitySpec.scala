@@ -564,4 +564,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size <= 2, // agg + presentation sort
       s"extra exchanges in scaled q60:\n${p.take(3000)}")
   }
+
+  test("q144 weighted sample rides the bounded sampler too: one scan, " +
+      "one partial+final aggregation, no per-source window") {
+    val p = plan(graft.prep.DataPrep.q144WeightedSample(spark, Sf001))
+    assert(!p.contains("Window"), s"q144 must not window:\n${p.take(3000)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert("Scan parquet".r.findAllIn(p).size === 1, p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 2, // agg + presentation sort
+      s"extra exchanges in q144:\n${p.take(3000)}")
+  }
 }
