@@ -198,6 +198,10 @@ object SparkEntry {
     // r13: index health audit (rows-only: signatures engine-seeded,
     // centroids accumulation-noisy; IndexStatsSpec pins conservation)
     "q147_index_stats" -> (Similarity.q147IndexStats(_, _)),
+    // r13: bucket-layout-preserving index compaction — build, append
+    // twice, compact to one file per bucket, probe through the compacted
+    // layout (same exact planted oracle; physical claims pinned in spec)
+    "q148_index_compact_probe" -> (Similarity.q148IndexCompactProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -111,6 +111,50 @@ object TimeIndex {
       }
       probes.unpersist()
     }
+
+    // === small-files decay + compaction (q148's claim, measured) ===
+    // the same corpus ingested as GENERATIONS (one insertInto per batch,
+    // each coalesced to a few tasks like a real streaming micro-batch):
+    // every generation lands its own files per bucket, so a probe's
+    // bucket-pruned scan opens gens×tasks files per touched bucket; then
+    // compactBucketed collapses the table to one file per bucket and the
+    // same probe re-runs
+    val gens = 10
+    val genSpan = (copies + gens - 1) / gens * 10000000L
+    def genSlice(i: Int) = corpus
+      .filter(col("vec_id") >= i * genSpan && col("vec_id") < (i + 1) * genSpan)
+      .coalesce(2)
+    val tf0 = System.nanoTime()
+    graft.sources.Sources.writeBucketed(
+      Similarity.indexedRelation(genSlice(0), planes, tables),
+      "g_time_idx_frag", s"$tmp/index_frag", "sig", 256)
+    (1 until gens).foreach { i =>
+      Similarity.indexedRelation(genSlice(i), planes, tables)
+        .write.insertInto("g_time_idx_frag")
+    }
+    println(f"fragmented ingest ($gens generations) " +
+      f"${(System.nanoTime() - tf0) / 1e9}%.2f s, " +
+      s"files=${graft.sources.Sources.countTableDataFiles(spark, "g_time_idx_frag")}")
+    val probes8 = corpus.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 900000000L).as("qid"), col("embedding").as("qe"))
+      .withColumn("sig",
+        explode(Similarity.sigTableArray(col("qe"), planes, tables)))
+      .persist()
+    probes8.count()
+    def probeFrag(label: String): Unit = time(label) {
+      val sigs = probes8.select(col("sig")).distinct().as[Long].collect()
+      argmax(spark.table("g_time_idx_frag")
+        .filter(col("sig").isin(sigs.map(Long.box): _*))
+        .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+        .join(broadcast(probes8), Seq("sig")))
+    }
+    probeFrag(f"batch= 8 probe, FRAGMENTED index ($gens generations)")
+    val tc0 = System.nanoTime()
+    val stats = graft.sources.Sources.compactBucketed(
+      spark, "g_time_idx_frag", "sig", 256)
+    println(f"compactBucketed ${(System.nanoTime() - tc0) / 1e9}%.2f s -> $stats")
+    probeFrag("batch= 8 probe, COMPACTED index")
+    probes8.unpersist()
     spark.stop()
   }
 }

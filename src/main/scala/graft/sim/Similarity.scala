@@ -690,6 +690,64 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q148: index COMPACTION — the maintenance arm that keeps the append
+    * path ([[q145IndexAppendProbe]]) serviceable. Every `insertInto`
+    * batch writes its own file per touched bucket, so after B streaming
+    * ingests a probed bucket opens B+1 small files instead of one — at a
+    * 30 s trigger that is ~2,880 files/bucket/day and the bucket-pruned
+    * probe's footer I/O, not its data I/O, becomes the cost (the
+    * reference batches conversions against the same decay,
+    * optimized_converter.py:78-91). A plain directory rewrite
+    * ([[graft.sources.Sources.compact]]) would destroy the bucket layout
+    * the pruning depends on; [[graft.sources.Sources.compactBucketed]]
+    * rewrites to ONE file per bucket while preserving it (placement hash
+    * reproduced via `repartition(buckets, sig)`), swapping in
+    * crash-safely via the staging-name + RENAME rule with an idempotent
+    * resume branch.
+    *
+    * This query exercises the full lifecycle — build, append TWICE (two
+    * bucket-file generations), compact, probe — and its output is the
+    * exact planted oracle over base ∪ delta: compaction that dropped or
+    * duplicated rows, or broke the bucket function (pruning would then
+    * skip the wrong files), flips retrieved ids and breaks the driver
+    * hash. SimilaritySpec pins the physical claims the oracle cannot see:
+    * file count collapses to ≤ buckets and SelectedBucketsCount still
+    * prunes post-compaction. */
+  def q148IndexCompactProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val tables = 4; val deltaShift = 13000000L; val offset = 14000000L
+    val e = Tables.embeddings(spark, dir)
+    // r13 convention: parameters derive from the BASE corpus count
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val buckets = IndexParams.indexBuckets(n, tables)
+    def indexed(src: DataFrame) = indexedRelation(src, planes, tables)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    val idx = "g_lsh_index_cmp_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
+    if (!spark.catalog.tableExists(idx)) {
+      val staging = s"${idx}_build"
+      if (spark.catalog.tableExists(staging))
+        spark.sql(s"DROP TABLE $staging")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_cmp").toString
+      graft.sources.Sources.writeBucketed(indexed(eSlim), staging,
+        s"$tmp/index", "sig", buckets)
+      // two separate ingest batches: each insertInto lands its own
+      // bucket-file generation — the small-files decay compaction repairs
+      indexed(delta.filter(col("vec_id") % 2 === 0)).write.insertInto(staging)
+      indexed(delta.filter(col("vec_id") % 2 =!= 0)).write.insertInto(staging)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $idx")
+      graft.sources.Sources.compactBucketed(spark, idx, "sig", buckets)
+    }
+    val probes = eSlim.unionByName(delta).filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
   /** q143: IVF with a PARTITION-PRUNED persisted layout — q139's index
     * made storage-native: the corpus is written once `partitionBy(cid)`
     * (cluster id from [[assignToCentroid]] against Lloyd centroids), the
@@ -1426,6 +1484,12 @@ object Similarity {
     "q146_ivf_append_probe" ->
       plantedUnionRetrievalOracle(modulus = 127, offset = 12000000L,
         deltaShift = 11000000L),
+    // q148: same union oracle — compaction is a physical rewrite, so the
+    // logical answer is exactly the appended index's (the file-count and
+    // pruning claims live in SimilaritySpec, invisible to SQL by design)
+    "q148_index_compact_probe" ->
+      plantedUnionRetrievalOracle(modulus = 97, offset = 14000000L,
+        deltaShift = 13000000L),
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

@@ -141,6 +141,99 @@ object Sources {
     (files.length, out)
   }
 
+  /** Result of a [[compactBucketed]] pass. Public so specs (and monitoring
+    * relations) can pin the file-count collapse without re-listing. */
+  case class BucketCompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Bucket-layout-PRESERVING small-file compaction — the maintenance arm
+    * of an appendable bucketed table ([[writeBucketed]] +
+    * `insertInto`): every appended batch lands its own file per bucket,
+    * so after B ingest batches each touched bucket holds B+1 small files
+    * and a bucket-pruned probe pays B+1 opened footers per touched bucket
+    * instead of one — the classic streaming small-files decay, here in
+    * its bucketed-table form where a plain directory rewrite
+    * ([[compact]]) would DESTROY the layout the pruning depends on.
+    *
+    * The rewrite is SHUFFLE-FREE and keeps the layout by construction:
+    * with auto-bucketed-scan disabled for the pass (a write "needs" no
+    * distribution, so by default Spark silently downgrades the source to
+    * a file-grouped scan whose tasks mix buckets — measured: 25 files
+    * out of an 8-bucket rewrite), the source scan reads bucket-aligned
+    * (one task = one bucket's file generations), the explicit
+    * `repartition(buckets, key)` collapses as redundant against the
+    * scan's own HashPartitioning, and each task rewrites its bucket as
+    * exactly one file. If a caller re-buckets to a DIFFERENT count, the
+    * repartition stops being redundant and becomes the one aligned
+    * shuffle the re-layout genuinely needs (HashPartitioning's
+    * partitionIdExpression IS the datasource bucket-id expression, so
+    * shuffle task = target bucket either way). The bucket spec rides the
+    * staging table's own `bucketBy`, so `key IN (...)` pruning
+    * (SelectedBucketsCount) and in-bucket sort survive the swap
+    * unchanged. Parallelism is the bucket count — which
+    * [[graft.sim.IndexParams.indexBuckets]]-sized tables scale
+    * with the corpus, so at 100 TB this is thousands of independent
+    * single-bucket rewrite tasks.
+    *
+    * Crash safety is the staging-NAME + RENAME rule (the q145/q146
+    * catalog flavor): the compacted copy is built and VALIDATED
+    * (row-count match) under `<table>_compacting` at a fresh path before
+    * any metastore op touches the live name; the swap is DROP (external —
+    * data files untouched) + RENAME. A crash between those two leaves the
+    * complete compacted copy under the staging name and no live table,
+    * which the entry branch repairs by finishing the rename — so every
+    * interleaving lands on a complete table, and re-running is always
+    * safe. At 100 TB this runs per bucketed table (or per partition of a
+    * partitioned+bucketed one) as an off-peak maintenance job; cost is
+    * one full read + one write, amortized over every probe after it. */
+  def compactBucketed(spark: SparkSession, table: String, key: String,
+                      buckets: Int): BucketCompactStats = {
+    val staging = s"${table}_compacting"
+    if (!spark.catalog.tableExists(table)) {
+      // resume branch: a crash after DROP left only the validated staging
+      // copy — completing the swap is just the rename
+      require(spark.catalog.tableExists(staging),
+        s"compactBucketed: neither $table nor $staging exists")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      val n = countTableDataFiles(spark, table)
+      return BucketCompactStats(n, n, spark.table(table).count())
+    }
+    if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
+    val before = countTableDataFiles(spark, table)
+    val src = spark.table(table)
+    val inCount = src.count()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bcompact").toString
+    // force the bucket-aligned scan for the rewrite: a write requires no
+    // distribution, so the auto-bucketed-scan rule would otherwise hand
+    // the writer file-grouped tasks that mix buckets (one small file per
+    // (task, bucket) — the very decay this pass repairs)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoWas = spark.conf.get(autoKey)
+    spark.conf.set(autoKey, "false")
+    try
+      writeBucketed(src.repartition(buckets, col(key)), staging, s"$tmp/data",
+        key, buckets)
+    finally spark.conf.set(autoKey, autoWas)
+    val outCount = spark.table(staging).count()
+    require(outCount == inCount,
+      s"compactBucketed($table) dropped rows ($inCount -> $outCount); " +
+        "original left untouched")
+    spark.sql(s"DROP TABLE $table") // external: the old files outlive the drop
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    BucketCompactStats(before, countTableDataFiles(spark, table), outCount)
+  }
+
+  /** Data-file count at a catalog table's location (bucketed tables are
+    * flat directories; `part-*` excludes markers like _SUCCESS). */
+  def countTableDataFiles(spark: SparkSession, table: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   /** S7 + P3: register all test tables as temp views plus the reference's
     * column-pruned convenience views (07:57-70 efficient_flight_overview
     * shape) — pruned projections that keep dashboard scans narrow. */

@@ -273,6 +273,34 @@ class SimilaritySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q148 compacted index: base + both appended generations retrievable, " +
+      "one file per bucket, bucket pruning intact post-compaction") {
+    val df = Similarity.q148IndexCompactProbe(spark, Sf001)
+    val rows = df.collect()
+    // sf0.01: base ids {0,97,...,485} (6) + delta ids {13000037,...,
+    // 13000425} (5) — the modulus lands on both halves and both appended
+    // generations (delta split even/odd) by construction
+    assert(rows.length === 11, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val deltaHits = rows.count(_.getAs[Long]("qid") >= 27000000L)
+    assert(deltaHits === 5, s"compacted index must serve appended rows, got $deltaHits")
+    // physical claim the oracle cannot see: the rewrite landed at one
+    // file per non-empty bucket (3 generations went in)
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("g_lsh_index_cmp_"))
+      .getOrElse(fail("compacted index table not in catalog"))
+    val files = graft.sources.Sources.countTableDataFiles(spark, tbl)
+    assert(files <= 64, s"expected <= 64 bucket files after compaction, got $files")
+    // and the probe still bucket-prunes through the compacted layout
+    val p = Similarity.q148IndexCompactProbe(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 64".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("q146 IVF append: probes of BOTH the base and the frozen-centroid " +
       "appended delta retrieve their originals through pruned partitions") {
     val rows = Similarity.q146IvfAppendProbe(spark, Sf001).collect()

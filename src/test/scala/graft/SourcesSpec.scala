@@ -104,6 +104,56 @@ class SourcesSpec extends SparkSpecBase {
       parent.mkString(","))
   }
 
+  test("compactBucketed collapses appended bucket-file generations to one " +
+      "file per bucket, losslessly, with the bucket layout (and pruning) intact") {
+    val e = Tables.events(spark, Sf0001).select(col("event_id").as("k"), col("value"))
+    val n = e.count()
+    val tmp = Files.createTempDirectory("bcomp").toString
+    Sources.writeBucketed(e.repartition(4), "bcomp_t", s"$tmp/data", "k", 8)
+    // two ingest generations: each insertInto writes its own bucket files
+    e.select((col("k") + 1000000L).as("k"), col("value")).write.insertInto("bcomp_t")
+    e.select((col("k") + 2000000L).as("k"), col("value")).write.insertInto("bcomp_t")
+    val before = Sources.countTableDataFiles(spark, "bcomp_t")
+    assert(before > 8, s"appends should exceed one file per bucket, got $before")
+    val expectSum = spark.table("bcomp_t").agg(sum("k"), sum("value")).head()
+    val stats = Sources.compactBucketed(spark, "bcomp_t", "k", 8)
+    assert(stats.filesBefore === before)
+    assert(stats.filesAfter <= 8 && stats.filesAfter < before,
+      s"compaction must land at one file per non-empty bucket, got $stats")
+    assert(stats.rows === 3 * n)
+    assert(spark.table("bcomp_t").agg(sum("k"), sum("value")).head() === expectSum)
+    // the rewritten table still bucket-prunes a literal key probe (a
+    // BARE filter's bucketed scan is auto-disabled by the planner — the
+    // serving shape that matters, filter-into-join, keeps it: the q148
+    // SimilaritySpec pin — so force the bucketed scan for the layout pin)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(autoKey, "false")
+    try {
+      val probe = spark.table("bcomp_t").filter(col("k").isin(1L, 1000001L))
+      assert(probe.count() >= 2)
+      val p = probe.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: \\d+ out of 8".r.findFirstIn(p).isDefined,
+        s"compacted table lost bucket pruning:\n${p.take(1500)}")
+    } finally spark.conf.set(autoKey, "true")
+    assert(!spark.catalog.tableExists("bcomp_t_compacting"))
+  }
+
+  test("compactBucketed resumes a crash between DROP and RENAME: the " +
+      "validated staging copy becomes the live table") {
+    val e = Tables.events(spark, Sf0001).select(col("event_id").as("k"), col("value"))
+    val n = e.count()
+    val tmp = Files.createTempDirectory("bcompr").toString
+    Sources.writeBucketed(e, "bcomp_r", s"$tmp/data", "k", 8)
+    // simulate the crash window: the live name is gone, the complete
+    // compacted copy sits under the staging name
+    spark.sql("ALTER TABLE bcomp_r RENAME TO bcomp_r_compacting")
+    val stats = Sources.compactBucketed(spark, "bcomp_r", "k", 8)
+    assert(spark.catalog.tableExists("bcomp_r"))
+    assert(!spark.catalog.tableExists("bcomp_r_compacting"))
+    assert(stats.rows === n)
+    assert(spark.table("bcomp_r").count() === n)
+  }
+
   test("registerViews exposes tables and pruned views; pruned view reads narrow schema") {
     Sources.registerViews(spark, Sf0001)
     assert(spark.catalog.tableExists("efficient_event_overview"))
