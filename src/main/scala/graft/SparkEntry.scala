@@ -202,6 +202,9 @@ object SparkEntry {
     // twice, compact to one file per bucket, probe through the compacted
     // layout (same exact planted oracle; physical claims pinned in spec)
     "q148_index_compact_probe" -> (Similarity.q148IndexCompactProbe(_, _)),
+    // r13: SQ8-quantized index (tinyint codes, 4x less index I/O) with
+    // exact full-precision rescore of the pruned candidate set
+    "q149_sq_index_probe" -> (Similarity.q149SqIndexProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

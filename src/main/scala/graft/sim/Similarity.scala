@@ -609,17 +609,7 @@ object Similarity {
   def probeIndex(spark: SparkSession, indexTable: String, probes: DataFrame,
                  planes: Int, tables: Int): DataFrame = {
     ensureRegistered(spark)
-    val probesX = probes.select(col("qid"), col("embedding").as("qe"),
-      explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
-    // ONE pass over the probe lineage: the collected batch (bounded —
-    // |batch|×tables rows, embeddings included; serving batches are small
-    // by contract) yields both the literal sig list for bucket pruning AND
-    // the local relation the join broadcasts, instead of re-running the
-    // probe scan + kernel once per use
-    val localProbes = probesX.collect()
-    val probeSigs = localProbes.map(_.getAs[Long]("sig")).distinct.sorted
-    val probesLocal = spark.createDataFrame(
-      java.util.Arrays.asList(localProbes: _*), probesX.schema)
+    val (probesLocal, probeSigs) = localizeProbes(spark, probes, planes, tables)
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
     spark.table(indexTable)
       .filter(col("sig").isin(probeSigs.map(Long.box): _*))
@@ -631,6 +621,188 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("qid"), col("cid").as("retrieved_id"),
         Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** ONE pass over a serving batch's lineage (bounded by contract:
+    * |batch|×tables rows, embeddings included): the collected batch yields
+    * both the literal sig list for bucket pruning AND the local relation
+    * the index join broadcasts, instead of re-running the probe scan +
+    * signature kernel once per use. Shared by every persisted-index
+    * serving path. Returns (local (qid, qe, sig) relation, distinct sigs). */
+  private def localizeProbes(spark: SparkSession, probes: DataFrame,
+                             planes: Int, tables: Int): (DataFrame, Array[Long]) = {
+    val probesX = probes.select(col("qid"), col("embedding").as("qe"),
+      explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
+    val localProbes = probesX.collect()
+    val sigs = localProbes.map(_.getAs[Long]("sig")).distinct.sorted
+    (spark.createDataFrame(
+      java.util.Arrays.asList(localProbes: _*), probesX.schema), sigs)
+  }
+
+  /** Per-dim affine int8 quantization of an embedding against FROZEN
+    * per-dim (mn, mx) codebook stats — the q108 audit's codebook promoted
+    * to a STORAGE format (reference keeps float32 vectors; SQ8 is the
+    * standard first move when the index, not the corpus, must fit a
+    * serving tier's budget): code = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ − 128 as
+    * tinyint, 4× smaller than float32. Unrolled per dimension (the stats
+    * are plan-time constants) so the projection stays in whole-stage
+    * codegen — a transform() lambda would drop the whole build pass to
+    * interpreted eval (the q27/q100 sig-table rule). */
+  def quantizeExpr(emb: Column, stats: Array[(Double, Double)]): Column =
+    array(stats.zipWithIndex.map { case ((mn, mx), i) =>
+      val x = element_at(emb, i + 1).cast("double")
+      (if (mx > mn)
+        floor((x - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5)) - lit(128L)
+      else lit(-128L)).cast("tinyint")
+    }: _*)
+
+  /** Dequantization back to array<float>: r = mn + (q+128)/255·(mx−mn).
+    * Same unrolled plan-time-constant shape as [[quantizeExpr]]; feeds the
+    * native cosine kernel, so the approximate scoring pass is one codegen
+    * projection over the pruned buckets. */
+  def reconExpr(qcode: Column, stats: Array[(Double, Double)]): Column =
+    array(stats.zipWithIndex.map { case ((mn, mx), i) =>
+      (lit(mn) + (element_at(qcode, i + 1).cast("double") + lit(128.0)) /
+        lit(255.0) * lit(mx - mn)).cast("float")
+    }: _*)
+
+  /** The persisted codebook, read back sorted by dim (element_at(·, i+1)
+    * aligns with dim=i from posexplode). Bounded: one row per dimension. */
+  private def sqStatsLocal(spark: SparkSession, statsDir: String): Array[(Double, Double)] =
+    spark.read.parquet(statsDir).orderBy(col("dim")).collect()
+      .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+
+  /** First stage of the quantized serving path: bucket-pruned scan of the
+    * SQ8 index, approximate cosine against the dequantized codes, top-R
+    * candidates per probe. Public so specs can pin the plan shape
+    * (SelectedBucketsCount) that [[probeSqIndex]] consumes eagerly. */
+  def sqCandidates(spark: SparkSession, indexTable: String, statsDir: String,
+                   probes: DataFrame, planes: Int, tables: Int,
+                   topR: Int): DataFrame = {
+    ensureRegistered(spark)
+    val stats = sqStatsLocal(spark, statsDir)
+    val (probesLocal, sigs) = localizeProbes(spark, probes, planes, tables)
+    sqCandidateStage(spark, indexTable, stats, probesLocal, sigs, topR)
+  }
+
+  private def sqCandidateStage(spark: SparkSession, indexTable: String,
+                               stats: Array[(Double, Double)],
+                               probesLocal: DataFrame, probeSigs: Array[Long],
+                               topR: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("cid"))
+    spark.table(indexTable)
+      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
+      .select(col("sig"), col("vec_id").as("cid"), col("qcode"))
+      .join(broadcast(probesLocal), Seq("sig"))
+      .withColumn("approx", cosine(col("qe"), reconExpr(col("qcode"), stats)))
+      .select(col("qid"), col("cid"), col("approx")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topR)
+      .select(col("qid"), col("cid"), col("approx"))
+  }
+
+  /** Serving path against a QUANTIZED persisted index (q149): candidate
+    * generation reads only tinyint codes from the pruned buckets
+    * ([[sqCandidates]]), then the bounded candidate set (≤ |batch|·topR
+    * ids, collected) is re-scored EXACTLY against the full-precision
+    * corpus via a literal `vec_id IN (...)` — which reaches the parquet
+    * scan as a pushed filter, the point-lookup read pattern (at 100 TB the
+    * corpus side would additionally be bucketed by vec_id so the lookup
+    * prunes buckets too). The emitted similarity is the exact
+    * full-precision cosine: quantization affects WHICH candidates are
+    * ranked, never the reported score. */
+  def probeSqIndex(spark: SparkSession, indexTable: String, statsDir: String,
+                   probes: DataFrame, planes: Int, tables: Int,
+                   corpus: DataFrame, topR: Int = 8): DataFrame = {
+    ensureRegistered(spark)
+    val stats = sqStatsLocal(spark, statsDir)
+    val (probesLocal, sigs) = localizeProbes(spark, probes, planes, tables)
+    val candStage = sqCandidateStage(spark, indexTable, stats, probesLocal,
+      sigs, topR).select(col("qid"), col("cid"))
+    val cands = candStage.collect()
+    val candIds = cands.map(_.getAs[Long]("cid")).distinct.sorted
+    val candLocal = spark.createDataFrame(
+      java.util.Arrays.asList(cands: _*), candStage.schema)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    corpus.filter(col("vec_id").isin(candIds.map(Long.box): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(candLocal), Seq("cid"))
+      .join(broadcast(probesLocal.select(col("qid"), col("qe")).distinct()),
+        Seq("qid"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** q149: SQ8-QUANTIZED persisted index with exact rescore — the storage
+    * tier q108's audit priced out, wired into the q142 lifecycle: the
+    * index table stores (sig, vec_id, qcode array<tinyint>) — no float
+    * vectors, 4× less index I/O per probed bucket — and serving is
+    * two-stage: approximate cosine over dequantized codes picks top-R per
+    * probe from the pruned buckets, exact full-precision rescore of the
+    * collected candidate ids (pushed `vec_id IN` corpus lookup) picks the
+    * answer. The per-dim codebook is persisted BESIDE the layout and read
+    * back for both build and probe (the q143 frozen-centroid rule —
+    * appends or probes quantizing against recomputed stats could disagree
+    * with stored codes).
+    *
+    * The planted oracle stays EXACT through both approximations: a probe
+    * is a bit-exact copy of its original, so the original is a certain
+    * candidate (identical signature in every table) whose approximate
+    * score ≈ 1 − ε(quantization) still clears the ≈0.51 natural tail by a
+    * wide margin — it survives any top-R cut with R ≥ 1 — and the exact
+    * rescore then reproduces the exhaustive argmax wholesale (the same
+    * emitted doubles: full-precision cosine, identical tiebreak). So the
+    * output equals [[plantedRetrievalOracle]] independent of codebook
+    * noise, R, and quantization error. */
+  /** The q149 layout coordinates for a corpus dir — (index table, codebook
+    * dir, planes, tables) — shared by the query and the specs that pin its
+    * physical claims (tinyint-only schema, size vs the float twin, bucket
+    * pruning). Parameters derive from the BASE corpus count (r13 rule). */
+  def sqLayout(spark: SparkSession, dir: String): (String, String, Int, Int) = {
+    val n = Tables.embeddings(spark, dir).count()
+    val planes = IndexParams.lshPlanes(n)
+    val tag =
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
+    (s"g_sq_index_$tag",
+      System.getProperty("java.io.tmpdir") + s"/graft_sq_stats_$tag", planes, 4)
+  }
+
+  def q149SqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val offset = 15000000L
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val (idx, statsDir, planes, tables) = sqLayout(spark, dir)
+    val buckets = IndexParams.indexBuckets(n, tables)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val statsBuilt = new java.io.File(s"$statsDir/_SUCCESS").exists
+    if (!spark.catalog.tableExists(idx) || !statsBuilt) {
+      // rebuild both halves together: codes are only valid with the
+      // codebook that wrote them (stats land first; a crash before the
+      // table write leaves no table, so the next call re-enters here)
+      if (spark.catalog.tableExists(idx)) spark.sql(s"DROP TABLE $idx")
+      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(statsDir)
+      val stats = sqStatsLocal(spark, statsDir) // the frozen copy, not the plan
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sq_idx").toString
+      graft.sources.Sources.writeBucketed(
+        indexedRelation(eSlim, planes, tables)
+          .select(col("sig"), col("vec_id"),
+            quantizeExpr(col("embedding"), stats).as("qcode")),
+        idx, s"$tmp/index", "sig", buckets)
+    }
+    val probes = eSlim.filter(col("vec_id") % 89 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeSqIndex(spark, idx, statsDir, probes, planes, tables, eSlim)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
   }
 
   /** q145: INCREMENTAL index maintenance — the append path without which a
@@ -1490,6 +1662,12 @@ object Similarity {
     "q148_index_compact_probe" ->
       plantedUnionRetrievalOracle(modulus = 97, offset = 14000000L,
         deltaShift = 13000000L),
+    // q149: the quantized index serves the SAME exhaustive answer — the
+    // planted original is a certain candidate whose ≈1−ε approximate
+    // score survives any top-R cut, and the exact rescore emits the
+    // full-precision cosine (quantization picks candidates, never scores)
+    "q149_sq_index_probe" ->
+      plantedRetrievalOracle(modulus = 89, offset = 15000000L),
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

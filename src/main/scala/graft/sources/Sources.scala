@@ -222,6 +222,20 @@ object Sources {
     BucketCompactStats(before, countTableDataFiles(spark, table), outCount)
   }
 
+  /** Total data bytes at a catalog table's location — the storage-cost
+    * fact size-comparison specs pin (e.g. the SQ8 index vs its float
+    * twin). Same listing contract as [[countTableDataFiles]]. */
+  def tableDataBytes(spark: SparkSession, table: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(loc)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
   /** Data-file count at a catalog table's location (bucketed tables are
     * flat directories; `part-*` excludes markers like _SUCCESS). */
   def countTableDataFiles(spark: SparkSession, table: String): Int = {

@@ -273,6 +273,68 @@ class SimilaritySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("quantizeExpr/reconExpr roundtrip: error bounded by half a code step, " +
+      "constant dims reconstruct exactly to mn") {
+    val stats = Array((0.0, 1.0), (-2.0, 2.0), (5.0, 5.0))
+    val df = Seq(
+      Tuple1(Array(0.37f, -1.234f, 5.0f)),
+      Tuple1(Array(0.999f, 1.999f, 5.0f)),
+      Tuple1(Array(0.0f, 2.0f, 5.0f))).toDF("embedding")
+    val rows = df.select(col("embedding"), Similarity.reconExpr(
+      Similarity.quantizeExpr(col("embedding"), stats), stats).as("r")).collect()
+    rows.foreach { row =>
+      val x = row.getSeq[Float](0); val r = row.getSeq[Float](1)
+      stats.zipWithIndex.foreach { case ((mn, mx), i) =>
+        val bound = if (mx > mn) (mx - mn) / 255.0 / 2.0 + 1e-6 else 0.0
+        assert(math.abs(x(i) - r(i)) <= bound + 1e-9,
+          s"dim $i: ${x(i)} vs ${r(i)} (bound $bound)")
+      }
+    }
+  }
+
+  test("q149 SQ8 index: every planted original retrieved via exact rescore; " +
+      "index stores tinyint codes only (measured < 0.6x the float twin), " +
+      "bucket-pruned candidates, pushed-IN rescore lookup") {
+    val df = Similarity.q149SqIndexProbe(spark, Sf001)
+    val rows = df.collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(rows.length === (n - 1) / 89 + 1, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val (idx, statsDir, planes, tables) = Similarity.sqLayout(spark, Sf001)
+    // physical claim 1: the index schema carries NO float vectors
+    val schema = spark.table(idx).schema
+    assert(!schema.fieldNames.contains("embedding"), schema.treeString)
+    val qt = schema("qcode").dataType
+    assert(qt.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      qt.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+        org.apache.spark.sql.types.ByteType, qt.toString)
+    // physical claim 2: measured smaller than the float index on the SAME
+    // corpus (q142's table; build if this test runs first)
+    Similarity.q142LshIndexProbe(spark, Sf001).collect()
+    val floatIdx = spark.catalog.listTables().collect().map(_.name)
+      .find(t => t.startsWith("g_lsh_index_") && !t.startsWith("g_lsh_index_cmp_"))
+      .getOrElse(fail("q142 float index table not in catalog"))
+    val sqBytes = graft.sources.Sources.tableDataBytes(spark, idx)
+    val fBytes = graft.sources.Sources.tableDataBytes(spark, floatIdx)
+    assert(sqBytes < (fBytes * 6) / 10,
+      s"SQ index $sqBytes bytes vs float $fBytes — expected < 0.6x")
+    // physical claim 3: candidate stage bucket-prunes the quantized scan
+    val probes = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 89 === 0)
+      .select((col("vec_id") + 15000000L).as("qid"), col("embedding"))
+    val candPlan = Similarity.sqCandidates(spark, idx, statsDir, probes,
+      planes, tables, topR = 8).queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(candPlan).isDefined,
+      candPlan.take(3000))
+    // physical claim 4: the exact-rescore corpus lookup is a PUSHED
+    // vec_id IN (...) filter (point-lookup read pattern)
+    val rescorePlan = df.queryExecution.executedPlan.toString
+    assert(rescorePlan.contains("In(vec_id"), rescorePlan.take(3000))
+  }
+
   test("q148 compacted index: base + both appended generations retrievable, " +
       "one file per bucket, bucket pruning intact post-compaction") {
     val df = Similarity.q148IndexCompactProbe(spark, Sf001)
