@@ -205,6 +205,10 @@ object SparkEntry {
     // r13: SQ8-quantized index (tinyint codes, 4x less index I/O) with
     // exact full-precision rescore of the pruned candidate set
     "q149_sq_index_probe" -> (Similarity.q149SqIndexProbe(_, _)),
+    // r13: online near-dup admission gate against the persisted index
+    // (distributed sig join — the ingest-batch form; streaming wrapper
+    // in Streaming.dedupGateStream)
+    "q150_dedup_gate" -> (Similarity.q150DedupGate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

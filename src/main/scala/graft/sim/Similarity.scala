@@ -557,11 +557,24 @@ object Similarity {
     * per-candidate and the [[guardedSigJoin]] refinement applies if
     * candidate volume (not I/O) ever dominates. */
   def q142LshIndexProbe(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    import spark.implicits._
-    val tables = 4; val offset = 7000000L
+    val (idx, planes, tables) = ensureLshIndex(spark, dir)
+    val offset = 7000000L
     val e = Tables.embeddings(spark, dir)
-    // r13 convention: parameters derive from the BASE corpus count
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** Build-or-reuse the base-corpus sig-bucketed LSH index (the q142
+    * layout) — shared by the probe query and the q150 admission gate.
+    * Returns (table, planes, tables); parameters derive from the BASE
+    * corpus count (r13 convention). */
+  def ensureLshIndex(spark: SparkSession, dir: String): (String, Int, Int) = {
+    ensureRegistered(spark)
+    val tables = 4
+    val e = Tables.embeddings(spark, dir)
     val n = e.count()
     val planes = IndexParams.lshPlanes(n)
     val idx = "g_lsh_index_" +
@@ -574,11 +587,101 @@ object Similarity {
         indexedRelation(e, planes, tables), idx, s"$tmp/index", "sig",
         IndexParams.indexBuckets(n, tables))
     }
-    val probes = e.filter(col("vec_id") % 100 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding"))
-    probeIndex(spark, idx, probes, planes, tables)
-      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
-      .orderBy(col("qid"))
+    (idx, planes, tables)
+  }
+
+  /** Online near-dup ADMISSION GATE against a persisted signature index —
+    * the ingest-side counterpart of q96's text-batch gate, and the batch
+    * body of the streaming gate (`Streaming.dedupGateStream`): decide,
+    * for every row of an incoming batch, whether it is a near-duplicate
+    * of the already-accepted corpus (`dup_index`), of an earlier row in
+    * its own batch (`dup_batch`), or novel (`accepted`).
+    *
+    * An ingest batch is NOT a serving batch: it can be arbitrarily large,
+    * so the gate is a DISTRIBUTED sig equi-join — shuffle the batch to the
+    * index's bucket partitioning, never a driver-side collect
+    * ([[probeIndex]]'s literal-IN pruning is the SMALL-batch form; the
+    * pruning win vanishes once batch·tables ≳ buckets, the r13 serving
+    * cost model, and collecting an ingest batch is the driver-OOM the
+    * q111 rule bans). Against a sig-bucketed index table the scan comes
+    * back bucket-aligned, so only the batch side shuffles.
+    *
+    * Intra-batch rule — greedy pair-suppression, deliberately
+    * conservative: reject j iff SOME index-clean i < j lies within θ
+    * (smallest such i reported as `dup_of`). Sequential-accept semantics
+    * would reject j only against ACCEPTED i; accepted ⊆ clean, so this
+    * rejects a superset — the safe side for training-data dedup, without
+    * the per-row sequential state a distributed pass cannot express.
+    *
+    * `index` must carry (sig, vec_id, embedding); `batch` (vec_id,
+    * embedding). θ defaults to 0.75 — dyadic (oracle-safe compare) and
+    * hazard-free on this corpus (natural cosine tops out ≈0.53). */
+  def dedupGateBatch(spark: SparkSession, index: DataFrame, batch: DataFrame,
+                     planes: Int, tables: Int, theta: Double = 0.75): DataFrame = {
+    ensureRegistered(spark)
+    val idx = index.select(col("sig"), col("vec_id").as("cid"),
+      col("embedding").as("ce"))
+    val w1 = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    val top1 = indexedRelation(batch.select(col("vec_id"), col("embedding")),
+        planes, tables)
+      .select(col("sig"), col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(idx, Seq("sig"))
+      .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim_raw"))
+      .distinct()
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+    val idxDup = top1.filter(col("sim_raw") >= lit(theta))
+      .select(col("qid").as("vec_id"), col("cid").as("dup_of"), col("sim_raw"))
+    val clean = batch.select(col("vec_id"), col("embedding"))
+      .join(idxDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val signedClean = indexedRelation(clean, planes, tables)
+    val pairs = signedClean
+      .select(col("sig"), col("vec_id").as("i"), col("embedding").as("ei"))
+      .join(signedClean.select(col("sig"), col("vec_id").as("j"),
+        col("embedding").as("ej")), Seq("sig"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ei"), col("ej")).distinct()
+      .select(col("i"), col("j"), cosine(col("ei"), col("ej")).as("sim_raw"))
+      .filter(col("sim_raw") >= lit(theta))
+    val w2 = Window.partitionBy(col("j")).orderBy(col("i"))
+    val batchDup = pairs.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") === 1)
+      .select(col("j").as("vec_id"), col("i").as("dup_of"), col("sim_raw"))
+    val dups = idxDup.withColumn("status", lit("dup_index"))
+      .unionByName(batchDup.withColumn("status", lit("dup_batch")))
+    batch.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("status"), lit("accepted")).as("status"),
+        col("dup_of"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** q150: the admission gate over a PLANTED ingest batch against the
+    * q142 base-corpus index — every decision branch exercised with an
+    * exact exhaustive oracle: copies of every 7th corpus vector are
+    * certain `dup_index` hits (identical signature in every table, cosine
+    * 1 vs the ≈0.53 natural tail); reversed every-11th vectors are
+    * genuinely novel (`accepted`); a second identical set of those
+    * reversed vectors under higher ids exercises `dup_batch` (both clean
+    * vs the index, pairwise cosine 1, greedy rule keeps the smaller id).
+    * Every pair that crosses θ is an exact copy — a certain LSH candidate
+    * — so the gate's candidate-join decisions coincide with the
+    * exhaustive decisions DuckDB recomputes, and every emitted (dup_of,
+    * sim) is the full-precision argmax both engines agree on bitwise. */
+  def q150DedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, planes, tables) = ensureLshIndex(spark, dir)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val copies = e.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 16000000L).as("vec_id"), col("embedding"))
+    val novel = e.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 17000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val novelDup = e.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 18000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+    val batch = copies.unionByName(novel).unionByName(novelDup)
+    dedupGateBatch(spark, spark.table(idx), batch, planes, tables)
+      .orderBy(col("vec_id"))
   }
 
   /** The OR-amplified multi-table signature array: one entry per hash
@@ -1668,6 +1771,58 @@ object Similarity {
     // full-precision cosine (quantization picks candidates, never scores)
     "q149_sq_index_probe" ->
       plantedRetrievalOracle(modulus = 89, offset = 15000000L),
+    // q150: every θ-crossing pair is an exact copy (a certain LSH
+    // candidate), so the gate's candidate-join decisions equal these
+    // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)
+    "q150_dedup_gate" ->
+      """WITH batch AS (
+        |  SELECT vec_id + 16000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 7 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 17000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 11 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 18000000 AS vec_id, list_reverse(embedding) AS embedding
+        |  FROM embeddings WHERE vec_id % 11 = 0),
+        |pairs AS (
+        |  SELECT b.vec_id, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(b.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM batch b CROSS JOIN embeddings c),
+        |best AS (
+        |  SELECT vec_id, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs),
+        |idx_dup AS (
+        |  SELECT vec_id, cid AS dup_of, sim_raw FROM best
+        |  WHERE rn = 1 AND sim_raw >= 0.75),
+        |clean AS (
+        |  SELECT * FROM batch
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM idx_dup)),
+        |intra0 AS (
+        |  SELECT j.vec_id, i.vec_id AS dup_of,
+        |    list_sum(list_transform(list_zip(i.embedding, j.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(i.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(j.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM clean j JOIN clean i ON i.vec_id < j.vec_id),
+        |intra AS (
+        |  SELECT vec_id, dup_of, sim_raw,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+        |  FROM intra0 WHERE sim_raw >= 0.75),
+        |batch_dup AS (SELECT vec_id, dup_of, sim_raw FROM intra WHERE rn = 1)
+        |SELECT b.vec_id,
+        |  CASE WHEN d.vec_id IS NOT NULL THEN 'dup_index'
+        |       WHEN p.vec_id IS NOT NULL THEN 'dup_batch'
+        |       ELSE 'accepted' END AS status,
+        |  coalesce(d.dup_of, p.dup_of) AS dup_of,
+        |  round(coalesce(d.sim_raw, p.sim_raw) * 1000000) / 1000000 AS sim
+        |FROM batch b
+        |LEFT JOIN idx_dup d ON b.vec_id = d.vec_id
+        |LEFT JOIN batch_dup p ON b.vec_id = p.vec_id
+        |ORDER BY b.vec_id""".stripMargin,
     "q26_cosine_topk" ->
       """WITH pairs AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid,

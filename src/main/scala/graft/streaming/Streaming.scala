@@ -459,6 +459,72 @@ object Streaming {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** Streaming ONLINE dedup gate — continuous ingest admission control
+    * over the appendable index: each micro-batch is gated
+    * ([[graft.sim.Similarity.dedupGateBatch]]) against the index AS OF
+    * the previous batch, its decisions land under their own `batch_id`
+    * partition of `decisionsDir`, and only the `accepted` rows append to
+    * the index ([[appendIndexBatch]]) — so the index IS the accepted
+    * corpus and the gate closes the loop the batch-side q96/q150 gates
+    * open. The probe side EXCLUDES the batch's own `batch_id` partition,
+    * which is what makes replays deterministic: a batch re-run after a
+    * crash between the index append and the checkpoint commit recomputes
+    * the SAME decisions even though its own accepted rows already landed
+    * (they are filtered out of the index view), then overwrites both its
+    * partitions idempotently. */
+  def dedupGateStream(vectors: DataFrame, indexTable: String,
+                      planes: Int, tables: Int, decisionsDir: String,
+                      checkpointDir: String,
+                      theta: Double = 0.75): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch(batch, batchId, indexTable, planes, tables, decisionsDir,
+          theta)
+      }
+      .start()
+
+  /** The foreachBatch body of [[dedupGateStream]], exposed for direct
+    * testing. Empty batches follow the clear-and-seed rule on BOTH sinks
+    * (the decisions partition here, the index partition inside
+    * [[appendIndexBatch]]). */
+  def gateBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                planes: Int, tables: Int, decisionsDir: String,
+                theta: Double = 0.75): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(decisionsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batch.isEmpty) {
+      val stale = new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
+      if (fs.exists(stale)) fs.delete(stale, true)
+      val seed = new org.apache.hadoop.fs.Path(root, "batch_id=-1")
+      if (!fs.exists(seed))
+        graft.sim.Similarity.dedupGateBatch(spark,
+            spark.table(indexTable), batch.limit(0), planes, tables, theta)
+          .limit(0).coalesce(1).write.mode("overwrite").parquet(seed.toString)
+      appendIndexBatch(batch, batchId, indexTable, planes, tables)
+      return
+    }
+    val b = batch.persist()
+    try {
+      // the index as of the PREVIOUS batch: excluding our own partition
+      // makes a post-append replay recompute identical decisions
+      val index = spark.table(indexTable)
+        .filter(col("batch_id") =!= lit(batchId))
+      val decisions = graft.sim.Similarity
+        .dedupGateBatch(spark, index, b, planes, tables, theta).persist()
+      decisions.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(decisionsDir)
+      val accepted = b.join(
+        decisions.filter(col("status") === "accepted").select("vec_id"),
+        Seq("vec_id"))
+      appendIndexBatch(accepted, batchId, indexTable, planes, tables)
+      decisions.unpersist()
+    } finally b.unpersist()
+  }
+
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
     * writes under its own `batch_id=` partition with dynamic partition

@@ -335,6 +335,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rescorePlan.contains("In(vec_id"), rescorePlan.take(3000))
   }
 
+  test("q150 dedup gate: every branch lands on its planted rows (copies -> " +
+      "dup_index, reversed novels -> accepted, duplicated novels -> dup_batch " +
+      "keeping the smaller id); index side scans bucket-aligned") {
+    val df = Similarity.q150DedupGate(spark, Sf001)
+    val rows = df.collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    val nCopies = (n - 1) / 7 + 1; val nNovel = (n - 1) / 11 + 1
+    assert(rows.length === nCopies + 2 * nNovel)
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+    assert(byStatus("dup_index").length === nCopies)
+    assert(byStatus("accepted").length === nNovel)
+    assert(byStatus("dup_batch").length === nNovel)
+    byStatus("dup_index").foreach { r =>
+      assert(r.getAs[Long]("dup_of") === r.getAs[Long]("vec_id") - 16000000L, r)
+      assert(r.getAs[Double]("sim") > 0.999999, r)
+    }
+    byStatus("accepted").foreach { r =>
+      assert(r.getAs[Long]("vec_id") >= 17000000L &&
+        r.getAs[Long]("vec_id") < 18000000L, r)
+      assert(r.isNullAt(r.fieldIndex("dup_of")) && r.isNullAt(r.fieldIndex("sim")), r)
+    }
+    byStatus("dup_batch").foreach { r =>
+      // greedy rule: the 18M twin loses to its 17M twin (smaller id)
+      assert(r.getAs[Long]("dup_of") === r.getAs[Long]("vec_id") - 1000000L, r)
+      assert(r.getAs[Double]("sim") > 0.999999, r)
+    }
+    // the distributed gate never shuffles the index relation: its scans
+    // come back bucket-aligned (would read "Bucketed: false (disabled by
+    // query planner)" if the join stopped requiring the distribution)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(!p.contains("Bucketed: false"), p.take(3000))
+  }
+
   test("q148 compacted index: base + both appended generations retrievable, " +
       "one file per bucket, bucket pruning intact post-compaction") {
     val df = Similarity.q148IndexCompactProbe(spark, Sf001)

@@ -372,6 +372,64 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.toSeq === Seq((500005L, 5L), (500030L, 30L)))
   }
 
+  test("dedupGateStream: copies reject against the growing index, intra-batch " +
+      "dups greedily suppress, accepted rows append, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val planes = 5; val tables = 4
+    val tbl = "g_gate_idx_test"
+    val path = Files.createTempDirectory("gate_idx")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index")
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val in = MemoryStream[Vec]
+    val q = Streaming.dedupGateStream(in.toDF(), tbl, planes, tables, decDir,
+      Files.createTempDirectory("gate_ck").toString)
+    // batch 0: 20 distinct naturals against an EMPTY index — all accepted
+    in.addData(corpus.take(20).toSeq)
+    q.processAllAvailable()
+    val d0 = spark.read.parquet(decDir).filter(col("batch_id") === 0)
+    assert(d0.count() === 20)
+    assert(d0.filter(col("status") === "accepted").count() === 20)
+    assert(spark.table(tbl).count() === 20L * tables)
+    // batch 1: a copy of an accepted vector (dup_index), one new natural
+    // (accepted), two copies of one NOVEL vector (greedy: first id wins,
+    // second is dup_batch of it)
+    val origId = corpus(3).vec_id
+    val replay = Seq(Vec(900L, corpus(3).embedding), corpus(30),
+      Vec(901L, corpus(31).embedding.reverse),
+      Vec(902L, corpus(31).embedding.reverse))
+    in.addData(replay)
+    q.processAllAvailable()
+    q.stop()
+    def decisions(bid: Long) = spark.read.parquet(decDir)
+      .filter(col("batch_id") === bid).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()))).toMap
+    val d1 = decisions(1)
+    assert(d1(900L) === ("dup_index", Some(origId)), d1.toString)
+    assert(d1(corpus(30).vec_id) === ("accepted", None))
+    assert(d1(901L) === ("accepted", None))
+    assert(d1(902L) === ("dup_batch", Some(901L)), d1.toString)
+    assert(spark.table(tbl).count() === 22L * tables,
+      "only the two accepted rows of batch 1 may append")
+    // replay batch 1's body directly (crash-after-append scenario): the
+    // gate excludes its own partition, so decisions are IDENTICAL and the
+    // index does not double-append
+    import spark.implicits._
+    Streaming.gateBatch(replay.toDF(), 1L, tbl, planes, tables, decDir)
+    assert(decisions(1) === d1)
+    assert(spark.table(tbl).count() === 22L * tables)
+    // an empty replay clears both of the batch's partitions
+    Streaming.gateBatch(corpus.take(0).toSeq.toDF("vec_id", "embedding"),
+      1L, tbl, planes, tables, decDir)
+    assert(spark.read.parquet(decDir).filter(col("batch_id") === 1).count() === 0)
+    assert(spark.table(tbl).count() === 20L * tables)
+    assert(decisions(0).size === 20, "batch 0 survives batch 1's empty replay")
+  }
+
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
       "distinct docs pass, state persists across micro-batches") {
     implicit val s = spark
