@@ -209,6 +209,9 @@ object SparkEntry {
     // (distributed sig join — the ingest-batch form; streaming wrapper
     // in Streaming.dedupGateStream)
     "q150_dedup_gate" -> (Similarity.q150DedupGate(_, _)),
+    // r13: text-side exact-content admission gate over the persisted
+    // MinHash band index (q150's text twin; near-dup stays with q96)
+    "q151_text_gate_index" -> (TextOps.q151TextGateIndex(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -512,23 +512,11 @@ object Similarity {
     * Bench re-invocations inside one JVM reuse the layout instead of
     * leaking a copy per call, while a data regeneration mid-session
     * changes the fingerprint and gets a fresh build. */
-  private def layoutTag(parts: String*): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(parts.mkString("|").getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-
-  /** Included in every persisted-layout fingerprint; bump when
-    * layout-producing code changes semantics (signature family, assignment
-    * tiebreak, schema) — a /tmp- or catalog-persisted layout built by
-    * OLDER code must never be silently served to newer probe code on a
-    * long-lived machine (layouts are only valid together with the code
-    * that wrote them). */
-  private val LayoutVersion = "v1"
-
-  private def fileFp(p: String): String = {
-    val f = new java.io.File(p)
-    s"$p|${f.length}|${f.lastModified}"
-  }
+  // layout fingerprinting shared across domains since q151 — see
+  // graft.ops.Layouts for the contract
+  private def layoutTag(parts: String*): String = graft.ops.Layouts.tag(parts: _*)
+  private val LayoutVersion = graft.ops.Layouts.Version
+  private def fileFp(p: String): String = graft.ops.Layouts.fileFp(p)
 
   /** q142: PERSISTED LSH index probe — the missing half of the q138 story.
     * q138 rebuilds signatures per query; a real 100-TB ANN service pays the

@@ -665,17 +665,7 @@ object TextOps {
     val corpus = d.unionByName(
       d.filter(col("doc_id") % 7 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    val sh = shingleRows(corpus, 3)
-    val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
-    // \u0001 separator: cannot appear inside a space-split token, so the
-    // joined string is injective in the shingle SET (digest ⟺ set equality)
-    val aggCols = minCols :+
-      md5(concat_ws("\u0001", array_sort(collect_set(col("s"))))).as("digest")
-    val sig = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
-    val bandKeys = (0 until 4).map(b =>
-      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*), lit(b)))
-    val buckets = sig.select(col("doc_id"), col("digest"),
-      explode(array(bandKeys: _*)).as("key"))
+    val buckets = bandedSignatures(corpus)
     val dupIds = buckets
       .select(col("key"), col("doc_id").as("d1"), col("digest").as("g1"))
       .join(buckets.select(col("key"), col("doc_id").as("d2"), col("digest").as("g2")),
@@ -688,6 +678,95 @@ object TextOps {
         count(when(col("doc_id") >= 1000000L, 1)).as("n_planted"),
         count(when(col("is_dup"), 1)).as("n_dups"))
       .orderBy(col("source"))
+  }
+
+  /** The banded MinHash relation (key, doc_id, digest), one row per
+    * (doc, band): 16 minhashes over 3-gram shingles, 4 bands × 4 rows,
+    * plus the canonical set digest (md5 of the \u0001-joined sorted
+    * distinct shingles —  cannot appear inside a space-split token,
+    * so the digest is injective in the shingle SET). ONE explode → ONE
+    * hash-aggregate computes all 16 minima and the digest; band keys
+    * unroll per row (plan-time constants, whole-stage codegen). Shared by
+    * q105 and the persisted band index (q151); docs with fewer than 3
+    * tokens have no shingles, hence no rows here, on every engine. */
+  def bandedSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingleRows(docs, 3)
+    val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
+    val aggCols = minCols :+
+      md5(concat_ws("\u0001", array_sort(collect_set(col("s"))))).as("digest")
+    val sig = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val bandKeys = (0 until 4).map(b =>
+      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*), lit(b)))
+    sig.select(col("doc_id"), col("digest"),
+      explode(array(bandKeys: _*)).as("key"))
+  }
+
+  /** Build-or-reuse the PERSISTED band index over the base documents
+    * corpus — the text twin of the q142 signature index: the
+    * [[bandedSignatures]] relation written once as a key-bucketed table,
+    * so ingest gates join it without shuffling the index side and the
+    * signature/digest pass over the accepted corpus is paid at ingest,
+    * never per gate call. Bucket count derives from the corpus (r13
+    * rule). */
+  def ensureBandIndex(spark: SparkSession, dir: String): String = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idx = "g_band_index_" + graft.ops.Layouts.tag(
+      graft.ops.Layouts.fileFp(s"$dir/documents.parquet"), "mh16b4r4",
+      graft.ops.Layouts.Version)
+    if (!spark.catalog.tableExists(idx)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_band_idx").toString
+      graft.sources.Sources.writeBucketed(bandedSignatures(d), idx,
+        s"$tmp/index", "key",
+        graft.sim.IndexParams.indexBuckets(d.count(), 4))
+    }
+    idx
+  }
+
+  /** Text-side exact-content admission gate against the persisted band
+    * index (the q150 embedding gate's text twin): a batch doc is
+    * `exact_dup` iff some indexed doc shares its SHINGLE SET (band-key
+    * collision + digest equality — recall is exactly 1 for set-equal
+    * pairs since equal sets give equal minhashes in every band, and the
+    * digest kills every banding false positive), `unique` otherwise;
+    * `dup_of` is the smallest matching indexed doc. NEAR-dup admission
+    * (Jaccard ∈ [θ, 1)) stays with q96's verified pair machinery — band
+    * recall below 1 makes it LSH-noisy, so this gate deliberately decides
+    * only the exact-content tier, which is deterministic for ANY input.
+    * Distributed join, no driver collect (ingest batches are not serving
+    * batches — the q150 rule). */
+  def textGateBatch(spark: SparkSession, indexTable: String,
+                    batch: DataFrame): DataFrame = {
+    val idx = spark.table(indexTable).select(col("key"),
+      col("doc_id").as("base_id"), col("digest").as("base_digest"))
+    val matches = bandedSignatures(batch)
+      .join(idx, Seq("key"))
+      .filter(col("digest") === col("base_digest"))
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "exact_dup").otherwise("unique")
+          .as("status"),
+        col("dup_of"))
+  }
+
+  /** q151: the text admission gate over a planted ingest batch — copies
+    * of every 13th base doc (certain `exact_dup`: identical text ⇒ equal
+    * shingle set) plus token-REVERSED every-17th docs (new shingle sets ⇒
+    * `unique`; short docs with no 3-gram are unique by no-signature on
+    * both engines). The decision is a pure function of shingle-set
+    * equality, which DuckDB recomputes exhaustively — exact for any
+    * banding outcome, the q105 argument operationalized as a gate. */
+  def q151TextGateIndex(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureBandIndex(spark, dir)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val novel = d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    textGateBatch(spark, idx, copies.unionByName(novel))
+      .orderBy(col("doc_id"))
   }
 
   /** q106: maximal repeated cross-document token spans — the exact-substring
@@ -2152,6 +2231,48 @@ object TextOps {
         |  count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END) AS n_dups
         |FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q151: the gate's decision is shingle-set equality (band recall is
+    // exactly 1 for equal sets; the digest kills banding false
+    // positives), which this recomputes exhaustively — exact for any
+    // banding outcome. Docs with < 3 tokens have no sigs row on either
+    // engine and stay 'unique'.
+    "q151_text_gate_index" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split(text, ' '), x -> x <> '')), ' ') AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |bt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM batch),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM bt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |bsig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM bsh GROUP BY doc_id),
+        |ct AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM ct, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |csig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM csh GROUP BY doc_id),
+        |m AS (
+        |  SELECT b.doc_id, min(c.doc_id) AS dup_of
+        |  FROM bsig b JOIN csig c ON b.sig = c.sig
+        |  GROUP BY b.doc_id)
+        |SELECT b.doc_id,
+        |  CASE WHEN m.doc_id IS NOT NULL THEN 'exact_dup' ELSE 'unique' END AS status,
+        |  m.dup_of
+        |FROM batch b LEFT JOIN m ON b.doc_id = m.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Same pair machinery as q24 (df cap never fires at test scale — max
     // natural df 25 ≪ 500), aggregated to the source-pair grain; the θ

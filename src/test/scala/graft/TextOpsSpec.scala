@@ -6,6 +6,31 @@ import graft.text.TextOps
 class TextOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("q151 text gate: planted copies are exact_dup of their originals, " +
+      "token-reversed docs are unique; index side scans bucket-aligned") {
+    val df = TextOps.q151TextGateIndex(spark, Sf001)
+    val rows = df.collect()
+    val d = Tables.documents(spark, Sf001)
+    // copies of a SHORT doc (< 3 tokens) have no shingles and stay
+    // unique by no-signature — derive the expectation from the data
+    val shingled = d.filter(col("doc_id") % 13 === 0)
+      .filter(size(TextOps.tokens(col("text"))) >= 3).count()
+    val copies = rows.filter(r => r.getAs[Long]("doc_id") < 3000000L)
+    val novels = rows.filter(r => r.getAs[Long]("doc_id") >= 3000000L)
+    assert(copies.count(_.getAs[String]("status") === "exact_dup") === shingled)
+    copies.filter(_.getAs[String]("status") === "exact_dup").foreach { r =>
+      // dup_of is the SMALLEST set-equal base doc — at most the original
+      assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("doc_id") - 2000000L, r)
+    }
+    assert(novels.forall(_.getAs[String]("status") === "unique"),
+      novels.filterNot(_.getAs[String]("status") === "unique").mkString("\n"))
+    novels.foreach(r => assert(r.isNullAt(r.fieldIndex("dup_of")), r))
+    // the gate joins the persisted band index without shuffling it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(!p.contains("Bucketed: false"), p.take(3000))
+  }
+
   test("tokens drops empties; wordShingles handles short docs") {
     val df = Seq((1L, "a b  c"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
