@@ -112,6 +112,47 @@ object TimeIndex {
       probes.unpersist()
     }
 
+    // === SQ8-quantized index tier (q149's claim, measured) ===
+    // same corpus; the index stores tinyint codes against a frozen
+    // codebook and serving pays TWO stages (pruned approx scan + exact
+    // rescore via a pushed vec_id IN lookup) in exchange for ~4x less
+    // index I/O per touched bucket. Locally, fixed per-action costs can
+    // dominate the I/O saving — report the BYTES (the real 100-TB lever)
+    // alongside the wall clock, and compare against the float index
+    // through the SAME serving entry point (probeIndex).
+    corpus.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sq_stats")
+    val sqStats = spark.read.parquet(s"$tmp/sq_stats").orderBy("dim").collect()
+      .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
+    val tq0 = System.nanoTime()
+    graft.sources.Sources.writeBucketed(
+      Similarity.indexedRelation(corpus, planes, tables)
+        .select(col("sig"), col("vec_id"),
+          Similarity.quantizeExpr(col("embedding"), sqStats).as("qcode")),
+      "g_time_idx_sq", s"$tmp/index_sq", "sig", 256)
+    println(f"SQ index build (one-time) ${(System.nanoTime() - tq0) / 1e9}%.2f s")
+    println("index bytes: float=" +
+      graft.sources.Sources.tableDataBytes(spark, "g_time_idx") +
+      " sq=" + graft.sources.Sources.tableDataBytes(spark, "g_time_idx_sq"))
+    for (batch <- Seq(2, 8, 32)) {
+      val probesRaw = corpus.filter(col("vec_id") < batch)
+        .select((col("vec_id") + 900000000L).as("qid"), col("embedding"))
+        .persist()
+      probesRaw.count()
+      time(f"batch=$batch%2d SQ8 two-stage probe (pruned approx + exact rescore)") {
+        Similarity.probeSqIndex(spark, "g_time_idx_sq", s"$tmp/sq_stats",
+          probesRaw, planes, tables, corpus).count()
+      }
+      time(f"batch=$batch%2d float probe via probeIndex (same serving entry)") {
+        Similarity.probeIndex(spark, "g_time_idx", probesRaw, planes, tables)
+          .count()
+      }
+      probesRaw.unpersist()
+    }
+
     // === small-files decay + compaction (q148's claim, measured) ===
     // the same corpus ingested as GENERATIONS (one insertInto per batch,
     // each coalesced to a few tasks like a real streaming micro-batch):

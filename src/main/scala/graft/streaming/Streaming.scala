@@ -525,6 +525,96 @@ object Streaming {
     } finally b.unpersist()
   }
 
+  /** Create the APPENDABLE band index for documents — the text twin of
+    * [[createAppendableIndex]]: `batch_id` partitions for idempotent
+    * replay, `key` buckets for shuffle-free gate joins. Rows arrive via
+    * [[appendBandBatch]]. */
+  def createAppendableBandIndex(spark: SparkSession, table: String,
+                                path: String, buckets: Int = 64): Unit = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Long, Long)]
+      .toDF("doc_id", "digest", "key", "batch_id")
+      .write.partitionBy("batch_id").bucketBy(buckets, "key").sortBy("key")
+      .option("path", path).format("parquet").saveAsTable(table)
+  }
+
+  /** Sign a document micro-batch ([[graft.text.TextOps.bandedSignatures]])
+    * and land it under its own batch_id partition — same idempotence and
+    * empty-replay contract as [[appendIndexBatch]]. */
+  def appendBandBatch(batch: DataFrame, batchId: Long,
+                      indexTable: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (batch.isEmpty) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+        .location
+      val stale = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), s"batch_id=$batchId")
+      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, true)
+    } else {
+      graft.text.TextOps.bandedSignatures(batch)
+        .select(col("doc_id"), col("digest"), col("key"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").insertInto(indexTable)
+    }
+    spark.catalog.refreshTable(indexTable)
+  }
+
+  /** Streaming TEXT admission gate — [[dedupGateStream]]'s text twin over
+    * the appendable band index: per micro-batch, exact-content decisions
+    * (exact_dup vs the index / batch_dup within the batch / unique) land
+    * under their own batch_id partition of `decisionsDir`, and only the
+    * unique docs' signatures append. Gating excludes the batch's own
+    * index partition, so a replay after a crash-past-append recomputes
+    * identical decisions. */
+  def textGateStream(docs: DataFrame, indexTable: String,
+                     decisionsDir: String,
+                     checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        textGateBatchBody(batch, batchId, indexTable, decisionsDir)
+      }
+      .start()
+
+  /** The foreachBatch body of [[textGateStream]], exposed for direct
+    * testing. */
+  def textGateBatchBody(batch: DataFrame, batchId: Long, indexTable: String,
+                        decisionsDir: String): Unit = {
+    val spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val root = new org.apache.hadoop.fs.Path(decisionsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batch.isEmpty) {
+      val stale = new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
+      if (fs.exists(stale)) fs.delete(stale, true)
+      val seed = new org.apache.hadoop.fs.Path(root, "batch_id=-1")
+      if (!fs.exists(seed))
+        graft.text.TextOps.textGateBatch(spark,
+            spark.table(indexTable), batch.limit(0))
+          .limit(0).coalesce(1).write.mode("overwrite").parquet(seed.toString)
+      appendBandBatch(batch, batchId, indexTable)
+      return
+    }
+    val b = batch.persist()
+    try {
+      val index = spark.table(indexTable)
+        .filter(col("batch_id") =!= lit(batchId))
+      val decisions = graft.text.TextOps
+        .textGateBatch(spark, index, b).persist()
+      decisions.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(decisionsDir)
+      val unique = b.join(
+        decisions.filter(col("status") === "unique").select("doc_id"),
+        Seq("doc_id"))
+      appendBandBatch(unique, batchId, indexTable)
+      decisions.unpersist()
+    } finally b.unpersist()
+  }
+
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch
     * writes under its own `batch_id=` partition with dynamic partition

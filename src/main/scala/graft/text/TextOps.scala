@@ -734,19 +734,34 @@ object TextOps {
     * only the exact-content tier, which is deterministic for ANY input.
     * Distributed join, no driver collect (ingest batches are not serving
     * batches — the q150 rule). */
-  def textGateBatch(spark: SparkSession, indexTable: String,
+  def textGateBatch(spark: SparkSession, index: DataFrame,
                     batch: DataFrame): DataFrame = {
-    val idx = spark.table(indexTable).select(col("key"),
+    val idx = index.select(col("key"),
       col("doc_id").as("base_id"), col("digest").as("base_digest"))
-    val matches = bandedSignatures(batch)
+    val bsig = bandedSignatures(batch)
+    val matches = bsig
       .join(idx, Seq("key"))
       .filter(col("digest") === col("base_digest"))
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("dup_of"))
+    // intra-batch tier: among index-clean docs, equal digests (⟺ equal
+    // shingle sets) keep the smallest id — two batch copies of content
+    // the index has never seen must still admit only one. Unlike the
+    // vector gate's θ-band greedy rule this is EXACT equality, so it is
+    // a true equivalence relation and min-id-per-class IS
+    // sequential-accept semantics, not a conservative superset.
+    val clean = bsig.select(col("doc_id"), col("digest")).distinct()
+      .join(matches.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val wMin = Window.partitionBy(col("digest"))
+    val batchDup = clean
+      .withColumn("m", min(col("doc_id")).over(wMin))
+      .filter(col("doc_id") > col("m"))
+      .select(col("doc_id"), col("m").as("dup_of"))
+    val dups = matches.withColumn("status", lit("exact_dup"))
+      .unionByName(batchDup.withColumn("status", lit("batch_dup")))
     batch.select(col("doc_id"))
-      .join(matches, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("dup_of").isNotNull, "exact_dup").otherwise("unique")
-          .as("status"),
+        coalesce(col("status"), lit("unique")).as("status"),
         col("dup_of"))
   }
 
@@ -765,7 +780,7 @@ object TextOps {
     val novel = d.filter(col("doc_id") % 17 === 0)
       .select((col("doc_id") + 3000000L).as("doc_id"),
         concat_ws(" ", reverse(tokens(col("text")))).as("text"))
-    textGateBatch(spark, idx, copies.unionByName(novel))
+    textGateBatch(spark, spark.table(idx), copies.unionByName(novel))
       .orderBy(col("doc_id"))
   }
 
@@ -2267,11 +2282,19 @@ object TextOps {
         |m AS (
         |  SELECT b.doc_id, min(c.doc_id) AS dup_of
         |  FROM bsig b JOIN csig c ON b.sig = c.sig
-        |  GROUP BY b.doc_id)
+        |  GROUP BY b.doc_id),
+        |ib AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS mn
+        |  FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM m)),
+        |bd AS (SELECT doc_id, mn AS dup_of FROM ib WHERE doc_id > mn)
         |SELECT b.doc_id,
-        |  CASE WHEN m.doc_id IS NOT NULL THEN 'exact_dup' ELSE 'unique' END AS status,
-        |  m.dup_of
-        |FROM batch b LEFT JOIN m ON b.doc_id = m.doc_id
+        |  CASE WHEN m.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+        |       ELSE 'unique' END AS status,
+        |  coalesce(m.dup_of, bd.dup_of) AS dup_of
+        |FROM batch b
+        |LEFT JOIN m ON b.doc_id = m.doc_id
+        |LEFT JOIN bd ON b.doc_id = bd.doc_id
         |ORDER BY b.doc_id""".stripMargin,
 
     // Same pair machinery as q24 (df cap never fires at test scale — max

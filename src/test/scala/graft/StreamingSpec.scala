@@ -10,6 +10,7 @@ import graft.streaming.Streaming.{Obs, StuckEvent}
 /** Top-level so its encoder needs no outer scope (toDF on a local Seq of an
   * inner test case class fails ResolveNewInstance). */
 case class Vec(vec_id: Long, embedding: Array[Float])
+case class GateDoc(doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -428,6 +429,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(decDir).filter(col("batch_id") === 1).count() === 0)
     assert(spark.table(tbl).count() === 20L * tables)
     assert(decisions(0).size === 20, "batch 0 survives batch 1's empty replay")
+  }
+
+  test("textGateStream: exact copies reject against the growing band index, " +
+      "intra-batch copies keep the smallest id, unique docs append, " +
+      "replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val tbl = "g_text_gate_idx_test"
+    val path = Files.createTempDirectory("text_gate_idx")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableBandIndex(spark, tbl, s"$path/index")
+    val docs = Tables.documents(spark, Sf001)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => GateDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[GateDoc]
+    val q = Streaming.textGateStream(in.toDF(), tbl, decDir,
+      Files.createTempDirectory("text_gate_ck").toString)
+    // batch 0: 10 distinct docs against an empty index — all unique
+    in.addData(docs.take(10).toSeq)
+    q.processAllAvailable()
+    val d0 = spark.read.parquet(decDir).filter(col("batch_id") === 0)
+    assert(d0.count() === 10)
+    assert(d0.filter(col("status") === "unique").count() === 10)
+    // every unique doc appended exactly 4 band rows
+    assert(spark.table(tbl).count() === 10L * 4)
+    // batch 1: a copy of an accepted doc (exact_dup), a new doc (unique),
+    // and TWO copies of one unseen doc (batch_dup keeps the smaller id)
+    val replay = Seq(GateDoc(900L, docs(3).text), docs(20),
+      GateDoc(901L, docs(21).text), GateDoc(902L, docs(21).text))
+    in.addData(replay)
+    q.processAllAvailable()
+    q.stop()
+    def decisions(bid: Long) = spark.read.parquet(decDir)
+      .filter(col("batch_id") === bid).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue()))).toMap
+    val d1 = decisions(1)
+    assert(d1(900L) === ("exact_dup", Some(docs(3).doc_id)), d1.toString)
+    assert(d1(docs(20).doc_id) === ("unique", None))
+    assert(d1(901L) === ("unique", None))
+    assert(d1(902L) === ("batch_dup", Some(901L)), d1.toString)
+    assert(spark.table(tbl).count() === 12L * 4,
+      "only the two unique docs of batch 1 may append")
+    // replay batch 1's body (crash-past-append): identical decisions,
+    // no double-append
+    import spark.implicits._
+    Streaming.textGateBatchBody(replay.toDF(), 1L, tbl, decDir)
+    assert(decisions(1) === d1)
+    assert(spark.table(tbl).count() === 12L * 4)
+    // empty replay clears both partitions
+    Streaming.textGateBatchBody(Seq.empty[GateDoc].toDF(), 1L, tbl, decDir)
+    assert(spark.read.parquet(decDir).filter(col("batch_id") === 1).count() === 0)
+    assert(spark.table(tbl).count() === 10L * 4)
   }
 
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
