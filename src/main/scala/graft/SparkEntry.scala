@@ -212,6 +212,9 @@ object SparkEntry {
     // r13: text-side exact-content admission gate over the persisted
     // MinHash band index (q150's text twin; near-dup stays with q96)
     "q151_text_gate_index" -> (TextOps.q151TextGateIndex(_, _)),
+    // r13: deterministic mixture rebalance — integer keep-rates + the
+    // q144 hash-uniform draw make the downsample bit-reproducible
+    "q152_mixture_rebalance" -> (DataPrep.q152MixtureRebalance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -354,7 +354,87 @@ object DataPrep {
       .orderBy(col("source"))
   }
 
+  /** q152: deterministic mixture REBALANCING — the action q122's mixture
+    * audit points at: split a char budget (half the corpus) equally
+    * across sources, derive each source's integer keep-rate in basis
+    * points (capped at 10000 — under-allocated sources keep everything),
+    * and downsample REPRODUCIBLY via the q144 hash-uniform integer: keep
+    * iff u % 10000 < rate_bp, where u is the 48-bit md5-prefix of the
+    * doc id. The same doc set falls out on every run and every engine —
+    * no RNG, no seed coordination across a cluster; a re-run of the
+    * pipeline (or a DIFFERENT engine auditing it) reproduces the sample
+    * bit-for-bit. Emits the per-source plan next to the achieved outcome,
+    * all BIGINT integer arithmetic (the q97 emission rule).
+    *
+    * Scale shape: one scan + a 5-row broadcast plan join; the keep
+    * decision is per-row map-side — no shuffle beyond the per-source
+    * aggregation of the report (and a real pipeline would write the kept
+    * rows in the same pass). */
+  def q152MixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long") % 10000L).as("u_bp"))
+    val bySource = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val global = bySource.agg(
+      sum(col("chars")).as("total_chars"), count(lit(1)).as("n_sources"))
+    val planned = bySource.crossJoin(broadcast(global))
+      .withColumn("target_chars", expr("total_chars div 2 div n_sources"))
+      .withColumn("rate_bp",
+        when(col("chars") > 0,
+          least(lit(10000L), expr("target_chars * 10000 div chars")))
+          .otherwise(lit(10000L)))
+      .select(col("source"), col("n_docs"), col("chars"),
+        col("target_chars"), col("rate_bp"))
+    d.join(broadcast(planned), Seq("source"))
+      .withColumn("keep", col("u_bp") < col("rate_bp"))
+      .groupBy(col("source"), col("n_docs"), col("chars"),
+        col("target_chars"), col("rate_bp"))
+      .agg(count(when(col("keep"), 1)).as("kept_docs"),
+        coalesce(sum(when(col("keep"), col("n_chars"))), lit(0L))
+          .as("kept_chars"))
+      .withColumn("achieved_bp",
+        when(col("chars") > 0, expr("kept_chars * 10000 div chars"))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_docs"), col("chars"),
+        col("target_chars"), col("rate_bp"), col("kept_docs"),
+        col("kept_chars"), col("achieved_bp"))
+      .orderBy(col("source"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "q152_mixture_rebalance" ->
+      """WITH u AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 10000 AS u_bp
+        |  FROM documents),
+        |by_source AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+        |  FROM u GROUP BY source),
+        |g AS (
+        |  SELECT (sum(chars))::BIGINT AS total_chars,
+        |    count(*)::BIGINT AS n_sources
+        |  FROM by_source),
+        |planned AS (
+        |  SELECT source, n_docs, chars,
+        |    (total_chars // 2 // n_sources)::BIGINT AS target_chars,
+        |    CASE WHEN chars > 0
+        |      THEN least(10000, (total_chars // 2 // n_sources) * 10000 // chars)
+        |      ELSE 10000 END::BIGINT AS rate_bp
+        |  FROM by_source CROSS JOIN g)
+        |SELECT p.source, p.n_docs, p.chars, p.target_chars, p.rate_bp,
+        |  count(CASE WHEN u.u_bp < p.rate_bp THEN 1 END)::BIGINT AS kept_docs,
+        |  coalesce(sum(CASE WHEN u.u_bp < p.rate_bp THEN u.n_chars END), 0)::BIGINT
+        |    AS kept_chars,
+        |  CASE WHEN p.chars > 0
+        |    THEN coalesce(sum(CASE WHEN u.u_bp < p.rate_bp THEN u.n_chars END), 0)
+        |         * 10000 // p.chars
+        |    ELSE 0 END::BIGINT AS achieved_bp
+        |FROM planned p JOIN u ON u.source = p.source
+        |GROUP BY p.source, p.n_docs, p.chars, p.target_chars, p.rate_bp
+        |ORDER BY p.source""".stripMargin,
+
     "q144_weighted_sample" ->
       s"""WITH wdocs AS (
         |  SELECT source, doc_id,

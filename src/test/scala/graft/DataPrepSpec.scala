@@ -123,4 +123,29 @@ class DataPrepSpec extends SparkSpecBase {
     }
   }
 
+  test("q152: rebalance plan is conserving and deterministic — full-keep " +
+      "sources keep everything, capped sources land near their rate, and " +
+      "two runs are bit-identical") {
+    val rows = DataPrep.q152MixtureRebalance(spark, Sf001).collect()
+    assert(rows.nonEmpty)
+    val totalChars = rows.map(_.getAs[Long]("chars")).sum
+    rows.foreach { r =>
+      val (chars, kept) = (r.getAs[Long]("chars"), r.getAs[Long]("kept_chars"))
+      val rate = r.getAs[Long]("rate_bp")
+      assert(r.getAs[Long]("target_chars") === totalChars / 2 / rows.length, r)
+      assert(kept <= chars && r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      if (rate === 10000L) {
+        assert(r.getAs[Long]("kept_docs") === r.getAs[Long]("n_docs"), r)
+        assert(kept === chars, r)
+      } else {
+        // hash-uniform draw: achieved share tracks the planned rate; the
+        // bound is loose (per-source doc counts are small at sf0.001)
+        assert(math.abs(r.getAs[Long]("achieved_bp") - rate) < 3000, r)
+      }
+    }
+    // the whole point: re-running reproduces the identical plan + sample
+    val again = DataPrep.q152MixtureRebalance(spark, Sf001).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
 }
