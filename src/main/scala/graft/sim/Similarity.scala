@@ -622,13 +622,17 @@ object Similarity {
     val clean = batch.select(col("vec_id"), col("embedding"))
       .join(idxDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val signedClean = indexedRelation(clean, planes, tables)
+    // cosine BEFORE the multi-table dedup so the distinct exchanges
+    // (i, j, sim) scalars, not two 512-byte arrays per candidate pair —
+    // the probeIndex shape; duplicate kernel calls are cheaper than the
+    // wide-row shuffle on an ingest-scale batch
     val pairs = signedClean
       .select(col("sig"), col("vec_id").as("i"), col("embedding").as("ei"))
       .join(signedClean.select(col("sig"), col("vec_id").as("j"),
         col("embedding").as("ej")), Seq("sig"))
       .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), col("ei"), col("ej")).distinct()
       .select(col("i"), col("j"), cosine(col("ei"), col("ej")).as("sim_raw"))
+      .distinct()
       .filter(col("sim_raw") >= lit(theta))
     val w2 = Window.partitionBy(col("j")).orderBy(col("i"))
     val batchDup = pairs.withColumn("rn", row_number().over(w2))
@@ -852,21 +856,23 @@ object Similarity {
     * dir, planes, tables) — shared by the query and the specs that pin its
     * physical claims (tinyint-only schema, size vs the float twin, bucket
     * pruning). Parameters derive from the BASE corpus count (r13 rule). */
-  def sqLayout(spark: SparkSession, dir: String): (String, String, Int, Int) = {
+  case class SqLayout(table: String, statsDir: String, planes: Int,
+                      tables: Int, n: Long)
+
+  def sqLayout(spark: SparkSession, dir: String): SqLayout = {
     val n = Tables.embeddings(spark, dir).count()
     val planes = IndexParams.lshPlanes(n)
     val tag =
       layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
-    (s"g_sq_index_$tag",
-      System.getProperty("java.io.tmpdir") + s"/graft_sq_stats_$tag", planes, 4)
+    SqLayout(s"g_sq_index_$tag",
+      System.getProperty("java.io.tmpdir") + s"/graft_sq_stats_$tag", planes, 4, n)
   }
 
   def q149SqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val offset = 15000000L
     val e = Tables.embeddings(spark, dir)
-    val n = e.count()
-    val (idx, statsDir, planes, tables) = sqLayout(spark, dir)
+    val SqLayout(idx, statsDir, planes, tables, n) = sqLayout(spark, dir)
     val buckets = IndexParams.indexBuckets(n, tables)
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val statsBuilt = new java.io.File(s"$statsDir/_SUCCESS").exists

@@ -142,7 +142,9 @@ object Sources {
   }
 
   /** Result of a [[compactBucketed]] pass. Public so specs (and monitoring
-    * relations) can pin the file-count collapse without re-listing. */
+    * relations) can pin the file-count collapse without re-listing.
+    * `filesBefore` is -1 on the crash-resume branch (the pre-compaction
+    * count died with the crashed attempt). */
   case class BucketCompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
 
   /** Bucket-layout-PRESERVING small-file compaction — the maintenance arm
@@ -190,14 +192,25 @@ object Sources {
     val staging = s"${table}_compacting"
     if (!spark.catalog.tableExists(table)) {
       // resume branch: a crash after DROP left only the validated staging
-      // copy — completing the swap is just the rename
+      // copy — completing the swap is just the rename. The true
+      // before-count died with the crash: report -1 rather than fabricate
+      // a files-saved-nothing figure into a monitoring ledger
       require(spark.catalog.tableExists(staging),
         s"compactBucketed: neither $table nor $staging exists")
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-      val n = countTableDataFiles(spark, table)
-      return BucketCompactStats(n, n, spark.table(table).count())
+      return BucketCompactStats(-1, countTableDataFiles(spark, table),
+        spark.table(table).count())
     }
     if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
+    // a PARTITIONED+bucketed table (the streaming appendable index) must
+    // compact per partition — this flat rewrite would silently strip the
+    // partition columns the replay contract depends on, and the swap's
+    // row-count check cannot see that
+    require(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames.isEmpty,
+      s"compactBucketed($table): table is partitioned; compact its " +
+        "partitions individually — a flat rewrite would drop the layout")
     val before = countTableDataFiles(spark, table)
     val src = spark.table(table)
     val inCount = src.count()

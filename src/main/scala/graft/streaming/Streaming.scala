@@ -440,23 +440,50 @@ object Streaming {
     * yields zero rows must explicitly clear the crashed attempt's stale
     * partition or it would keep serving ghost vectors. */
   def appendIndexBatch(batch: DataFrame, batchId: Long, indexTable: String,
-                       planes: Int, tables: Int): Unit = {
+                       planes: Int, tables: Int): Unit =
+    appendSignedBatch(batch, batchId, indexTable,
+      graft.sim.Similarity.indexedRelation(_, planes, tables)
+        .select(col("vec_id"), col("embedding"), col("sig")))
+
+  /** Shared append body for both appendable-index flavors: sign the
+    * batch, land it under its own batch_id partition with dynamic
+    * overwrite (restored after — a session-wide mode flip would turn
+    * every later full-overwrite partitioned write into a partial one),
+    * and clear the stale partition on an empty replay. `sign` must emit
+    * columns in the index table's declared order (insertInto is
+    * positional). */
+  private def appendSignedBatch(batch: DataFrame, batchId: Long,
+                                indexTable: String,
+                                sign: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if (batch.isEmpty) {
-      val loc = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
-        .location
-      val stale = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(loc), s"batch_id=$batchId")
-      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(stale)) fs.delete(stale, true)
-    } else {
-      graft.sim.Similarity.indexedRelation(batch, planes, tables)
-        .withColumn("batch_id", lit(batchId))
+    withDynamicOverwrite(spark) {
+      if (batch.isEmpty) clearIndexPartition(spark, indexTable, batchId)
+      else sign(batch).withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").insertInto(indexTable)
     }
     spark.catalog.refreshTable(indexTable)
+  }
+
+  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val was = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try body finally spark.conf.set(key, was)
+  }
+
+  /** Delete one batch_id partition directory of a catalog-table index —
+    * the empty-replay clear both append paths share (a dynamic overwrite
+    * of an empty frame is a no-op, so a crashed attempt's partition would
+    * otherwise keep serving ghost rows). */
+  private def clearIndexPartition(spark: SparkSession, indexTable: String,
+                                  batchId: Long): Unit = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+      .location
+    val stale = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), s"batch_id=$batchId")
+    val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stale)) fs.delete(stale, true)
   }
 
   /** Streaming ONLINE dedup gate — continuous ingest admission control
@@ -490,9 +517,27 @@ object Streaming {
     * [[appendIndexBatch]]). */
   def gateBatch(batch: DataFrame, batchId: Long, indexTable: String,
                 planes: Int, tables: Int, decisionsDir: String,
-                theta: Double = 0.75): Unit = {
+                theta: Double = 0.75): Unit =
+    gateBody(batch, batchId, indexTable, decisionsDir,
+      keyCol = "vec_id", acceptStatus = "accepted",
+      gate = (s, idx, b) =>
+        graft.sim.Similarity.dedupGateBatch(s, idx, b, planes, tables, theta),
+      append = (df, bid) =>
+        appendIndexBatch(df, bid, indexTable, planes, tables))
+
+  /** ONE gate-body contract for both modalities (a replay-semantics fix
+    * must not have to land in two places): empty batches clear-and-seed
+    * the decisions sink and clear the index partition; non-empty batches
+    * gate against the index AS OF the previous batch (own partition
+    * excluded → post-append replays recompute identical decisions), land
+    * decisions under their batch_id partition, and append only the
+    * `acceptStatus` rows. */
+  private def gateBody(batch: DataFrame, batchId: Long, indexTable: String,
+                       decisionsDir: String, keyCol: String,
+                       acceptStatus: String,
+                       gate: (SparkSession, DataFrame, DataFrame) => DataFrame,
+                       append: (DataFrame, Long) => Unit): Unit = {
     val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val root = new org.apache.hadoop.fs.Path(decisionsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (batch.isEmpty) {
@@ -500,27 +545,25 @@ object Streaming {
       if (fs.exists(stale)) fs.delete(stale, true)
       val seed = new org.apache.hadoop.fs.Path(root, "batch_id=-1")
       if (!fs.exists(seed))
-        graft.sim.Similarity.dedupGateBatch(spark,
-            spark.table(indexTable), batch.limit(0), planes, tables, theta)
+        gate(spark, spark.table(indexTable), batch.limit(0))
           .limit(0).coalesce(1).write.mode("overwrite").parquet(seed.toString)
-      appendIndexBatch(batch, batchId, indexTable, planes, tables)
+      append(batch, batchId)
       return
     }
     val b = batch.persist()
     try {
-      // the index as of the PREVIOUS batch: excluding our own partition
-      // makes a post-append replay recompute identical decisions
       val index = spark.table(indexTable)
         .filter(col("batch_id") =!= lit(batchId))
-      val decisions = graft.sim.Similarity
-        .dedupGateBatch(spark, index, b, planes, tables, theta).persist()
-      decisions.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(decisionsDir)
+      val decisions = gate(spark, index, b).persist()
+      withDynamicOverwrite(spark) {
+        decisions.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(decisionsDir)
+      }
       val accepted = b.join(
-        decisions.filter(col("status") === "accepted").select("vec_id"),
-        Seq("vec_id"))
-      appendIndexBatch(accepted, batchId, indexTable, planes, tables)
+        decisions.filter(col("status") === acceptStatus).select(keyCol),
+        Seq(keyCol))
+      append(accepted, batchId)
       decisions.unpersist()
     } finally b.unpersist()
   }
@@ -542,25 +585,10 @@ object Streaming {
     * and land it under its own batch_id partition — same idempotence and
     * empty-replay contract as [[appendIndexBatch]]. */
   def appendBandBatch(batch: DataFrame, batchId: Long,
-                      indexTable: String): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if (batch.isEmpty) {
-      val loc = spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
-        .location
-      val stale = new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(loc), s"batch_id=$batchId")
-      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(stale)) fs.delete(stale, true)
-    } else {
-      graft.text.TextOps.bandedSignatures(batch)
-        .select(col("doc_id"), col("digest"), col("key"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").insertInto(indexTable)
-    }
-    spark.catalog.refreshTable(indexTable)
-  }
+                      indexTable: String): Unit =
+    appendSignedBatch(batch, batchId, indexTable,
+      b => graft.text.TextOps.bandedSignatures(b)
+        .select(col("doc_id"), col("digest"), col("key")))
 
   /** Streaming TEXT admission gate — [[dedupGateStream]]'s text twin over
     * the appendable band index: per micro-batch, exact-content decisions
@@ -582,38 +610,11 @@ object Streaming {
   /** The foreachBatch body of [[textGateStream]], exposed for direct
     * testing. */
   def textGateBatchBody(batch: DataFrame, batchId: Long, indexTable: String,
-                        decisionsDir: String): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val root = new org.apache.hadoop.fs.Path(decisionsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (batch.isEmpty) {
-      val stale = new org.apache.hadoop.fs.Path(root, s"batch_id=$batchId")
-      if (fs.exists(stale)) fs.delete(stale, true)
-      val seed = new org.apache.hadoop.fs.Path(root, "batch_id=-1")
-      if (!fs.exists(seed))
-        graft.text.TextOps.textGateBatch(spark,
-            spark.table(indexTable), batch.limit(0))
-          .limit(0).coalesce(1).write.mode("overwrite").parquet(seed.toString)
-      appendBandBatch(batch, batchId, indexTable)
-      return
-    }
-    val b = batch.persist()
-    try {
-      val index = spark.table(indexTable)
-        .filter(col("batch_id") =!= lit(batchId))
-      val decisions = graft.text.TextOps
-        .textGateBatch(spark, index, b).persist()
-      decisions.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
-        .parquet(decisionsDir)
-      val unique = b.join(
-        decisions.filter(col("status") === "unique").select("doc_id"),
-        Seq("doc_id"))
-      appendBandBatch(unique, batchId, indexTable)
-      decisions.unpersist()
-    } finally b.unpersist()
-  }
+                        decisionsDir: String): Unit =
+    gateBody(batch, batchId, indexTable, decisionsDir,
+      keyCol = "doc_id", acceptStatus = "unique",
+      gate = (s, idx, b) => graft.text.TextOps.textGateBatch(s, idx, b),
+      append = (df, bid) => appendBandBatch(df, bid, indexTable))
 
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key
     * template year=/month=/day=/hour=). Replay-idempotent: each micro-batch

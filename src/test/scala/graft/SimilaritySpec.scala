@@ -303,7 +303,8 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Boolean]("hit"), r.toString)
       assert(r.getAs[Double]("sim") > 0.999999, r.toString)
     }
-    val (idx, statsDir, planes, tables) = Similarity.sqLayout(spark, Sf001)
+    val Similarity.SqLayout(idx, statsDir, planes, tables, _) =
+      Similarity.sqLayout(spark, Sf001)
     // physical claim 1: the index schema carries NO float vectors
     val schema = spark.table(idx).schema
     assert(!schema.fieldNames.contains("embedding"), schema.treeString)
@@ -312,11 +313,9 @@ class SimilaritySpec extends SparkSpecBase {
       qt.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
         org.apache.spark.sql.types.ByteType, qt.toString)
     // physical claim 2: measured smaller than the float index on the SAME
-    // corpus (q142's table; build if this test runs first)
-    Similarity.q142LshIndexProbe(spark, Sf001).collect()
-    val floatIdx = spark.catalog.listTables().collect().map(_.name)
-      .find(t => t.startsWith("g_lsh_index_") && !t.startsWith("g_lsh_index_cmp_"))
-      .getOrElse(fail("q142 float index table not in catalog"))
+    // corpus — resolve q142's table by name (a prefix scan could bind
+    // q145's base∪delta inc table and halve the claimed ratio)
+    val (floatIdx, _, _) = Similarity.ensureLshIndex(spark, Sf001)
     val sqBytes = graft.sources.Sources.tableDataBytes(spark, idx)
     val fBytes = graft.sources.Sources.tableDataBytes(spark, floatIdx)
     assert(sqBytes < (fBytes * 6) / 10,

@@ -22,9 +22,21 @@ class TextOpsSpec extends SparkSpecBase {
       // dup_of is the SMALLEST set-equal base doc — at most the original
       assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("doc_id") - 2000000L, r)
     }
-    assert(novels.forall(_.getAs[String]("status") === "unique"),
-      novels.filterNot(_.getAs[String]("status") === "unique").mkString("\n"))
-    novels.foreach(r => assert(r.isNullAt(r.fieldIndex("dup_of")), r))
+    // a reversal-INVARIANT doc (same 3-gram set both directions, e.g.
+    // all-identical tokens) would legitimately be exact_dup of its own
+    // original — derive the exempt set from the data instead of assuming
+    // the regenerated corpus never contains one
+    val revInvariant = d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        TextOps.wordShingles(TextOps.tokens(col("text")), 3).as("a"),
+        TextOps.wordShingles(reverse(TextOps.tokens(col("text"))), 3).as("b"))
+      .filter(array_sort(array_distinct(col("a"))) ===
+        array_sort(array_distinct(col("b"))))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    novels.filterNot(r => revInvariant(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[String]("status") === "unique", r)
+      assert(r.isNullAt(r.fieldIndex("dup_of")), r)
+    }
     // the gate joins the persisted band index without shuffling it
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"), p.take(3000))
