@@ -141,6 +141,39 @@ object Sources {
     (files.length, out)
   }
 
+  /** Per-partition small-file compaction for a PARTITION-structured
+    * layout — the maintenance arm of the q143/q146 IVF index (cid=K
+    * dirs; every append lands its own files per partition) and any other
+    * partitionBy directory sink. Runs [[compact]] on each leaf partition
+    * directory, so the partition layout (and PartitionFilters pruning)
+    * survives by construction and each partition's rewrite keeps
+    * [[compact]]'s snapshot/validate/atomic-swap/late-arrival contract.
+    * Single-file partitions are skipped (nothing to collapse).
+    *
+    * NOT for bucketed tables: a bucketed layout's files are
+    * bucket-NUMBERED and a plain rewrite destroys that mapping — the
+    * bucketed flavor is [[compactBucketed]]. At scale each partition's
+    * rewrite is independent; run them as one maintenance job per layout.
+    * Returns (partitions rewritten, files before, files after). */
+  def compactPartitioned(spark: SparkSession, rootDir: String,
+                         targetBytes: Long = 128L << 20): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(rootDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaves = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    var np = 0; var before = 0; var after = 0
+    leaves.foreach { l =>
+      val files = fs.listStatus(l.getPath)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (files > 1) {
+        val (b, a) = compact(spark, l.getPath.toString, targetBytes)
+        np += 1; before += b; after += a
+      } else { before += files; after += files }
+    }
+    (np, before, after)
+  }
+
   /** Result of a [[compactBucketed]] pass. Public so specs (and monitoring
     * relations) can pin the file-count collapse without re-listing.
     * `filesBefore` is -1 on the crash-resume branch (the pre-compaction

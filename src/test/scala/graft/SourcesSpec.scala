@@ -138,6 +138,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(!spark.catalog.tableExists("bcomp_t_compacting"))
   }
 
+  test("compactPartitioned collapses per-partition file generations " +
+      "losslessly with partition pruning intact; bucketed flavor rejects " +
+      "partitioned tables") {
+    val e = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("value"), (col("event_id") % 4).as("p"))
+    val n = e.count()
+    val tmp = Files.createTempDirectory("pcomp").toString
+    // three append generations, several files each
+    (0 until 3).foreach { _ =>
+      e.repartition(3).write.mode("append").partitionBy("p").parquet(tmp)
+    }
+    // decimal sum: a double sum is accumulation-order-dependent and the
+    // rewrite legitimately reorders rows (the CLAUDE.md sum rule)
+    def digest() = spark.read.parquet(tmp)
+      .agg(sum("event_id"), sum(col("value").cast("decimal(20,2)"))).head()
+    val expect = digest()
+    val (np, before, after) = Sources.compactPartitioned(spark, tmp)
+    assert(np === 4 && after < before && after === 4,
+      s"np=$np before=$before after=$after")
+    assert(spark.read.parquet(tmp).count() === 3 * n)
+    assert(digest() === expect)
+    val plan = spark.read.parquet(tmp).filter(col("p") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(p"), plan.take(1200))
+    // the bucketed flavor must refuse a partitioned table outright
+    e.limit(10).write.mode("overwrite").partitionBy("p")
+      .bucketBy(4, "event_id").option("path", s"$tmp/pbt")
+      .format("parquet").saveAsTable("pcomp_pbt")
+    val ex = intercept[IllegalArgumentException] {
+      Sources.compactBucketed(spark, "pcomp_pbt", "event_id", 4)
+    }
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+  }
+
   test("compactBucketed resumes a crash between DROP and RENAME: the " +
       "validated staging copy becomes the live table") {
     val e = Tables.events(spark, Sf0001).select(col("event_id").as("k"), col("value"))
