@@ -464,6 +464,60 @@ object Streaming {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** Fold the appendable index's checkpoint-committed batch partitions
+    * into ONE base partition — the maintenance arm of the THIRD layout
+    * flavor (batch_id partitions × sig buckets), where q148's flat
+    * bucketed rewrite and compactPartitioned's per-dir rewrite both
+    * break an invariant: partitions carry the replay contract, buckets
+    * carry the pruning. A 30 s trigger lands ~2,880 partitions/day;
+    * folding batches 0..`uptoBatch` into `batch_id = -2` bounds the
+    * partition count while `insertInto` keeps every folded file
+    * bucket-numbered, so sig pruning spans base + live batches unchanged.
+    *
+    * Safety argument, in order:
+    * (1) only fold batches the checkpoint has committed BEHIND the live
+    *     head — those can never replay, so deleting their partitions
+    *     cannot race a re-land (the stream's own idempotence contract
+    *     covers only the newest batch);
+    * (2) the base is recomputed as dedup(live originals ∪ current base)
+    *     — the (sig, vec_id) dedup makes the result identical no matter
+    *     where a prior crash fell, because every row exists in
+    *     originals ∪ base at every step (the base write lands before any
+    *     original is deleted); staging through a temp parquet dir breaks
+    *     the read-your-own-partition cycle the self-union would
+    *     otherwise create. (vec_id is the stable content key everywhere
+    *     in this library — a re-ingest of the same vec_id with DIFFERENT
+    *     content would fold to an arbitrary one of the two, as it
+    *     already serves as an arbitrary one of the two.)
+    * (3) inside the crash window rows exist twice (base + unfolded
+    *     original). For the serving shapes this is RESULT-safe — argmax
+    *     over duplicated candidates returns the same top-1 — and only
+    *     occupancy counts (q147) inflate until the resume finishes.
+    * Returns (batches folded, base rows after the fold). */
+  def foldIndexBase(spark: SparkSession, indexTable: String,
+                    uptoBatch: Long): (Long, Long) = {
+    val live = spark.table(indexTable)
+      .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
+    val batches = live.select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (batches.isEmpty) return (0L, 0L)
+    val source = live.unionByName(
+        spark.table(indexTable).filter(col("batch_id") === -2L))
+      .dropDuplicates(Seq("sig", "vec_id"))
+      .drop("batch_id").withColumn("batch_id", lit(-2L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    source.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val rows = staged.count()
+    withDynamicOverwrite(spark) {
+      staged.write.mode("overwrite").insertInto(indexTable)
+    }
+    batches.foreach(clearIndexPartition(spark, indexTable, _))
+    spark.catalog.refreshTable(indexTable)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+    (batches.length.toLong, rows)
+  }
+
   private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val was = spark.conf.get(key)

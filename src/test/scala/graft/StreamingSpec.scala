@@ -431,6 +431,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(decisions(0).size === 20, "batch 0 survives batch 1's empty replay")
   }
 
+  test("foldIndexBase: committed batch partitions fold into one base " +
+      "partition losslessly; serving and bucket layout unchanged; the " +
+      "crash-window resume (base + originals both present) is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val planes = 5; val tables = 4
+    val tbl = "g_fold_idx_test"
+    val path = Files.createTempDirectory("fold_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index")
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    (0 until 3).foreach { b =>
+      Streaming.appendIndexBatch(
+        corpus.slice(b * 10, b * 10 + 10).toSeq.toDF(), b.toLong,
+        tbl, planes, tables)
+    }
+    def top1(id: Long): Long = {
+      val probes = Seq((id + 700000L, corpus.find(_.vec_id == id).get.embedding))
+        .toDF("qid", "embedding")
+      graft.sim.Similarity.probeIndex(spark, tbl, probes, planes, tables)
+        .collect()(0).getAs[Long]("retrieved_id")
+    }
+    val (nb, rows) = Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    assert(nb === 2 && rows === 20L * tables)
+    val parts = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts.toSeq === Seq(-2L, 2L), parts.mkString(","))
+    assert(spark.table(tbl).count() === 30L * tables)
+    // rows from a folded batch, the base, and the live head all serve
+    assert(top1(corpus(5).vec_id) === corpus(5).vec_id)
+    assert(top1(corpus(25).vec_id) === corpus(25).vec_id)
+    // re-fold: nothing live in range — a no-op
+    assert(Streaming.foldIndexBase(spark, tbl, 1L) === (0L, 0L))
+    // crash-window resume: originals re-present next to the base (the
+    // state a crash between base write and partition deletes leaves) —
+    // the dedup union recomputes the identical base, not a doubled one
+    (0 until 2).foreach { b =>
+      Streaming.appendIndexBatch(
+        corpus.slice(b * 10, b * 10 + 10).toSeq.toDF(), b.toLong,
+        tbl, planes, tables)
+    }
+    val (nb2, rows2) = Streaming.foldIndexBase(spark, tbl, 1L)
+    assert(nb2 === 2 && rows2 === 20L * tables)
+    assert(spark.table(tbl).count() === 30L * tables)
+    assert(top1(corpus(5).vec_id) === corpus(5).vec_id)
+    // the folded base still bucket-prunes through probeIndex's literal
+    // sig filter (insertInto kept every file bucket-numbered)
+    val probes = Seq((corpus(5).vec_id + 700000L, corpus(5).embedding))
+      .toDF("qid", "embedding")
+    val p = graft.sim.Similarity.probeIndex(spark, tbl, probes, planes, tables)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(p).isDefined,
+      p.take(2000))
+  }
+
   test("textGateStream: exact copies reject against the growing band index, " +
       "intra-batch copies keep the smallest id, unique docs append, " +
       "replays idempotent") {
