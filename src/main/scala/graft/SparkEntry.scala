@@ -215,6 +215,9 @@ object SparkEntry {
     // r13: deterministic mixture rebalance — integer keep-rates + the
     // q144 hash-uniform draw make the downsample bit-reproducible
     "q152_mixture_rebalance" -> (DataPrep.q152MixtureRebalance(_, _)),
+    // r13: per-source ingest admission funnel — gate tiers + C4 quality
+    // rules composed with reason precedence
+    "q153_ingest_funnel" -> (TextOps.q153IngestFunnel(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -784,6 +784,52 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q153: the INGEST ADMISSION FUNNEL — what one gate tick admits and
+    * why, per source: the q151 exact-content decisions (dup_index /
+    * dup_batch against the persisted band index) take precedence, the
+    * C4 quality rules ([[c4Rules]], q48's thresholds) judge the
+    * survivors, and everything left is admitted. The operational
+    * complement of q76's corpus-wide curation funnel: q76 audits the
+    * corpus you already have, q153 audits the batch at the door. Every
+    * tier is individually oracle-exact (set equality; the q48 rule
+    * expressions), so their composition is too. */
+  def q153IngestFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureBandIndex(spark, dir)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val copies = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+        col("text"))
+    val novel = d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    // upper-casing flips every letter into the symbol class ([^a-z0-9 ])
+    // — a deterministic quality_reject that still passes the gate (the
+    // upper-cased shingle set matches nothing indexed)
+    val lowQuality = d.filter(col("doc_id") % 19 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+        upper(col("text")).as("text"))
+    val batch = copies.unionByName(novel).unionByName(lowQuality)
+    val gate = textGateBatch(spark, spark.table(idx),
+      batch.select(col("doc_id"), col("text")))
+    val (rLen, rWordLen, rSymbol, rRep) = c4Rules(col("text"))
+    val keepQ = rLen && rWordLen && rSymbol && rRep
+    batch.join(gate.select(col("doc_id"), col("status")), Seq("doc_id"))
+      .withColumn("verdict",
+        when(col("status") === "exact_dup", lit("dup_index"))
+          .when(col("status") === "batch_dup", lit("dup_batch"))
+          .when(!keepQ, lit("quality_reject"))
+          .otherwise(lit("admitted")))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_batch"),
+        count(when(col("verdict") === "dup_index", 1)).as("n_dup_index"),
+        count(when(col("verdict") === "dup_batch", 1)).as("n_dup_batch"),
+        count(when(col("verdict") === "quality_reject", 1))
+          .as("n_quality_reject"),
+        count(when(col("verdict") === "admitted", 1)).as("n_admitted"))
+      .orderBy(col("source"))
+  }
+
   /** q106: maximal repeated cross-document token spans — the exact-substring
     * dedup primitive (a 3-gram position is "duplicated" iff its gram occurs
     * in ≥ 2 distinct docs; maximal runs of consecutive duplicated positions
@@ -2246,6 +2292,74 @@ object TextOps {
         |  count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END) AS n_dups
         |FROM corpus c LEFT JOIN dups d ON c.doc_id = d.doc_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q153: the q151 gate CTEs with source carried + the q48 rule
+    // expressions over the batch text — counts only, the same compare
+    // surface both components are already hash-green on
+    "q153_ingest_funnel" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 2000000 AS doc_id, source, text FROM documents
+        |  WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, source,
+        |    array_to_string(list_reverse(
+        |      list_filter(string_split(text, ' '), x -> x <> '')), ' ') AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, source, upper(text) AS text
+        |  FROM documents WHERE doc_id % 19 = 0),
+        |bt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM batch),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM bt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |bsig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM bsh GROUP BY doc_id),
+        |ct AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM ct, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |csig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM csh GROUP BY doc_id),
+        |m AS (
+        |  SELECT b.doc_id FROM bsig b JOIN csig c ON b.sig = c.sig
+        |  GROUP BY b.doc_id),
+        |ib AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS mn
+        |  FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM m)),
+        |bd AS (SELECT doc_id FROM ib WHERE doc_id > mn),
+        |judged AS (
+        |  SELECT b.source,
+        |    CASE WHEN m.doc_id IS NOT NULL THEN 'dup_index'
+        |         WHEN bd.doc_id IS NOT NULL THEN 'dup_batch'
+        |         WHEN NOT (
+        |           len(list_filter(string_split(b.text, ' '), x -> x <> ''))
+        |             BETWEEN 10 AND 1000
+        |           AND (length(b.text) -
+        |                (len(list_filter(string_split(b.text, ' '), x -> x <> '')) - 1))
+        |               / len(list_filter(string_split(b.text, ' '), x -> x <> ''))::DOUBLE
+        |               BETWEEN 2.0 AND 12.0
+        |           AND (length(b.text) -
+        |                length(regexp_replace(b.text, '[^a-z0-9 ]', '', 'g')))
+        |               / length(b.text)::DOUBLE <= 0.1
+        |           AND len(list_distinct(list_filter(string_split(b.text, ' '), x -> x <> '')))
+        |               / len(list_filter(string_split(b.text, ' '), x -> x <> ''))::DOUBLE >= 0.1)
+        |           THEN 'quality_reject'
+        |         ELSE 'admitted' END AS verdict
+        |  FROM batch b
+        |  LEFT JOIN m ON b.doc_id = m.doc_id
+        |  LEFT JOIN bd ON b.doc_id = bd.doc_id)
+        |SELECT source, count(*) AS n_batch,
+        |  count(CASE WHEN verdict = 'dup_index' THEN 1 END) AS n_dup_index,
+        |  count(CASE WHEN verdict = 'dup_batch' THEN 1 END) AS n_dup_batch,
+        |  count(CASE WHEN verdict = 'quality_reject' THEN 1 END) AS n_quality_reject,
+        |  count(CASE WHEN verdict = 'admitted' THEN 1 END) AS n_admitted
+        |FROM judged GROUP BY source ORDER BY source""".stripMargin,
 
     // q151: the gate's decision is shingle-set equality (band recall is
     // exactly 1 for equal sets; the digest kills banding false

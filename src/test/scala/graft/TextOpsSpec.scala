@@ -6,6 +6,33 @@ import graft.text.TextOps
 class TextOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("q153 ingest funnel: tiers conserve the batch, copies land in " +
+      "dup_index, upper-cased plants in quality_reject, dup precedence " +
+      "over quality") {
+    val rows = TextOps.q153IngestFunnel(spark, Sf001).collect()
+    val d = Tables.documents(spark, Sf001)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batch") ===
+        r.getAs[Long]("n_dup_index") + r.getAs[Long]("n_dup_batch") +
+        r.getAs[Long]("n_quality_reject") + r.getAs[Long]("n_admitted"), r)
+    }
+    val shingledCopies = d.filter(col("doc_id") % 13 === 0)
+      .filter(size(TextOps.tokens(col("text"))) >= 3).count()
+    assert(rows.map(_.getAs[Long]("n_dup_index")).sum === shingledCopies,
+      "every shingled copy must be rejected by the dup tier, " +
+        "BEFORE quality gets a say")
+    // the upper-cased slice: letters become symbols, so any doc whose
+    // letter fraction exceeds the 0.1 cap must land in quality_reject
+    val expectReject = d.filter(col("doc_id") % 19 === 0)
+      .filter((length(col("text")) -
+          length(regexp_replace(upper(col("text")), "[^a-z0-9 ]", ""))) >
+        length(col("text")) * 0.1)
+      .count()
+    assert(expectReject > 0, "fixture must exercise the quality tier")
+    assert(rows.map(_.getAs[Long]("n_quality_reject")).sum >= expectReject,
+      s"at least the $expectReject symbol-rule violators must be rejected")
+  }
+
   test("q151 text gate: planted copies are exact_dup of their originals, " +
       "token-reversed docs are unique; index side scans bucket-aligned") {
     val df = TextOps.q151TextGateIndex(spark, Sf001)
