@@ -45,7 +45,8 @@ object WarmLedger {
     "q142_lsh_index_probe", "q143_ivf_partitioned_probe",
     "q144_weighted_sample", "q145_index_append_probe",
     "q146_ivf_append_probe", "q148_index_compact_probe",
-    "q149_sq_index_probe", "q150_dedup_gate", "q151_text_gate_index")
+    "q149_sq_index_probe", "q150_dedup_gate", "q151_text_gate_index",
+    "q153_ingest_funnel")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
