@@ -160,10 +160,21 @@ object Sources {
     import org.apache.hadoop.fs.Path
     val root = new Path(rootDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // visible partition leaves only: compact() parks its crash backups as
+    // dot-prefixed siblings (`.p=1.old`), which also contain '=' — a
+    // recovery run must never compact the backup instead of the layout
     val leaves = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
     var np = 0; var before = 0; var after = 0
     leaves.foreach { l =>
+      // loud-guard rule: a nested partitionBy layout has subdirs here and
+      // zero files — silently reporting (0,0,0) would read as "nothing to
+      // compact" while thousands of small files sit one level down
+      require(!fs.listStatus(l.getPath).exists(_.isDirectory),
+        s"compactPartitioned($rootDir): nested partition layout under " +
+          s"${l.getPath.getName}; compact the inner level's directories")
       val files = fs.listStatus(l.getPath)
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       if (files > 1) {

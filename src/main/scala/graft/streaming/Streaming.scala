@@ -496,6 +496,16 @@ object Streaming {
     * Returns (batches folded, base rows after the fold). */
   def foldIndexBase(spark: SparkSession, indexTable: String,
                     uptoBatch: Long): (Long, Long) = {
+    // the maintenance-op layout guard (CLAUDE.md rule): without batch_id
+    // partitions a "dynamic" overwrite is a FULL-table replace and this
+    // fold would silently rewrite every row's batch_id
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"foldIndexBase($indexTable): expected the appendable-index layout " +
+        "(batch_id partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
     val live = spark.table(indexTable)
       .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
     val batches = live.select(col("batch_id")).distinct()
@@ -505,17 +515,23 @@ object Streaming {
         spark.table(indexTable).filter(col("batch_id") === -2L))
       .dropDuplicates(Seq("sig", "vec_id"))
       .drop("batch_id").withColumn("batch_id", lit(-2L))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fold").toString
-    source.write.mode("overwrite").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
-    val rows = staged.count()
-    withDynamicOverwrite(spark) {
-      staged.write.mode("overwrite").insertInto(indexTable)
-    }
-    batches.foreach(clearIndexPartition(spark, indexTable, _))
-    spark.catalog.refreshTable(indexTable)
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    (batches.length.toLong, rows)
+    // stage beside the table (underscore prefix → invisible to readers):
+    // a driver-local temp dir would not exist for a cluster's executors,
+    // and cleanup must run on the failure path too
+    val staging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_fold_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      source.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      val rows = staged.count()
+      withDynamicOverwrite(spark) {
+        staged.write.mode("overwrite").insertInto(indexTable)
+      }
+      batches.foreach(clearIndexPartition(spark, indexTable, _))
+      spark.catalog.refreshTable(indexTable)
+      (batches.length.toLong, rows)
+    } finally fs.delete(staging, true)
   }
 
   private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {

@@ -18,7 +18,9 @@ class TextOpsSpec extends SparkSpecBase {
     }
     val shingledCopies = d.filter(col("doc_id") % 13 === 0)
       .filter(size(TextOps.tokens(col("text"))) >= 3).count()
-    assert(rows.map(_.getAs[Long]("n_dup_index")).sum === shingledCopies,
+    // >= not ===: a reversal-invariant %17 doc or a letter-free %19 doc
+    // would legitimately land its plant in dup_index too
+    assert(rows.map(_.getAs[Long]("n_dup_index")).sum >= shingledCopies,
       "every shingled copy must be rejected by the dup tier, " +
         "BEFORE quality gets a say")
     // the upper-cased slice: letters become symbols, so any doc whose
