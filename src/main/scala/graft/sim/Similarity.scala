@@ -621,23 +621,11 @@ object Similarity {
       .select(col("qid").as("vec_id"), col("cid").as("dup_of"), col("sim_raw"))
     val clean = batch.select(col("vec_id"), col("embedding"))
       .join(idxDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
-    val signedClean = indexedRelation(clean, planes, tables)
-    // cosine BEFORE the multi-table dedup so the distinct exchanges
-    // (i, j, sim) scalars, not two 512-byte arrays per candidate pair —
-    // the probeIndex shape; duplicate kernel calls are cheaper than the
-    // wide-row shuffle on an ingest-scale batch
-    val pairs = signedClean
-      .select(col("sig"), col("vec_id").as("i"), col("embedding").as("ei"))
-      .join(signedClean.select(col("sig"), col("vec_id").as("j"),
-        col("embedding").as("ej")), Seq("sig"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), cosine(col("ei"), col("ej")).as("sim_raw"))
-      .distinct()
-      .filter(col("sim_raw") >= lit(theta))
-    val w2 = Window.partitionBy(col("j")).orderBy(col("i"))
-    val batchDup = pairs.withColumn("rn", row_number().over(w2))
+    val w2 = Window.partitionBy(col("vec_id")).orderBy(col("cand_id"))
+    val batchDup = intraBatchDupCandidates(clean, planes, tables, theta)
+      .withColumn("rn", row_number().over(w2))
       .filter(col("rn") === 1)
-      .select(col("j").as("vec_id"), col("i").as("dup_of"), col("sim_raw"))
+      .select(col("vec_id"), col("cand_id").as("dup_of"), col("sim_raw"))
     val dups = idxDup.withColumn("status", lit("dup_index"))
       .unionByName(batchDup.withColumn("status", lit("dup_batch")))
     batch.select(col("vec_id"))
@@ -646,6 +634,67 @@ object Similarity {
         coalesce(col("status"), lit("accepted")).as("status"),
         col("dup_of"),
         Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** The intra-batch tier of [[dedupGateBatch]]: per index-clean row j,
+    * the (vec_id = j, cand_id = i, sim_raw) rows for every clean i < j
+    * within θ — the relation the greedy rule takes the min-`cand_id` of.
+    *
+    * Candidate generation is DIGEST-GRAIN (the q151 min-id-per-class
+    * pattern, vector flavor): identical content means an identical
+    * signature in every table, so a raw pair self-join is QUADRATIC in
+    * the size of any identical-content group — and duplicate-heavy
+    * batches are exactly the input an admission gate exists for
+    * (measured: a 10k-identical group materializes ~4×10⁸ pair rows; see
+    * PLANS.md). Instead, each exact-content class (grouped on the
+    * embedding bytes themselves — no hash, no collision hazard)
+    * collapses to its min-id representative, the θ-band pair join runs
+    * over representatives only, and the class decision fans back out
+    * through a linear join. This is bit-for-bit the raw rule's output:
+    * reps are class MINIMA, so the smallest clean i < j within θ is
+    * always a representative (of j's own class or of a θ-neighbor
+    * class), and every emitted sim is the same cosine kernel over the
+    * same float arrays the raw pair join would have scored.
+    *
+    * Scale shape: one linear shuffle of the batch by embedding (the
+    * class window), a pair join quadratic only in DISTINCT near-dup
+    * structure, and a scalar-keyed fan-out join — candidate rows grow
+    * linearly in identical-content mass (pinned in SimilaritySpec). */
+  private[graft] def intraBatchDupCandidates(clean: DataFrame, planes: Int,
+      tables: Int, theta: Double): DataFrame = {
+    val wClass = Window.partitionBy(col("embedding"))
+    val withRep = clean.withColumn("rep_id", min(col("vec_id")).over(wClass))
+    val reps = withRep.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
+    val signedReps = indexedRelation(reps, planes, tables)
+    // cosine BEFORE the multi-table dedup so the distinct exchanges
+    // (i, j, sim) scalars, not two 512-byte arrays per candidate pair —
+    // the probeIndex shape; duplicate kernel calls are cheaper than the
+    // wide-row shuffle on an ingest-scale batch
+    val repPairs = signedReps
+      .select(col("sig"), col("vec_id").as("i"), col("embedding").as("ei"))
+      .join(signedReps.select(col("sig"), col("vec_id").as("j"),
+        col("embedding").as("ej")), Seq("sig"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), cosine(col("ei"), col("ej")).as("sim_raw"))
+      .distinct()
+      .filter(col("sim_raw") >= lit(theta))
+    // per-class candidate reps: θ-neighbor reps in both directions, plus
+    // the class's own rep scored by the SAME kernel on its own array (so
+    // a pathological content whose self-cosine misses θ — a zero vector —
+    // is excluded exactly as the raw pair join excluded it)
+    val cand = repPairs
+      .select(col("j").as("rep_id"), col("i").as("cand_id"), col("sim_raw"))
+      .unionByName(repPairs
+        .select(col("i").as("rep_id"), col("j").as("cand_id"), col("sim_raw")))
+      .unionByName(reps
+        .select(col("vec_id").as("rep_id"), col("vec_id").as("cand_id"),
+          cosine(col("embedding"), col("embedding")).as("sim_raw"))
+        .filter(col("sim_raw") >= lit(theta)))
+    withRep.select(col("vec_id"), col("rep_id"))
+      .join(cand, Seq("rep_id"))
+      .filter(col("cand_id") < col("vec_id"))
+      .select(col("vec_id"), col("cand_id"), col("sim_raw"))
   }
 
   /** q150: the admission gate over a PLANTED ingest batch against the
@@ -724,11 +773,19 @@ object Similarity {
     * the index join broadcasts, instead of re-running the probe scan +
     * signature kernel once per use. Shared by every persisted-index
     * serving path. Returns (local (qid, qe, sig) relation, distinct sigs). */
-  private def localizeProbes(spark: SparkSession, probes: DataFrame,
-                             planes: Int, tables: Int): (DataFrame, Array[Long]) = {
+  private[graft] def localizeProbes(spark: SparkSession, probes: DataFrame,
+                                    planes: Int, tables: Int): (DataFrame, Array[Long]) = {
     val probesX = probes.select(col("qid"), col("embedding").as("qe"),
       explode(sigTableArray(col("embedding"), planes, tables)).as("sig"))
-    val localProbes = probesX.collect()
+    // the small-batch contract is ENFORCED, not advisory (the
+    // MaxCollectProbes pattern): a misrouted ingest-scale batch must
+    // error with guidance, never OOM the driver
+    val localProbes = probesX.limit(MaxCollectProbes + 1).collect()
+    require(localProbes.length <= MaxCollectProbes,
+      s"serving batch exceeds $MaxCollectProbes (probe, table) rows — too " +
+        "large to collect for the literal-IN bucket-pruned serving path; " +
+        "ingest-scale batches go through dedupGateBatch's distributed " +
+        "sig join instead")
     val sigs = localProbes.map(_.getAs[Long]("sig")).distinct.sorted
     (spark.createDataFrame(
       java.util.Arrays.asList(localProbes: _*), probesX.schema), sigs)
@@ -1058,8 +1115,7 @@ object Similarity {
     val offset = 8000000L; val nprobe = 2
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
-    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_idx_" +
-      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val idxDir = ivfBaseLayoutDir(dir, k)
     def built(sub: String) = new java.io.File(s"$idxDir/$sub/_SUCCESS").exists
     if (!built("centroids") || !built("assigned")) {
       val centroids = ivfCentroids(e, k, iters = 2)
@@ -1074,6 +1130,31 @@ object Similarity {
       .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
+
+  /** The q143 base IVF layout's directory for `dir`'s embeddings at
+    * cluster count `k` — shared by the build/probe path and the q147
+    * health monitor, so the monitor audits the layout actually
+    * serving (layout naming rules as documented on
+    * [[q143IvfPartitionedProbe]]). */
+  def ivfBaseLayoutDir(dir: String, k: Int): String =
+    System.getProperty("java.io.tmpdir") + "/graft_ivf_idx_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+
+  /** True iff `idxDir` holds a complete IVF layout (both subdirs
+    * committed — the q143 `_SUCCESS` convention). */
+  def ivfLayoutBuilt(idxDir: String): Boolean =
+    Seq("centroids", "assigned").forall(sub =>
+      new java.io.File(s"$idxDir/$sub/_SUCCESS").exists)
+
+  /** Per-cluster occupancy of a PERSISTED IVF layout — one count
+    * aggregation grouped on the `cid` partition column of the `assigned`
+    * dir, spanning base and any q146-style appended generations alike;
+    * never recomputes assignments (fresh Lloyd runs are
+    * accumulation-noisy and can disagree with the frozen centroids the
+    * layout actually serves under). */
+  def ivfLayoutOccupancies(spark: SparkSession, idxDir: String): DataFrame =
+    spark.read.parquet(s"$idxDir/assigned")
+      .groupBy(col("cid")).agg(count(lit(1)).as("occ"))
 
   /** The serving path against a persisted IVF layout (shared by
     * [[q143IvfPartitionedProbe]] and [[q146IvfAppendProbe]]): rank the
@@ -1175,12 +1256,20 @@ object Similarity {
     * imbalance from centroid drift). All statistics are integers (counts,
     * min/max, half-up ×100 mean) so the relation is hash-stable per run.
     *
-    * Rows-only in the driver gate (signatures are engine-seeded and
-    * centroids accumulation-noisy — not SQL-reproducible); IndexStatsSpec
-    * pins the conservation invariants instead: every LSH table's and every
-    * band position's occupancies sum to the corpus count, the IVF row
-    * conserves n, min ≤ mean ≤ max, and the LSH/SimHash rows are
-    * bit-deterministic across invocations (pure functions of content).
+    * The IVF arm audits the PERSISTED q143 layout when it exists — its
+    * partition occupancies (spanning q146-style appended generations) are
+    * the balance probes actually experience, and a fresh Lloyd recompute
+    * can assign differently than the frozen persisted centroids; the
+    * recompute is only the no-layout fallback.
+    *
+    * Rows-only in the driver gate (signatures are engine-seeded and the
+    * audited layout lives outside the warehouse — not SQL-reproducible);
+    * IndexStatsSpec pins the conservation invariants instead: every LSH
+    * table's and every band position's occupancies sum to the corpus
+    * count, the IVF row conserves n, min ≤ mean ≤ max, the LSH/SimHash
+    * rows are bit-deterministic across invocations (pure functions of
+    * content), and the layout-backed IVF row equals the layout's actual
+    * partition row counts, including after an append.
     *
     * Scale shape: each family is one map-side-combinable count aggregation
     * over its exploded relation, collapsed to keys×1 rows then to a
@@ -1214,11 +1303,22 @@ object Similarity {
         .agg(count(lit(1)).as("occ")),
       "lsh", concat(lit("table_"), col("t")), col("occ") > cap)
     val k = IndexParams.ivfK(n)
-    val ivf = statsOf(
-      assignToCentroid(eSlim, ivfCentroids(eSlim, k, iters = 2))
-        .groupBy(col("cid")).agg(count(lit(1)).as("occ")),
+    // audit the layout ACTUALLY SERVING when the q143 build exists: its
+    // partition occupancies are the balance the probes experience, and a
+    // fresh Lloyd recompute can assign differently (accumulation noise vs
+    // the frozen persisted centroids) — so the recompute is only the
+    // no-layout fallback
+    val ivfDir = ivfBaseLayoutDir(dir, k)
+    val (ivfOcc, nIvf) =
+      if (ivfLayoutBuilt(ivfDir))
+        (ivfLayoutOccupancies(spark, ivfDir),
+          spark.read.parquet(s"$ivfDir/assigned").count())
+      else
+        (assignToCentroid(eSlim, ivfCentroids(eSlim, k, iters = 2))
+          .groupBy(col("cid")).agg(count(lit(1)).as("occ")), n)
+    val ivf = statsOf(ivfOcc,
       // hot = cluster more than 4× its fair share — the rebuild signal
-      "ivf", lit("clusters"), col("occ") * k > lit(4L) * n)
+      "ivf", lit("clusters"), col("occ") * k > lit(4L) * nIvf)
     graft.functions.Simhash64Function.register(spark)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val bandBits = IndexParams.simhashBandBits(d.count())

@@ -48,4 +48,40 @@ class IndexStatsSpec extends SparkSpecBase {
       rs.filter(_.getString(0) != "ivf").map(_.toSeq).toSeq
     assert(stable(again) === stable(rows))
   }
+
+  test("ivfLayoutOccupancies reads the persisted layout's actual partition " +
+      "counts, spanning appended generations") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("g_ivf_stats")
+      .toString + "/layout"
+    Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f))).toDF("cid", "ce")
+      .write.parquet(s"$idxDir/centroids")
+    Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.0f), i % 2))
+      .toDF("vec_id", "embedding", "cid")
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    // a q146-style appended generation lands only in cid=1
+    Seq((100L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "cid")
+      .write.mode("append").partitionBy("cid").parquet(s"$idxDir/assigned")
+    assert(Similarity.ivfLayoutBuilt(idxDir))
+    val occ = Similarity.ivfLayoutOccupancies(spark, idxDir).collect()
+      .map(r => r.getAs[Number]("cid").intValue -> r.getAs[Long]("occ")).toMap
+    assert(occ === Map(0 -> 5L, 1 -> 6L))
+  }
+
+  test("q147's IVF row audits the layout ACTUALLY SERVING when the q143 " +
+      "build exists — equal to its partition row counts, not a recompute") {
+    // ensure the serving layout exists (idempotent build-or-reuse)
+    Similarity.q143IvfPartitionedProbe(spark, Sf001).collect()
+    val servingDir = Similarity.ivfBaseLayoutDir(Sf001, IndexParams.ivfK(n))
+    assert(Similarity.ivfLayoutBuilt(servingDir))
+    val lay = Similarity.ivfLayoutOccupancies(spark, servingDir)
+      .agg(count(lit(1)), sum(col("occ")), min(col("occ")), max(col("occ")))
+      .head()
+    val ivf = Similarity.q147IndexStats(spark, Sf001).collect()
+      .find(_.getString(0) == "ivf").get
+    assert(ivf.getAs[Long]("n_keys") === lay.getLong(0))
+    assert(ivf.getAs[Long]("n_entries") === lay.getLong(1))
+    assert(ivf.getAs[Long]("occ_min") === lay.getLong(2))
+    assert(ivf.getAs[Long]("occ_max") === lay.getLong(3))
+  }
 }

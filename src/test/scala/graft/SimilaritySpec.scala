@@ -541,4 +541,74 @@ class SimilaritySpec extends SparkSpecBase {
     // argument, but thresholds would shift invisibly)
     assert(graft.sim.IndexParams.lshPlanes(n + n / 7) === 6)
   }
+
+  test("intra-batch tier is digest-grain: a 10k-identical group yields " +
+      "LINEAR candidates (n-1, each against the class minimum), not the " +
+      "~4e8-row quadratic pair join") {
+    Similarity.ensureRegistered(spark)
+    val x = Tables.embeddings(spark, Sf001).orderBy(col("vec_id")).head()
+    val emb = x.getSeq[Float](x.fieldIndex("embedding"))
+    val n = 10000
+    val clean = spark.range(n).select(col("id").as("vec_id"),
+      typedlit(emb.toIndexedSeq).as("embedding"))
+    val got = Similarity.intraBatchDupCandidates(clean, planes = 5,
+      tables = 4, theta = 0.75).collect()
+    assert(got.length === n - 1)
+    got.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === 0L, r)
+      assert(r.getAs[Double]("sim_raw") > 0.999999, r)
+    }
+  }
+
+  test("digest-grain intra-batch candidates reproduce the raw pair join's " +
+      "greedy decisions bit-for-bit on a mixed copies+novel batch") {
+    import org.apache.spark.sql.expressions.Window
+    Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 4; val theta = 0.75
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // two generations of copies under shifted ids: classes of size up to
+    // 3 with interleaved id order across classes
+    val batch = e
+      .unionByName(e.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")))
+      .unionByName(e.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 2000L).as("vec_id"), col("embedding")))
+    // reference: the pre-r15 raw pair self-join over the whole batch —
+    // bit-identical by the class argument (members carry their rep's
+    // exact signature set and float array)
+    val signed = Similarity.indexedRelation(batch, planes, tables)
+    val rawPairs = signed
+      .select(col("sig"), col("vec_id").as("i"), col("embedding").as("ei"))
+      .join(signed.select(col("sig"), col("vec_id").as("j"),
+        col("embedding").as("ej")), Seq("sig"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        Similarity.cosine(col("ei"), col("ej")).as("sim_raw"))
+      .distinct()
+      .filter(col("sim_raw") >= lit(theta))
+    val wRef = Window.partitionBy(col("j")).orderBy(col("i"))
+    val ref = rawPairs.withColumn("rn", row_number().over(wRef))
+      .filter(col("rn") === 1)
+      .select(col("j").as("vec_id"), col("i").as("dup_of"), col("sim_raw"))
+      .collect().map(_.toSeq).toSet
+    val wNew = Window.partitionBy(col("vec_id")).orderBy(col("cand_id"))
+    val got = Similarity.intraBatchDupCandidates(batch, planes, tables, theta)
+      .withColumn("rn", row_number().over(wNew)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand_id").as("dup_of"), col("sim_raw"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got === ref)
+  }
+
+  test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
+      "path fails loud, naming the distributed gate") {
+    Similarity.ensureRegistered(spark)
+    val big = spark.range(25001).select(col("id").as("qid"),
+      typedlit(Seq(1.0f, 0.5f, -0.25f, 0.125f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.localizeProbes(spark, big, planes = 8, tables = 4)
+    }
+    assert(ex.getMessage.contains("dedupGateBatch"), ex.getMessage)
+  }
 }
