@@ -218,6 +218,10 @@ object SparkEntry {
     // r13: per-source ingest admission funnel — gate tiers + C4 quality
     // rules composed with reason precedence
     "q153_ingest_funnel" -> (TextOps.q153IngestFunnel(_, _)),
+    // r15: SQ8-quantized IVF layout (tinyint codes in cid partitions,
+    // frozen centroids + codebook) with exact full-precision rescore —
+    // q149's storage tier for the other index family
+    "q154_sq_ivf_probe" -> (Similarity.q154SqIvfProbe(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -871,6 +871,19 @@ object Similarity {
     val (probesLocal, sigs) = localizeProbes(spark, probes, planes, tables)
     val candStage = sqCandidateStage(spark, indexTable, stats, probesLocal,
       sigs, topR).select(col("qid"), col("cid"))
+    exactRescoreTop1(spark, corpus, candStage,
+      probesLocal.select(col("qid"), col("qe")).distinct())
+  }
+
+  /** The exact second stage every quantized serving path shares (q149 LSH
+    * and q154 IVF flavors): the bounded candidate set (qid, cid rows;
+    * ≤ |batch|·topR, collected) is re-scored at FULL precision against the
+    * corpus via a literal `vec_id IN (...)` — a pushed point-lookup read —
+    * and a per-probe argmax picks the answer. Quantization decides WHICH
+    * candidates are ranked, never the reported score. */
+  private def exactRescoreTop1(spark: SparkSession, corpus: DataFrame,
+                               candStage: DataFrame,
+                               probeRel: DataFrame): DataFrame = {
     val cands = candStage.collect()
     val candIds = cands.map(_.getAs[Long]("cid")).distinct.sorted
     val candLocal = spark.createDataFrame(
@@ -879,8 +892,7 @@ object Similarity {
     corpus.filter(col("vec_id").isin(candIds.map(Long.box): _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       .join(broadcast(candLocal), Seq("cid"))
-      .join(broadcast(probesLocal.select(col("qid"), col("qe")).distinct()),
-        Seq("qid"))
+      .join(broadcast(probeRel), Seq("qid"))
       .withColumn("sim_raw", cosine(col("qe"), col("ce")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -955,6 +967,131 @@ object Similarity {
     val probes = eSlim.filter(col("vec_id") % 89 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIndex(spark, idx, statsDir, probes, planes, tables, eSlim)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** The q154 SQ8-IVF layout directory for `dir`'s embeddings at cluster
+    * count `k` — fingerprint-named like every layout (q143 rule). Holds
+    * three subdirs: `centroids` (float, frozen — the q143/q146 rule),
+    * `stats` (the per-dim codebook, frozen beside the codes it wrote —
+    * the q149 rule), and `assigned` (cid-partitioned tinyint codes, NO
+    * float vectors). */
+  def sqIvfLayoutDir(dir: String, k: Int): String =
+    System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+
+  /** First stage of the quantized IVF serving path: rank the PERSISTED
+    * centroids per probe (broadcast of k×dim doubles), collect the wanted
+    * cluster ids (≤ k ints), read only those partitions of the QUANTIZED
+    * layout (PartitionFilters over tinyint-code files — nprobe/k of the
+    * index bytes, and those already 4× smaller than float), approximate
+    * cosine against dequantized codes, top-R candidates per probe. Public
+    * so specs can pin the pruned-scan shape [[probeSqIvf]] consumes
+    * eagerly. */
+  def sqIvfCandidates(spark: SparkSession, idxDir: String, probes: DataFrame,
+                      nprobe: Int, topR: Int): DataFrame = {
+    import spark.implicits._
+    ensureRegistered(spark)
+    val stats = sqStatsLocal(spark, s"$idxDir/stats")
+    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
+    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroidsDisk))
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wantedCids = probeClusters.select(col("cid")).distinct()
+      .as[Long].collect().sorted.map(_.toInt)
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("cid_vec"))
+    spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("cid").isin(wantedCids.map(Int.box): _*))
+      .select(col("cid"), col("vec_id").as("cid_vec"), col("qcode"))
+      .join(probeClusters, "cid")
+      .withColumn("approx", cosine(col("qe"), reconExpr(col("qcode"), stats)))
+      .select(col("qid"), col("cid_vec"), col("approx"))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= topR)
+      .select(col("qid"), col("cid_vec").as("cid"), col("approx"))
+  }
+
+  /** Serving path against the QUANTIZED IVF layout (q154): candidate
+    * generation reads only tinyint codes from the nprobe pruned
+    * partitions ([[sqIvfCandidates]]), then the shared exact-rescore
+    * stage ([[exactRescoreTop1]], the q149 second stage) re-scores the
+    * bounded candidate set at full precision and emits the exact argmax.
+    * `probes` must carry (qid, embedding) and is a serving batch by
+    * contract (it broadcasts into the rescore). */
+  def probeSqIvf(spark: SparkSession, idxDir: String, probes: DataFrame,
+                 nprobe: Int, corpus: DataFrame, topR: Int = 8): DataFrame = {
+    ensureRegistered(spark)
+    val candStage = sqIvfCandidates(spark, idxDir, probes, nprobe, topR)
+      .select(col("qid"), col("cid"))
+    exactRescoreTop1(spark, corpus, candStage,
+      probes.select(col("qid"), col("embedding").as("qe")))
+  }
+
+  /** q154: SQ8-QUANTIZED IVF layout with exact rescore — q149's storage
+    * tier applied to the OTHER index family, closing the quantization
+    * story for both (LSH buckets q149, IVF partitions here): the
+    * `assigned` dir stores (vec_id, qcode array<tinyint>) partitioned by
+    * cid — no float vectors in the index, 4× less I/O per probed
+    * partition on top of the nprobe/k partition pruning — while the
+    * centroids stay float (k×dim doubles, the routing state every IVF
+    * probe broadcasts; quantizing them would change routing for no
+    * storage win).
+    *
+    * Frozen-artifact rules compose: centroids are persisted and never
+    * retrained (q143/q146 — retraining would re-route probes away from
+    * stored partitions), the codebook is persisted beside the codes it
+    * wrote (q149 — recomputed stats could disagree with stored codes),
+    * and the multi-step build (centroids → stats → assigned) is
+    * crash-atomic via temp-dir + rename (the q146 convention: a partial
+    * build is invisible, a re-invocation rebuilds from scratch).
+    *
+    * The planted oracle is exact through BOTH approximations, by the
+    * composed q143 + q149 arguments: a probe is a bit-exact copy of its
+    * original, so centroid ranking (a pure function of embedding ×
+    * frozen centroids) routes it to the partition its original is stored
+    * under at any nprobe ≥ 1; there its approximate score ≈ 1 − ε clears
+    * the ≈0.53 natural tail at any top-R ≥ 1, and the exact rescore
+    * reproduces the exhaustive full-precision argmax DuckDB recomputes —
+    * independent of centroid noise, codebook noise, nprobe, and R. */
+  def q154SqIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val offset = 19000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = sqIvfLayoutDir(dir, k)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    if (!new java.io.File(idxDir).exists) {
+      val build = new java.io.File(idxDir + ".build")
+      if (build.exists) {
+        val fs = new org.apache.hadoop.fs.Path(build.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      }
+      ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
+      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .coalesce(1).write.parquet(s"$build/stats")
+      val cd = spark.read.parquet(s"$build/centroids")
+      val stats = sqStatsLocal(spark, s"$build/stats")
+      assignToCentroid(eSlim, cd)
+        .select(col("vec_id"),
+          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+        .write.partitionBy("cid").parquet(s"$build/assigned")
+      if (!build.renameTo(new java.io.File(idxDir)))
+        sys.error(s"atomic publish of $idxDir failed")
+    }
+    val probes = eSlim.filter(col("vec_id") % 139 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeSqIvf(spark, idxDir, probes, nprobe, eSlim)
       .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
@@ -1865,6 +2002,13 @@ object Similarity {
     // full-precision cosine (quantization picks candidates, never scores)
     "q149_sq_index_probe" ->
       plantedRetrievalOracle(modulus = 89, offset = 15000000L),
+    // q154: the quantized IVF layout serves the same exhaustive answer,
+    // by the composed q143+q149 arguments (frozen-centroid routing is a
+    // pure function of the copied embedding; the certain candidate's
+    // ≈1−ε approximate score survives any top-R; exact rescore emits the
+    // full-precision cosine)
+    "q154_sq_ivf_probe" ->
+      plantedRetrievalOracle(modulus = 139, offset = 19000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

@@ -601,6 +601,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got === ref)
   }
 
+  test("q154 SQ8-IVF layout: planted retrieval exact; index stores tinyint " +
+      "codes only (<0.6x the float layout); candidate scan partition-prunes") {
+    checkPlantedRetrieval(Similarity.q154SqIvfProbe(spark, Sf001),
+      modulus = 139, offset = 19000000L)
+    // reuse path: frozen centroids + codebook survive re-invocation
+    checkPlantedRetrieval(Similarity.q154SqIvfProbe(spark, Sf001),
+      modulus = 139, offset = 19000000L)
+    val k = graft.sim.IndexParams.ivfK(Tables.embeddings(spark, Sf001).count())
+    val sqDir = Similarity.sqIvfLayoutDir(Sf001, k)
+    // physical claim 1: the assigned files carry codes, never float vectors
+    val schema = spark.read.parquet(s"$sqDir/assigned").schema
+    assert(schema.fieldNames.toSet === Set("vec_id", "qcode", "cid"), schema)
+    assert(schema("qcode").dataType.simpleString === "array<tinyint>", schema)
+    // physical claim 2: quantized partitions are well under the float
+    // layout's bytes (q143's assigned dir, same corpus and clustering)
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    Similarity.q143IvfPartitionedProbe(spark, Sf001).collect()
+    val floatDir = Similarity.ivfBaseLayoutDir(Sf001, k)
+    val (sqB, fB) = (dirBytes(s"$sqDir/assigned"), dirBytes(s"$floatDir/assigned"))
+    assert(sqB < (fB * 6) / 10, s"SQ-IVF $sqB bytes vs float $fB")
+    // physical claim 3: the candidate stage reads only the wanted cid
+    // partitions (PartitionFilters on the partition column)
+    val probes = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 139 === 0)
+      .select((col("vec_id") + 19000000L).as("qid"), col("embedding"))
+    val p = Similarity.sqIvfCandidates(spark, sqDir, probes, nprobe = 2,
+      topR = 8).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cid"), p.take(3000))
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)
