@@ -222,6 +222,12 @@ object SparkEntry {
     // frozen centroids + codebook) with exact full-precision rescore —
     // q149's storage tier for the other index family
     "q154_sq_ivf_probe" -> (Similarity.q154SqIvfProbe(_, _)),
+    // r15: maintenance scheduler — integer when-to-act decisions (compact
+    // / fold / rebalance / re-derive params) over the lifecycle's own
+    // facts, one row per (layout, check); rows-only (filesystem/catalog
+    // facts), triggers planted in MaintenanceSpec
+    "q155_maintenance_schedule" -> ((s, d) =>
+      graft.ops.Maintenance.q155MaintenanceSchedule(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.{IndexParams, Similarity}
+
+/** q155: the MAINTENANCE SCHEDULER — the decision layer above the index
+  * lifecycle's three layout flavors, each of which has exactly one
+  * physical tool (the r13 rule): flat bucketed table →
+  * [[graft.sources.Sources.compactBucketed]], cid-partitioned IVF layout
+  * → rebuild, batch_id-partitioned appendable index →
+  * [[graft.streaming.Streaming.foldIndexBase]]. The lifecycle already
+  * records every fact the decisions need (data-file counts, batch
+  * partition counts, partition occupancies, corpus-derived parameter
+  * targets); this relation turns them into when-to-act rows so an
+  * operator — or a cron'd job — reads one table instead of rediscovering
+  * the cost model each round.
+  *
+  * Every threshold is an INTEGER and every comparison integer
+  * arithmetic (the q97 rule: no float policy math):
+  *  - `compact` when data files exceed [[CompactFilesPerBucket]]× the
+  *    bucket count — each insertInto generation adds ≥1 file per touched
+  *    bucket and footer I/O eventually dominates pruned probes (q148's
+  *    measured slope: a 30 s trigger writes ~2,880 generations/day).
+  *  - `fold` when live batch partitions exceed
+  *    [[FoldMaxBatchPartitions]] — every live partition is one more dir
+  *    in each probe's listing; foldIndexBase collapses them into the
+  *    batch_id=-2 base.
+  *  - `rebalance` when the hottest IVF partition holds more than
+  *    [[RebalanceHotFactor]]× its fair share (occ_max·k > 4·n, the q147
+  *    hot rule at the layout grain) — centroid drift concentrating mass
+  *    means probes scan far more than nprobe/k of the corpus.
+  *  - `rederive_params` when the layout's keyspace no longer matches
+  *    what [[IndexParams]] derives from the CURRENT corpus count — the
+  *    corpus grew past the layout's design point (never hardcode an
+  *    index keyspace parameter, the r13 rule; this check is its
+  *    operational enforcement).
+  *
+  * Rows-only in the driver gate (the PlanAudit flavor: filesystem and
+  * catalog facts are not SQL-reproducible); MaintenanceSpec plants each
+  * trigger condition against [[schedule]] and cross-checks the live
+  * facts against the layouts independently. */
+object Maintenance {
+
+  /** Compact a bucketed index when data files exceed this × buckets. */
+  val CompactFilesPerBucket = 2L
+  /** Fold an appendable index when live batch partitions exceed this. */
+  val FoldMaxBatchPartitions = 8L
+  /** Rebuild an IVF layout when occ_max·k exceeds this × n_entries. */
+  val RebalanceHotFactor = 4L
+
+  /** One row per audited layout; -1 marks a fact a kind does not carry.
+    * Public top-level (the r11 encoder rule). */
+  case class LayoutFacts(layout: String, kind: String, data_files: Long,
+                         buckets: Long, batch_partitions: Long,
+                         n_entries: Long, occ_max: Long,
+                         keyspace_actual: Long, keyspace_target: Long)
+
+  /** The pure decision function: per-layout facts → one row per
+    * applicable (layout, check) with the observed value, its integer
+    * bound, the trigger verdict and the tool to run. A pure projection
+    * per check unioned long-format — no joins, no shuffles beyond the
+    * input's own partitioning, the same plan at any layout count. */
+  def schedule(facts: DataFrame): DataFrame = {
+    def check(kinds: Seq[String], name: String, observed: Column,
+              bound: Column, action: String): DataFrame =
+      facts.filter(col("kind").isin(kinds: _*))
+        .select(col("layout"), col("kind"), lit(name).as("check"),
+          observed.cast("long").as("observed"), bound.cast("long").as("bound"))
+        .withColumn("triggered", col("observed") > col("bound"))
+        .withColumn("action",
+          when(col("triggered"), lit(action)).otherwise(lit("none")))
+    check(Seq("bucketed_index"), "compact", col("data_files"),
+        lit(CompactFilesPerBucket) * col("buckets"), "compact_bucketed")
+      .unionByName(check(Seq("appendable_index"), "fold",
+        col("batch_partitions"), lit(FoldMaxBatchPartitions),
+        "fold_index_base"))
+      .unionByName(check(Seq("ivf_layout"), "rebalance",
+        col("occ_max") * col("keyspace_actual"),
+        lit(RebalanceHotFactor) * col("n_entries"), "rebuild_layout"))
+      .unionByName(check(Seq("bucketed_index", "ivf_layout"),
+        "rederive_params",
+        abs(col("keyspace_actual") - col("keyspace_target")), lit(0L),
+        "rebuild_with_derived_params"))
+  }
+
+  /** q155 over the session's real layouts: build-or-reuse the three
+    * flavors for `dir`'s corpus (the q142 bucketed signature index, the
+    * q143 IVF layout, and a 3-batch appendable index — the streaming
+    * maintenance shape), gather their facts (bounded: catalog metadata,
+    * file counts, one occupancy aggregation per layout), and emit the
+    * schedule. Stable layout labels keep the output deterministic across
+    * fingerprint regenerations. */
+  def q155MaintenanceSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val eSlim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+
+    val (lshTbl, planes, tables) = Similarity.ensureLshIndex(spark, dir)
+    val lshMeta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(lshTbl))
+    val lshFacts = LayoutFacts("lsh_index", "bucketed_index",
+      graft.sources.Sources.countTableDataFiles(spark, lshTbl).toLong,
+      lshMeta.bucketSpec.get.numBuckets.toLong, -1L,
+      spark.table(lshTbl).count(), -1L,
+      lshMeta.bucketSpec.get.numBuckets.toLong,
+      IndexParams.indexBuckets(n, tables).toLong)
+
+    val (ivfDir, k) = Similarity.ensureIvfLayout(spark, dir)
+    val occ = Similarity.ivfLayoutOccupancies(spark, ivfDir)
+      .agg(sum(col("occ")), max(col("occ"))).head()
+    val ivfFacts = LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
+      occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong)
+
+    val apBuckets = IndexParams.indexBuckets(n, tables)
+    val apTbl = "g_maint_ap_idx_" + Layouts.tag(
+      Layouts.fileFp(s"$dir/embeddings.parquet"), apBuckets.toString,
+      Layouts.Version)
+    if (!spark.catalog.tableExists(apTbl)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maint_ap")
+        .toString
+      graft.streaming.Streaming.createAppendableIndex(spark, apTbl,
+        s"$tmp/index", apBuckets)
+      (0 until 3).foreach { b =>
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 50 === b), b.toLong, apTbl,
+          planes, tables)
+      }
+    }
+    val apFacts = LayoutFacts("appendable_index", "appendable_index",
+      graft.sources.Sources.countTableDataFiles(spark, apTbl).toLong,
+      apBuckets.toLong,
+      spark.table(apTbl).filter(col("batch_id") >= 0)
+        .select(col("batch_id")).distinct().count(),
+      spark.table(apTbl).count(), -1L, apBuckets.toLong, apBuckets.toLong)
+
+    schedule(Seq(lshFacts, ivfFacts, apFacts).toDF())
+      .orderBy(col("layout"), col("check"))
+  }
+}

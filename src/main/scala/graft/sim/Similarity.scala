@@ -1251,6 +1251,25 @@ object Similarity {
     import spark.implicits._
     val offset = 8000000L; val nprobe = 2
     val e = Tables.embeddings(spark, dir)
+    val (idxDir, _) = ensureIvfLayout(spark, dir)
+    val probes = e.filter(col("vec_id") % 150 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIvf(spark, idxDir, probes, nprobe)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** Build-or-reuse the base IVF layout over `dir`'s embeddings (the
+    * q143 layout: persisted centroids + cid-partitioned assignment,
+    * `_SUCCESS`-checked per subdir — single-write-per-subdir builds are
+    * crash-safe on that alone, the r13 rule). Returns (layout dir, k);
+    * parameters derive from the BASE corpus count. Shared by the q143
+    * probe, the q147 health monitor, and the q155 maintenance
+    * scheduler. */
+  def ensureIvfLayout(spark: SparkSession, dir: String): (String, Long) = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = ivfBaseLayoutDir(dir, k)
     def built(sub: String) = new java.io.File(s"$idxDir/$sub/_SUCCESS").exists
@@ -1261,11 +1280,7 @@ object Similarity {
       assignToCentroid(e, spark.read.parquet(s"$idxDir/centroids"))
         .write.mode("overwrite").partitionBy("cid").parquet(s"$idxDir/assigned")
     }
-    val probes = e.filter(col("vec_id") % 150 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding"))
-    probeIvf(spark, idxDir, probes, nprobe)
-      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
-      .orderBy(col("qid"))
+    (idxDir, k.toLong)
   }
 
   /** The q143 base IVF layout's directory for `dir`'s embeddings at

@@ -21,7 +21,8 @@ class CoreQueriesSpec extends SparkSpecBase {
     val rowsOnly = Set("q15_approx_distinct", "q25_minhash_lsh", "q27_ann_lsh",
       "q37_fingerprints", "q43_ann_ivf", "q46_approx_percentiles",
       "q75_sketch_reagg", "q129_partition_audit", "q131_etl_benchmark",
-      "q132_warm_cold_profile", "q147_index_stats")
+      "q132_warm_cold_profile", "q147_index_stats",
+      "q155_maintenance_schedule")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Maintenance
+import graft.ops.Maintenance.LayoutFacts
+
+/** q155's contract: every trigger condition planted on both sides of its
+  * integer threshold against the pure [[Maintenance.schedule]], plus the
+  * live relation's facts cross-checked against the layouts
+  * independently (the relation is rows-only in the driver gate). */
+class MaintenanceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sched(facts: LayoutFacts*) =
+    Maintenance.schedule(facts.toDF())
+      .collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("check")) ->
+        (r.getAs[Boolean]("triggered"), r.getAs[String]("action")))
+      .toMap
+
+  test("compact: fires strictly above CompactFilesPerBucket x buckets") {
+    val at = sched(LayoutFacts("a", "bucketed_index",
+      data_files = 128, buckets = 64, batch_partitions = -1,
+      n_entries = 1000, occ_max = -1, keyspace_actual = 64,
+      keyspace_target = 64))
+    assert(at(("a", "compact")) === ((false, "none"))) // == bound: not yet
+    val over = sched(LayoutFacts("a", "bucketed_index", 129, 64, -1,
+      1000, -1, 64, 64))
+    assert(over(("a", "compact")) === ((true, "compact_bucketed")))
+  }
+
+  test("fold: fires strictly above FoldMaxBatchPartitions live partitions") {
+    val at = sched(LayoutFacts("s", "appendable_index", 100, 64,
+      batch_partitions = 8, n_entries = 1000, occ_max = -1,
+      keyspace_actual = 64, keyspace_target = 64))
+    assert(at(("s", "fold")) === ((false, "none")))
+    val over = sched(LayoutFacts("s", "appendable_index", 100, 64, 9,
+      1000, -1, 64, 64))
+    assert(over(("s", "fold")) === ((true, "fold_index_base")))
+    // an appendable index gets ONLY the fold check (its physical tool is
+    // foldIndexBase, never a flat compact — the r13 one-tool-per-flavor
+    // rule), so no compact/rederive rows appear for it
+    assert(over.keySet === Set(("s", "fold")))
+  }
+
+  test("rebalance: fires when the hottest IVF partition exceeds " +
+      "RebalanceHotFactor x its fair share (occ_max*k > 4*n)") {
+    // k=10, n=1000: fair share 100; occ_max=400 is exactly 4x -> quiet
+    val at = sched(LayoutFacts("v", "ivf_layout", -1, -1, -1,
+      n_entries = 1000, occ_max = 400, keyspace_actual = 10,
+      keyspace_target = 10))
+    assert(at(("v", "rebalance")) === ((false, "none")))
+    val over = sched(LayoutFacts("v", "ivf_layout", -1, -1, -1,
+      1000, 401, 10, 10))
+    assert(over(("v", "rebalance")) === ((true, "rebuild_layout")))
+  }
+
+  test("rederive_params: fires on ANY keyspace drift from the " +
+      "corpus-derived target, both directions, both kinds") {
+    val grew = sched(
+      LayoutFacts("a", "bucketed_index", 10, 64, -1, 1000, -1,
+        keyspace_actual = 64, keyspace_target = 256),
+      LayoutFacts("v", "ivf_layout", -1, -1, -1, 1000, 100,
+        keyspace_actual = 23, keyspace_target = 16))
+    assert(grew(("a", "rederive_params")) ===
+      ((true, "rebuild_with_derived_params")))
+    assert(grew(("v", "rederive_params")) ===
+      ((true, "rebuild_with_derived_params")))
+    val inSync = sched(LayoutFacts("a", "bucketed_index", 10, 64, -1,
+      1000, -1, 64, 64))
+    assert(inSync(("a", "rederive_params")) === ((false, "none")))
+  }
+
+  test("q155 live relation: one row per applicable (layout, check), facts " +
+      "agreeing with the layouts measured independently, bit-stable") {
+    val rows = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()
+    val byKey = rows.map(r => (r.getAs[String]("layout"),
+      r.getAs[String]("check")) -> r).toMap
+    assert(byKey.keySet === Set(
+      ("lsh_index", "compact"), ("lsh_index", "rederive_params"),
+      ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
+      ("appendable_index", "fold")))
+    // fold fact: exactly the 3 appended batch partitions
+    assert(byKey(("appendable_index", "fold")).getAs[Long]("observed") === 3L)
+    assert(byKey(("appendable_index", "fold")).getAs[Boolean]("triggered") === false)
+    // a freshly derived layout is never parameter-drifted
+    assert(byKey(("lsh_index", "rederive_params")).getAs[Long]("observed") === 0L)
+    assert(byKey(("ivf_base", "rederive_params")).getAs[Long]("observed") === 0L)
+    // rebalance observed/bound recomputed from the persisted layout itself
+    val (ivfDir, k) = graft.sim.Similarity.ensureIvfLayout(spark, Sf001)
+    val occ = graft.sim.Similarity.ivfLayoutOccupancies(spark, ivfDir)
+      .agg(sum(col("occ")), max(col("occ"))).head()
+    assert(byKey(("ivf_base", "rebalance")).getAs[Long]("observed") ===
+      occ.getLong(1) * k)
+    assert(byKey(("ivf_base", "rebalance")).getAs[Long]("bound") ===
+      Maintenance.RebalanceHotFactor * occ.getLong(0))
+    // compact fact: the real file count of the bucketed index table
+    val (lshTbl, _, _) = graft.sim.Similarity.ensureLshIndex(spark, Sf001)
+    assert(byKey(("lsh_index", "compact")).getAs[Long]("observed") ===
+      graft.sources.Sources.countTableDataFiles(spark, lshTbl).toLong)
+    // deterministic across invocations (pure function of persisted state)
+    val again = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()
+    assert(again.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+}
