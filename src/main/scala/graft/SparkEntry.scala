@@ -222,6 +222,10 @@ object SparkEntry {
     // frozen centroids + codebook) with exact full-precision rescore —
     // q149's storage tier for the other index family
     "q154_sq_ivf_probe" -> (Similarity.q154SqIvfProbe(_, _)),
+    // r15: append into the quantized IVF layout — frozen centroids route,
+    // frozen codebook codes (saturating), crash-atomic build+append;
+    // completes the append story for all four index flavors
+    "q156_sq_ivf_append_probe" -> (Similarity.q156SqIvfAppendProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

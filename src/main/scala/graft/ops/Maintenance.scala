@@ -86,6 +86,31 @@ object Maintenance {
         "rebuild_with_derived_params"))
   }
 
+  /** The EXECUTE arm: run every triggered row of a [[schedule]] relation
+    * through its layout-specific tool and return what ran, in (layout,
+    * check) order — a deterministic replay log. `tools` binds (layout,
+    * action) to the thunk that runs it (the spec and any deployment bind
+    * the real tools: [[graft.sources.Sources.compactBucketed]],
+    * [[graft.streaming.Streaming.foldIndexBase]], a layout rebuild);
+    * keeping the bindings caller-side keeps this module free of
+    * layout-handle plumbing and makes a missing binding a LOUD error
+    * instead of a silently skipped decision. The decisions relation is
+    * bounded (one row per layout × check), so the collect is driver-safe
+    * at any corpus size. */
+  def tick(decisions: DataFrame,
+           tools: Map[(String, String), () => Unit]): Seq[(String, String, String)] = {
+    val due = decisions.filter(col("triggered"))
+      .orderBy(col("layout"), col("check"))
+      .select(col("layout"), col("check"), col("action")).collect()
+    due.toSeq.map { r =>
+      val key = (r.getString(0), r.getString(2))
+      tools.getOrElse(key, sys.error(
+        s"maintenance tick: no tool bound for layout=${key._1} " +
+          s"action=${key._2} — every triggered decision must execute"))()
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+  }
+
   /** q155 over the session's real layouts: build-or-reuse the three
     * flavors for `dir`'s corpus (the q142 bucketed signature index, the
     * q143 IVF layout, and a 3-batch appendable index — the streaming

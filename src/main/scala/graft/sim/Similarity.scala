@@ -796,15 +796,21 @@ object Similarity {
     * to a STORAGE format (reference keeps float32 vectors; SQ8 is the
     * standard first move when the index, not the corpus, must fit a
     * serving tier's budget): code = ⌊(x−mn)/(mx−mn)·255 + 0.5⌋ − 128 as
-    * tinyint, 4× smaller than float32. Unrolled per dimension (the stats
-    * are plan-time constants) so the projection stays in whole-stage
-    * codegen — a transform() lambda would drop the whole build pass to
-    * interpreted eval (the q27/q100 sig-table rule). */
+    * tinyint, 4× smaller than float32. SATURATING: a value outside the
+    * codebook's [mn, mx] clamps to the edge code (standard SQ behavior —
+    * the frozen-codebook append path quantizes NEW data against OLD
+    * stats, and under ANSI mode an unclamped out-of-range code would be
+    * a tinyint cast error, not a graceful degradation; in-range codes
+    * are bitwise unchanged by the clamp). Unrolled per dimension (the
+    * stats are plan-time constants) so the projection stays in
+    * whole-stage codegen — a transform() lambda would drop the whole
+    * build pass to interpreted eval (the q27/q100 sig-table rule). */
   def quantizeExpr(emb: Column, stats: Array[(Double, Double)]): Column =
     array(stats.zipWithIndex.map { case ((mn, mx), i) =>
       val x = element_at(emb, i + 1).cast("double")
       (if (mx > mn)
-        floor((x - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5)) - lit(128L)
+        least(lit(127L), greatest(lit(-128L),
+          floor((x - lit(mn)) / lit(mx - mn) * lit(255.0) + lit(0.5)) - lit(128L)))
       else lit(-128L)).cast("tinyint")
     }: _*)
 
@@ -1092,6 +1098,72 @@ object Similarity {
     val probes = eSlim.filter(col("vec_id") % 139 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIvf(spark, idxDir, probes, nprobe, eSlim)
+      .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** q156: incremental append into the QUANTIZED IVF layout — the q146
+    * append story for the q154 flavor, completing the append symmetry
+    * across all four index shapes (float LSH q145, float IVF q146,
+    * quantized LSH via the same insertInto contract, quantized IVF
+    * here). A delta batch is routed by the FROZEN persisted centroids
+    * (q146 rule) and coded by the FROZEN persisted codebook (q149 rule —
+    * re-deriving stats over base+delta would make old codes unreadable);
+    * out-of-codebook delta values SATURATE to edge codes
+    * ([[quantizeExpr]]) instead of erroring, the graceful-degradation
+    * contract a frozen codebook needs. Build is crash-atomic via
+    * temp-dir + rename spanning base write AND delta append (q146
+    * convention).
+    *
+    * Oracle exactness composes the q146 + q149 arguments: a probe is a
+    * bit-exact copy of a union vector, so frozen-centroid ranking routes
+    * it to its original's stored partition (pure function of the value);
+    * the original's code equals the probe-content's code (same frozen
+    * codebook), so its approximate score ≈ 1 − ε survives any top-R; and
+    * the exact rescore over the full-precision union emits the
+    * exhaustive argmax DuckDB recomputes. Saturation only widens ε on
+    * out-of-range dims — the certain candidate still clears the ≈0.55
+    * natural/reversal tail (validated at both SFs). */
+  def q156SqIvfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val deltaShift = 21000000L; val offset = 22000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_inc_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
+      reverse(col("embedding")).as("embedding"))
+    if (!new java.io.File(idxDir).exists) {
+      val build = new java.io.File(idxDir + ".build")
+      if (build.exists) {
+        val fs = new org.apache.hadoop.fs.Path(build.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      }
+      ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
+      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .coalesce(1).write.parquet(s"$build/stats")
+      val cd = spark.read.parquet(s"$build/centroids")
+      val stats = sqStatsLocal(spark, s"$build/stats")
+      def coded(src: DataFrame) = assignToCentroid(src, cd)
+        .select(col("vec_id"),
+          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+      coded(eSlim).write.partitionBy("cid").parquet(s"$build/assigned")
+      // the incremental append: frozen centroids AND frozen codebook
+      coded(delta).write.mode("append").partitionBy("cid")
+        .parquet(s"$build/assigned")
+      if (!build.renameTo(new java.io.File(idxDir)))
+        sys.error(s"atomic publish of $idxDir failed")
+    }
+    val union = eSlim.unionByName(delta)
+    val probes = union.filter(col("vec_id") % 131 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeSqIvf(spark, idxDir, probes, nprobe, union)
       .withColumn("hit", col("retrieved_id") === col("qid") - offset)
       .orderBy(col("qid"))
   }
@@ -2024,6 +2096,12 @@ object Similarity {
     // full-precision cosine)
     "q154_sq_ivf_probe" ->
       plantedRetrievalOracle(modulus = 139, offset = 19000000L),
+    // q156: the appended quantized layout serves the same exhaustive
+    // union answer (frozen centroids route, frozen codebook codes, exact
+    // rescore emits — the composed q146+q149 arguments)
+    "q156_sq_ivf_append_probe" ->
+      plantedUnionRetrievalOracle(modulus = 131, offset = 22000000L,
+        deltaShift = 21000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

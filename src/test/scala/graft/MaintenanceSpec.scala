@@ -72,6 +72,74 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(inSync(("a", "rederive_params")) === ((false, "none")))
   }
 
+  test("tick closes the loop: planted decay triggers fold + compact, the " +
+      "bound tools run in deterministic order, the re-audit is quiet, and " +
+      "no rows are lost") {
+    import graft.sources.Sources
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2; val buckets = 4
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // appendable index decayed to 9 live batch partitions (> 8: fold due)
+    spark.sql("DROP TABLE IF EXISTS g_tick_ap_idx")
+    val tmp = java.nio.file.Files.createTempDirectory("g_tick").toString
+    Streaming.createAppendableIndex(spark, "g_tick_ap_idx", s"$tmp/ap", buckets)
+    (0 until 9).foreach { b =>
+      Streaming.appendIndexBatch(eSlim.filter(col("vec_id") % 9 === b),
+        b.toLong, "g_tick_ap_idx", planes, tables)
+    }
+    // flat bucketed index with 3 write generations (files > 2x buckets:
+    // compact due)
+    spark.sql("DROP TABLE IF EXISTS g_tick_flat_idx")
+    val signed = graft.sim.Similarity.indexedRelation(eSlim, planes, tables)
+    Sources.writeBucketed(signed, "g_tick_flat_idx", s"$tmp/flat", "sig", buckets)
+    signed.write.insertInto("g_tick_flat_idx")
+    signed.write.insertInto("g_tick_flat_idx")
+
+    def factsNow() = Seq(
+      LayoutFacts("flat", "bucketed_index",
+        Sources.countTableDataFiles(spark, "g_tick_flat_idx").toLong,
+        buckets.toLong, -1L, spark.table("g_tick_flat_idx").count(), -1L,
+        buckets.toLong, buckets.toLong),
+      LayoutFacts("ap", "appendable_index",
+        Sources.countTableDataFiles(spark, "g_tick_ap_idx").toLong,
+        buckets.toLong,
+        spark.table("g_tick_ap_idx").filter(col("batch_id") >= 0)
+          .select(col("batch_id")).distinct().count(),
+        spark.table("g_tick_ap_idx").count(), -1L,
+        buckets.toLong, buckets.toLong))
+
+    val rowsBefore = (spark.table("g_tick_flat_idx").count(),
+      spark.table("g_tick_ap_idx").count())
+    val before = Maintenance.schedule(factsNow().toDF())
+    assert(before.filter(col("triggered")).count() === 2, before.collect().mkString("\n"))
+    val ran = Maintenance.tick(before, Map(
+      ("flat", "compact_bucketed") -> (() => {
+        Sources.compactBucketed(spark, "g_tick_flat_idx", "sig", buckets); ()
+      }),
+      ("ap", "fold_index_base") -> (() => {
+        Streaming.foldIndexBase(spark, "g_tick_ap_idx", 8L); ()
+      })))
+    assert(ran === Seq(("ap", "fold", "fold_index_base"),
+      ("flat", "compact", "compact_bucketed")))
+    val after = Maintenance.schedule(factsNow().toDF())
+    assert(after.filter(col("triggered")).count() === 0,
+      after.collect().mkString("\n"))
+    // lossless: batches were disjoint vec_id slices, so the fold's
+    // (sig, vec_id) dedup must not drop rows; compaction never does
+    assert(spark.table("g_tick_flat_idx").count() === rowsBefore._1)
+    assert(spark.table("g_tick_ap_idx").count() === rowsBefore._2)
+  }
+
+  test("tick refuses a triggered decision with no bound tool") {
+    val due = Maintenance.schedule(Seq(LayoutFacts("x", "appendable_index",
+      10, 4, batch_partitions = 99, n_entries = 10, occ_max = -1,
+      keyspace_actual = 4, keyspace_target = 4)).toDF())
+    val ex = intercept[RuntimeException] { Maintenance.tick(due, Map.empty) }
+    assert(ex.getMessage.contains("no tool bound"), ex.getMessage)
+  }
+
   test("q155 live relation: one row per applicable (layout, check), facts " +
       "agreeing with the layouts measured independently, bit-stable") {
     val rows = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()

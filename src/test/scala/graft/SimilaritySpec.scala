@@ -637,6 +637,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters: [cid"), p.take(3000))
   }
 
+  test("q156 quantized IVF append: base AND frozen-codebook appended delta " +
+      "retrieve their originals through pruned quantized partitions") {
+    val rows = Similarity.q156SqIvfAppendProbe(spark, Sf001).collect()
+    assert(rows.length === 8, rows.mkString("\n"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    // delta probe qids sit at deltaShift + offset = 43M+
+    val deltaHits = rows.count(_.getAs[Long]("qid") >= 43000000L)
+    assert(deltaHits === 4, s"append must serve delta rows, got $deltaHits")
+  }
+
+  test("quantizeExpr saturates out-of-codebook values to edge codes " +
+      "(frozen-codebook appends); in-range codes match the raw formula") {
+    val stats = Array((0.0, 1.0), (0.0, 1.0), (-1.0, 1.0))
+    val codes = Seq(Tuple1(Array(-0.5f, 1.7f, 0.25f))).toDF("e")
+      .select(Similarity.quantizeExpr(col("e"), stats).as("q"))
+      .head().getSeq[Byte](0)
+    assert(codes(0) === (-128: Byte)) // below range clamps
+    assert(codes(1) === (127: Byte))  // above range clamps
+    assert(codes(2) ===
+      (math.floor((0.25 - (-1.0)) / 2.0 * 255.0 + 0.5) - 128).toByte)
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)
