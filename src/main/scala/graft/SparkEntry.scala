@@ -226,6 +226,10 @@ object SparkEntry {
     // frozen codebook codes (saturating), crash-atomic build+append;
     // completes the append story for all four index flavors
     "q156_sq_ivf_append_probe" -> (Similarity.q156SqIvfAppendProbe(_, _)),
+    // r15: tombstone deletion from the persisted index (merge-on-read
+    // marks, bucket-aligned serving anti-join, physical purge at fold) —
+    // probes of deleted content provably flip to their surviving copies
+    "q157_index_delete_probe" -> (Similarity.q157IndexDeleteProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

@@ -767,6 +767,89 @@ object Similarity {
         Exprs.dround(col("sim_raw"), 6).as("sim"))
   }
 
+  /** The appendable index's partition namespace: live batches ≥ 0, the
+    * folded base is −2, deletion tombstones are −3 (one constant so the
+    * append, fold, delete and serve sites cannot drift). */
+  val TombstoneBatchId: Long = -3L
+
+  /** Serving against the APPENDABLE index flavor with merge-on-read
+    * DELETION semantics: same literal-`sig IN` bucket-pruned shape as
+    * [[probeIndex]], but rows carried by the `batch_id = −3` tombstone
+    * partition ([[graft.streaming.Streaming.tombstoneIndexRows]]) are
+    * anti-joined out before scoring — (sig, vec_id)-keyed, both sides
+    * inside the SAME pruned bucket set, so the anti-join adds no scan
+    * and no extra pruning loss. Deleted rows stay invisible from the
+    * mark's landing until the next fold physically purges them; the
+    * answer is identical before and after the purge. */
+  def probeIndexLive(spark: SparkSession, indexTable: String,
+                     probes: DataFrame, planes: Int, tables: Int): DataFrame = {
+    ensureRegistered(spark)
+    val (probesLocal, probeSigs) = localizeProbes(spark, probes, planes, tables)
+    val pruned = spark.table(indexTable)
+      .filter(col("sig").isin(probeSigs.map(Long.box): _*))
+    val tomb = pruned.filter(col("batch_id") === TombstoneBatchId)
+      .select(col("sig"), col("vec_id"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
+    pruned.filter(col("batch_id") =!= TombstoneBatchId)
+      .join(tomb, Seq("sig", "vec_id"), "left_anti")
+      .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
+      .join(broadcast(probesLocal), Seq("sig"))
+      .withColumn("sim_raw", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim_raw")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** q157: DELETION from the persisted index — the lifecycle arm every
+    * real training-data pipeline eventually needs (takedowns,
+    * right-to-be-forgotten, licensing reversals): build the appendable
+    * index over the corpus plus exact copies of every 7th vector under
+    * shifted ids, then tombstone-delete the ORIGINALS
+    * ([[graft.streaming.Streaming.tombstoneIndexRows]]; the request
+    * carries only ids — content comes from the corpus by point lookup)
+    * and probe with the deleted vectors' content through
+    * [[probeIndexLive]].
+    *
+    * The planted argument makes deletion OBSERVABLE and exact: while the
+    * original was present it was the certain argmax (cosine 1, smaller
+    * id); with it deleted, its surviving COPY is the certain argmax
+    * (cosine 1 — identical signature in every table — vs the ≈0.53
+    * natural tail), so every probe's top-1 provably flips from original
+    * to copy, and the DuckDB oracle recomputes the same answer
+    * exhaustively over corpus-minus-deleted ∪ copies. A deletion that
+    * silently failed (mark not landing, anti-join dropped, purge
+    * resurrecting rows) flips retrieved ids back and breaks the driver
+    * hash. */
+  def q157IndexDeleteProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val copyShift = 24000000L; val offset = 25000000L; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = "g_del_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
+      s"del$planes", LayoutVersion)
+    if (!spark.catalog.tableExists(idx)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_del_idx").toString
+      graft.streaming.Streaming.createAppendableIndex(spark, idx,
+        s"$tmp/index", IndexParams.indexBuckets(n, tables))
+      graft.streaming.Streaming.appendIndexBatch(eSlim, 0L, idx, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(copies, 1L, idx, planes, tables)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, idx,
+        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndexLive(spark, idx, probes, planes, tables)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields
     * both the literal sig list for bucket pruning AND the local relation
@@ -2102,6 +2185,34 @@ object Similarity {
     "q156_sq_ivf_append_probe" ->
       plantedUnionRetrievalOracle(modulus = 131, offset = 22000000L,
         deltaShift = 21000000L),
+    // q157: exhaustive argmax over corpus-minus-deleted ∪ copies — every
+    // probe's top-1 provably flips from its (deleted) original to the
+    // surviving copy, making the tombstone path's correctness visible to
+    // the hash (a resurrected or un-deleted row flips ids back)
+    "q157_index_delete_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT vec_id + 24000000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 7 = 0),
+        |probes AS (
+        |  SELECT vec_id + 25000000 AS qid, embedding FROM embeddings
+        |  WHERE vec_id % 7 = 0),
+        |pairs AS (
+        |  SELECT p.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+        |  FROM probes p CROSS JOIN corpus c),
+        |ranked AS (
+        |  SELECT qid, cid, sim_raw,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+        |  FROM pairs)
+        |SELECT qid, cid AS retrieved_id,
+        |  round(sim_raw * 1000000) / 1000000 AS sim,
+        |  (cid = qid - 1000000) AS hit
+        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

@@ -506,15 +506,30 @@ object Streaming {
       s"foldIndexBase($indexTable): expected the appendable-index layout " +
         "(batch_id partitions + bucketed), got " +
         s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    val tombId = graft.sim.Similarity.TombstoneBatchId
     val live = spark.table(indexTable)
       .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
     val batches = live.select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    if (batches.isEmpty) return (0L, 0L)
+    val tomb = spark.table(indexTable).filter(col("batch_id") === tombId)
+      .select(col("sig"), col("vec_id"))
+    val hasTomb = !tomb.isEmpty
+    // a tombstone-only fold (no live batches) still runs: its job is to
+    // purge deleted rows out of the BASE partition and retire the marks
+    if (batches.isEmpty && !hasTomb) return (0L, 0L)
     val source = live.unionByName(
         spark.table(indexTable).filter(col("batch_id") === -2L))
       .dropDuplicates(Seq("sig", "vec_id"))
-      .drop("batch_id").withColumn("batch_id", lit(-2L))
+      // the physical purge: tombstoned rows ([[tombstoneIndexRows]]) do
+      // not make it into the folded base; the marks clear LAST, so a
+      // crash anywhere in the window leaves serving's anti-join correct
+      // and a re-fold purges identically
+      .join(tomb, Seq("sig", "vec_id"), "left_anti")
+      // a using-columns join hoists the join keys to the FRONT of the
+      // row; re-select the table's declared order or the positional
+      // insertInto below writes sig bits into vec_id
+      .select(col("vec_id"), col("embedding"), col("sig"))
+      .withColumn("batch_id", lit(-2L))
     // stage beside the table (underscore prefix → invisible to readers):
     // a driver-local temp dir would not exist for a cluster's executors,
     // and cleanup must run on the failure path too
@@ -529,6 +544,7 @@ object Streaming {
         staged.write.mode("overwrite").insertInto(indexTable)
       }
       batches.foreach(clearIndexPartition(spark, indexTable, _))
+      if (hasTomb) clearIndexPartition(spark, indexTable, tombId)
       spark.catalog.refreshTable(indexTable)
       (batches.length.toLong, rows)
     } finally fs.delete(staging, true)
@@ -539,6 +555,55 @@ object Streaming {
     val was = spark.conf.get(key)
     spark.conf.set(key, "dynamic")
     try body finally spark.conf.set(key, was)
+  }
+
+  /** GDPR-style DELETION from the appendable index — the merge-on-read
+    * tombstone pattern: deletion marks land as their own
+    * `batch_id = -3` partition ([[graft.sim.Similarity.TombstoneBatchId]])
+    * of the index table itself, sig-bucketed like every other partition,
+    * so the serving anti-join ([[graft.sim.Similarity.probeIndexLive]])
+    * stays bucket-aligned and bucket-pruned; the next [[foldIndexBase]]
+    * physically purges both the tombstoned rows and the marks. This is
+    * the only deletion shape that scales: an eager in-place rewrite of a
+    * bucketed table is a full-table job per deletion request, while a
+    * mark is one bounded write and the purge amortizes into maintenance
+    * the schedule (q155) already runs.
+    *
+    * `victims` carries (vec_id, embedding) — content is needed because
+    * signatures are pure functions of it (a mark must sit in every
+    * bucket its row sits in); production fetches it by pushed `vec_id
+    * IN` point-lookup from the corpus (the q149 rescore read pattern).
+    * Marks store a NULL embedding (they are keys, not vectors), are
+    * deduplicated against the existing marks on (sig, vec_id) — so
+    * re-deleting is idempotent — and are staged through a `_`-prefixed
+    * temp dir (the fold rule: never read-your-own-partition inside an
+    * overwrite; a crash leaves only the invisible staging dir). */
+  def tombstoneIndexRows(spark: SparkSession, indexTable: String,
+                         victims: DataFrame, planes: Int, tables: Int): Unit = {
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val marks = graft.sim.Similarity
+      .indexedRelation(victims.select(col("vec_id"), col("embedding")),
+        planes, tables)
+      .select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"), col("sig"))
+    val existing = spark.table(indexTable)
+      .filter(col("batch_id") === tombId)
+      .select(col("vec_id"), col("embedding"), col("sig"))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    val staging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_tombstone_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      existing.unionByName(marks).dropDuplicates(Seq("sig", "vec_id"))
+        .write.mode("overwrite").parquet(staging.toString)
+      withDynamicOverwrite(spark) {
+        spark.read.parquet(staging.toString)
+          .withColumn("batch_id", lit(tombId))
+          .write.mode("overwrite").insertInto(indexTable)
+      }
+      spark.catalog.refreshTable(indexTable)
+    } finally fs.delete(staging, true)
   }
 
   /** Delete one batch_id partition directory of a catalog-table index —

@@ -662,6 +662,24 @@ class SimilaritySpec extends SparkSpecBase {
       (math.floor((0.25 - (-1.0)) / 2.0 * 255.0 + 0.5) - 128).toByte)
   }
 
+  test("q157 index deletion: every probe of deleted content flips to its " +
+      "surviving copy (never the deleted original), bucket-pruned serving") {
+    val rows = Similarity.q157IndexDeleteProbe(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    val nDeleted = (n - 1) / 7 + 1
+    assert(rows.length.toLong === nDeleted)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      // the copy, at cosine ~1 — and provably not the deleted original
+      assert(r.getAs[Long]("retrieved_id") >= 24000000L, r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val p = Similarity.q157IndexDeleteProbe(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(p).isDefined,
+      p.take(3000))
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)

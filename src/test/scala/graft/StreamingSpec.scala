@@ -488,6 +488,66 @@ class StreamingSpec extends SparkSpecBase {
       p.take(2000))
   }
 
+  test("tombstone deletion: marks hide rows from serving immediately, " +
+      "re-delete is idempotent, fold purges physically and retires the " +
+      "marks, answers identical across the purge, tombstone-only fold " +
+      "purges the base") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_tomb_idx_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("tomb_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    val copies = eSlim.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Streaming.appendIndexBatch(copies, 1L, tbl, planes, tables)
+    val victims = eSlim.filter(col("vec_id") < 10)
+    Streaming.tombstoneIndexRows(spark, tbl, victims, planes, tables)
+    // serving flips every deleted original's probe to its surviving copy
+    val probes = victims.select((col("vec_id") + 5000L).as("qid"),
+      col("embedding"))
+    val pre = graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables)
+      .orderBy(col("qid")).collect()
+    assert(pre.length === 10)
+    pre.foreach { r =>
+      assert(r.getAs[Long]("retrieved_id") ===
+        r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    // the anti-join costs no pruning: the serving scan stays bucket-pruned
+    val plan = graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: \\d+ out of \\d+".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    // re-delete is idempotent: the (sig, vec_id) dedup keeps marks stable
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val marksBefore = spark.table(tbl)
+      .filter(col("batch_id") === tombId).count()
+    Streaming.tombstoneIndexRows(spark, tbl, victims, planes, tables)
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count()
+      === marksBefore)
+    // fold physically purges the rows and retires the marks
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
+    assert(spark.table(tbl).filter(col("vec_id") < 10).count() === 0)
+    val post = graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables)
+      .orderBy(col("qid")).collect()
+    assert(post.map(_.toSeq).toSeq === pre.map(_.toSeq).toSeq)
+    // a tombstone-only fold (no live batches) still purges the BASE
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") === 20), planes, tables)
+    val (folded, _) = Streaming.foldIndexBase(spark, tbl, 10L)
+    assert(folded === 0L)
+    assert(spark.table(tbl).filter(col("vec_id") === 20).count() === 0)
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
+  }
+
   test("textGateStream: exact copies reject against the growing band index, " +
       "intra-batch copies keep the smallest id, unique docs append, " +
       "replays idempotent") {
