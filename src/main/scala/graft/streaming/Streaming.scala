@@ -507,28 +507,35 @@ object Streaming {
         "(batch_id partitions + bucketed), got " +
         s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
     val tombId = graft.sim.Similarity.TombstoneBatchId
+    // column roles come from the table's own metadata so the fold (and
+    // the tombstone purge) serve BOTH appendable flavors — the vector
+    // index (vec_id, embedding, sig) and the band index (doc_id, digest,
+    // key): dedup/purge key = (bucket column, leading id column)
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
+      dataCols.head)
     val live = spark.table(indexTable)
       .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
     val batches = live.select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     val tomb = spark.table(indexTable).filter(col("batch_id") === tombId)
-      .select(col("sig"), col("vec_id"))
+      .select(dedupKeys.map(col): _*)
     val hasTomb = !tomb.isEmpty
     // a tombstone-only fold (no live batches) still runs: its job is to
     // purge deleted rows out of the BASE partition and retire the marks
     if (batches.isEmpty && !hasTomb) return (0L, 0L)
     val source = live.unionByName(
         spark.table(indexTable).filter(col("batch_id") === -2L))
-      .dropDuplicates(Seq("sig", "vec_id"))
-      // the physical purge: tombstoned rows ([[tombstoneIndexRows]]) do
-      // not make it into the folded base; the marks clear LAST, so a
-      // crash anywhere in the window leaves serving's anti-join correct
-      // and a re-fold purges identically
-      .join(tomb, Seq("sig", "vec_id"), "left_anti")
+      .dropDuplicates(dedupKeys)
+      // the physical purge: tombstoned rows ([[tombstoneIndexRows]] /
+      // [[tombstoneBandRows]]) do not make it into the folded base; the
+      // marks clear LAST, so a crash anywhere in the window leaves
+      // serving's anti-join correct and a re-fold purges identically
+      .join(tomb, dedupKeys, "left_anti")
       // a using-columns join hoists the join keys to the FRONT of the
       // row; re-select the table's declared order or the positional
-      // insertInto below writes sig bits into vec_id
-      .select(col("vec_id"), col("embedding"), col("sig"))
+      // insertInto below writes bucket-key bits into the id column
+      .select(dataCols.map(col): _*)
       .withColumn("batch_id", lit(-2L))
     // stage beside the table (underscore prefix → invisible to readers):
     // a driver-local temp dir would not exist for a cluster's executors,
@@ -579,26 +586,55 @@ object Streaming {
     * temp dir (the fold rule: never read-your-own-partition inside an
     * overwrite; a crash leaves only the invisible staging dir). */
   def tombstoneIndexRows(spark: SparkSession, indexTable: String,
-                         victims: DataFrame, planes: Int, tables: Int): Unit = {
-    val tombId = graft.sim.Similarity.TombstoneBatchId
-    val marks = graft.sim.Similarity
+                         victims: DataFrame, planes: Int, tables: Int): Unit =
+    landTombstoneMarks(spark, indexTable, graft.sim.Similarity
       .indexedRelation(victims.select(col("vec_id"), col("embedding")),
         planes, tables)
       .select(col("vec_id"),
-        lit(null).cast("array<float>").as("embedding"), col("sig"))
-    val existing = spark.table(indexTable)
-      .filter(col("batch_id") === tombId)
-      .select(col("vec_id"), col("embedding"), col("sig"))
+        lit(null).cast("array<float>").as("embedding"), col("sig")))
+
+  /** [[tombstoneIndexRows]]' text twin: delete documents from the
+    * appendable BAND index ([[createAppendableBandIndex]]) — marks carry
+    * the victims' real (doc_id, digest, key) rows (band keys are pure
+    * functions of text, so a mark sits in every bucket its row sits in);
+    * `victims` carries (doc_id, text). Serving goes through
+    * [[graft.text.TextOps.liveBandIndex]]; the next [[foldIndexBase]]
+    * purges physically — the gate's decisions flip from `exact_dup` back
+    * to `unique` the moment the mark lands, the re-admission contract a
+    * takedown implies. */
+  def tombstoneBandRows(spark: SparkSession, indexTable: String,
+                        victims: DataFrame): Unit =
+    landTombstoneMarks(spark, indexTable,
+      graft.text.TextOps.bandedSignatures(
+          victims.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("digest"), col("key")))
+
+  /** The shared mark-landing body for both index flavors: marks (in the
+    * table's data-column order) union with the existing marks, dedup on
+    * (bucket column, id column) — both read from the table's own
+    * metadata, the [[foldIndexBase]] convention — and overwrite the
+    * tombstone partition through a `_`-prefixed staging dir. */
+  private def landTombstoneMarks(spark: SparkSession, indexTable: String,
+                                 marks: DataFrame): Unit = {
+    val tombId = graft.sim.Similarity.TombstoneBatchId
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
+      dataCols.head)
+    val existing = spark.table(indexTable)
+      .filter(col("batch_id") === tombId)
+      .select(dataCols.map(col): _*)
     val staging = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(meta.location), "_tombstone_staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      existing.unionByName(marks).dropDuplicates(Seq("sig", "vec_id"))
+      existing.unionByName(marks.select(dataCols.map(col): _*))
+        .dropDuplicates(dedupKeys)
         .write.mode("overwrite").parquet(staging.toString)
       withDynamicOverwrite(spark) {
         spark.read.parquet(staging.toString)
+          .select(dataCols.map(col): _*)
           .withColumn("batch_id", lit(tombId))
           .write.mode("overwrite").insertInto(indexTable)
       }

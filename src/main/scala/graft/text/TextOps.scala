@@ -765,6 +765,63 @@ object TextOps {
         col("dup_of"))
   }
 
+  /** The appendable band index's MERGE-ON-READ view: rows carried by the
+    * tombstone partition
+    * ([[graft.streaming.Streaming.tombstoneBandRows]]) are anti-joined
+    * out — (key, doc_id)-keyed; both sides are the same key-bucketed
+    * table, so the anti-join rides the bucket partitioning with no
+    * shuffle of the index. Feed this to [[textGateBatch]] and a deleted
+    * document's content gates as `unique` again the moment its mark
+    * lands — the re-admission contract a takedown implies — while the
+    * physical rows wait for the next
+    * [[graft.streaming.Streaming.foldIndexBase]] to purge them. */
+  def liveBandIndex(spark: SparkSession, indexTable: String): DataFrame = {
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val t = spark.table(indexTable)
+    val tomb = t.filter(col("batch_id") === tombId)
+      .select(col("key"), col("doc_id"))
+    t.filter(col("batch_id") =!= tombId)
+      .join(tomb, Seq("key", "doc_id"), "left_anti")
+      .select(col("doc_id"), col("digest"), col("key"))
+  }
+
+  /** q158: DELETION from the band index, gate-side observable — the q157
+    * embedding-index deletion's text twin, and the decision that makes a
+    * takedown REAL for ingest: after every 13th document is
+    * tombstone-deleted, a re-ingest batch of their exact copies gates as
+    * `unique` (re-admitted — no surviving set-equal corpus doc), while
+    * copies of still-indexed documents keep gating `exact_dup`. Both
+    * tiers stay oracle-EXACT for any input (the q151 argument: band
+    * recall is exactly 1 for shingle-set-equal pairs, the digest kills
+    * banding false positives, and deletion only shrinks the corpus side
+    * of the set-equality relation — which DuckDB recomputes exhaustively
+    * over corpus-minus-deleted). Natural text duplicates are handled by
+    * the same recompute: a deleted doc whose text survives under another
+    * id still gates its copy `exact_dup` against that survivor, on both
+    * engines. */
+  def q158TextDeleteGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val buckets = graft.sim.IndexParams.indexBuckets(d.count(), 4)
+    val idx = "g_band_del_idx_" + graft.ops.Layouts.tag(
+      graft.ops.Layouts.fileFp(s"$dir/documents.parquet"), s"del$buckets",
+      graft.ops.Layouts.Version)
+    if (!spark.catalog.tableExists(idx)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_band_del")
+        .toString
+      graft.streaming.Streaming.createAppendableBandIndex(spark, idx,
+        s"$tmp/index", buckets)
+      graft.streaming.Streaming.appendBandBatch(d, 0L, idx)
+      graft.streaming.Streaming.tombstoneBandRows(spark, idx,
+        d.filter(col("doc_id") % 13 === 0))
+    }
+    val batch = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 4000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    textGateBatch(spark, liveBandIndex(spark, idx), batch)
+      .orderBy(col("doc_id"))
+  }
+
   /** q151: the text admission gate over a planted ingest batch — copies
     * of every 13th base doc (certain `exact_dup`: identical text ⇒ equal
     * shingle set) plus token-REVERSED every-17th docs (new shingle sets ⇒
@@ -2366,6 +2423,52 @@ object TextOps {
     // positives), which this recomputes exhaustively — exact for any
     // banding outcome. Docs with < 3 tokens have no sigs row on either
     // engine and stay 'unique'.
+    // q158: q151's exhaustive set-equality recompute with the corpus side
+    // shrunk to corpus-minus-deleted — deletion's gate-side effect (copies
+    // of deleted docs re-admit as unique) is exact for any input
+    "q158_text_delete_gate" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 4000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |bt AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM batch),
+        |bsh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM bt, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |bsig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM bsh GROUP BY doc_id),
+        |ct AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM ct, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)),
+        |csig AS (
+        |  SELECT doc_id, string_agg(s, chr(1) ORDER BY s) AS sig
+        |  FROM csh GROUP BY doc_id),
+        |m AS (
+        |  SELECT b.doc_id, min(c.doc_id) AS dup_of
+        |  FROM bsig b JOIN csig c ON b.sig = c.sig
+        |  GROUP BY b.doc_id),
+        |ib AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS mn
+        |  FROM bsig WHERE doc_id NOT IN (SELECT doc_id FROM m)),
+        |bd AS (SELECT doc_id, mn AS dup_of FROM ib WHERE doc_id > mn)
+        |SELECT b.doc_id,
+        |  CASE WHEN m.doc_id IS NOT NULL THEN 'exact_dup'
+        |       WHEN bd.doc_id IS NOT NULL THEN 'batch_dup'
+        |       ELSE 'unique' END AS status,
+        |  coalesce(m.dup_of, bd.dup_of) AS dup_of
+        |FROM batch b
+        |LEFT JOIN m ON b.doc_id = m.doc_id
+        |LEFT JOIN bd ON b.doc_id = bd.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
     "q151_text_gate_index" ->
       """WITH batch AS (
         |  SELECT doc_id + 2000000 AS doc_id, text FROM documents

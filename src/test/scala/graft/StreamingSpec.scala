@@ -548,6 +548,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
   }
 
+  test("band-index tombstones: the gate re-admits deleted docs' content " +
+      "immediately, the metadata-generic fold purges the band table and " +
+      "answers are identical across the purge") {
+    import spark.implicits._
+    val tbl = "g_tomb_band_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("tomb_band")
+    Streaming.createAppendableBandIndex(spark, tbl, s"$path/index", buckets = 4)
+    val d = Tables.documents(spark, Sf001)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+    Streaming.appendBandBatch(d, 0L, tbl)
+    val victims = d.filter(col("doc_id") < 10)
+    Streaming.tombstoneBandRows(spark, tbl, victims)
+    val batch = victims
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    def gate() = graft.text.TextOps
+      .textGateBatch(spark, graft.text.TextOps.liveBandIndex(spark, tbl), batch)
+      .orderBy(col("doc_id")).collect()
+    val pre = gate()
+    // every decision must ignore the deleted docs: dup_of (when matched)
+    // points at a surviving id, and docs with no surviving twin re-admit
+    pre.filter(_.getAs[String]("status") === "exact_dup").foreach { r =>
+      assert(r.getAs[Long]("dup_of") >= 10L, r.toString)
+    }
+    assert(pre.exists(_.getAs[String]("status") === "unique"), pre.mkString("\n"))
+    // the generic fold (column roles from table metadata) purges the
+    // band flavor too: rows gone, marks retired, decisions unchanged
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 0L)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
+    assert(spark.table(tbl).filter(col("doc_id") < 10).count() === 0)
+    assert(gate().map(_.toSeq).toSeq === pre.map(_.toSeq).toSeq)
+  }
+
   test("textGateStream: exact copies reject against the growing band index, " +
       "intra-batch copies keep the smallest id, unique docs append, " +
       "replays idempotent") {

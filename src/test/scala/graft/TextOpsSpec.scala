@@ -72,6 +72,39 @@ class TextOpsSpec extends SparkSpecBase {
     assert(!p.contains("Bucketed: false"), p.take(3000))
   }
 
+  test("q158 deletion gate: copies of tombstone-deleted docs re-admit " +
+      "(never matched to a deleted doc), copies of surviving docs still " +
+      "gate exact_dup") {
+    val rows = TextOps.q158TextDeleteGate(spark, Sf001).collect()
+    val d = Tables.documents(spark, Sf001)
+    val nDel = d.filter(col("doc_id") % 13 === 0).count()
+    val nKeep = d.filter(col("doc_id") % 9 === 0).count()
+    assert(rows.length.toLong === nDel + nKeep)
+    // no decision may ever name a DELETED doc as dup_of
+    rows.filter(_.getAs[String]("status") === "exact_dup").foreach { r =>
+      assert(r.getAs[Long]("dup_of") % 13 !== 0L, r.toString)
+    }
+    // copies of surviving, shingled docs still gate exact_dup against the
+    // index (dup_of <= the original: the smallest set-equal survivor)
+    val survivors = rows.filter(r => r.getAs[Long]("doc_id") >= 5000000L &&
+      (r.getAs[Long]("doc_id") - 5000000L) % 13 != 0)
+    val shingledSurvivors = d.filter(col("doc_id") % 9 === 0)
+      .filter(col("doc_id") % 13 =!= 0)
+      .filter(size(TextOps.tokens(col("text"))) >= 3).count()
+    assert(survivors.count(_.getAs[String]("status") === "exact_dup")
+      === shingledSurvivors)
+    survivors.filter(_.getAs[String]("status") === "exact_dup").foreach { r =>
+      assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("doc_id") - 5000000L, r)
+    }
+    // re-admission is visible: deleted docs whose text survives NOWHERE
+    // else gate unique — derive the expectation from the data (a deleted
+    // doc with a natural set-equal twin at a surviving id legitimately
+    // stays exact_dup)
+    val deletedCopies = rows.filter(_.getAs[Long]("doc_id") < 5000000L)
+    assert(deletedCopies.count(_.getAs[String]("status") === "unique") > 0,
+      deletedCopies.take(5).mkString("\n"))
+  }
+
   test("tokens drops empties; wordShingles handles short docs") {
     val df = Seq((1L, "a b  c"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
