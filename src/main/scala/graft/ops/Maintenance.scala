@@ -32,6 +32,12 @@ import graft.sim.{IndexParams, Similarity}
   *    [[RebalanceHotFactor]]× its fair share (occ_max·k > 4·n, the q147
   *    hot rule at the layout grain) — centroid drift concentrating mass
   *    means probes scan far more than nprobe/k of the corpus.
+  *  - `purge` when an appendable index carries ANY tombstone marks
+  *    ([[graft.streaming.Streaming.tombstoneIndexRows]] /
+  *    `tombstoneBandRows`) — deletion is only LOGICAL until the next
+  *    fold; an operator (and an auditor) needs to see outstanding
+  *    deletion debt, and the fold that pays it is the same tool the
+  *    `fold` check schedules.
   *  - `rederive_params` when the layout's keyspace no longer matches
   *    what [[IndexParams]] derives from the CURRENT corpus count — the
   *    corpus grew past the layout's design point (never hardcode an
@@ -56,7 +62,8 @@ object Maintenance {
   case class LayoutFacts(layout: String, kind: String, data_files: Long,
                          buckets: Long, batch_partitions: Long,
                          n_entries: Long, occ_max: Long,
-                         keyspace_actual: Long, keyspace_target: Long)
+                         keyspace_actual: Long, keyspace_target: Long,
+                         tombstones: Long = -1L)
 
   /** The pure decision function: per-layout facts → one row per
     * applicable (layout, check) with the observed value, its integer
@@ -77,6 +84,8 @@ object Maintenance {
       .unionByName(check(Seq("appendable_index"), "fold",
         col("batch_partitions"), lit(FoldMaxBatchPartitions),
         "fold_index_base"))
+      .unionByName(check(Seq("appendable_index"), "purge",
+        col("tombstones"), lit(0L), "fold_index_base"))
       .unionByName(check(Seq("ivf_layout"), "rebalance",
         col("occ_max") * col("keyspace_actual"),
         lit(RebalanceHotFactor) * col("n_entries"), "rebuild_layout"))
@@ -160,7 +169,10 @@ object Maintenance {
       apBuckets.toLong,
       spark.table(apTbl).filter(col("batch_id") >= 0)
         .select(col("batch_id")).distinct().count(),
-      spark.table(apTbl).count(), -1L, apBuckets.toLong, apBuckets.toLong)
+      spark.table(apTbl).count(), -1L, apBuckets.toLong, apBuckets.toLong,
+      tombstones = spark.table(apTbl)
+        .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+        .count())
 
     schedule(Seq(lshFacts, ivfFacts, apFacts).toDF())
       .orderBy(col("layout"), col("check"))

@@ -38,10 +38,20 @@ class MaintenanceSpec extends SparkSpecBase {
     val over = sched(LayoutFacts("s", "appendable_index", 100, 64, 9,
       1000, -1, 64, 64))
     assert(over(("s", "fold")) === ((true, "fold_index_base")))
-    // an appendable index gets ONLY the fold check (its physical tool is
-    // foldIndexBase, never a flat compact — the r13 one-tool-per-flavor
-    // rule), so no compact/rederive rows appear for it
-    assert(over.keySet === Set(("s", "fold")))
+    // an appendable index gets only foldIndexBase-backed checks (its one
+    // physical tool — the r13 one-tool-per-flavor rule), so no
+    // compact/rederive rows appear for it
+    assert(over.keySet === Set(("s", "fold"), ("s", "purge")))
+  }
+
+  test("purge: any outstanding tombstone marks schedule a fold (deletion " +
+      "is only logical until the purge pays the debt)") {
+    val clean = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
+      -1, 4, 4, tombstones = 0))
+    assert(clean(("s", "purge")) === ((false, "none")))
+    val owing = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
+      -1, 4, 4, tombstones = 7))
+    assert(owing(("s", "purge")) === ((true, "fold_index_base")))
   }
 
   test("rebalance: fires when the hottest IVF partition exceeds " +
@@ -148,7 +158,10 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(byKey.keySet === Set(
       ("lsh_index", "compact"), ("lsh_index", "rederive_params"),
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
-      ("appendable_index", "fold")))
+      ("appendable_index", "fold"), ("appendable_index", "purge")))
+    // no deletions have been issued against the audited index
+    assert(byKey(("appendable_index", "purge")).getAs[Long]("observed") === 0L)
+    assert(byKey(("appendable_index", "purge")).getAs[Boolean]("triggered") === false)
     // fold fact: exactly the 3 appended batch partitions
     assert(byKey(("appendable_index", "fold")).getAs[Long]("observed") === 3L)
     assert(byKey(("appendable_index", "fold")).getAs[Boolean]("triggered") === false)
