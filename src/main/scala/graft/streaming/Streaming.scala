@@ -609,6 +609,47 @@ object Streaming {
           victims.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("digest"), col("key")))
 
+  /** Streaming DELETION maintenance — takedown requests as a live feed
+    * (the delete-side sibling of [[indexAppendStream]]): each micro-batch
+    * of victims (vec_id, embedding) lands its tombstone marks via
+    * [[tombstoneIndexRows]]. No batch_id bookkeeping is needed, unlike
+    * the append paths: mark landing is a (bucket, id)-deduped UNION with
+    * the existing marks, so a batch replayed after a
+    * crash-before-checkpoint re-lands the identical mark set — replay
+    * idempotence comes from the operation's own semantics.
+    *
+    * Reader caveat (standard filesystem-table semantics): the mark
+    * landing OVERWRITES the tombstone partition, and the foreachBatch
+    * body refreshes only its own (cloned) session's relation cache — a
+    * concurrent reader session that listed the partition before the
+    * overwrite must `REFRESH TABLE` (or re-create its DataFrame) to
+    * avoid FILE_NOT_EXIST on the replaced files, exactly as for any
+    * non-transactional table under partition overwrite. */
+  def indexDeleteStream(victims: DataFrame, indexTable: String,
+                        planes: Int, tables: Int,
+                        checkpointDir: String): StreamingQuery =
+    victims.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          tombstoneIndexRows(batch.sparkSession, indexTable, batch,
+            planes, tables)
+      }
+      .start()
+
+  /** [[indexDeleteStream]]'s text twin: victims carry (doc_id, text);
+    * marks land via [[tombstoneBandRows]], same replay-idempotence
+    * argument. */
+  def bandDeleteStream(victims: DataFrame, indexTable: String,
+                       checkpointDir: String): StreamingQuery =
+    victims.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          tombstoneBandRows(batch.sparkSession, indexTable, batch)
+      }
+      .start()
+
   /** The shared mark-landing body for both index flavors: marks (in the
     * table's data-column order) union with the existing marks, dedup on
     * (bucket column, id column) — both read from the table's own

@@ -548,6 +548,55 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
   }
 
+  test("indexDeleteStream: takedown batches land marks live, overlapping " +
+      "batches accumulate without duplicating, serving hides victims as " +
+      "each batch commits") {
+    implicit val sqlCtx = spark.sqlContext
+    val planes = 5; val tables = 2
+    val tbl = "g_delstream_idx_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("delstream_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    Streaming.appendIndexBatch(corpus, 0L, tbl, planes, tables)
+    val copies = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Streaming.appendIndexBatch(copies, 1L, tbl, planes, tables)
+    val vecs = corpus.collect()
+      .map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_.vec_id)
+    val in = MemoryStream[Vec]
+    val q = Streaming.indexDeleteStream(in.toDF(), tbl, planes, tables,
+      Files.createTempDirectory("delstream_ck").toString)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    // the mark landing runs in the stream's CLONED session; this reader
+    // session refreshes after each commit (the scaladoc'd caveat for any
+    // partition overwrite on a filesystem table)
+    def marks() = {
+      spark.catalog.refreshTable(tbl)
+      spark.table(tbl).filter(col("batch_id") === tombId).count()
+    }
+    in.addData(vecs.take(3).toSeq)         // delete vecs 0,1,2
+    q.processAllAvailable()
+    val m1 = marks()
+    assert(m1 === 3L * tables, s"marks after batch 1: $m1")
+    // serving hides the victims NOW: probes of deleted content flip to
+    // their surviving copies
+    val probes = corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    graft.sim.Similarity.probeIndexLive(spark, tbl, probes, planes, tables)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("retrieved_id") ===
+          r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+      }
+    // batch 2 overlaps batch 1 (re-delete 2, new victims 3,4): the
+    // (bucket, id) mark dedup accumulates only the NEW marks
+    in.addData(Seq(vecs(2), vecs(3), vecs(4)))
+    q.processAllAvailable()
+    q.stop()
+    assert(marks() === 5L * tables, s"marks after overlap: ${marks()}")
+  }
+
   test("band-index tombstones: the gate re-admits deleted docs' content " +
       "immediately, the metadata-generic fold purges the band table and " +
       "answers are identical across the purge") {
