@@ -230,6 +230,9 @@ object SparkEntry {
     // marks, bucket-aligned serving anti-join, physical purge at fold) —
     // probes of deleted content provably flip to their surviving copies
     "q157_index_delete_probe" -> (Similarity.q157IndexDeleteProbe(_, _)),
+    // r15: deletion for the directory IVF layout — sidecar marks routed
+    // by the frozen centroids, partition-scoped purge
+    "q159_ivf_delete_probe" -> (Similarity.q159IvfDeleteProbe(_, _)),
     // r15: deletion's text twin — after tombstoning docs out of the band
     // index, re-ingested copies gate as unique again (re-admission)
     "q158_text_delete_gate" -> (TextOps.q158TextDeleteGate(_, _)),

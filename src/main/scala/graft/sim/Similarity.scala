@@ -1497,6 +1497,163 @@ object Similarity {
         Exprs.dround(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Tombstone deletion for the DIRECTORY IVF layouts — the table
+    * flavor's marks partition re-expressed as an append-only
+    * `tombstones` sidecar under the layout dir: (cid, vec_id) rows
+    * routed by the layout's own FROZEN persisted centroids (a mark must
+    * sit in the partition its row sits in, and frozen routing guarantees
+    * it — the q143/q146 rule doing double duty). Append-mode landing is
+    * crash-safe (a failed job commits nothing) and a replayed delete at
+    * worst duplicates marks, which the serving anti-join tolerates and
+    * [[purgeIvfTombstones]] clears wholesale. `victims` carries
+    * (vec_id, embedding). */
+  def tombstoneIvfRows(spark: SparkSession, idxDir: String,
+                       victims: DataFrame): Unit = {
+    val cd = spark.read.parquet(s"$idxDir/centroids")
+    assignToCentroid(victims.select(col("vec_id"), col("embedding")), cd)
+      .select(col("cid"), col("vec_id"))
+      .write.mode("append").parquet(s"$idxDir/tombstones")
+  }
+
+  private def ivfTombstones(spark: SparkSession,
+                            idxDir: String): Option[DataFrame] =
+    if (new java.io.File(s"$idxDir/tombstones").exists)
+      Some(spark.read.parquet(s"$idxDir/tombstones")
+        .select(col("cid"), col("vec_id")))
+    else None
+
+  /** [[probeIvf]] with merge-on-read deletion semantics: candidate rows
+    * matching a tombstone mark are anti-joined out before scoring —
+    * (cid, vec_id)-keyed, the mark side pruned to the SAME wanted
+    * partitions as the candidate scan, so deletion costs one bounded
+    * side-read and no extra corpus I/O. Answers are identical before and
+    * after the physical purge. */
+  def probeIvfLive(spark: SparkSession, idxDir: String, probes: DataFrame,
+                   nprobe: Int): DataFrame = {
+    import spark.implicits._
+    ensureRegistered(spark)
+    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
+    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroidsDisk))
+      .withColumn("csim", cosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wantedCids = probeClusters.select(col("cid")).distinct()
+      .as[Long].collect().sorted.map(_.toInt)
+    val scoped = spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("cid").isin(wantedCids.map(Int.box): _*))
+    val alive = ivfTombstones(spark, idxDir) match {
+      case Some(t) => scoped.join(
+        t.filter(col("cid").isin(wantedCids.map(Int.box): _*)),
+        Seq("cid", "vec_id"), "left_anti")
+      case None => scoped
+    }
+    val cand = alive
+      .select(col("cid"), col("vec_id").as("cid_vec"), col("embedding").as("ce2"))
+    val wS = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid_vec"))
+    probeClusters.join(cand, "cid")
+      .withColumn("sim_raw", cosine(col("qe"), col("ce2")))
+      .select(col("qid"), col("cid_vec"), col("sim_raw"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid_vec").as("retrieved_id"),
+        Exprs.dround(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** Physically purge an IVF layout's tombstoned rows — PARTITION-SCOPED:
+    * only the cids carrying marks are read and rewritten (dynamic
+    * overwrite touches just those partition dirs), partitions left EMPTY
+    * are deleted explicitly (a dynamic overwrite of zero rows is a no-op
+    * — the r8 stale-partition rule, directory flavor), and the marks
+    * retire LAST so a crash anywhere in the window leaves
+    * [[probeIvfLive]] correct and a re-purge idempotent. Survivors stage
+    * through a `_`-prefixed dir (never read-your-own-partition inside an
+    * overwrite). Returns (partitions touched, rows purged). */
+  def purgeIvfTombstones(spark: SparkSession, idxDir: String): (Long, Long) = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val tombPath = new org.apache.hadoop.fs.Path(s"$idxDir/tombstones")
+    val fs = tombPath.getFileSystem(hc)
+    if (!fs.exists(tombPath)) return (0L, 0L)
+    val marks = spark.read.parquet(s"$idxDir/tombstones")
+      .select(col("cid"), col("vec_id")).distinct()
+    val affected = marks.select(col("cid")).distinct()
+      .collect().map(_.getAs[Number](0).intValue).sorted
+    if (affected.isEmpty) { fs.delete(tombPath, true); return (0L, 0L) }
+    val scoped = spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("cid").isin(affected.map(Int.box): _*))
+    val survivors = scoped.join(marks, Seq("cid", "vec_id"), "left_anti")
+      // using-columns joins hoist keys to the front (the r15 rule) —
+      // restore the layout's column order before the partitioned write
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val staging = new org.apache.hadoop.fs.Path(s"$idxDir/_purge_staging")
+    try {
+      survivors.write.mode("overwrite").parquet(staging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      val purged = scoped.count() - staged.count() // both read pre-rewrite files
+      graft.streaming.Streaming.withDynamicOverwrite(spark) {
+        staged.write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$idxDir/assigned")
+      }
+      val survivedCids = staged.select(col("cid")).distinct()
+        .collect().map(_.getAs[Number](0).intValue).toSet
+      affected.filterNot(survivedCids).foreach { cid =>
+        val p = new org.apache.hadoop.fs.Path(s"$idxDir/assigned/cid=$cid")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      fs.delete(tombPath, true) // marks retire LAST
+      (affected.length.toLong, purged)
+    } finally fs.delete(staging, true)
+  }
+
+  /** q159: deletion from the DIRECTORY IVF layout — q157's
+    * partition-pruned sibling, closing deletion across every index
+    * flavor (bucketed table q157, band table q158, partitioned dir
+    * here): the layout is built over the corpus PLUS exact copies of
+    * every 7th vector, the originals are tombstoned INSIDE the same
+    * crash-atomic build (a half-built layout can never serve undeleted
+    * rows), and probes of the deleted content route — by the frozen
+    * centroids, identically for original and copy since assignment is a
+    * pure function of the embedding — to the partition where the
+    * surviving copy lives. Same observable-flip exactness argument as
+    * q157, recomputed exhaustively by the shared oracle. */
+  def q159IvfDeleteProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val copyShift = 26000000L; val offset = 27000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_del_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    if (!new java.io.File(idxDir).exists) {
+      val build = new java.io.File(idxDir + ".build")
+      if (build.exists) {
+        val fs = new org.apache.hadoop.fs.Path(build.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      }
+      ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
+      val cd = spark.read.parquet(s"$build/centroids")
+      assignToCentroid(eSlim.unionByName(copies), cd)
+        .write.partitionBy("cid").parquet(s"$build/assigned")
+      // the takedown lands inside the same atomic unit
+      tombstoneIvfRows(spark, build.toString,
+        eSlim.filter(col("vec_id") % 7 === 0))
+      if (!build.renameTo(new java.io.File(idxDir)))
+        sys.error(s"atomic publish of $idxDir failed")
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIvfLive(spark, idxDir, probes, nprobe)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** q146: IVF incremental append under FROZEN centroids — [[q145IndexAppendProbe]]'s
     * maintenance story for the other index family. A delta batch is
     * assigned against the PERSISTED centroid relation (never re-trained:
@@ -1970,6 +2127,38 @@ object Similarity {
        |  (cid = qid - $offset) AS hit
        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin
 
+  /** The shared q157/q159 deletion oracle: [[plantedRetrievalOracle]] over
+    * corpus-minus-deleted ∪ copies — deleted originals (every
+    * `modulus`-th vector) are absent, their exact copies under
+    * `copyShift` survive, and probes of the deleted content (qid =
+    * original + `offset`) provably retrieve the copy. One generator, only
+    * the planting parameters differ (r10 rule). */
+  private def plantedDeleteOracle(modulus: Int, copyShift: Long,
+                                  offset: Long): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $modulus <> 0
+       |  UNION ALL
+       |  SELECT vec_id + $copyShift AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id % $modulus = 0),
+       |probes AS (
+       |  SELECT vec_id + $offset AS qid, embedding FROM embeddings
+       |  WHERE vec_id % $modulus = 0),
+       |pairs AS (
+       |  SELECT p.qid, c.vec_id AS cid,
+       |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
+       |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
+       |  FROM probes p CROSS JOIN corpus c),
+       |ranked AS (
+       |  SELECT qid, cid, sim_raw,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
+       |  FROM pairs)
+       |SELECT qid, cid AS retrieved_id,
+       |  round(sim_raw * 1000000) / 1000000 AS sim,
+       |  (cid = qid - ${offset - copyShift}) AS hit
+       |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin
+
   /** The shared q145/q146 oracle body: [[plantedRetrievalOracle]] over the
     * base ∪ delta union (delta = reversed embeddings under `deltaShift` —
     * `list_reverse` mirrors Spark `reverse`, float reversal is bit-exact).
@@ -2185,34 +2374,16 @@ object Similarity {
     "q156_sq_ivf_append_probe" ->
       plantedUnionRetrievalOracle(modulus = 131, offset = 22000000L,
         deltaShift = 21000000L),
-    // q157: exhaustive argmax over corpus-minus-deleted ∪ copies — every
-    // probe's top-1 provably flips from its (deleted) original to the
-    // surviving copy, making the tombstone path's correctness visible to
-    // the hash (a resurrected or un-deleted row flips ids back)
+    // q157/q159: exhaustive argmax over corpus-minus-deleted ∪ copies —
+    // every probe's top-1 provably flips from its (deleted) original to
+    // the surviving copy, making each deletion path's correctness visible
+    // to the hash (a resurrected or un-deleted row flips ids back)
     "q157_index_delete_probe" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 0
-        |  UNION ALL
-        |  SELECT vec_id + 24000000 AS vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 7 = 0),
-        |probes AS (
-        |  SELECT vec_id + 25000000 AS qid, embedding FROM embeddings
-        |  WHERE vec_id % 7 = 0),
-        |pairs AS (
-        |  SELECT p.qid, c.vec_id AS cid,
-        |    list_sum(list_transform(list_zip(p.embedding, c.embedding),
-        |      x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim_raw
-        |  FROM probes p CROSS JOIN corpus c),
-        |ranked AS (
-        |  SELECT qid, cid, sim_raw,
-        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, cid) AS rn
-        |  FROM pairs)
-        |SELECT qid, cid AS retrieved_id,
-        |  round(sim_raw * 1000000) / 1000000 AS sim,
-        |  (cid = qid - 1000000) AS hit
-        |FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
+      plantedDeleteOracle(modulus = 7, copyShift = 24000000L,
+        offset = 25000000L),
+    "q159_ivf_delete_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 26000000L,
+        offset = 27000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

@@ -557,7 +557,7 @@ object Streaming {
     } finally fs.delete(staging, true)
   }
 
-  private def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
+  private[graft] def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val was = spark.conf.get(key)
     spark.conf.set(key, "dynamic")

@@ -680,6 +680,84 @@ class SimilaritySpec extends SparkSpecBase {
       p.take(3000))
   }
 
+  test("q159 IVF deletion: probes of deleted content flip to surviving " +
+      "copies through partition-pruned serving") {
+    val rows = Similarity.q159IvfDeleteProbe(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(rows.length.toLong === (n - 1) / 7 + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Long]("retrieved_id") >= 26000000L, r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val p = Similarity.q159IvfDeleteProbe(spark, Sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cid"), p.take(3000))
+  }
+
+  test("purgeIvfTombstones is partition-scoped and crash-ordered: only " +
+      "marked cids rewrite, emptied partitions clear, marks retire last, " +
+      "answers identical across the purge, re-purge is a no-op") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val idxDir = java.nio.file.Files.createTempDirectory("g_purge_ivf")
+      .toString + "/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val copies = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Similarity.ivfCentroids(e, 4, iters = 1).write.parquet(s"$idxDir/centroids")
+    val cd = spark.read.parquet(s"$idxDir/centroids")
+    Similarity.assignToCentroid(e.unionByName(copies), cd)
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    Similarity.tombstoneIvfRows(spark, idxDir, e.filter(col("vec_id") < 10))
+    val probes = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    def serve() = Similarity.probeIvfLive(spark, idxDir, probes, nprobe = 2)
+      .orderBy(col("qid")).collect()
+    val pre = serve()
+    pre.foreach { r =>
+      assert(r.getAs[Long]("retrieved_id") ===
+        r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+    }
+    // record untouched partitions' file mtimes: the purge must not
+    // rewrite partitions that carry no marks
+    val markedCids = spark.read.parquet(s"$idxDir/tombstones")
+      .select(col("cid")).distinct().collect()
+      .map(_.getAs[Number](0).intValue).toSet
+    def partFiles(cid: Int) = {
+      val d = new java.io.File(s"$idxDir/assigned/cid=$cid")
+      if (d.exists) d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+      else Map.empty[String, Long]
+    }
+    val untouched = (0 until 4).filterNot(markedCids)
+      .map(c => c -> partFiles(c)).toMap
+    val (touched, purged) = Similarity.purgeIvfTombstones(spark, idxDir)
+    assert(touched === markedCids.size.toLong)
+    assert(purged === 10L)
+    assert(!new java.io.File(s"$idxDir/tombstones").exists, "marks must retire")
+    untouched.foreach { case (c, files) =>
+      assert(partFiles(c) === files, s"unmarked partition cid=$c was rewritten")
+    }
+    // deleted rows are physically gone and answers are unchanged
+    assert(spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("vec_id") < 10).count() === 0)
+    assert(serve().map(_.toSeq).toSeq === pre.map(_.toSeq).toSeq)
+    assert(Similarity.purgeIvfTombstones(spark, idxDir) === ((0L, 0L)))
+    // emptied-partition clearing: tombstone EVERYTHING in one cid's
+    // partition and purge — the dir itself must disappear
+    val all = spark.read.parquet(s"$idxDir/assigned")
+    val victimCid = all.groupBy(col("cid")).count().orderBy(col("count"))
+      .head().getAs[Number](0).intValue
+    val victims = all.filter(col("cid") === victimCid)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.tombstoneIvfRows(spark, idxDir, victims)
+    Similarity.purgeIvfTombstones(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/assigned/cid=$victimCid").exists,
+      s"emptied partition cid=$victimCid must be deleted explicitly")
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)
