@@ -32,12 +32,14 @@ import graft.sim.{IndexParams, Similarity}
   *    [[RebalanceHotFactor]]× its fair share (occ_max·k > 4·n, the q147
   *    hot rule at the layout grain) — centroid drift concentrating mass
   *    means probes scan far more than nprobe/k of the corpus.
-  *  - `purge` when an appendable index carries ANY tombstone marks
+  *  - `purge` when a layout carries ANY tombstone marks
   *    ([[graft.streaming.Streaming.tombstoneIndexRows]] /
-  *    `tombstoneBandRows`) — deletion is only LOGICAL until the next
-  *    fold; an operator (and an auditor) needs to see outstanding
-  *    deletion debt, and the fold that pays it is the same tool the
-  *    `fold` check schedules.
+  *    `tombstoneBandRows` for the appendable tables,
+  *    [[Similarity.tombstoneIvfRows]]' sidecar for directory layouts) —
+  *    deletion is only LOGICAL until the purge pays it; an operator
+  *    (and an auditor) needs to see outstanding deletion debt. The tool
+  *    differs by flavor: the fold retires table marks,
+  *    `purgeIvfTombstones` retires sidecar marks.
   *  - `rederive_params` when the layout's keyspace no longer matches
   *    what [[IndexParams]] derives from the CURRENT corpus count — the
   *    corpus grew past the layout's design point (never hardcode an
@@ -86,6 +88,8 @@ object Maintenance {
         "fold_index_base"))
       .unionByName(check(Seq("appendable_index"), "purge",
         col("tombstones"), lit(0L), "fold_index_base"))
+      .unionByName(check(Seq("ivf_layout"), "purge",
+        col("tombstones"), lit(0L), "purge_ivf_tombstones"))
       .unionByName(check(Seq("ivf_layout"), "rebalance",
         col("occ_max") * col("keyspace_actual"),
         lit(RebalanceHotFactor) * col("n_entries"), "rebuild_layout"))
@@ -147,7 +151,11 @@ object Maintenance {
     val occ = Similarity.ivfLayoutOccupancies(spark, ivfDir)
       .agg(sum(col("occ")), max(col("occ"))).head()
     val ivfFacts = LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
-      occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong)
+      occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong,
+      tombstones =
+        if (new java.io.File(s"$ivfDir/tombstones").exists)
+          spark.read.parquet(s"$ivfDir/tombstones").count()
+        else 0L)
 
     val apBuckets = IndexParams.indexBuckets(n, tables)
     val apTbl = "g_maint_ap_idx_" + Layouts.tag(
@@ -174,7 +182,34 @@ object Maintenance {
         .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
         .count())
 
-    schedule(Seq(lshFacts, ivfFacts, apFacts).toDF())
+    // the text-side appendable band index (same flavor, own keyspace)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bandBuckets = IndexParams.indexBuckets(d.count(), 4)
+    val bandTbl = "g_maint_band_idx_" + Layouts.tag(
+      Layouts.fileFp(s"$dir/documents.parquet"), bandBuckets.toString,
+      Layouts.Version)
+    if (!spark.catalog.tableExists(bandTbl)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_maint_band")
+        .toString
+      graft.streaming.Streaming.createAppendableBandIndex(spark, bandTbl,
+        s"$tmp/index", bandBuckets)
+      (0 until 3).foreach { b =>
+        graft.streaming.Streaming.appendBandBatch(
+          d.filter(col("doc_id") % 50 === b), b.toLong, bandTbl)
+      }
+    }
+    def tombCount(tbl: String) = spark.table(tbl)
+      .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+      .count()
+    val bandFacts = LayoutFacts("band_index", "appendable_index",
+      graft.sources.Sources.countTableDataFiles(spark, bandTbl).toLong,
+      bandBuckets.toLong,
+      spark.table(bandTbl).filter(col("batch_id") >= 0)
+        .select(col("batch_id")).distinct().count(),
+      spark.table(bandTbl).count(), -1L, bandBuckets.toLong,
+      bandBuckets.toLong, tombstones = tombCount(bandTbl))
+
+    schedule(Seq(lshFacts, ivfFacts, apFacts, bandFacts).toDF())
       .orderBy(col("layout"), col("check"))
   }
 }

@@ -52,6 +52,10 @@ class MaintenanceSpec extends SparkSpecBase {
     val owing = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
       -1, 4, 4, tombstones = 7))
     assert(owing(("s", "purge")) === ((true, "fold_index_base")))
+    // directory layouts owe to a different tool
+    val ivfOwing = sched(LayoutFacts("v", "ivf_layout", -1, -1, -1, 100,
+      10, 4, 4, tombstones = 3))
+    assert(ivfOwing(("v", "purge")) === ((true, "purge_ivf_tombstones")))
   }
 
   test("rebalance: fires when the hottest IVF partition exceeds " +
@@ -158,10 +162,15 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(byKey.keySet === Set(
       ("lsh_index", "compact"), ("lsh_index", "rederive_params"),
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
-      ("appendable_index", "fold"), ("appendable_index", "purge")))
-    // no deletions have been issued against the audited index
-    assert(byKey(("appendable_index", "purge")).getAs[Long]("observed") === 0L)
-    assert(byKey(("appendable_index", "purge")).getAs[Boolean]("triggered") === false)
+      ("ivf_base", "purge"),
+      ("appendable_index", "fold"), ("appendable_index", "purge"),
+      ("band_index", "fold"), ("band_index", "purge")))
+    // no deletions have been issued against any audited layout
+    Seq("appendable_index", "ivf_base", "band_index").foreach { l =>
+      assert(byKey((l, "purge")).getAs[Long]("observed") === 0L, l)
+      assert(byKey((l, "purge")).getAs[Boolean]("triggered") === false, l)
+    }
+    assert(byKey(("band_index", "fold")).getAs[Long]("observed") === 3L)
     // fold fact: exactly the 3 appended batch partitions
     assert(byKey(("appendable_index", "fold")).getAs[Long]("observed") === 3L)
     assert(byKey(("appendable_index", "fold")).getAs[Boolean]("triggered") === false)
