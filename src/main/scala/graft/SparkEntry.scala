@@ -233,6 +233,9 @@ object SparkEntry {
     // r15: deletion for the directory IVF layout — sidecar marks routed
     // by the frozen centroids, partition-scoped purge
     "q159_ivf_delete_probe" -> (Similarity.q159IvfDeleteProbe(_, _)),
+    // r15: deletion for the quantized IVF layout — candidate-stage
+    // anti-join closes the last serving path without a takedown story
+    "q160_sq_ivf_delete_probe" -> (Similarity.q160SqIvfDeleteProbe(_, _)),
     // r15: deletion's text twin — after tombstoning docs out of the band
     // index, re-ingested copies gate as unique again (re-admission)
     "q158_text_delete_gate" -> (TextOps.q158TextDeleteGate(_, _)),

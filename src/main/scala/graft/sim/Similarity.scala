@@ -1079,7 +1079,8 @@ object Similarity {
     * so specs can pin the pruned-scan shape [[probeSqIvf]] consumes
     * eagerly. */
   def sqIvfCandidates(spark: SparkSession, idxDir: String, probes: DataFrame,
-                      nprobe: Int, topR: Int): DataFrame = {
+                      nprobe: Int, topR: Int,
+                      live: Boolean = false): DataFrame = {
     import spark.implicits._
     ensureRegistered(spark)
     val stats = sqStatsLocal(spark, s"$idxDir/stats")
@@ -1095,8 +1096,19 @@ object Similarity {
       .as[Long].collect().sorted.map(_.toInt)
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("cid_vec"))
-    spark.read.parquet(s"$idxDir/assigned")
+    val scoped = spark.read.parquet(s"$idxDir/assigned")
       .filter(col("cid").isin(wantedCids.map(Int.box): _*))
+    // merge-on-read deletion (live = true): tombstoned codes leave the
+    // candidate set HERE, which suffices for the whole two-stage serve —
+    // the exact rescore inner-joins the collected candidate list, so a
+    // row absent from it can never re-enter via the corpus lookup
+    val alive = if (!live) scoped else ivfTombstones(spark, idxDir) match {
+      case Some(t) => scoped.join(
+        t.filter(col("cid").isin(wantedCids.map(Int.box): _*)),
+        Seq("cid", "vec_id"), "left_anti")
+      case None => scoped
+    }
+    alive
       .select(col("cid"), col("vec_id").as("cid_vec"), col("qcode"))
       .join(probeClusters, "cid")
       .withColumn("approx", cosine(col("qe"), reconExpr(col("qcode"), stats)))
@@ -1114,9 +1126,10 @@ object Similarity {
     * `probes` must carry (qid, embedding) and is a serving batch by
     * contract (it broadcasts into the rescore). */
   def probeSqIvf(spark: SparkSession, idxDir: String, probes: DataFrame,
-                 nprobe: Int, corpus: DataFrame, topR: Int = 8): DataFrame = {
+                 nprobe: Int, corpus: DataFrame, topR: Int = 8,
+                 live: Boolean = false): DataFrame = {
     ensureRegistered(spark)
-    val candStage = sqIvfCandidates(spark, idxDir, probes, nprobe, topR)
+    val candStage = sqIvfCandidates(spark, idxDir, probes, nprobe, topR, live)
       .select(col("qid"), col("cid"))
     exactRescoreTop1(spark, corpus, candStage,
       probes.select(col("qid"), col("embedding").as("qe")))
@@ -1182,6 +1195,69 @@ object Similarity {
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIvf(spark, idxDir, probes, nprobe, eSlim)
       .withColumn("hit", col("retrieved_id") === col("qid") - offset)
+      .orderBy(col("qid"))
+  }
+
+  /** q160: deletion from the QUANTIZED IVF layout — the last serving path
+    * without a takedown story (q157 bucketed table, q158 band table,
+    * q159 float directory): the same frozen-centroid-routed sidecar marks
+    * as q159 ([[tombstoneIvfRows]] reads only `centroids`, which both
+    * directory flavors persist identically), anti-joined out of the
+    * candidate stage (`live = true` on [[sqIvfCandidates]]) — which
+    * suffices for the whole two-stage serve, because the exact rescore
+    * inner-joins the collected candidate list and a row absent from it
+    * cannot re-enter via the corpus lookup. Marks land inside the same
+    * crash-atomic build; [[purgeIvfTombstones]] applies unchanged (the
+    * purge never reads the payload columns it rewrites).
+    *
+    * Exactness composes q159's flip argument with q154's quantization
+    * margin: probe and surviving copy share the embedding bits, so
+    * routing, stored codes and approximate score coincide; with the
+    * original anti-joined out, the copy's ≈ 1 − ε approximate score
+    * clears the natural tail at any top-R ≥ 1 and the exact rescore
+    * emits the exhaustive argmax over corpus-minus-deleted. */
+  def q160SqIvfDeleteProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val copyShift = 28000000L; val offset = 29000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_del_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val union = eSlim.unionByName(copies)
+    if (!new java.io.File(idxDir).exists) {
+      val build = new java.io.File(idxDir + ".build")
+      if (build.exists) {
+        val fs = new org.apache.hadoop.fs.Path(build.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
+      }
+      ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
+      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+        .groupBy(col("dim"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .coalesce(1).write.parquet(s"$build/stats")
+      val cd = spark.read.parquet(s"$build/centroids")
+      val stats = sqStatsLocal(spark, s"$build/stats")
+      assignToCentroid(union, cd)
+        .select(col("vec_id"),
+          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+        .write.partitionBy("cid").parquet(s"$build/assigned")
+      // the takedown lands inside the same atomic unit (q159 rule)
+      tombstoneIvfRows(spark, build.toString,
+        eSlim.filter(col("vec_id") % 7 === 0))
+      if (!build.renameTo(new java.io.File(idxDir)))
+        sys.error(s"atomic publish of $idxDir failed")
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeSqIvf(spark, idxDir, probes, nprobe, union, live = true)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
       .orderBy(col("qid"))
   }
 
@@ -2384,6 +2460,9 @@ object Similarity {
     "q159_ivf_delete_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 26000000L,
         offset = 27000000L),
+    "q160_sq_ivf_delete_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 28000000L,
+        offset = 29000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

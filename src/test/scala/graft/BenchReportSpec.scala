@@ -20,14 +20,18 @@ class BenchReportSpec extends AnyFunSuite {
       (f"q$i%02d_some_longer_query_name", t, None, i % 13 match { case 0 => 1; case 7 => 2; case _ => 0 })
     }
 
-  test("compact line for the REAL current suite stays under 1700 chars") {
+  test("compact line for the REAL current suite stays under 1800 chars") {
     // headroom canary under the 1,900 enforced budget: ~11 chars/query, so
-    // 1700 trips around 158 queries — early warning well before the
-    // slowest-N truncation (itself tested below) would engage. The r11
-    // suite (140 queries) measures 1501.
+    // 1800 trips around 168 queries — early warning before the slowest-N
+    // truncation (itself tested below) would engage. History: r11 (140
+    // queries) measured 1501; r15 (160 queries) tripped the old 1700 bound
+    // at 1701 with uniform 123-cs values while the real r15 bench line
+    // measured 1617 (real values are mostly 2-3 digit centiseconds) — the
+    // canary re-verified, not a parse hazard. Next trip: re-check the real
+    // line length against CompactBudget before raising again.
     val rs = SparkEntry.queries.keys.toSeq.sorted.map(n => (n, 1.234, None, 0): BenchReport.QRes)
     val line = BenchReport.compactLine(rs, "/root/testdata/sf0.1", 0.342, 0.339)
-    assert(line.length < 1700, s"compact line ${line.length} chars for ${rs.size} queries:\n$line")
+    assert(line.length < 1800, s"compact line ${line.length} chars for ${rs.size} queries:\n$line")
     val j = parse(line)
     assert(j.get("queries").size() === rs.size)
     assert(j.get("n_queries").asInt === rs.size)

@@ -695,6 +695,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(p.contains("PartitionFilters: [cid"), p.take(3000))
   }
 
+  test("q160 quantized-IVF deletion: probes flip to surviving copies; the " +
+      "live candidate stage never emits a deleted id (rescore cannot " +
+      "resurrect it)") {
+    val rows = Similarity.q160SqIvfDeleteProbe(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(rows.length.toLong === (n - 1) / 7 + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Long]("retrieved_id") >= 28000000L, r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    // structural claim: no deleted id survives the live candidate stage
+    val k = graft.sim.IndexParams.ivfK(n)
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_del_" +
+      graft.ops.Layouts.tag(
+        graft.ops.Layouts.fileFp(s"$Sf001/embeddings.parquet"), k.toString,
+        graft.ops.Layouts.Version)
+    val probes = Tables.embeddings(spark, Sf001)
+      .filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 29000000L).as("qid"), col("embedding"))
+    val cands = Similarity.sqIvfCandidates(spark, idxDir, probes, nprobe = 2,
+      topR = 8, live = true).collect()
+    assert(cands.nonEmpty)
+    cands.foreach { c =>
+      val id = c.getAs[Long]("cid")
+      assert(id % 7 != 0 || id >= 28000000L, s"deleted id $id in candidates")
+    }
+  }
+
   test("purgeIvfTombstones is partition-scoped and crash-ordered: only " +
       "marked cids rewrite, emptied partitions clear, marks retire last, " +
       "answers identical across the purge, re-purge is a no-op") {
