@@ -154,6 +154,48 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("no tool bound"), ex.getMessage)
   }
 
+  test("tick closes the loop for directory layouts too: tombstone debt " +
+      "triggers purge_ivf_tombstones, the bound purge runs, the re-audit " +
+      "is quiet and the marks are gone") {
+    import spark.implicits._
+    graft.sim.Similarity.ensureRegistered(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("g_tick_ivf")
+      .toString + "/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    graft.sim.Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    val cd = spark.read.parquet(s"$idxDir/centroids")
+    graft.sim.Similarity.assignToCentroid(e, cd)
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    graft.sim.Similarity.tombstoneIvfRows(spark, idxDir,
+      e.filter(col("vec_id") < 5))
+    def factsNow() = {
+      val occ = graft.sim.Similarity.ivfLayoutOccupancies(spark, idxDir)
+        .agg(sum(col("occ")), max(col("occ"))).head()
+      Seq(LayoutFacts("v", "ivf_layout", -1, -1, -1,
+        occ.getLong(0), occ.getLong(1), 4, 4,
+        tombstones =
+          if (new java.io.File(s"$idxDir/tombstones").exists)
+            spark.read.parquet(s"$idxDir/tombstones").count()
+          else 0L))
+    }
+    val before = Maintenance.schedule(factsNow().toDF())
+    assert(before.filter(col("triggered") &&
+      col("check") === "purge").count() === 1)
+    val ran = Maintenance.tick(before, Map(
+      ("v", "purge_ivf_tombstones") -> (() => {
+        graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
+      })))
+    assert(ran === Seq(("v", "purge", "purge_ivf_tombstones")))
+    val after = Maintenance.schedule(factsNow().toDF())
+    assert(after.filter(col("triggered")).count() === 0,
+      after.collect().mkString("\n"))
+    assert(spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("vec_id") < 5).count() === 0)
+  }
+
   test("q155 live relation: one row per applicable (layout, check), facts " +
       "agreeing with the layouts measured independently, bit-stable") {
     val rows = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()
