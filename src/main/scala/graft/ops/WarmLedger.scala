@@ -47,11 +47,13 @@ object WarmLedger {
     "q146_ivf_append_probe", "q148_index_compact_probe",
     "q149_sq_index_probe", "q150_dedup_gate", "q151_text_gate_index",
     "q153_ingest_funnel",
-    // r15: the quantized-IVF pair and the maintenance scheduler (first
-    // ledger rows land in r16 — the r15 partition was recorded before
-    // these existed, by the record-first discipline)
+    // r15: the quantized-IVF pair, the maintenance scheduler and the
+    // deletion probes (first ledger rows land in r16 — the r15 partition
+    // was recorded before these existed, by the record-first discipline)
     "q154_sq_ivf_probe", "q156_sq_ivf_append_probe",
-    "q155_maintenance_schedule")
+    "q155_maintenance_schedule",
+    "q157_index_delete_probe", "q158_text_delete_gate",
+    "q159_ivf_delete_probe", "q160_sq_ivf_delete_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
