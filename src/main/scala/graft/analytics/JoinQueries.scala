@@ -384,13 +384,9 @@ object JoinQueries {
     // partitioning once at ingest, never at query time) — while a data
     // regeneration inside one long-lived session changes the fingerprint
     // and gets a fresh layout instead of silently serving the stale copy.
-    def fp(p: String): String = {
-      val f = new java.io.File(p)
-      s"$p|${f.length}|${f.lastModified}"
-    }
-    val key = fp(s"$dir/orders.parquet") + "||" + fp(s"$dir/customer.parquet")
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tag = graft.ops.Layouts.tag(
+      graft.ops.Layouts.fileFp(s"$dir/orders.parquet"), "|",
+      graft.ops.Layouts.fileFp(s"$dir/customer.parquet"))
     val (ot, ct) = (s"g_bkt_orders_$tag", s"g_bkt_customer_$tag")
     if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString

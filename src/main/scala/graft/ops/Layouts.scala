@@ -1,10 +1,19 @@
 package graft.ops
 
-/** Shared fingerprinting for PERSISTED layouts (index tables, codebooks,
-  * partitioned corpora): a layout is only valid together with the code
-  * and the source data that wrote it, so its name carries a digest of
-  * both. Extracted from `graft.sim.Similarity` when the text-side band
-  * index (q151) needed the same contract.
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared fingerprinting AND filesystem plumbing for PERSISTED layouts
+  * (index tables, codebooks, partitioned corpora): a layout is only valid
+  * together with the code and the source data that wrote it, so its name
+  * carries a digest of both; and every existence check / crash-atomic
+  * publish must ride the Hadoop `FileSystem` of the path's own scheme —
+  * `java.io.File` silently answers "absent" for any non-local URI
+  * (`file:`, `hdfs:`, `s3a:`), which for a tombstone sidecar means
+  * serving deleted rows with no error. Extracted from
+  * `graft.sim.Similarity` when the text-side band index (q151) needed the
+  * same contract; the FS helpers consolidate the r15 directory-layout
+  * plumbing (the round-15 verdict's portability findings).
   */
 object Layouts {
 
@@ -21,10 +30,87 @@ object Layouts {
       .digest(parts.mkString("|").getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
 
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(hconf(spark))
+
+  /** Scheme-aware existence check — THE layout existence primitive.
+    * Every read-path decision that can silently mis-serve on a wrong
+    * answer (tombstone sidecars above all) must go through here, never
+    * `java.io.File`. */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(spark, p).exists(p)
+  }
+
+  /** A subdir is committed iff its writer's `_SUCCESS` marker landed —
+    * the single-write-per-subdir crash-safety convention (r13 rule (c)). */
+  def committed(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/_SUCCESS")
+
+  /** Recursive delete (no-op when absent). */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Crash-atomic publish of a multi-step directory-layout build: when
+    * `idxDir` is absent, run `build` against a fresh `<idxDir>.build`
+    * staging dir (a crashed prior attempt is deleted first) and rename it
+    * into place only after the LAST step — a failure anywhere leaves only
+    * the staging dir, so a re-invocation rebuilds from scratch instead of
+    * serving a partial layout. Rename is atomic on local FS and HDFS; on
+    * object stores rename is a copy, where the per-subdir `_SUCCESS`
+    * gating ([[committed]]) is the actual read-path guard — document any
+    * new layout's read path against that. */
+  def buildIfAbsent(spark: SparkSession, idxDir: String)
+                   (build: String => Unit): Unit = {
+    val p = new Path(idxDir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) {
+      val b = new Path(idxDir + ".build")
+      if (fs.exists(b)) fs.delete(b, true)
+      build(b.toString)
+      if (!fs.rename(b, p)) sys.error(s"atomic publish of $idxDir failed")
+    }
+  }
+
+  /** Catalog-table twin of [[buildIfAbsent]] — the staging-NAME +
+    * `ALTER TABLE RENAME` rule (r13, q145): when `table` is absent, run
+    * the multi-step `build` (create + appends + tombstones) against
+    * `<table>_build` — a crashed prior attempt is dropped first; these
+    * are external tables, so the drop leaves the crashed attempt's files
+    * orphaned in its own temp dir, never under the live name — and
+    * rename into place only after the LAST step. `tableExists` flips
+    * only once everything landed, so a crash mid-build can never leave a
+    * half-built table that later invocations treat as complete. */
+  def buildTableIfAbsent(spark: SparkSession, table: String)
+                        (build: String => Unit): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val staging = s"${table}_build"
+      if (spark.catalog.tableExists(staging))
+        spark.sql(s"DROP TABLE $staging")
+      build(staging)
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    }
+
   /** Cheap source-data fingerprint: path + size + mtime (the driver
-    * regenerates test data in place between rounds — mtime catches it). */
+    * regenerates test data in place between rounds — mtime catches it).
+    * Scheme-aware like every other layout primitive; for local plain
+    * paths the emitted (len, mtime-millis) are identical to the old
+    * `java.io.File` values, so existing layout tags are unchanged. */
   def fileFp(p: String): String = {
-    val f = new java.io.File(p)
-    s"$p|${f.length}|${f.lastModified}"
+    val path = new Path(p)
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
+    if (fs.exists(path)) {
+      val st = fs.getFileStatus(path)
+      s"$p|${st.getLen}|${st.getModificationTime}"
+    } else s"$p|0|0"
   }
 }

@@ -109,20 +109,38 @@ object Maintenance {
     * layout-handle plumbing and makes a missing binding a LOUD error
     * instead of a silently skipped decision. The decisions relation is
     * bounded (one row per layout × check), so the collect is driver-safe
-    * at any corpus size. */
+    * at any corpus size.
+    *
+    * Each distinct (layout, action) runs ONCE per tick even when several
+    * checks converge on it — an appendable layout's `fold` and `purge`
+    * checks both bind fold_index_base, and running the fold twice would
+    * scan the table twice for a guaranteed no-op second pass. The
+    * returned replay log still carries every triggered check row. */
   def tick(decisions: DataFrame,
            tools: Map[(String, String), () => Unit]): Seq[(String, String, String)] = {
     val due = decisions.filter(col("triggered"))
       .orderBy(col("layout"), col("check"))
       .select(col("layout"), col("check"), col("action")).collect()
+    val ran = scala.collection.mutable.Set.empty[(String, String)]
     due.toSeq.map { r =>
       val key = (r.getString(0), r.getString(2))
-      tools.getOrElse(key, sys.error(
-        s"maintenance tick: no tool bound for layout=${key._1} " +
-          s"action=${key._2} — every triggered decision must execute"))()
+      if (ran.add(key))
+        tools.getOrElse(key, sys.error(
+          s"maintenance tick: no tool bound for layout=${key._1} " +
+            s"action=${key._2} — every triggered decision must execute"))()
       (r.getString(0), r.getString(1), r.getString(2))
     }
   }
+
+  /** Outstanding deletion debt of a directory layout's tombstone sidecar
+    * — scheme-aware ([[Layouts.exists]], never `java.io.File`): a wrong
+    * "absent" on a non-local store would report zero debt while the live
+    * serving paths keep anti-joining the marks, so the purge never
+    * schedules and the physical rows never die. */
+  def sidecarTombstones(spark: SparkSession, idxDir: String): Long =
+    if (Layouts.exists(spark, s"$idxDir/tombstones"))
+      spark.read.parquet(s"$idxDir/tombstones").count()
+    else 0L
 
   /** q155 over the session's real layouts: build-or-reuse the three
     * flavors for `dir`'s corpus (the q142 bucketed signature index, the
@@ -152,23 +170,20 @@ object Maintenance {
       .agg(sum(col("occ")), max(col("occ"))).head()
     val ivfFacts = LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
       occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong,
-      tombstones =
-        if (new java.io.File(s"$ivfDir/tombstones").exists)
-          spark.read.parquet(s"$ivfDir/tombstones").count()
-        else 0L)
+      tombstones = sidecarTombstones(spark, ivfDir))
 
     val apBuckets = IndexParams.indexBuckets(n, tables)
     val apTbl = "g_maint_ap_idx_" + Layouts.tag(
       Layouts.fileFp(s"$dir/embeddings.parquet"), apBuckets.toString,
       Layouts.Version)
-    if (!spark.catalog.tableExists(apTbl)) {
+    Layouts.buildTableIfAbsent(spark, apTbl) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_maint_ap")
         .toString
-      graft.streaming.Streaming.createAppendableIndex(spark, apTbl,
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
         s"$tmp/index", apBuckets)
       (0 until 3).foreach { b =>
         graft.streaming.Streaming.appendIndexBatch(
-          eSlim.filter(col("vec_id") % 50 === b), b.toLong, apTbl,
+          eSlim.filter(col("vec_id") % 50 === b), b.toLong, staging,
           planes, tables)
       }
     }
@@ -188,14 +203,14 @@ object Maintenance {
     val bandTbl = "g_maint_band_idx_" + Layouts.tag(
       Layouts.fileFp(s"$dir/documents.parquet"), bandBuckets.toString,
       Layouts.Version)
-    if (!spark.catalog.tableExists(bandTbl)) {
+    Layouts.buildTableIfAbsent(spark, bandTbl) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_maint_band")
         .toString
-      graft.streaming.Streaming.createAppendableBandIndex(spark, bandTbl,
+      graft.streaming.Streaming.createAppendableBandIndex(spark, staging,
         s"$tmp/index", bandBuckets)
       (0 until 3).foreach { b =>
         graft.streaming.Streaming.appendBandBatch(
-          d.filter(col("doc_id") % 50 === b), b.toLong, bandTbl)
+          d.filter(col("doc_id") % 50 === b), b.toLong, staging)
       }
     }
     def tombCount(tbl: String) = spark.table(tbl)

@@ -833,13 +833,16 @@ object Similarity {
       .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
     val idx = "g_del_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
       s"del$planes", LayoutVersion)
-    if (!spark.catalog.tableExists(idx)) {
+    // staging-NAME atomicity (the q145 rule): tableExists must flip only
+    // after the tombstone landed — a crash mid-build must never leave a
+    // registered index that serves the un-deleted originals forever
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_del_idx").toString
-      graft.streaming.Streaming.createAppendableIndex(spark, idx,
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
         s"$tmp/index", IndexParams.indexBuckets(n, tables))
-      graft.streaming.Streaming.appendIndexBatch(eSlim, 0L, idx, planes, tables)
-      graft.streaming.Streaming.appendIndexBatch(copies, 1L, idx, planes, tables)
-      graft.streaming.Streaming.tombstoneIndexRows(spark, idx,
+      graft.streaming.Streaming.appendIndexBatch(eSlim, 0L, staging, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(copies, 1L, staging, planes, tables)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
         eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
     }
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
@@ -1033,7 +1036,7 @@ object Similarity {
     val SqLayout(idx, statsDir, planes, tables, n) = sqLayout(spark, dir)
     val buckets = IndexParams.indexBuckets(n, tables)
     val eSlim = e.select(col("vec_id"), col("embedding"))
-    val statsBuilt = new java.io.File(s"$statsDir/_SUCCESS").exists
+    val statsBuilt = graft.ops.Layouts.committed(spark, statsDir)
     if (!spark.catalog.tableExists(idx) || !statsBuilt) {
       // rebuild both halves together: codes are only valid with the
       // codebook that wrote them (stats land first; a crash before the
@@ -1169,13 +1172,7 @@ object Similarity {
     val k = IndexParams.ivfK(e.count())
     val idxDir = sqIvfLayoutDir(dir, k)
     val eSlim = e.select(col("vec_id"), col("embedding"))
-    if (!new java.io.File(idxDir).exists) {
-      val build = new java.io.File(idxDir + ".build")
-      if (build.exists) {
-        val fs = new org.apache.hadoop.fs.Path(build.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
-      }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
       eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
         .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
@@ -1188,8 +1185,6 @@ object Similarity {
         .select(col("vec_id"),
           quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
         .write.partitionBy("cid").parquet(s"$build/assigned")
-      if (!build.renameTo(new java.io.File(idxDir)))
-        sys.error(s"atomic publish of $idxDir failed")
     }
     val probes = eSlim.filter(col("vec_id") % 139 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1228,13 +1223,7 @@ object Similarity {
     val copies = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
     val union = eSlim.unionByName(copies)
-    if (!new java.io.File(idxDir).exists) {
-      val build = new java.io.File(idxDir + ".build")
-      if (build.exists) {
-        val fs = new org.apache.hadoop.fs.Path(build.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
-      }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
       eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
         .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
@@ -1248,10 +1237,8 @@ object Similarity {
           quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
         .write.partitionBy("cid").parquet(s"$build/assigned")
       // the takedown lands inside the same atomic unit (q159 rule)
-      tombstoneIvfRows(spark, build.toString,
+      tombstoneIvfRows(spark, build,
         eSlim.filter(col("vec_id") % 7 === 0))
-      if (!build.renameTo(new java.io.File(idxDir)))
-        sys.error(s"atomic publish of $idxDir failed")
     }
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1294,13 +1281,7 @@ object Similarity {
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
       reverse(col("embedding")).as("embedding"))
-    if (!new java.io.File(idxDir).exists) {
-      val build = new java.io.File(idxDir + ".build")
-      if (build.exists) {
-        val fs = new org.apache.hadoop.fs.Path(build.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
-      }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
       eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
         .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
@@ -1316,8 +1297,6 @@ object Similarity {
       // the incremental append: frozen centroids AND frozen codebook
       coded(delta).write.mode("append").partitionBy("cid")
         .parquet(s"$build/assigned")
-      if (!build.renameTo(new java.io.File(idxDir)))
-        sys.error(s"atomic publish of $idxDir failed")
     }
     val union = eSlim.unionByName(delta)
     val probes = union.filter(col("vec_id") % 131 === 0)
@@ -1362,20 +1341,16 @@ object Similarity {
       reverse(col("embedding")).as("embedding"))
     val idx = "g_lsh_index_inc_" +
       layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
-    if (!spark.catalog.tableExists(idx)) {
-      // failure-atomic publish (the q146 temp+rename rule, catalog flavor):
-      // build + append under a staging NAME, rename into place only once
-      // the delta landed — a failure mid-append can never leave a
-      // registered base-only index that later invocations silently serve
-      val staging = s"${idx}_build"
-      if (spark.catalog.tableExists(staging))
-        spark.sql(s"DROP TABLE $staging")
+    // failure-atomic publish (the q146 temp+rename rule, catalog flavor):
+    // build + append under a staging NAME, rename into place only once
+    // the delta landed — a failure mid-append can never leave a
+    // registered base-only index that later invocations silently serve
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
       graft.sources.Sources.writeBucketed(indexed(eSlim), staging, s"$tmp/index", "sig",
         IndexParams.indexBuckets(n, tables))
       // the incremental ingest: position-based insert, bucketing preserved
       indexed(delta).write.insertInto(staging)
-      spark.sql(s"ALTER TABLE $staging RENAME TO $idx")
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1421,10 +1396,7 @@ object Similarity {
       reverse(col("embedding")).as("embedding"))
     val idx = "g_lsh_index_cmp_" +
       layoutTag(fileFp(s"$dir/embeddings.parquet"), planes.toString, LayoutVersion)
-    if (!spark.catalog.tableExists(idx)) {
-      val staging = s"${idx}_build"
-      if (spark.catalog.tableExists(staging))
-        spark.sql(s"DROP TABLE $staging")
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_cmp").toString
       graft.sources.Sources.writeBucketed(indexed(eSlim), staging,
         s"$tmp/index", "sig", buckets)
@@ -1432,8 +1404,9 @@ object Similarity {
       // bucket-file generation — the small-files decay compaction repairs
       indexed(delta.filter(col("vec_id") % 2 === 0)).write.insertInto(staging)
       indexed(delta.filter(col("vec_id") % 2 =!= 0)).write.insertInto(staging)
-      spark.sql(s"ALTER TABLE $staging RENAME TO $idx")
-      graft.sources.Sources.compactBucketed(spark, idx, "sig", buckets)
+      // compacting the staging name keeps the publish atomic: a crash
+      // mid-compact leaves no live table, and the rebuild re-enters here
+      graft.sources.Sources.compactBucketed(spark, staging, "sig", buckets)
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 97 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1503,8 +1476,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = ivfBaseLayoutDir(dir, k)
-    def built(sub: String) = new java.io.File(s"$idxDir/$sub/_SUCCESS").exists
-    if (!built("centroids") || !built("assigned")) {
+    if (!ivfLayoutBuilt(spark, idxDir)) {
       val centroids = ivfCentroids(e, k, iters = 2)
       centroids.write.mode("overwrite").parquet(s"$idxDir/centroids")
       // assign against the PERSISTED copy — same doubles the probe will rank
@@ -1525,9 +1497,9 @@ object Similarity {
 
   /** True iff `idxDir` holds a complete IVF layout (both subdirs
     * committed — the q143 `_SUCCESS` convention). */
-  def ivfLayoutBuilt(idxDir: String): Boolean =
+  def ivfLayoutBuilt(spark: SparkSession, idxDir: String): Boolean =
     Seq("centroids", "assigned").forall(sub =>
-      new java.io.File(s"$idxDir/$sub/_SUCCESS").exists)
+      graft.ops.Layouts.committed(spark, s"$idxDir/$sub"))
 
   /** Per-cluster occupancy of a PERSISTED IVF layout — one count
     * aggregation grouped on the `cid` partition column of the `assigned`
@@ -1591,9 +1563,12 @@ object Similarity {
       .write.mode("append").parquet(s"$idxDir/tombstones")
   }
 
+  // scheme-aware existence check (Layouts.exists, never java.io.File):
+  // a wrong "absent" here silently serves deleted rows on any non-local
+  // store — the r15 verdict's right-to-be-forgotten hole
   private def ivfTombstones(spark: SparkSession,
                             idxDir: String): Option[DataFrame] =
-    if (new java.io.File(s"$idxDir/tombstones").exists)
+    if (graft.ops.Layouts.exists(spark, s"$idxDir/tombstones"))
       Some(spark.read.parquet(s"$idxDir/tombstones")
         .select(col("cid"), col("vec_id")))
     else None
@@ -1705,22 +1680,14 @@ object Similarity {
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val copies = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
-    if (!new java.io.File(idxDir).exists) {
-      val build = new java.io.File(idxDir + ".build")
-      if (build.exists) {
-        val fs = new org.apache.hadoop.fs.Path(build.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
-      }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
       val cd = spark.read.parquet(s"$build/centroids")
       assignToCentroid(eSlim.unionByName(copies), cd)
         .write.partitionBy("cid").parquet(s"$build/assigned")
       // the takedown lands inside the same atomic unit
-      tombstoneIvfRows(spark, build.toString,
+      tombstoneIvfRows(spark, build,
         eSlim.filter(col("vec_id") % 7 === 0))
-      if (!build.renameTo(new java.io.File(idxDir)))
-        sys.error(s"atomic publish of $idxDir failed")
     }
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1762,13 +1729,7 @@ object Similarity {
     val eSlim = e.select(col("vec_id"), col("embedding"))
     val delta = eSlim.select((col("vec_id") + deltaShift).as("vec_id"),
       reverse(col("embedding")).as("embedding"))
-    if (!new java.io.File(idxDir).exists) {
-      val build = new java.io.File(idxDir + ".build")
-      if (build.exists) {
-        val fs = new org.apache.hadoop.fs.Path(build.toString)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(build.toString), true)
-      }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2)
         .write.parquet(s"$build/centroids")
       val cd = spark.read.parquet(s"$build/centroids")
@@ -1777,8 +1738,6 @@ object Similarity {
       // the incremental append: frozen centroids, same partition scheme
       assignToCentroid(delta, cd)
         .write.mode("append").partitionBy("cid").parquet(s"$build/assigned")
-      if (!build.renameTo(new java.io.File(idxDir)))
-        sys.error(s"atomic publish of $idxDir failed")
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 127 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1850,7 +1809,7 @@ object Similarity {
     // no-layout fallback
     val ivfDir = ivfBaseLayoutDir(dir, k)
     val (ivfOcc, nIvf) =
-      if (ivfLayoutBuilt(ivfDir))
+      if (ivfLayoutBuilt(spark, ivfDir))
         (ivfLayoutOccupancies(spark, ivfDir),
           spark.read.parquet(s"$ivfDir/assigned").count())
       else

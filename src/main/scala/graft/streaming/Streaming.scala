@@ -518,8 +518,10 @@ object Streaming {
       .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
     val batches = live.select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val tomb = spark.table(indexTable).filter(col("batch_id") === tombId)
-      .select(dedupKeys.map(col): _*)
+    val tombFull = spark.table(indexTable)
+      .filter(col("batch_id") === tombId)
+      .select(dataCols.map(col): _*)
+    val tomb = tombFull.select(dedupKeys.map(col): _*)
     val hasTomb = !tomb.isEmpty
     // a tombstone-only fold (no live batches) still runs: its job is to
     // purge deleted rows out of the BASE partition and retire the marks
@@ -540,21 +542,52 @@ object Streaming {
     // stage beside the table (underscore prefix → invisible to readers):
     // a driver-local temp dir would not exist for a cluster's executors,
     // and cleanup must run on the failure path too
+    // A PARTIAL fold (uptoBatch below the live head) purges only batches
+    // <= uptoBatch plus the base, so a mark whose row lives in a LATER
+    // batch must survive the fold — retiring it would resurrect the
+    // deleted row in every live serving path. Those marks are staged
+    // (before any mutation — never read-your-own-partition) and
+    // RE-LANDED instead of cleared; marks matching nothing beyond
+    // uptoBatch retire with the fold as before.
+    val unfolded = spark.table(indexTable)
+      .filter(col("batch_id") > uptoBatch)
+      .select(dedupKeys.map(col): _*)
+    val survivorMarks = tombFull.join(unfolded, dedupKeys, "left_semi")
     val staging = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(meta.location), "_fold_staging")
+    val markStaging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_fold_mark_staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       source.write.mode("overwrite").parquet(staging.toString)
+      if (hasTomb)
+        survivorMarks.write.mode("overwrite").parquet(markStaging.toString)
       val staged = spark.read.parquet(staging.toString)
       val rows = staged.count()
       withDynamicOverwrite(spark) {
         staged.write.mode("overwrite").insertInto(indexTable)
       }
       batches.foreach(clearIndexPartition(spark, indexTable, _))
-      if (hasTomb) clearIndexPartition(spark, indexTable, tombId)
+      if (hasTomb) {
+        val survivors = spark.read.parquet(markStaging.toString)
+        // marks retire LAST: a nonempty survivor set REPLACES the
+        // tombstone partition in one dynamic overwrite (a crash before
+        // the replace leaves every mark standing — extra marks for
+        // already-purged rows are harmless to the serving anti-join and
+        // to a re-fold); only an empty set clears the partition outright
+        if (survivors.isEmpty) clearIndexPartition(spark, indexTable, tombId)
+        else withDynamicOverwrite(spark) {
+          survivors.select(dataCols.map(col): _*)
+            .withColumn("batch_id", lit(tombId))
+            .write.mode("overwrite").insertInto(indexTable)
+        }
+      }
       spark.catalog.refreshTable(indexTable)
       (batches.length.toLong, rows)
-    } finally fs.delete(staging, true)
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(markStaging, true)
+    }
   }
 
   private[graft] def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
@@ -584,7 +617,9 @@ object Streaming {
     * deduplicated against the existing marks on (sig, vec_id) — so
     * re-deleting is idempotent — and are staged through a `_`-prefixed
     * temp dir (the fold rule: never read-your-own-partition inside an
-    * overwrite; a crash leaves only the invisible staging dir). */
+    * overwrite; a crash leaves only the invisible staging dir).
+    * Single-writer: see [[landTombstoneMarks]] — landings must be
+    * serialized with each other and with [[foldIndexBase]]. */
   def tombstoneIndexRows(spark: SparkSession, indexTable: String,
                          victims: DataFrame, planes: Int, tables: Int): Unit =
     landTombstoneMarks(spark, indexTable, graft.sim.Similarity
@@ -616,7 +651,9 @@ object Streaming {
     * the append paths: mark landing is a (bucket, id)-deduped UNION with
     * the existing marks, so a batch replayed after a
     * crash-before-checkpoint re-lands the identical mark set — replay
-    * idempotence comes from the operation's own semantics.
+    * idempotence comes from the operation's own semantics. One delete
+    * stream per table, paused across maintenance ticks — the
+    * [[landTombstoneMarks]] single-writer contract.
     *
     * Reader caveat (standard filesystem-table semantics): the mark
     * landing OVERWRITES the tombstone partition, and the foreachBatch
@@ -654,7 +691,17 @@ object Streaming {
     * table's data-column order) union with the existing marks, dedup on
     * (bucket column, id column) — both read from the table's own
     * metadata, the [[foldIndexBase]] convention — and overwrite the
-    * tombstone partition through a `_`-prefixed staging dir. */
+    * tombstone partition through a `_`-prefixed staging dir.
+    *
+    * SINGLE-WRITER contract (the same maintenance-op serialization the
+    * fold assumes): landing is read-union-overwrite of ONE partition, so
+    * two concurrent landings — two delete streams on one table, or a
+    * landing racing [[foldIndexBase]]'s mark-retire step — can silently
+    * drop whichever marks the loser read before the winner's overwrite.
+    * Deployments must serialize tombstone landing with each other and
+    * with the fold (one delete stream per table; pause it across
+    * maintenance ticks). Within one serialized writer, replays are
+    * idempotent by the (bucket, id) dedup. */
   private def landTombstoneMarks(spark: SparkSession, indexTable: String,
                                  marks: DataFrame): Unit = {
     val tombId = graft.sim.Similarity.TombstoneBatchId

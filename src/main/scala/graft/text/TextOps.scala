@@ -805,13 +805,15 @@ object TextOps {
     val idx = "g_band_del_idx_" + graft.ops.Layouts.tag(
       graft.ops.Layouts.fileFp(s"$dir/documents.parquet"), s"del$buckets",
       graft.ops.Layouts.Version)
-    if (!spark.catalog.tableExists(idx)) {
+    // staging-NAME atomicity (the q145 rule): tableExists flips only
+    // after the tombstones landed — never serve a half-built deletion
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_band_del")
         .toString
-      graft.streaming.Streaming.createAppendableBandIndex(spark, idx,
+      graft.streaming.Streaming.createAppendableBandIndex(spark, staging,
         s"$tmp/index", buckets)
-      graft.streaming.Streaming.appendBandBatch(d, 0L, idx)
-      graft.streaming.Streaming.tombstoneBandRows(spark, idx,
+      graft.streaming.Streaming.appendBandBatch(d, 0L, staging)
+      graft.streaming.Streaming.tombstoneBandRows(spark, staging,
         d.filter(col("doc_id") % 13 === 0))
     }
     val batch = d.filter(col("doc_id") % 13 === 0)

@@ -62,7 +62,7 @@ class IndexStatsSpec extends SparkSpecBase {
     // a q146-style appended generation lands only in cid=1
     Seq((100L, Array(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "cid")
       .write.mode("append").partitionBy("cid").parquet(s"$idxDir/assigned")
-    assert(Similarity.ivfLayoutBuilt(idxDir))
+    assert(Similarity.ivfLayoutBuilt(spark, idxDir))
     val occ = Similarity.ivfLayoutOccupancies(spark, idxDir).collect()
       .map(r => r.getAs[Number]("cid").intValue -> r.getAs[Long]("occ")).toMap
     assert(occ === Map(0 -> 5L, 1 -> 6L))
@@ -73,7 +73,7 @@ class IndexStatsSpec extends SparkSpecBase {
     // ensure the serving layout exists (idempotent build-or-reuse)
     Similarity.q143IvfPartitionedProbe(spark, Sf001).collect()
     val servingDir = Similarity.ivfBaseLayoutDir(Sf001, IndexParams.ivfK(n))
-    assert(Similarity.ivfLayoutBuilt(servingDir))
+    assert(Similarity.ivfLayoutBuilt(spark, servingDir))
     val lay = Similarity.ivfLayoutOccupancies(spark, servingDir)
       .agg(count(lit(1)), sum(col("occ")), min(col("occ")), max(col("occ")))
       .head()

@@ -146,6 +146,20 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(spark.table("g_tick_ap_idx").count() === rowsBefore._2)
   }
 
+  test("tick runs each distinct (layout, action) ONCE when several checks " +
+      "converge on it — fold + purge both bind fold_index_base — while " +
+      "the replay log keeps every triggered check row") {
+    val due = Maintenance.schedule(Seq(LayoutFacts("a", "appendable_index",
+      10, 4, batch_partitions = 20, n_entries = 100, occ_max = -1,
+      keyspace_actual = 4, keyspace_target = 4, tombstones = 3)).toDF())
+    var runs = 0
+    val ran = Maintenance.tick(due,
+      Map(("a", "fold_index_base") -> (() => { runs += 1 })))
+    assert(runs === 1, "one fold, not one per converging check")
+    assert(ran === Seq(("a", "fold", "fold_index_base"),
+      ("a", "purge", "fold_index_base")))
+  }
+
   test("tick refuses a triggered decision with no bound tool") {
     val due = Maintenance.schedule(Seq(LayoutFacts("x", "appendable_index",
       10, 4, batch_partitions = 99, n_entries = 10, occ_max = -1,
@@ -176,10 +190,7 @@ class MaintenanceSpec extends SparkSpecBase {
         .agg(sum(col("occ")), max(col("occ"))).head()
       Seq(LayoutFacts("v", "ivf_layout", -1, -1, -1,
         occ.getLong(0), occ.getLong(1), 4, 4,
-        tombstones =
-          if (new java.io.File(s"$idxDir/tombstones").exists)
-            spark.read.parquet(s"$idxDir/tombstones").count()
-          else 0L))
+        tombstones = Maintenance.sidecarTombstones(spark, idxDir)))
     }
     val before = Maintenance.schedule(factsNow().toDF())
     assert(before.filter(col("triggered") &&

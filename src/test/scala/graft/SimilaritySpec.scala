@@ -787,6 +787,45 @@ class SimilaritySpec extends SparkSpecBase {
       s"emptied partition cid=$victimCid must be deleted explicitly")
   }
 
+  test("tombstone sidecars are scheme-aware: on a file:-URI layout, live " +
+      "serving hides deleted rows and the maintenance audit reports the " +
+      "purge debt — java.io.File answers absent on the same URI (the r15 " +
+      "silent-takedown hole, reproduced and closed)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val idxDir = "file:" + java.nio.file.Files
+      .createTempDirectory("g_uri_ivf").toString + "/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val copies = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Similarity.ivfCentroids(e, 4, iters = 1).write.parquet(s"$idxDir/centroids")
+    val cd = spark.read.parquet(s"$idxDir/centroids")
+    Similarity.assignToCentroid(e.unionByName(copies), cd)
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    Similarity.tombstoneIvfRows(spark, idxDir, e.filter(col("vec_id") < 10))
+    // the trap this spec pins: java.io.File cannot see through the
+    // scheme — the old existence check would report "no tombstones"
+    // here and KEEP SERVING the deleted rows with no error
+    assert(!new java.io.File(s"$idxDir/tombstones").exists)
+    assert(graft.ops.Layouts.exists(spark, s"$idxDir/tombstones"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    val served = Similarity.probeIvfLive(spark, idxDir, probes, nprobe = 2)
+      .collect()
+    assert(served.length === 10)
+    served.foreach { r =>
+      assert(r.getAs[Long]("retrieved_id") ===
+        r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+    }
+    // the q155 facts gatherer sees the debt through the same scheme, so
+    // the purge schedules; purging through the URI retires it
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) > 0L)
+    val (touched, purged) = Similarity.purgeIvfTombstones(spark, idxDir)
+    assert(touched > 0L && purged === 10L)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)

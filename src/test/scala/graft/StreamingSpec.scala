@@ -548,6 +548,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
   }
 
+  test("foldIndexBase PARTIAL fold keeps a mark whose row lives in a " +
+      "batch beyond uptoBatch — retiring it would resurrect the deleted " +
+      "row in every live serving path — and the next full fold purges " +
+      "and retires it") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_partial_fold_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("pfold_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding"))
+    def copyOf(id: Long) = eSlim.filter(col("vec_id") === id)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Streaming.appendIndexBatch(eSlim.filter(col("vec_id") < 10), 0L,
+      tbl, planes, tables)
+    Streaming.appendIndexBatch(copyOf(3L), 1L, tbl, planes, tables)
+    Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .unionByName(copyOf(15L)), 2L, tbl, planes, tables)
+    // takedowns: vec 3 (lives in batch 0, inside the fold range) and
+    // vec 15 (lives in batch 2, BEYOND it)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").isin(3L, 15L)), planes, tables)
+    val probes = eSlim.filter(col("vec_id").isin(3L, 15L))
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    def served() = graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables)
+      .orderBy(col("qid")).collect()
+    val pre = served()
+    pre.foreach { r =>
+      assert(r.getAs[Long]("retrieved_id") ===
+        r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+    }
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    def marks() = spark.table(tbl).filter(col("batch_id") === tombId)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    // vec 3's physical row was purged with the fold, so its marks
+    // retire; vec 15's row is still live in batch 2, so its marks MUST
+    // survive or serving resurrects a deleted row
+    assert(marks().distinct === Seq(15L), marks().toString)
+    assert(spark.table(tbl).filter(col("vec_id") === 3L).count() === 0)
+    assert(spark.table(tbl).filter(col("vec_id") === 15L
+      && col("batch_id") =!= tombId).count() === 1L * tables)
+    assert(served().map(_.toSeq).toSeq === pre.map(_.toSeq).toSeq)
+    // the next fold past the live head purges vec 15 and goes quiet
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 2L)
+    assert(marks().isEmpty)
+    assert(spark.table(tbl).filter(col("vec_id") === 15L).count() === 0)
+    assert(served().map(_.toSeq).toSeq === pre.map(_.toSeq).toSeq)
+  }
+
   test("indexDeleteStream: takedown batches land marks live, overlapping " +
       "batches accumulate without duplicating, serving hides victims as " +
       "each batch commits") {
