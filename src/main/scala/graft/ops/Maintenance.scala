@@ -224,7 +224,27 @@ object Maintenance {
       spark.table(bandTbl).count(), -1L, bandBuckets.toLong,
       bandBuckets.toLong, tombstones = tombCount(bandTbl))
 
-    schedule(Seq(lshFacts, ivfFacts, apFacts, bandFacts).toDF())
+    // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
+    // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code
+    // table decays by insertInto generations like any other — a schedule
+    // that cannot see either lets quantized deletion debt and file decay
+    // accrue invisibly
+    val (sqIvfDir, sqK) = Similarity.ensureSqIvfLayout(spark, dir)
+    val sqOcc = Similarity.ivfLayoutOccupancies(spark, sqIvfDir)
+      .agg(sum(col("occ")), max(col("occ"))).head()
+    val sqIvfFacts = LayoutFacts("sq_ivf", "ivf_layout", -1L, -1L, -1L,
+      sqOcc.getLong(0), sqOcc.getLong(1), sqK, IndexParams.ivfK(n).toLong,
+      tombstones = sidecarTombstones(spark, sqIvfDir))
+
+    val sq = Similarity.ensureSqIndex(spark, dir)
+    val sqBuckets = IndexParams.indexBuckets(sq.n, sq.tables).toLong
+    val sqIdxFacts = LayoutFacts("sq_index", "bucketed_index",
+      graft.sources.Sources.countTableDataFiles(spark, sq.table).toLong,
+      sqBuckets, -1L, spark.table(sq.table).count(), -1L,
+      sqBuckets, IndexParams.indexBuckets(n, sq.tables).toLong)
+
+    schedule(Seq(lshFacts, ivfFacts, apFacts, bandFacts, sqIvfFacts,
+        sqIdxFacts).toDF())
       .orderBy(col("layout"), col("check"))
   }
 }

@@ -604,6 +604,22 @@ object Similarity {
     * `index` must carry (sig, vec_id, embedding); `batch` (vec_id,
     * embedding). θ defaults to 0.75 — dyadic (oracle-safe compare) and
     * hazard-free on this corpus (natural cosine tops out ≈0.53). */
+  /** MERGE-ON-READ live view of an appendable vector index relation:
+    * tombstone-partition marks anti-join their rows out on (sig, vec_id)
+    * — both sides the same sig-bucketed table, so the anti-join rides the
+    * bucket partitioning. The text twin is
+    * [[graft.text.TextOps.liveBandRelation]]; every consumer that treats
+    * the index as "the accepted corpus" (serving probes, admission gates)
+    * must read THIS view, or a takedown's content keeps gating dup /
+    * serving until the physical purge — deletion must be observable the
+    * moment the mark lands. */
+  def liveIndexRelation(index: DataFrame): DataFrame = {
+    val tomb = index.filter(col("batch_id") === TombstoneBatchId)
+      .select(col("sig"), col("vec_id"))
+    index.filter(col("batch_id") =!= TombstoneBatchId)
+      .join(tomb, Seq("sig", "vec_id"), "left_anti")
+  }
+
   def dedupGateBatch(spark: SparkSession, index: DataFrame, batch: DataFrame,
                      planes: Int, tables: Int, theta: Double = 0.75): DataFrame = {
     ensureRegistered(spark)
@@ -912,7 +928,7 @@ object Similarity {
 
   /** The persisted codebook, read back sorted by dim (element_at(·, i+1)
     * aligns with dim=i from posexplode). Bounded: one row per dimension. */
-  private def sqStatsLocal(spark: SparkSession, statsDir: String): Array[(Double, Double)] =
+  private[graft] def sqStatsLocal(spark: SparkSession, statsDir: String): Array[(Double, Double)] =
     spark.read.parquet(statsDir).orderBy(col("dim")).collect()
       .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
 
@@ -1029,13 +1045,15 @@ object Similarity {
       System.getProperty("java.io.tmpdir") + s"/graft_sq_stats_$tag", planes, 4, n)
   }
 
-  def q149SqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-or-reuse the q149 quantized signature index (codebook +
+    * sig-bucketed tinyint-code table) — extracted so the q155 maintenance
+    * audit sees the same layout the probe serves. */
+  def ensureSqIndex(spark: SparkSession, dir: String): SqLayout = {
     ensureRegistered(spark)
-    val offset = 15000000L
-    val e = Tables.embeddings(spark, dir)
-    val SqLayout(idx, statsDir, planes, tables, n) = sqLayout(spark, dir)
+    val lay @ SqLayout(idx, statsDir, planes, tables, n) = sqLayout(spark, dir)
     val buckets = IndexParams.indexBuckets(n, tables)
-    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val eSlim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val statsBuilt = graft.ops.Layouts.committed(spark, statsDir)
     if (!spark.catalog.tableExists(idx) || !statsBuilt) {
       // rebuild both halves together: codes are only valid with the
@@ -1056,6 +1074,15 @@ object Similarity {
             quantizeExpr(col("embedding"), stats).as("qcode")),
         idx, s"$tmp/index", "sig", buckets)
     }
+    lay
+  }
+
+  def q149SqIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val offset = 15000000L
+    val SqLayout(idx, statsDir, planes, tables, _) = ensureSqIndex(spark, dir)
+    val eSlim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val probes = eSlim.filter(col("vec_id") % 89 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIndex(spark, idx, statsDir, probes, planes, tables, eSlim)
@@ -1164,10 +1191,13 @@ object Similarity {
     * the ≈0.53 natural tail at any top-R ≥ 1, and the exact rescore
     * reproduces the exhaustive full-precision argmax DuckDB recomputes —
     * independent of centroid noise, codebook noise, nprobe, and R. */
-  def q154SqIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+  /** Build-or-reuse the q154 quantized IVF layout (frozen centroids +
+    * frozen codebook + cid-partitioned tinyint codes). Returns
+    * (layout dir, k); shared by the probe and the q155 maintenance
+    * audit. */
+  def ensureSqIvfLayout(spark: SparkSession, dir: String): (String, Long) = {
     ensureRegistered(spark)
     implicit val s: SparkSession = spark
-    val offset = 19000000L; val nprobe = 2
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = sqIvfLayoutDir(dir, k)
@@ -1186,6 +1216,16 @@ object Similarity {
           quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
         .write.partitionBy("cid").parquet(s"$build/assigned")
     }
+    (idxDir, k.toLong)
+  }
+
+  def q154SqIvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val offset = 19000000L; val nprobe = 2
+    val (idxDir, _) = ensureSqIvfLayout(spark, dir)
+    val eSlim = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val probes = eSlim.filter(col("vec_id") % 139 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIvf(spark, idxDir, probes, nprobe, eSlim)
@@ -1634,10 +1674,14 @@ object Similarity {
     if (affected.isEmpty) { fs.delete(tombPath, true); return (0L, 0L) }
     val scoped = spark.read.parquet(s"$idxDir/assigned")
       .filter(col("cid").isin(affected.map(Int.box): _*))
+    // payload-agnostic (the foldIndexBase metadata rule): column order
+    // comes from the layout's own schema, so one purge serves the float
+    // (embedding) AND quantized (qcode) directory flavors alike
+    val orderCols = scoped.schema.fieldNames.toSeq
     val survivors = scoped.join(marks, Seq("cid", "vec_id"), "left_anti")
       // using-columns joins hoist keys to the front (the r15 rule) —
       // restore the layout's column order before the partitioned write
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .select(orderCols.map(col): _*)
     val staging = new org.apache.hadoop.fs.Path(s"$idxDir/_purge_staging")
     try {
       survivors.write.mode("overwrite").parquet(staging.toString)

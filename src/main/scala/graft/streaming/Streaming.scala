@@ -757,7 +757,10 @@ object Streaming {
     * crash between the index append and the checkpoint commit recomputes
     * the SAME decisions even though its own accepted rows already landed
     * (they are filtered out of the index view), then overwrites both its
-    * partitions idempotently. */
+    * partitions idempotently. Gating reads the LIVE (tombstone-anti-
+    * joined) view, so replay determinism is relative to the mark set: a
+    * takedown landing inside a crash window changes the replayed batch's
+    * decisions — correctly, to the fresher deletion baseline. */
   def dedupGateStream(vectors: DataFrame, indexTable: String,
                       planes: Int, tables: Int, decisionsDir: String,
                       checkpointDir: String,
@@ -779,8 +782,13 @@ object Streaming {
                 theta: Double = 0.75): Unit =
     gateBody(batch, batchId, indexTable, decisionsDir,
       keyCol = "vec_id", acceptStatus = "accepted",
-      gate = (s, idx, b) =>
-        graft.sim.Similarity.dedupGateBatch(s, idx, b, planes, tables, theta),
+      // gate against the LIVE view: a takedown's content must gate as
+      // novel again the moment its mark lands (the q158 re-admission
+      // contract, vector flavor) — the raw table would keep rejecting
+      // re-ingests against physically-present deleted rows until the
+      // purge
+      gate = (s, idx, b) => graft.sim.Similarity.dedupGateBatch(s,
+        graft.sim.Similarity.liveIndexRelation(idx), b, planes, tables, theta),
       append = (df, bid) =>
         appendIndexBatch(df, bid, indexTable, planes, tables))
 
@@ -872,7 +880,12 @@ object Streaming {
                         decisionsDir: String): Unit =
     gateBody(batch, batchId, indexTable, decisionsDir,
       keyCol = "doc_id", acceptStatus = "unique",
-      gate = (s, idx, b) => graft.text.TextOps.textGateBatch(s, idx, b),
+      // LIVE view, not the raw table: the raw table would match deleted
+      // content against BOTH the un-purged physical rows and the marks
+      // themselves (band marks are real (doc_id, digest, key) rows), so
+      // a takedown would never re-admit — the q158 contract inverted
+      gate = (s, idx, b) => graft.text.TextOps.textGateBatch(s,
+        graft.text.TextOps.liveBandRelation(idx), b),
       append = (df, bid) => appendBandBatch(df, bid, indexTable))
 
   /** Hour-partitioned parquet sink via foreachBatch (the reference's S5 key

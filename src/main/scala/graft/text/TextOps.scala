@@ -775,12 +775,17 @@ object TextOps {
     * lands — the re-admission contract a takedown implies — while the
     * physical rows wait for the next
     * [[graft.streaming.Streaming.foldIndexBase]] to purge them. */
-  def liveBandIndex(spark: SparkSession, indexTable: String): DataFrame = {
+  def liveBandIndex(spark: SparkSession, indexTable: String): DataFrame =
+    liveBandRelation(spark.table(indexTable))
+
+  /** [[liveBandIndex]] over an already-scoped relation (the streaming
+    * gate excludes the batch's own partition first) — the band flavor of
+    * [[graft.sim.Similarity.liveIndexRelation]]. */
+  def liveBandRelation(index: DataFrame): DataFrame = {
     val tombId = graft.sim.Similarity.TombstoneBatchId
-    val t = spark.table(indexTable)
-    val tomb = t.filter(col("batch_id") === tombId)
+    val tomb = index.filter(col("batch_id") === tombId)
       .select(col("key"), col("doc_id"))
-    t.filter(col("batch_id") =!= tombId)
+    index.filter(col("batch_id") =!= tombId)
       .join(tomb, Seq("key", "doc_id"), "left_anti")
       .select(col("doc_id"), col("digest"), col("key"))
   }

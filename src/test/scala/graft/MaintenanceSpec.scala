@@ -207,6 +207,60 @@ class MaintenanceSpec extends SparkSpecBase {
       .filter(col("vec_id") < 5).count() === 0)
   }
 
+  test("quantized-layout deletion debt closes the same loop: a q160-style " +
+      "sidecar mark in a qcode layout triggers purge_ivf_tombstones, the " +
+      "payload-agnostic purge rewrites tinyint codes, and the re-audit is " +
+      "quiet") {
+    import spark.implicits._
+    graft.sim.Similarity.ensureRegistered(spark)
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("g_tick_sqivf")
+      .toString + "/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    graft.sim.Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    e.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .coalesce(1).write.parquet(s"$idxDir/stats")
+    val cd = spark.read.parquet(s"$idxDir/centroids")
+    val stats = graft.sim.Similarity.sqStatsLocal(spark, s"$idxDir/stats")
+    graft.sim.Similarity.assignToCentroid(e, cd)
+      .select(col("vec_id"),
+        graft.sim.Similarity.quantizeExpr(col("embedding"), stats).as("qcode"),
+        col("cid"))
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    graft.sim.Similarity.tombstoneIvfRows(spark, idxDir,
+      e.filter(col("vec_id") < 5))
+    def factsNow() = {
+      val occ = graft.sim.Similarity.ivfLayoutOccupancies(spark, idxDir)
+        .agg(sum(col("occ")), max(col("occ"))).head()
+      Seq(LayoutFacts("sqv", "ivf_layout", -1, -1, -1,
+        occ.getLong(0), occ.getLong(1), 4, 4,
+        tombstones = Maintenance.sidecarTombstones(spark, idxDir)))
+    }
+    val before = Maintenance.schedule(factsNow().toDF())
+    assert(before.filter(col("triggered") &&
+      col("check") === "purge").count() === 1)
+    val ran = Maintenance.tick(before, Map(
+      ("sqv", "purge_ivf_tombstones") -> (() => {
+        graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
+      })))
+    assert(ran === Seq(("sqv", "purge", "purge_ivf_tombstones")))
+    val after = Maintenance.schedule(factsNow().toDF())
+    assert(after.filter(col("triggered")).count() === 0,
+      after.collect().mkString("\n"))
+    val assigned = spark.read.parquet(s"$idxDir/assigned")
+    assert(assigned.filter(col("vec_id") < 5).count() === 0)
+    // the rewrite preserved the quantized payload column and its type
+    assert(assigned.schema("qcode").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(assigned.count() === 35)
+  }
+
   test("q155 live relation: one row per applicable (layout, check), facts " +
       "agreeing with the layouts measured independently, bit-stable") {
     val rows = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()
@@ -217,12 +271,26 @@ class MaintenanceSpec extends SparkSpecBase {
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
       ("ivf_base", "purge"),
       ("appendable_index", "fold"), ("appendable_index", "purge"),
-      ("band_index", "fold"), ("band_index", "purge")))
+      ("band_index", "fold"), ("band_index", "purge"),
+      ("sq_ivf", "rebalance"), ("sq_ivf", "rederive_params"),
+      ("sq_ivf", "purge"),
+      ("sq_index", "compact"), ("sq_index", "rederive_params")))
     // no deletions have been issued against any audited layout
-    Seq("appendable_index", "ivf_base", "band_index").foreach { l =>
+    Seq("appendable_index", "ivf_base", "band_index", "sq_ivf").foreach { l =>
       assert(byKey((l, "purge")).getAs[Long]("observed") === 0L, l)
       assert(byKey((l, "purge")).getAs[Boolean]("triggered") === false, l)
     }
+    // the quantized layouts' facts agree with the layouts themselves
+    val sq = graft.sim.Similarity.ensureSqIndex(spark, Sf001)
+    assert(byKey(("sq_index", "compact")).getAs[Long]("observed") ===
+      graft.sources.Sources.countTableDataFiles(spark, sq.table).toLong)
+    val (sqIvfDir, sqK) = graft.sim.Similarity.ensureSqIvfLayout(spark, Sf001)
+    val sqOcc = graft.sim.Similarity.ivfLayoutOccupancies(spark, sqIvfDir)
+      .agg(sum(col("occ")), max(col("occ"))).head()
+    assert(byKey(("sq_ivf", "rebalance")).getAs[Long]("observed") ===
+      sqOcc.getLong(1) * sqK)
+    assert(byKey(("sq_ivf", "rederive_params")).getAs[Long]("observed") === 0L)
+    assert(byKey(("sq_index", "rederive_params")).getAs[Long]("observed") === 0L)
     assert(byKey(("band_index", "fold")).getAs[Long]("observed") === 3L)
     // fold fact: exactly the 3 appended batch partitions
     assert(byKey(("appendable_index", "fold")).getAs[Long]("observed") === 3L)

@@ -738,6 +738,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(tbl).count() === 10L * 4)
   }
 
+  test("textGateBatchBody honors takedowns: after tombstoneBandRows, a " +
+      "re-ingest of the deleted content gates unique again — the marks " +
+      "(real band rows) and the un-purged physical rows must both be " +
+      "invisible to the gate — while still-live content keeps rejecting") {
+    import spark.implicits._
+    val tbl = "g_text_gate_del_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("text_gate_del")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableBandIndex(spark, tbl, s"$path/index", buckets = 4)
+    val docs = Tables.documents(spark, Sf001)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => GateDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+      // distinct texts only: a natural duplicate of the victim would
+      // legitimately keep rejecting the re-ingest (q158's recompute rule)
+      .distinctBy(_.text).take(10)
+    Streaming.textGateBatchBody(docs.toSeq.toDF(), 0L, tbl, decDir)
+    assert(spark.read.parquet(decDir)
+      .filter(col("status") === "unique").count() === 10)
+    // takedown of docs(3); docs(4) stays live
+    Streaming.tombstoneBandRows(spark, tbl,
+      Seq(docs(3)).toDF().select(col("doc_id"), col("text")))
+    Streaming.textGateBatchBody(Seq(
+      GateDoc(900L, docs(3).text), GateDoc(901L, docs(4).text)).toDF(),
+      1L, tbl, decDir)
+    val d1 = spark.read.parquet(decDir).filter(col("batch_id") === 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d1(900L) === "unique", s"deleted content must re-admit: $d1")
+    assert(d1(901L) === "exact_dup", d1.toString)
+  }
+
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
       "distinct docs pass, state persists across micro-batches") {
     implicit val s = spark
