@@ -151,7 +151,11 @@ object Similarity {
                   (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     ensureRegistered(spark)
-    var centroids = emb.filter(col("vec_id") < k)
+    // seeds = the k SMALLEST ids, not `vec_id < k`: a corpus that has
+    // seen deletions (rebuildIvfLayout's survivors) need not contain ids
+    // 0..k-1 at all — on a dense-id corpus the two are the same rows, so
+    // existing layouts and their fingerprints are unchanged
+    var centroids = emb.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
     for (_ <- 0 until iters) {
       val assigned = assignToCentroid(emb, centroids)
@@ -180,6 +184,9 @@ object Similarity {
     val cents = centroids.select(col("cid"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      "assignToCentroid: empty centroid relation — the corpus behind the " +
+        "layout (or rebuild survivors) has no rows")
     val best = greatest(cents.map { case (cid, ce) =>
       struct(cosine(col("embedding"), typedlit(ce)).as("csim"),
         lit(-cid).as("ncid"))
@@ -1524,6 +1531,61 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cid").parquet(s"$idxDir/assigned")
     }
     (idxDir, k.toLong)
+  }
+
+  /** The REBUILD tool behind the q155 schedule's `rebalance` /
+    * `rederive_params` actions for directory IVF layouts: re-derive k
+    * from the CURRENT corpus count, re-run Lloyd, and rebuild the
+    * cid-partitioned assignment — excluding every vec_id the old
+    * layout's tombstone sidecar marks. A rebuild that read only the
+    * corpus would RESURRECT taken-down rows (the corpus still contains
+    * them until its own erasure pipeline runs), so outstanding deletion
+    * debt is honored by exclusion and the new layout starts mark-free —
+    * the rebuild IS the purge.
+    *
+    * `corpus` must be the LIVE corpus: directory-layout marks are the
+    * FAST deletion path, upstream corpus erasure the eventual truth, and
+    * a rebuild honors both — sidecar exclusion covers takedowns that
+    * have not yet propagated upstream, while rows already erased
+    * upstream are simply absent. Passing a corpus that still carries
+    * rows whose marks an EARLIER rebuild or purge retired would
+    * resurrect them (the marks are gone; nothing else remembers).
+    *
+    * Deployment wiring: `k = IndexParams.ivfK(corpus.count())`,
+    * `newIdxDir = ivfBaseLayoutDir(dir, k)` — a changed k mints a new
+    * fingerprint dir beside the old one (deleted only after the
+    * publish; a crash between leaves both, the old still serving
+    * consistently under its own marks), while an unchanged k (the
+    * rebalance case, oldIdxDir == newIdxDir) replaces in place: stage to
+    * `.build`, delete the live dir, rename — a crash between delete and
+    * rename leaves NO layout, which fails loud-and-rebuildable
+    * ([[ivfLayoutBuilt]] false) rather than mis-serving. */
+  def rebuildIvfLayout(spark: SparkSession, corpus: DataFrame,
+                       oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val eSlim = corpus.select(col("vec_id"), col("embedding"))
+    val survivors = ivfTombstones(spark, oldIdxDir) match {
+      case Some(t) => eSlim.join(t.select(col("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      case None => eSlim
+    }
+    val staging = s"$newIdxDir.build"
+    graft.ops.Layouts.delete(spark, staging)
+    // every read of the old sidecar and corpus happens HERE, before any
+    // deletion below
+    ivfCentroids(survivors, k, iters = 2)
+      .write.parquet(s"$staging/centroids")
+    assignToCentroid(survivors, spark.read.parquet(s"$staging/centroids"))
+      .write.partitionBy("cid").parquet(s"$staging/assigned")
+    // a pre-existing target (stale same-k dir, or the in-place rebalance
+    // case) cannot be trusted to honor the old layout's debt — replace it
+    graft.ops.Layouts.delete(spark, newIdxDir)
+    val p = new org.apache.hadoop.fs.Path(newIdxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+      sys.error(s"atomic publish of $newIdxDir failed")
+    if (newIdxDir != oldIdxDir) graft.ops.Layouts.delete(spark, oldIdxDir)
   }
 
   /** The q143 base IVF layout's directory for `dir`'s embeddings at

@@ -826,6 +826,56 @@ class SimilaritySpec extends SparkSpecBase {
     assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
   }
 
+  test("rebuildIvfLayout honors deletion debt by exclusion: the rebuilt " +
+      "layout serves WITHOUT the tombstoned rows and starts mark-free, " +
+      "in both the in-place (rebalance) and new-dir (re-derived k) cases") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rebuild_ivf")
+      .toString
+    val oldDir = s"$root/layout_k4"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    val copies = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(copies)
+    Similarity.ivfCentroids(corpus, 4, iters = 1)
+      .write.parquet(s"$oldDir/centroids")
+    val cd = spark.read.parquet(s"$oldDir/centroids")
+    Similarity.assignToCentroid(corpus, cd)
+      .write.partitionBy("cid").parquet(s"$oldDir/assigned")
+    Similarity.tombstoneIvfRows(spark, oldDir, e.filter(col("vec_id") < 10))
+    val probes = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    // in-place rebalance: same dir, same k — the rebuild IS the purge
+    Similarity.rebuildIvfLayout(spark, corpus, oldDir, oldDir, k = 4)
+    assert(Similarity.ivfLayoutBuilt(spark, oldDir))
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, oldDir) === 0L)
+    assert(spark.read.parquet(s"$oldDir/assigned")
+      .filter(col("vec_id") < 10).count() === 0)
+    // the PLAIN probe (no live view needed) flips every victim probe to
+    // its surviving copy
+    Similarity.probeIvf(spark, oldDir, probes, nprobe = 2)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("retrieved_id") ===
+          r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+      }
+    // re-derived-k case: fresh marks, new dir, live corpus (the earlier
+    // takedowns have propagated upstream — the documented contract)
+    Similarity.tombstoneIvfRows(spark, oldDir,
+      e.filter(col("vec_id") === 20))
+    val corpusLive = corpus.filter(col("vec_id") >= 10)
+    val newDir = s"$root/layout_k6"
+    Similarity.rebuildIvfLayout(spark, corpusLive, oldDir, newDir, k = 6)
+    assert(!graft.ops.Layouts.exists(spark, oldDir), "old layout retired")
+    assert(Similarity.ivfLayoutBuilt(spark, newDir))
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, newDir) === 0L)
+    val ids = spark.read.parquet(s"$newDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(20L), "fresh mark honored across the k change")
+    assert(ids === (10L until 60L).toSet - 20L ++ (1000L until 1010L).toSet)
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)
