@@ -239,6 +239,13 @@ object SparkEntry {
     // r15: deletion's text twin — after tombstoning docs out of the band
     // index, re-ingested copies gate as unique again (re-admission)
     "q158_text_delete_gate" -> (TextOps.q158TextDeleteGate(_, _)),
+    // r16: maintenance REBUILD of a directory IVF layout with outstanding
+    // deletion debt — sidecar marks honored by exclusion (the rebuild IS
+    // the purge), probed through the plain path with no live view
+    "q161_ivf_rebuild_probe" -> (Similarity.q161IvfRebuildProbe(_, _)),
+    // r16: the appendable-table rebuild under a re-derived bucket count —
+    // marks honored by exclusion, re-bucketed base, plain-path probe
+    "q162_index_rebuild_probe" -> (Similarity.q162IndexRebuildProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

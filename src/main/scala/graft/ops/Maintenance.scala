@@ -93,7 +93,11 @@ object Maintenance {
       .unionByName(check(Seq("ivf_layout"), "rebalance",
         col("occ_max") * col("keyspace_actual"),
         lit(RebalanceHotFactor) * col("n_entries"), "rebuild_layout"))
-      .unionByName(check(Seq("bucketed_index", "ivf_layout"),
+      // appendable tables included since r16: their bucket count is fixed
+      // at creation, so corpus growth drifts them exactly like the flat
+      // flavors; rebuildAppendableIndex is the bound tool
+      .unionByName(check(
+        Seq("bucketed_index", "ivf_layout", "appendable_index"),
         "rederive_params",
         abs(col("keyspace_actual") - col("keyspace_target")), lit(0L),
         "rebuild_with_derived_params"))
@@ -187,12 +191,19 @@ object Maintenance {
           planes, tables)
       }
     }
+    // keyspace_actual from the table's OWN metadata (the layout as built),
+    // target re-derived from the current corpus — the drift the r16
+    // rederive check watches
+    def tableBuckets(tbl: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.get.numBuckets.toLong
     val apFacts = LayoutFacts("appendable_index", "appendable_index",
       graft.sources.Sources.countTableDataFiles(spark, apTbl).toLong,
-      apBuckets.toLong,
+      tableBuckets(apTbl),
       spark.table(apTbl).filter(col("batch_id") >= 0)
         .select(col("batch_id")).distinct().count(),
-      spark.table(apTbl).count(), -1L, apBuckets.toLong, apBuckets.toLong,
+      spark.table(apTbl).count(), -1L, tableBuckets(apTbl),
+      apBuckets.toLong,
       tombstones = spark.table(apTbl)
         .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
         .count())
@@ -218,10 +229,10 @@ object Maintenance {
       .count()
     val bandFacts = LayoutFacts("band_index", "appendable_index",
       graft.sources.Sources.countTableDataFiles(spark, bandTbl).toLong,
-      bandBuckets.toLong,
+      tableBuckets(bandTbl),
       spark.table(bandTbl).filter(col("batch_id") >= 0)
         .select(col("batch_id")).distinct().count(),
-      spark.table(bandTbl).count(), -1L, bandBuckets.toLong,
+      spark.table(bandTbl).count(), -1L, tableBuckets(bandTbl),
       bandBuckets.toLong, tombstones = tombCount(bandTbl))
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns

@@ -53,7 +53,9 @@ object WarmLedger {
     "q154_sq_ivf_probe", "q156_sq_ivf_append_probe",
     "q155_maintenance_schedule",
     "q157_index_delete_probe", "q158_text_delete_gate",
-    "q159_ivf_delete_probe", "q160_sq_ivf_delete_probe")
+    "q159_ivf_delete_probe", "q160_sq_ivf_delete_probe",
+    // r16: the maintenance rebuild pair (first ledger rows land in r17)
+    "q161_ivf_rebuild_probe", "q162_index_rebuild_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers

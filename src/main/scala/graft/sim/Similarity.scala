@@ -876,6 +876,52 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q162: REBUILD of the appendable index under a re-derived bucket
+    * count, with outstanding deletion debt —
+    * [[graft.streaming.Streaming.rebuildAppendableIndex]] made
+    * hash-observable, the table twin of q161: the index is built at a
+    * deliberately stale keyspace (4 buckets), loaded with corpus ∪
+    * copies, the originals tombstoned (the q157 shape), then the
+    * maintenance rebuild re-buckets at the corpus-derived count — marks
+    * honored by exclusion, the new table starting mark-free and fully
+    * folded. The probe goes through the PLAIN [[probeIndex]], no live
+    * view: a rebuild that resurrected a deleted row or broke the bucket
+    * function (pruning would read the wrong buckets) flips retrieved
+    * ids and breaks the driver hash. Exactness is q157's argument over
+    * the rebuilt corpus. */
+  def q162IndexRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val copyShift = 32000000L; val offset = 33000000L; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = "g_rb_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
+      s"rb$planes", LayoutVersion)
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rb_idx").toString
+      // stale keyspace by construction: the rebuild is the point
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
+        s"$tmp/index", buckets = 4)
+      graft.streaming.Streaming.appendIndexBatch(eSlim, 0L, staging,
+        planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(copies, 1L, staging,
+        planes, tables)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+      graft.streaming.Streaming.rebuildAppendableIndex(spark, staging,
+        IndexParams.indexBuckets(n, tables), s"$tmp/rebuilt")
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields
     * both the literal sig list for bucket pruning AND the local relation
@@ -1803,6 +1849,55 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q161: REBUILD of a directory IVF layout with outstanding deletion
+    * debt — [[rebuildIvfLayout]] made hash-observable, closing the
+    * maintenance-tool symmetry (fold purges the table flavors q157/q158,
+    * purgeIvfTombstones pays sidecar debt in place q159/q160, the
+    * REBUILD pays it by exclusion here): the pre-rebuild generation is
+    * built over corpus ∪ copies with the originals' takedown marks
+    * landed (the q159 shape), then the maintenance rebuild re-derives
+    * the layout from the same corpus relation — the takedown has NOT
+    * yet propagated upstream, the exact case the sidecar-exclusion path
+    * exists for — and publishes mark-free.
+    *
+    * The probe goes through the PLAIN [[probeIvf]], no live view: a
+    * rebuild that failed to honor the marks would serve the deleted
+    * originals at cosine 1 and flip every probe's id back — visible to
+    * the driver hash. Exactness is q159's argument verbatim (frozen
+    * fresh centroids route probe and copy identically; the copy's
+    * cosine ≈ 1 clears the natural tail; the oracle recomputes
+    * exhaustively over corpus-minus-deleted ∪ copies). */
+  def q161IvfRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val copyShift = 30000000L; val offset = 31000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_rb_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val union = eSlim.unionByName(copies)
+    if (!graft.ops.Layouts.exists(spark, idxDir)) {
+      // the pre-rebuild generation (scratch — retired by the rebuild)
+      val oldDir = s"$idxDir.pre"
+      graft.ops.Layouts.delete(spark, oldDir)
+      ivfCentroids(union, k, iters = 2).write.parquet(s"$oldDir/centroids")
+      assignToCentroid(union, spark.read.parquet(s"$oldDir/centroids"))
+        .write.partitionBy("cid").parquet(s"$oldDir/assigned")
+      tombstoneIvfRows(spark, oldDir,
+        eSlim.filter(col("vec_id") % 7 === 0))
+      rebuildIvfLayout(spark, union, oldDir, idxDir, k)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIvf(spark, idxDir, probes, nprobe)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** q146: IVF incremental append under FROZEN centroids — [[q145IndexAppendProbe]]'s
     * maintenance story for the other index family. A delta batch is
     * assigned against the PERSISTED centroid relation (never re-trained:
@@ -2528,6 +2623,18 @@ object Similarity {
     "q160_sq_ivf_delete_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 28000000L,
         offset = 29000000L),
+    // q161: a rebuild that honored the sidecar marks serves the same
+    // corpus-minus-deleted ∪ copies answer as the merge-on-read paths —
+    // same exhaustive recompute, no live view on the Spark side
+    "q161_ivf_rebuild_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 30000000L,
+        offset = 31000000L),
+    // q162: the appendable-table rebuild serves the same answer through
+    // the re-derived bucket layout — ids flip back if the rebuild
+    // resurrected a deleted row or broke the bucket function
+    "q162_index_rebuild_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 32000000L,
+        offset = 33000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

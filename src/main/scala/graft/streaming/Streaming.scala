@@ -590,6 +590,64 @@ object Streaming {
     }
   }
 
+  /** REBUILD an appendable index under a re-derived bucket count — the
+    * `rebuild_with_derived_params` tool for the TABLE flavor (the
+    * directory twin is [[graft.sim.Similarity.rebuildIvfLayout]]): the
+    * live rows (tombstone-anti-joined, (bucket, id)-deduped against
+    * crash-window base+original duplicates) land as the `batch_id = -2`
+    * base of a FRESH table bucketed at `buckets`, built under a staging
+    * NAME and swapped in via DROP + RENAME — the
+    * [[graft.sources.Sources.compactBucketed]] crash contract, including
+    * the resume branch (a crash between DROP and RENAME leaves only the
+    * complete staging copy, which the entry branch finishes renaming).
+    * Deletion debt is honored by exclusion, so the new table starts
+    * mark-free — the rebuild is also a purge and a full fold.
+    *
+    * Metadata-generic like [[foldIndexBase]]: column roles come from the
+    * old table's own catalog metadata, so one tool serves the vector
+    * (vec_id, embedding, sig) and band (doc_id, digest, key) flavors.
+    * Signatures/keys are pure functions of content, independent of the
+    * bucket COUNT, so stored rows rebucket as-is — no kernel re-run.
+    * Maintenance-op single-writer contract applies. Returns rows
+    * written. */
+  def rebuildAppendableIndex(spark: SparkSession, table: String,
+                             buckets: Int, path: String): Long = {
+    val staging = s"${table}_rebuild"
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(staging),
+        s"rebuildAppendableIndex: neither $table nor $staging exists")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      return spark.table(table).count()
+    }
+    if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"rebuildAppendableIndex($table): expected the appendable-index " +
+        s"layout, got partitions=${meta.partitionColumnNames} " +
+        s"buckets=${meta.bucketSpec}")
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val bucketCol = meta.bucketSpec.get.bucketColumnNames.head
+    val dedupKeys = Seq(bucketCol, dataCols.head)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val t = spark.table(table)
+    val tomb = t.filter(col("batch_id") === tombId)
+      .select(dedupKeys.map(col): _*)
+    val live = t.filter(col("batch_id") =!= tombId)
+      .join(tomb, dedupKeys, "left_anti")
+      .dropDuplicates(dedupKeys)
+      .select(dataCols.map(col): _*)
+      .withColumn("batch_id", lit(-2L))
+    live.write.partitionBy("batch_id")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).format("parquet").saveAsTable(staging)
+    val rows = spark.table(staging).count()
+    spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    rows
+  }
+
   private[graft] def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val was = spark.conf.get(key)

@@ -38,10 +38,12 @@ class MaintenanceSpec extends SparkSpecBase {
     val over = sched(LayoutFacts("s", "appendable_index", 100, 64, 9,
       1000, -1, 64, 64))
     assert(over(("s", "fold")) === ((true, "fold_index_base")))
-    // an appendable index gets only foldIndexBase-backed checks (its one
-    // physical tool — the r13 one-tool-per-flavor rule), so no
-    // compact/rederive rows appear for it
-    assert(over.keySet === Set(("s", "fold"), ("s", "purge")))
+    // an appendable index gets the fold-backed checks plus (since r16)
+    // the rederive drift watch — rebuildAppendableIndex is its second
+    // tool, mirroring the flat flavor's compact + rebuild pair; no
+    // compact rows appear for it
+    assert(over.keySet ===
+      Set(("s", "fold"), ("s", "purge"), ("s", "rederive_params")))
   }
 
   test("purge: any outstanding tombstone marks schedule a fold (deletion " +
@@ -261,6 +263,68 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(assigned.count() === 35)
   }
 
+  test("keyspace drift on an appendable index closes the loop: rederive " +
+      "triggers, tick runs rebuildAppendableIndex (marks honored by " +
+      "exclusion, base re-bucketed at the derived count), the re-audit " +
+      "is quiet and pruning rides the new layout") {
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    val tbl = "g_rederive_ap_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = java.nio.file.Files.createTempDirectory("g_rederive").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/stale", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    val copies = eSlim.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    Streaming.appendIndexBatch(copies, 1L, tbl, planes, tables)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") < 6), planes, tables)
+    def buckets() = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .bucketSpec.get.numBuckets.toLong
+    def factsNow(target: Long) = Seq(LayoutFacts("ap", "appendable_index",
+      graft.sources.Sources.countTableDataFiles(spark, tbl).toLong,
+      buckets(), 2L, spark.table(tbl).count(), -1L, buckets(), target,
+      tombstones = spark.table(tbl)
+        .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+        .count()))
+    val before = Maintenance.schedule(factsNow(8L).toDF())
+    assert(before.filter(col("triggered") &&
+      col("check") === "rederive_params").count() === 1)
+    Maintenance.tick(before, Map(
+      ("ap", "rebuild_with_derived_params") -> (() => {
+        Streaming.rebuildAppendableIndex(spark, tbl, 8, s"$tmp/derived"); ()
+      }),
+      // purge also triggers (marks outstanding); the rebuild retires
+      // them, so binding the fold as a harmless second action is fine —
+      // this also exercises tick running DIFFERENT actions on one layout
+      ("ap", "fold_index_base") -> (() => {
+        Streaming.foldIndexBase(spark, tbl, 1L); ()
+      })))
+    assert(buckets() === 8L)
+    assert(Maintenance.schedule(factsNow(8L).toDF())
+      .filter(col("triggered")).count() === 0)
+    // deleted rows are gone, live rows rebucketed losslessly
+    assert(spark.table(tbl).filter(col("vec_id") < 6).count() === 0)
+    assert(spark.table(tbl).count() === 40L * tables)
+    // probes of deleted content flip to copies through the NEW buckets,
+    // still bucket-pruned
+    val probes = eSlim.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    val served = graft.sim.Similarity.probeIndex(spark, tbl, probes,
+      planes, tables)
+    served.collect().foreach { r =>
+      assert(r.getAs[Long]("retrieved_id") ===
+        r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
+    }
+    val plan = served.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: \\d+ out of 8".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+  }
+
   test("q155 live relation: one row per applicable (layout, check), facts " +
       "agreeing with the layouts measured independently, bit-stable") {
     val rows = Maintenance.q155MaintenanceSchedule(spark, Sf001).collect()
@@ -271,7 +335,9 @@ class MaintenanceSpec extends SparkSpecBase {
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
       ("ivf_base", "purge"),
       ("appendable_index", "fold"), ("appendable_index", "purge"),
+      ("appendable_index", "rederive_params"),
       ("band_index", "fold"), ("band_index", "purge"),
+      ("band_index", "rederive_params"),
       ("sq_ivf", "rebalance"), ("sq_ivf", "rederive_params"),
       ("sq_ivf", "purge"),
       ("sq_index", "compact"), ("sq_index", "rederive_params")))
