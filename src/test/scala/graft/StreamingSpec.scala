@@ -771,6 +771,76 @@ class StreamingSpec extends SparkSpecBase {
     assert(d1(901L) === "exact_dup", d1.toString)
   }
 
+  test("the LIVE gate stays shuffle-free on the index side: the tombstone " +
+      "anti-join rides the sig bucketing (both sides are the same bucketed " +
+      "table), so deletion adds no exchange to the ingest path") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_live_gate_plan_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("live_gate_plan")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") < 3), planes, tables)
+    val batch = eSlim.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 7000L).as("vec_id"), col("embedding"))
+    val gated = graft.sim.Similarity.dedupGateBatch(spark,
+      graft.sim.Similarity.liveIndexRelation(spark.table(tbl)),
+      batch, planes, tables)
+    // decisions first (the action materializes the adaptive plan): deleted
+    // content re-admits, live content rejects
+    val d = gated.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 3L).foreach(i => assert(d(7000L + i) === "accepted", d.toString))
+    (3L until 8L).foreach(i => assert(d(7000L + i) === "dup_index", d.toString))
+    val p = gated.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    assert(!p.contains("Bucketed: false"), p.take(3000))
+  }
+
+  test("rebuildAppendableIndex is metadata-generic: the BAND flavor " +
+      "re-buckets at the derived count, marks honored by exclusion, and " +
+      "the gate's decisions are unchanged across the rebuild") {
+    import spark.implicits._
+    val tbl = "g_band_rebuild_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = Files.createTempDirectory("band_rebuild").toString
+    Streaming.createAppendableBandIndex(spark, tbl, s"$tmp/stale", buckets = 4)
+    val docs = Tables.documents(spark, Sf001)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => GateDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id).distinctBy(_.text).take(12)
+    Streaming.appendBandBatch(docs.toSeq.toDF(), 0L, tbl)
+    Streaming.tombstoneBandRows(spark, tbl, Seq(docs(3)).toDF()
+      .select(col("doc_id"), col("text")))
+    val batch = Seq(GateDoc(900L, docs(3).text), GateDoc(901L, docs(4).text))
+      .toDF().select(col("doc_id"), col("text"))
+    def gate() = graft.text.TextOps.textGateBatch(spark,
+        graft.text.TextOps.liveBandIndex(spark, tbl), batch)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val pre = gate()
+    val rows = Streaming.rebuildAppendableIndex(spark, tbl, 8, s"$tmp/derived")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(meta.bucketSpec.get.numBuckets === 8)
+    assert(meta.partitionColumnNames === Seq("batch_id"))
+    // marks retired, victim's band rows physically gone, live rows kept
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
+    assert(spark.table(tbl)
+      .filter(col("doc_id") === docs(3).doc_id).count() === 0)
+    assert(rows === 11L * 4, s"11 live docs x 4 band rows, got $rows")
+    // decisions identical across the rebuild: deleted content re-admits,
+    // live content keeps rejecting
+    assert(gate() === pre)
+    assert(pre.find(_.head == 900L).get(1) === "unique")
+    assert(pre.find(_.head == 901L).get(1) === "exact_dup")
+  }
+
   test("nearDupFilter: verbatim copies drop against the first-seen doc, " +
       "distinct docs pass, state persists across micro-batches") {
     implicit val s = spark
