@@ -356,6 +356,13 @@ object Streaming {
     * `foreachBatch` sink instead — it collects each batch's signatures
     * into the literal `IN` list Spark can bucket-prune on.
     *
+    * `index` is the caller's view: for an APPENDABLE table that has seen
+    * deletions, pass
+    * [[graft.sim.Similarity.liveIndexRelation]]`(spark.table(tbl))` — the
+    * raw table would serve tombstoned rows until the purge (the r16 gate
+    * rule applies to every consumer that treats the index as the
+    * accepted corpus).
+    *
     * The argmax runs as a stateless `flatMapGroupsWithState` (state never
     * set): streaming append mode forbids a non-time window, but a probe's
     * candidates are all produced by its own micro-batch (the join is
@@ -506,6 +513,10 @@ object Streaming {
       s"foldIndexBase($indexTable): expected the appendable-index layout " +
         "(batch_id partitions + bucketed), got " +
         s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    // a negative bound would sweep the base/tombstone partitions into the
+    // "unfolded" mark-retention read below
+    require(uptoBatch >= 0, s"foldIndexBase: uptoBatch must be >= 0, " +
+      s"got $uptoBatch")
     val tombId = graft.sim.Similarity.TombstoneBatchId
     // column roles come from the table's own metadata so the fold (and
     // the tombstone purge) serve BOTH appendable flavors — the vector
@@ -828,6 +839,40 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(batch, batchId, indexTable, planes, tables, decisionsDir,
           theta)
+      }
+      .start()
+
+  /** SELF-MAINTAINING gate stream — [[dedupGateStream]] plus the fold arm
+    * inside the same foreachBatch thread: every `foldEvery` batches the
+    * committed batch partitions (0..batchId−1 — everything the checkpoint
+    * can no longer replay once this batch commits is NOT foldable yet, so
+    * the bound stops one short of the live head) fold into the base,
+    * retiring any tombstone debt with them. This answers the partition
+    * decay a 30 s trigger accrues (~2,880/day) WITHOUT an external cron,
+    * and the [[landTombstoneMarks]] single-writer contract holds by
+    * construction: gate, append, and fold all run serialized inside one
+    * micro-batch thread. (Delete STREAMS remain external writers — pause
+    * them across this stream's fold batches, or land takedowns as an
+    * input to this stream's own pipeline.)
+    *
+    * Replay semantics compose: a batch re-run after a crash-past-fold
+    * gates against base + live batches, which hold exactly the rows the
+    * pre-fold view held (the fold is lossless mod purged tombstones), so
+    * decisions recompute identically; the fold re-run is the documented
+    * tombstone-only no-op. */
+  def maintainedGateStream(vectors: DataFrame, indexTable: String,
+                           planes: Int, tables: Int, decisionsDir: String,
+                           checkpointDir: String, theta: Double = 0.75,
+                           foldEvery: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateBatch(batch, batchId, indexTable, planes, tables, decisionsDir,
+          theta)
+        if (batchId > 0 && batchId % foldEvery == 0) {
+          foldIndexBase(batch.sparkSession, indexTable, batchId - 1)
+          ()
+        }
       }
       .start()
 

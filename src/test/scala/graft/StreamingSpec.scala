@@ -771,6 +771,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(d1(901L) === "exact_dup", d1.toString)
   }
 
+  test("maintainedGateStream folds its own committed batches every " +
+      "foldEvery without an external cron: partitions stay bounded, " +
+      "dedup decisions span the folded base, serving stays correct") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_maintained_gate_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("maint_gate")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val in = MemoryStream[Vec]
+    val q = Streaming.maintainedGateStream(in.toDF(), tbl, planes, tables,
+      decDir, Files.createTempDirectory("maint_gate_ck").toString,
+      foldEvery = 2)
+    (0 until 5).foreach { b =>
+      // batch 3 re-sends batch 0 content under new ids — by then batch 0
+      // has been FOLDED into the base, so the dup decision must span it
+      val data = if (b == 3)
+        corpus.take(5).map(v => Vec(v.vec_id + 9000L, v.embedding)).toSeq
+      else corpus.slice(b * 10, b * 10 + 10).toSeq
+      in.addData(data)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // folds ran at b=2 (upto 1) and b=4 (upto 3): live partitions bounded
+    val parts = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts.toSeq === Seq(-2L, 4L), parts.mkString(","))
+    // the re-sent batch-0 content was rejected against the FOLDED base
+    val d3 = spark.read.parquet(decDir).filter(col("batch_id") === 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 5).foreach(i => assert(d3(9000L + i) === "dup_index", d3.toString))
+    // the index is the accepted corpus: 40 accepted vecs x tables rows
+    assert(spark.table(tbl).count() === 40L * tables)
+    // serving: a probe of folded content retrieves its original
+    val probes = Seq((corpus(5).vec_id + 700000L, corpus(5).embedding))
+      .toDF("qid", "embedding")
+    assert(graft.sim.Similarity.probeIndex(spark, tbl, probes, planes, tables)
+      .collect()(0).getAs[Long]("retrieved_id") === corpus(5).vec_id)
+  }
+
   test("the LIVE gate stays shuffle-free on the index side: the tombstone " +
       "anti-join rides the sig bucketing (both sides are the same bucketed " +
       "table), so deletion adds no exchange to the ingest path") {
