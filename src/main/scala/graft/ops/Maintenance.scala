@@ -247,12 +247,15 @@ object Maintenance {
       sqOcc.getLong(0), sqOcc.getLong(1), sqK, IndexParams.ivfK(n).toLong,
       tombstones = sidecarTombstones(spark, sqIvfDir))
 
+    // actual = what the table was BUILT at (its own metadata), target =
+    // the derivation for the current corpus — deriving both from the
+    // corpus would make the drift check structurally dead
     val sq = Similarity.ensureSqIndex(spark, dir)
-    val sqBuckets = IndexParams.indexBuckets(sq.n, sq.tables).toLong
     val sqIdxFacts = LayoutFacts("sq_index", "bucketed_index",
       graft.sources.Sources.countTableDataFiles(spark, sq.table).toLong,
-      sqBuckets, -1L, spark.table(sq.table).count(), -1L,
-      sqBuckets, IndexParams.indexBuckets(n, sq.tables).toLong)
+      tableBuckets(sq.table), -1L, spark.table(sq.table).count(), -1L,
+      tableBuckets(sq.table),
+      IndexParams.indexBuckets(n, sq.tables).toLong)
 
     schedule(Seq(lshFacts, ivfFacts, apFacts, bandFacts, sqIvfFacts,
         sqIdxFacts).toDF())

@@ -810,11 +810,10 @@ object Similarity {
     val (probesLocal, probeSigs) = localizeProbes(spark, probes, planes, tables)
     val pruned = spark.table(indexTable)
       .filter(col("sig").isin(probeSigs.map(Long.box): _*))
-    val tomb = pruned.filter(col("batch_id") === TombstoneBatchId)
-      .select(col("sig"), col("vec_id"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
-    pruned.filter(col("batch_id") =!= TombstoneBatchId)
-      .join(tomb, Seq("sig", "vec_id"), "left_anti")
+    // THE merge-on-read view, applied after pruning — both sides of its
+    // anti-join sit inside the same pruned bucket set
+    liveIndexRelation(pruned)
       .select(col("sig"), col("vec_id").as("cid"), col("embedding").as("ce"))
       .join(broadcast(probesLocal), Seq("sig"))
       .withColumn("sim_raw", cosine(col("qe"), col("ce")))
@@ -912,7 +911,7 @@ object Similarity {
       graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
         eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
       graft.streaming.Streaming.rebuildAppendableIndex(spark, staging,
-        IndexParams.indexBuckets(n, tables), s"$tmp/rebuilt")
+        IndexParams.indexBuckets(n, tables))
     }
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -981,6 +980,18 @@ object Similarity {
 
   /** The persisted codebook, read back sorted by dim (element_at(·, i+1)
     * aligns with dim=i from posexplode). Bounded: one row per dimension. */
+  /** Write the per-dim SQ8 codebook (min/max per dimension) for `eSlim`
+    * to `target` — the one stats-build every quantized layout shares
+    * (frozen beside the codes it writes, the q149 rule). mode=overwrite
+    * so the q149 rebuild-both-halves path can re-land it. */
+  private[graft] def writeSqStats(eSlim: DataFrame, target: String): Unit =
+    eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(target)
+
   private[graft] def sqStatsLocal(spark: SparkSession, statsDir: String): Array[(Double, Double)] =
     spark.read.parquet(statsDir).orderBy(col("dim")).collect()
       .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
@@ -1113,12 +1124,7 @@ object Similarity {
       // codebook that wrote them (stats land first; a crash before the
       // table write leaves no table, so the next call re-enters here)
       if (spark.catalog.tableExists(idx)) spark.sql(s"DROP TABLE $idx")
-      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
-        .groupBy(col("dim"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(statsDir)
+      writeSqStats(eSlim, statsDir)
       val stats = sqStatsLocal(spark, statsDir) // the frozen copy, not the plan
       val tmp = java.nio.file.Files.createTempDirectory("graft_sq_idx").toString
       graft.sources.Sources.writeBucketed(
@@ -1257,11 +1263,7 @@ object Similarity {
     val eSlim = e.select(col("vec_id"), col("embedding"))
     graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
-      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
-        .groupBy(col("dim"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .coalesce(1).write.parquet(s"$build/stats")
+      writeSqStats(eSlim, s"$build/stats")
       val cd = spark.read.parquet(s"$build/centroids")
       val stats = sqStatsLocal(spark, s"$build/stats")
       assignToCentroid(eSlim, cd)
@@ -1318,11 +1320,7 @@ object Similarity {
     val union = eSlim.unionByName(copies)
     graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
-      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
-        .groupBy(col("dim"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .coalesce(1).write.parquet(s"$build/stats")
+      writeSqStats(eSlim, s"$build/stats")
       val cd = spark.read.parquet(s"$build/centroids")
       val stats = sqStatsLocal(spark, s"$build/stats")
       assignToCentroid(union, cd)
@@ -1376,11 +1374,7 @@ object Similarity {
       reverse(col("embedding")).as("embedding"))
     graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
       ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
-      eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
-        .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
-        .groupBy(col("dim"))
-        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-        .coalesce(1).write.parquet(s"$build/stats")
+      writeSqStats(eSlim, s"$build/stats")
       val cd = spark.read.parquet(s"$build/centroids")
       val stats = sqStatsLocal(spark, s"$build/stats")
       def coded(src: DataFrame) = assignToCentroid(src, cd)
@@ -1603,20 +1597,40 @@ object Similarity {
     * publish; a crash between leaves both, the old still serving
     * consistently under its own marks), while an unchanged k (the
     * rebalance case, oldIdxDir == newIdxDir) replaces in place: stage to
-    * `.build`, delete the live dir, rename — a crash between delete and
-    * rename leaves NO layout, which fails loud-and-rebuildable
-    * ([[ivfLayoutBuilt]] false) rather than mis-serving. */
+    * `.build`, delete the live dir, rename. A crash between the
+    * in-place delete and the rename is repaired by the RESUME branch:
+    * the completed staging copy is the only one that remembers the
+    * honored marks (a fresh rebuild from the corpus would resurrect
+    * them), so the retry finishes the rename instead of rebuilding —
+    * and any marks a takedown landed into the husk during the window
+    * (an append recreates the dir) are carried into the published
+    * layout's sidecar as genuine pending debt. Maintenance-op
+    * single-writer contract applies (no concurrent takedowns mid-run). */
   def rebuildIvfLayout(spark: SparkSession, corpus: DataFrame,
                        oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
     ensureRegistered(spark)
     implicit val s: SparkSession = spark
+    val staging = s"$newIdxDir.build"
+    val p = new org.apache.hadoop.fs.Path(newIdxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resume branch: prior in-place attempt crashed between delete-live
+    // and rename — staging is complete and the live layout is gone
+    if (newIdxDir == oldIdxDir && ivfLayoutBuilt(spark, staging) &&
+        !ivfLayoutBuilt(spark, newIdxDir)) {
+      if (graft.ops.Layouts.exists(spark, s"$oldIdxDir/tombstones"))
+        spark.read.parquet(s"$oldIdxDir/tombstones")
+          .write.mode("append").parquet(s"$staging/tombstones")
+      graft.ops.Layouts.delete(spark, newIdxDir)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+        sys.error(s"atomic publish of $newIdxDir failed")
+      return
+    }
     val eSlim = corpus.select(col("vec_id"), col("embedding"))
     val survivors = ivfTombstones(spark, oldIdxDir) match {
       case Some(t) => eSlim.join(t.select(col("vec_id")).distinct(),
         Seq("vec_id"), "left_anti")
       case None => eSlim
     }
-    val staging = s"$newIdxDir.build"
     graft.ops.Layouts.delete(spark, staging)
     // every read of the old sidecar and corpus happens HERE, before any
     // deletion below
@@ -1627,8 +1641,6 @@ object Similarity {
     // a pre-existing target (stale same-k dir, or the in-place rebalance
     // case) cannot be trusted to honor the old layout's debt — replace it
     graft.ops.Layouts.delete(spark, newIdxDir)
-    val p = new org.apache.hadoop.fs.Path(newIdxDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
       sys.error(s"atomic publish of $newIdxDir failed")
     if (newIdxDir != oldIdxDir) graft.ops.Layouts.delete(spark, oldIdxDir)

@@ -619,10 +619,13 @@ object Streaming {
     * (vec_id, embedding, sig) and band (doc_id, digest, key) flavors.
     * Signatures/keys are pure functions of content, independent of the
     * bucket COUNT, so stored rows rebucket as-is — no kernel re-run.
-    * Maintenance-op single-writer contract applies. Returns rows
-    * written. */
+    * Each invocation writes to a FRESH location (the compactBucketed
+    * convention — a fixed caller path would collide with the previous
+    * rebuild's now-live files on the second trigger, and external-table
+    * drops never clean data files). Maintenance-op single-writer
+    * contract applies. Returns rows written. */
   def rebuildAppendableIndex(spark: SparkSession, table: String,
-                             buckets: Int, path: String): Long = {
+                             buckets: Int): Long = {
     val staging = s"${table}_rebuild"
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(staging),
@@ -650,9 +653,11 @@ object Streaming {
       .dropDuplicates(dedupKeys)
       .select(dataCols.map(col): _*)
       .withColumn("batch_id", lit(-2L))
+    val path = java.nio.file.Files.createTempDirectory("graft_ap_rebuild")
+      .toString
     live.write.partitionBy("batch_id")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", path).format("parquet").saveAsTable(staging)
+      .option("path", s"$path/index").format("parquet").saveAsTable(staging)
     val rows = spark.table(staging).count()
     spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")

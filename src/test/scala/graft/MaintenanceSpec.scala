@@ -296,7 +296,7 @@ class MaintenanceSpec extends SparkSpecBase {
       col("check") === "rederive_params").count() === 1)
     Maintenance.tick(before, Map(
       ("ap", "rebuild_with_derived_params") -> (() => {
-        Streaming.rebuildAppendableIndex(spark, tbl, 8, s"$tmp/derived"); ()
+        Streaming.rebuildAppendableIndex(spark, tbl, 8); ()
       }),
       // purge also triggers (marks outstanding); the rebuild retires
       // them, so binding the fold as a harmless second action is fine —

@@ -876,6 +876,52 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ids === (10L until 60L).toSet - 20L ++ (1000L until 1010L).toSet)
   }
 
+  test("rebuildIvfLayout resume branch: a crash between the in-place " +
+      "delete and the rename finishes the RENAME on retry instead of " +
+      "rebuilding — the staging copy is the only one that remembers the " +
+      "honored marks — and husk-window takedowns carry over as debt") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_resume")
+      .toString
+    val idxDir = s"$root/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // the crash state: a COMPLETE staging copy that already honored the
+    // takedown of vec_id < 10, and NO live layout (deleted pre-rename);
+    // the corpus still carries the victims — a fresh rebuild would
+    // resurrect them, which is exactly what the resume must not do
+    val staging = s"$idxDir.build"
+    val survivors = e.filter(col("vec_id") >= 10)
+    Similarity.ivfCentroids(survivors, 4, iters = 1)
+      .write.parquet(s"$staging/centroids")
+    Similarity.assignToCentroid(survivors,
+        spark.read.parquet(s"$staging/centroids"))
+      .write.partitionBy("cid").parquet(s"$staging/assigned")
+    // a takedown lands DURING the window: the append recreates the husk
+    // dir with only the new mark
+    Similarity.tombstoneIvfRows(spark, staging, // route by staging's frozen centroids
+      e.filter(col("vec_id") === 20))
+    val huskMark = spark.read.parquet(s"$staging/tombstones")
+    huskMark.write.parquet(s"$idxDir/tombstones")
+    graft.ops.Layouts.delete(spark, s"$staging/tombstones")
+    // the retry: must rename, not rebuild
+    Similarity.rebuildIvfLayout(spark, e, idxDir, idxDir, k = 4)
+    assert(Similarity.ivfLayoutBuilt(spark, idxDir))
+    assert(!graft.ops.Layouts.exists(spark, staging))
+    val ids = spark.read.parquet(s"$idxDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (10L until 60L).toSet,
+      "resume must publish the mark-honoring staging copy, never rebuild " +
+        "from the corpus (which would resurrect vec_id < 10)")
+    // the window takedown survives as genuine pending debt
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 1L)
+    assert(Similarity.probeIvfLive(spark, idxDir,
+        e.filter(col("vec_id") === 20)
+          .select(lit(9L).as("qid"), col("embedding")), nprobe = 2)
+      .collect()(0).getAs[Long]("retrieved_id") !== 20L)
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)

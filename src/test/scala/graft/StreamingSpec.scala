@@ -869,7 +869,7 @@ class StreamingSpec extends SparkSpecBase {
         graft.text.TextOps.liveBandIndex(spark, tbl), batch)
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     val pre = gate()
-    val rows = Streaming.rebuildAppendableIndex(spark, tbl, 8, s"$tmp/derived")
+    val rows = Streaming.rebuildAppendableIndex(spark, tbl, 8)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tbl))
     assert(meta.bucketSpec.get.numBuckets === 8)
