@@ -246,6 +246,9 @@ object SparkEntry {
     // r16: the appendable-table rebuild under a re-derived bucket count —
     // marks honored by exclusion, re-bucketed base, plain-path probe
     "q162_index_rebuild_probe" -> (Similarity.q162IndexRebuildProbe(_, _)),
+    // r16: the quantized-flavor rebuild — fresh-frozen centroids,
+    // codebook and codes over the survivors, plain two-stage probe
+    "q163_sq_ivf_rebuild_probe" -> (Similarity.q163SqIvfRebuildProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

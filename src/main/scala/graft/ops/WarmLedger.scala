@@ -54,8 +54,9 @@ object WarmLedger {
     "q155_maintenance_schedule",
     "q157_index_delete_probe", "q158_text_delete_gate",
     "q159_ivf_delete_probe", "q160_sq_ivf_delete_probe",
-    // r16: the maintenance rebuild pair (first ledger rows land in r17)
-    "q161_ivf_rebuild_probe", "q162_index_rebuild_probe")
+    // r16: the maintenance rebuild trio (first ledger rows land in r17)
+    "q161_ivf_rebuild_probe", "q162_index_rebuild_probe",
+    "q163_sq_ivf_rebuild_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers

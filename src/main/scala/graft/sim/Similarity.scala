@@ -1608,15 +1608,68 @@ object Similarity {
     * single-writer contract applies (no concurrent takedowns mid-run). */
   def rebuildIvfLayout(spark: SparkSession, corpus: DataFrame,
                        oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
-    ensureRegistered(spark)
     implicit val s: SparkSession = spark
+    rebuildDirProtocol(spark, corpus, oldIdxDir, newIdxDir,
+      built = ivfLayoutBuilt(spark, _),
+      build = (survivors, staging) => {
+        ivfCentroids(survivors, k, iters = 2)
+          .write.parquet(s"$staging/centroids")
+        assignToCentroid(survivors, spark.read.parquet(s"$staging/centroids"))
+          .write.partitionBy("cid").parquet(s"$staging/assigned")
+      })
+  }
+
+  /** True iff `idxDir` holds a complete QUANTIZED IVF layout (all three
+    * subdirs committed — q154's centroids + stats + assigned). */
+  def sqIvfLayoutBuilt(spark: SparkSession, idxDir: String): Boolean =
+    Seq("centroids", "stats", "assigned").forall(sub =>
+      graft.ops.Layouts.committed(spark, s"$idxDir/$sub"))
+
+  /** [[rebuildIvfLayout]]'s QUANTIZED twin — the rebuild tool for the
+    * q154 SQ8-IVF layout's `rebalance`/`rederive_params` actions: same
+    * protocol (survivors exclude old-sidecar marks, crash-resume
+    * publish), but the staging build re-derives the full frozen-artifact
+    * set — fresh centroids, fresh codebook over the SURVIVOR value
+    * distribution, fresh tinyint codes — since codes are only valid with
+    * the codebook that wrote them (the q149 rule: a rebuild is the one
+    * place re-deriving stats is correct, because every code is rewritten
+    * with them). Same live-corpus contract as [[rebuildIvfLayout]]. */
+  def rebuildSqIvfLayout(spark: SparkSession, corpus: DataFrame,
+                         oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
+    implicit val s: SparkSession = spark
+    rebuildDirProtocol(spark, corpus, oldIdxDir, newIdxDir,
+      built = sqIvfLayoutBuilt(spark, _),
+      build = (survivors, staging) => {
+        ivfCentroids(survivors, k, iters = 2)
+          .write.parquet(s"$staging/centroids")
+        writeSqStats(survivors, s"$staging/stats")
+        val cd = spark.read.parquet(s"$staging/centroids")
+        val stats = sqStatsLocal(spark, s"$staging/stats")
+        assignToCentroid(survivors, cd)
+          .select(col("vec_id"),
+            quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+          .write.partitionBy("cid").parquet(s"$staging/assigned")
+      })
+  }
+
+  /** The shared directory-rebuild protocol behind [[rebuildIvfLayout]]
+    * and [[rebuildSqIvfLayout]]: resume a crashed in-place publish
+    * (rename the completed mark-honoring staging copy, carrying
+    * husk-window takedowns as pending debt), else build the flavor's
+    * staging over corpus-minus-old-marks and publish via delete+rename.
+    * `built` is the flavor's own completeness check (which subdirs must
+    * be committed). */
+  private def rebuildDirProtocol(spark: SparkSession, corpus: DataFrame,
+      oldIdxDir: String, newIdxDir: String,
+      built: String => Boolean,
+      build: (DataFrame, String) => Unit): Unit = {
+    ensureRegistered(spark)
     val staging = s"$newIdxDir.build"
     val p = new org.apache.hadoop.fs.Path(newIdxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // resume branch: prior in-place attempt crashed between delete-live
     // and rename — staging is complete and the live layout is gone
-    if (newIdxDir == oldIdxDir && ivfLayoutBuilt(spark, staging) &&
-        !ivfLayoutBuilt(spark, newIdxDir)) {
+    if (newIdxDir == oldIdxDir && built(staging) && !built(newIdxDir)) {
       if (graft.ops.Layouts.exists(spark, s"$oldIdxDir/tombstones"))
         spark.read.parquet(s"$oldIdxDir/tombstones")
           .write.mode("append").parquet(s"$staging/tombstones")
@@ -1634,10 +1687,7 @@ object Similarity {
     graft.ops.Layouts.delete(spark, staging)
     // every read of the old sidecar and corpus happens HERE, before any
     // deletion below
-    ivfCentroids(survivors, k, iters = 2)
-      .write.parquet(s"$staging/centroids")
-    assignToCentroid(survivors, spark.read.parquet(s"$staging/centroids"))
-      .write.partitionBy("cid").parquet(s"$staging/assigned")
+    build(survivors, staging)
     // a pre-existing target (stale same-k dir, or the in-place rebalance
     // case) cannot be trusted to honor the old layout's debt — replace it
     graft.ops.Layouts.delete(spark, newIdxDir)
@@ -1905,6 +1955,56 @@ object Similarity {
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeIvf(spark, idxDir, probes, nprobe)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
+  /** q163: REBUILD of the QUANTIZED IVF layout with outstanding deletion
+    * debt — [[rebuildSqIvfLayout]] made hash-observable, completing the
+    * rebuild symmetry across all three rebuildable flavors (float dir
+    * q161, appendable table q162, quantized dir here): pre-rebuild
+    * generation = the q160 shape (sq layout over corpus ∪ copies,
+    * originals tombstoned), then the maintenance rebuild re-derives
+    * centroids, codebook AND codes over the survivors and publishes
+    * mark-free. The probe goes through the PLAIN two-stage path (no
+    * `live` mode): exactness composes q161's flip argument with q154's
+    * quantization margin over the REBUILT artifacts — probe and
+    * surviving copy share embedding bits, so fresh-frozen routing and
+    * fresh codes coincide, the ≈1−ε approximate score survives any
+    * top-R, and the exact rescore emits the exhaustive argmax over
+    * corpus-minus-deleted ∪ copies. */
+  def q163SqIvfRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    implicit val s: SparkSession = spark
+    val copyShift = 34000000L; val offset = 35000000L; val nprobe = 2
+    val e = Tables.embeddings(spark, dir)
+    val k = IndexParams.ivfK(e.count())
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_rb_" +
+      layoutTag(fileFp(s"$dir/embeddings.parquet"), k.toString, LayoutVersion)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val union = eSlim.unionByName(copies)
+    if (!graft.ops.Layouts.exists(spark, idxDir)) {
+      // the pre-rebuild generation (scratch — retired by the rebuild)
+      val oldDir = s"$idxDir.pre"
+      graft.ops.Layouts.delete(spark, oldDir)
+      ivfCentroids(union, k, iters = 2).write.parquet(s"$oldDir/centroids")
+      writeSqStats(union, s"$oldDir/stats")
+      val cd = spark.read.parquet(s"$oldDir/centroids")
+      val stats = sqStatsLocal(spark, s"$oldDir/stats")
+      assignToCentroid(union, cd)
+        .select(col("vec_id"),
+          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+        .write.partitionBy("cid").parquet(s"$oldDir/assigned")
+      tombstoneIvfRows(spark, oldDir,
+        eSlim.filter(col("vec_id") % 7 === 0))
+      rebuildSqIvfLayout(spark, union, oldDir, idxDir, k)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeSqIvf(spark, idxDir, probes, nprobe, union)
       .withColumn("hit",
         col("retrieved_id") === col("qid") - (offset - copyShift))
       .orderBy(col("qid"))
@@ -2647,6 +2747,11 @@ object Similarity {
     "q162_index_rebuild_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 32000000L,
         offset = 33000000L),
+    // q163: the quantized rebuild serves the same corpus-minus-deleted ∪
+    // copies answer through fresh-frozen centroids, codebook and codes
+    "q163_sq_ivf_rebuild_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 34000000L,
+        offset = 35000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

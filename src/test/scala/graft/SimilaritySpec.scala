@@ -876,6 +876,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ids === (10L until 60L).toSet - 20L ++ (1000L until 1010L).toSet)
   }
 
+  test("q163 quantized rebuild: every probe flips to its surviving copy, " +
+      "the published layout is mark-free and stores tinyint codes only") {
+    val rows = Similarity.q163SqIvfRebuildProbe(spark, Sf001).collect()
+    val n = Tables.embeddings(spark, Sf001).count()
+    assert(rows.length.toLong === (n - 1) / 7 + 1)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hit"), r.toString)
+      assert(r.getAs[Double]("sim") > 0.999999, r.toString)
+    }
+    val k = graft.sim.IndexParams.ivfK(n)
+    val idxDir = System.getProperty("java.io.tmpdir") + "/graft_ivf_sq_rb_" +
+      graft.ops.Layouts.tag(
+        graft.ops.Layouts.fileFp(s"$Sf001/embeddings.parquet"), k.toString,
+        graft.ops.Layouts.Version)
+    assert(Similarity.sqIvfLayoutBuilt(spark, idxDir))
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L,
+      "the rebuild IS the purge — it must publish mark-free")
+    assert(!graft.ops.Layouts.exists(spark, s"$idxDir.pre"),
+      "the pre-rebuild generation must be retired")
+    val assigned = spark.read.parquet(s"$idxDir/assigned")
+    assert(assigned.schema("qcode").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = true))
+    assert(assigned.filter(col("vec_id") % 7 === 0
+      && col("vec_id") < 34000000L).count() === 0,
+      "no deleted original survives the rebuild")
+  }
+
   test("rebuildIvfLayout resume branch: a crash between the in-place " +
       "delete and the rename finishes the RENAME on retry instead of " +
       "rebuilding — the staging copy is the only one that remembers the " +
