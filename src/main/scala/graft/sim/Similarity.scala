@@ -978,8 +978,6 @@ object Similarity {
         lit(255.0) * lit(mx - mn)).cast("float")
     }: _*)
 
-  /** The persisted codebook, read back sorted by dim (element_at(·, i+1)
-    * aligns with dim=i from posexplode). Bounded: one row per dimension. */
   /** Write the per-dim SQ8 codebook (min/max per dimension) for `eSlim`
     * to `target` — the one stats-build every quantized layout shares
     * (frozen beside the codes it writes, the q149 rule). mode=overwrite
@@ -992,6 +990,8 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(target)
 
+  /** The persisted codebook, read back sorted by dim (element_at(·, i+1)
+    * aligns with dim=i from posexplode). Bounded: one row per dimension. */
   private[graft] def sqStatsLocal(spark: SparkSession, statsDir: String): Array[(Double, Double)] =
     spark.read.parquet(statsDir).orderBy(col("dim")).collect()
       .map(r => (r.getAs[Double]("mn"), r.getAs[Double]("mx")))
@@ -1601,11 +1601,14 @@ object Similarity {
     * in-place delete and the rename is repaired by the RESUME branch:
     * the completed staging copy is the only one that remembers the
     * honored marks (a fresh rebuild from the corpus would resurrect
-    * them), so the retry finishes the rename instead of rebuilding —
-    * and any marks a takedown landed into the husk during the window
-    * (an append recreates the dir) are carried into the published
-    * layout's sidecar as genuine pending debt. Maintenance-op
-    * single-writer contract applies (no concurrent takedowns mid-run). */
+    * them), so the retry finishes the rename instead of rebuilding.
+    * Takedowns cannot land during the window through the API
+    * ([[tombstoneIvfRows]] fails loudly on the husk's missing
+    * centroids); an out-of-contract husk sidecar would be unroutable
+    * under the fresh centroids, so it is preserved ASIDE as
+    * `_orphaned_tombstones` for the operator to re-issue, never consumed
+    * by serving. Maintenance-op single-writer contract applies (no
+    * concurrent takedowns mid-run). */
   def rebuildIvfLayout(spark: SparkSession, corpus: DataFrame,
                        oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
     implicit val s: SparkSession = spark
@@ -1654,8 +1657,8 @@ object Similarity {
 
   /** The shared directory-rebuild protocol behind [[rebuildIvfLayout]]
     * and [[rebuildSqIvfLayout]]: resume a crashed in-place publish
-    * (rename the completed mark-honoring staging copy, carrying
-    * husk-window takedowns as pending debt), else build the flavor's
+    * (rename the completed mark-honoring staging copy, preserving any
+    * out-of-contract husk sidecar aside), else build the flavor's
     * staging over corpus-minus-old-marks and publish via delete+rename.
     * `built` is the flavor's own completeness check (which subdirs must
     * be committed). */
@@ -1668,11 +1671,26 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(newIdxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // resume branch: prior in-place attempt crashed between delete-live
-    // and rename — staging is complete and the live layout is gone
+    // and rename — staging is complete and the live layout is gone, so
+    // the retry must finish the rename: the staging copy is the only one
+    // that remembers the honored marks. Marks CANNOT land in the husk
+    // through the API (tombstoneIvfRows fails loudly on the husk's
+    // missing centroids), so any husk sidecar is out-of-contract content
+    // routed by unknown centroids — (cid, vec_id) marks keyed to dead
+    // routing would silently never match, so they are preserved ASIDE
+    // (never consumed by serving) for the operator to re-issue against
+    // the published layout.
     if (newIdxDir == oldIdxDir && built(staging) && !built(newIdxDir)) {
-      if (graft.ops.Layouts.exists(spark, s"$oldIdxDir/tombstones"))
-        spark.read.parquet(s"$oldIdxDir/tombstones")
-          .write.mode("append").parquet(s"$staging/tombstones")
+      val husk = new org.apache.hadoop.fs.Path(s"$oldIdxDir/tombstones")
+      if (fs.exists(husk)) {
+        val orphanBase = s"$staging/_orphaned_tombstones"
+        val slot = Iterator.from(0).find(i =>
+          !fs.exists(new org.apache.hadoop.fs.Path(s"$orphanBase/$i"))).get
+        fs.mkdirs(new org.apache.hadoop.fs.Path(orphanBase))
+        if (!fs.rename(husk,
+            new org.apache.hadoop.fs.Path(s"$orphanBase/$slot")))
+          sys.error(s"could not preserve out-of-contract marks at $husk")
+      }
       graft.ops.Layouts.delete(spark, newIdxDir)
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")

@@ -619,10 +619,13 @@ object Streaming {
     * (vec_id, embedding, sig) and band (doc_id, digest, key) flavors.
     * Signatures/keys are pure functions of content, independent of the
     * bucket COUNT, so stored rows rebucket as-is — no kernel re-run.
-    * Each invocation writes to a FRESH location (the compactBucketed
-    * convention — a fixed caller path would collide with the previous
-    * rebuild's now-live files on the second trigger, and external-table
-    * drops never clean data files). Maintenance-op single-writer
+    * Each invocation writes to a FRESH generation-indexed sibling of the
+    * table's OWN location (`<location>_rb<N>` on the same filesystem —
+    * driver-local temp dirs would not exist for a cluster's executors
+    * and die with the host, and a fixed caller path would collide with
+    * the previous rebuild's now-live files on the second trigger;
+    * external-table drops never clean data files, so old generations
+    * remain for the operator to reap). Maintenance-op single-writer
     * contract applies. Returns rows written. */
   def rebuildAppendableIndex(spark: SparkSession, table: String,
                              buckets: Int): Long = {
@@ -653,11 +656,18 @@ object Streaming {
       .dropDuplicates(dedupKeys)
       .select(dataCols.map(col): _*)
       .withColumn("batch_id", lit(-2L))
-    val path = java.nio.file.Files.createTempDirectory("graft_ap_rebuild")
-      .toString
+    // fresh generation dir BESIDE the table's own location: same
+    // filesystem/durability as the data it replaces
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val locFs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = loc.getName.replaceAll("_rb\\d+$", "")
+    val gen = Iterator.from(1).find(i => !locFs.exists(
+      new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$i"))).get
+    val path = new org.apache.hadoop.fs.Path(loc.getParent,
+      s"${base}_rb$gen").toString
     live.write.partitionBy("batch_id")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", s"$path/index").format("parquet").saveAsTable(staging)
+      .option("path", path).format("parquet").saveAsTable(staging)
     val rows = spark.table(staging).count()
     spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
@@ -868,7 +878,11 @@ object Streaming {
   def maintainedGateStream(vectors: DataFrame, indexTable: String,
                            planes: Int, tables: Int, decisionsDir: String,
                            checkpointDir: String, theta: Double = 0.75,
-                           foldEvery: Int = 16): StreamingQuery =
+                           foldEvery: Int = 16): StreamingQuery = {
+    // fail at START, not inside a foreachBatch mid-stream: 0 would be a
+    // divide-by-zero at batch 1, a negative silently never folds
+    require(foldEvery > 0,
+      s"maintainedGateStream: foldEvery must be positive, got $foldEvery")
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -880,6 +894,7 @@ object Streaming {
         }
       }
       .start()
+  }
 
   /** The foreachBatch body of [[dedupGateStream]], exposed for direct
     * testing. Empty batches follow the clear-and-seed rule on BOTH sinks

@@ -907,7 +907,8 @@ class SimilaritySpec extends SparkSpecBase {
   test("rebuildIvfLayout resume branch: a crash between the in-place " +
       "delete and the rename finishes the RENAME on retry instead of " +
       "rebuilding — the staging copy is the only one that remembers the " +
-      "honored marks — and husk-window takedowns carry over as debt") {
+      "honored marks — and an out-of-contract husk sidecar is preserved " +
+      "aside, never consumed (its cids were routed by dead centroids)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     Similarity.ensureRegistered(spark)
     val root = java.nio.file.Files.createTempDirectory("g_rb_resume")
@@ -926,9 +927,12 @@ class SimilaritySpec extends SparkSpecBase {
     Similarity.assignToCentroid(survivors,
         spark.read.parquet(s"$staging/centroids"))
       .write.partitionBy("cid").parquet(s"$staging/assigned")
-    // a takedown lands DURING the window: the append recreates the husk
-    // dir with only the new mark
-    Similarity.tombstoneIvfRows(spark, staging, // route by staging's frozen centroids
+    // an OUT-OF-CONTRACT sidecar appears in the husk (the API cannot
+    // land one — tombstoneIvfRows fails loudly on the husk's missing
+    // centroids): its (cid, vec_id) routing is keyed to the dead
+    // centroids, so consuming it under the new layout would be silently
+    // ineffective — the resume must preserve it aside instead
+    Similarity.tombstoneIvfRows(spark, staging,
       e.filter(col("vec_id") === 20))
     val huskMark = spark.read.parquet(s"$staging/tombstones")
     huskMark.write.parquet(s"$idxDir/tombstones")
@@ -942,12 +946,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ids === (10L until 60L).toSet,
       "resume must publish the mark-honoring staging copy, never rebuild " +
         "from the corpus (which would resurrect vec_id < 10)")
-    // the window takedown survives as genuine pending debt
-    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 1L)
-    assert(Similarity.probeIvfLive(spark, idxDir,
-        e.filter(col("vec_id") === 20)
-          .select(lit(9L).as("qid"), col("embedding")), nprobe = 2)
-      .collect()(0).getAs[Long]("retrieved_id") !== 20L)
+    // the orphaned marks are preserved for the operator, NOT counted as
+    // serving debt (they match nothing under the new routing)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
+    assert(graft.ops.Layouts.exists(spark,
+      s"$idxDir/_orphaned_tombstones/0"))
+    assert(spark.read.parquet(s"$idxDir/_orphaned_tombstones/0")
+      .count() === 1L)
   }
 
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
