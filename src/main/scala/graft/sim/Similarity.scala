@@ -1261,16 +1261,8 @@ object Similarity {
     val k = IndexParams.ivfK(e.count())
     val idxDir = sqIvfLayoutDir(dir, k)
     val eSlim = e.select(col("vec_id"), col("embedding"))
-    graft.ops.Layouts.buildIfAbsent(spark, idxDir) { build =>
-      ivfCentroids(e, k, iters = 2).write.parquet(s"$build/centroids")
-      writeSqStats(eSlim, s"$build/stats")
-      val cd = spark.read.parquet(s"$build/centroids")
-      val stats = sqStatsLocal(spark, s"$build/stats")
-      assignToCentroid(eSlim, cd)
-        .select(col("vec_id"),
-          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
-        .write.partitionBy("cid").parquet(s"$build/assigned")
-    }
+    graft.ops.Layouts.buildIfAbsent(spark, idxDir)(
+      buildSqIvfDir(spark, eSlim, _, k))
     (idxDir, k.toLong)
   }
 
@@ -1563,13 +1555,7 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     val k = IndexParams.ivfK(e.count())
     val idxDir = ivfBaseLayoutDir(dir, k)
-    if (!ivfLayoutBuilt(spark, idxDir)) {
-      val centroids = ivfCentroids(e, k, iters = 2)
-      centroids.write.mode("overwrite").parquet(s"$idxDir/centroids")
-      // assign against the PERSISTED copy — same doubles the probe will rank
-      assignToCentroid(e, spark.read.parquet(s"$idxDir/centroids"))
-        .write.mode("overwrite").partitionBy("cid").parquet(s"$idxDir/assigned")
-    }
+    if (!ivfLayoutBuilt(spark, idxDir)) buildIvfDir(spark, e, idxDir, k)
     (idxDir, k.toLong)
   }
 
@@ -1614,12 +1600,7 @@ object Similarity {
     implicit val s: SparkSession = spark
     rebuildDirProtocol(spark, corpus, oldIdxDir, newIdxDir,
       built = ivfLayoutBuilt(spark, _),
-      build = (survivors, staging) => {
-        ivfCentroids(survivors, k, iters = 2)
-          .write.parquet(s"$staging/centroids")
-        assignToCentroid(survivors, spark.read.parquet(s"$staging/centroids"))
-          .write.partitionBy("cid").parquet(s"$staging/assigned")
-      })
+      build = buildIvfDir(spark, _, _, k))
   }
 
   /** True iff `idxDir` holds a complete QUANTIZED IVF layout (all three
@@ -1642,17 +1623,39 @@ object Similarity {
     implicit val s: SparkSession = spark
     rebuildDirProtocol(spark, corpus, oldIdxDir, newIdxDir,
       built = sqIvfLayoutBuilt(spark, _),
-      build = (survivors, staging) => {
-        ivfCentroids(survivors, k, iters = 2)
-          .write.parquet(s"$staging/centroids")
-        writeSqStats(survivors, s"$staging/stats")
-        val cd = spark.read.parquet(s"$staging/centroids")
-        val stats = sqStatsLocal(spark, s"$staging/stats")
-        assignToCentroid(survivors, cd)
-          .select(col("vec_id"),
-            quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
-          .write.partitionBy("cid").parquet(s"$staging/assigned")
-      })
+      build = buildSqIvfDir(spark, _, _, k))
+  }
+
+  /** Build a float IVF layout (centroids + cid-partitioned assignment)
+    * for `src` at `target` — the ONE build every float-IVF site shares
+    * (ensure, rebuild, q161's pre-generation), so a schema or
+    * column-order change lands once. Assignment runs against the
+    * PERSISTED centroid copy — the same doubles probes will rank. */
+  private def buildIvfDir(spark: SparkSession, src: DataFrame,
+                          target: String, k: Int): Unit = {
+    implicit val s: SparkSession = spark
+    // overwrite: the ensure path's guard is per-subdir _SUCCESS, so a
+    // re-entry after a partial build must replace the half-written subdir
+    ivfCentroids(src, k, iters = 2)
+      .write.mode("overwrite").parquet(s"$target/centroids")
+    assignToCentroid(src, spark.read.parquet(s"$target/centroids"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$target/assigned")
+  }
+
+  /** [[buildIvfDir]]'s quantized twin: + the frozen per-dim codebook and
+    * tinyint codes instead of float vectors. */
+  private def buildSqIvfDir(spark: SparkSession, src: DataFrame,
+                            target: String, k: Int): Unit = {
+    implicit val s: SparkSession = spark
+    ivfCentroids(src, k, iters = 2)
+      .write.mode("overwrite").parquet(s"$target/centroids")
+    writeSqStats(src, s"$target/stats")
+    val cd = spark.read.parquet(s"$target/centroids")
+    val stats = sqStatsLocal(spark, s"$target/stats")
+    assignToCentroid(src, cd)
+      .select(col("vec_id"),
+        quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$target/assigned")
   }
 
   /** The shared directory-rebuild protocol behind [[rebuildIvfLayout]]
@@ -1683,7 +1686,10 @@ object Similarity {
     if (newIdxDir == oldIdxDir && built(staging) && !built(newIdxDir)) {
       val husk = new org.apache.hadoop.fs.Path(s"$oldIdxDir/tombstones")
       if (fs.exists(husk)) {
-        val orphanBase = s"$staging/_orphaned_tombstones"
+        // OUTSIDE the layout dir: an orphan preserved inside it would be
+        // destroyed by the next rebuild's delete-and-replace before the
+        // operator ever saw it
+        val orphanBase = s"${newIdxDir}_orphaned_tombstones"
         val slot = Iterator.from(0).find(i =>
           !fs.exists(new org.apache.hadoop.fs.Path(s"$orphanBase/$i"))).get
         fs.mkdirs(new org.apache.hadoop.fs.Path(orphanBase))
@@ -1696,6 +1702,16 @@ object Similarity {
         sys.error(s"atomic publish of $newIdxDir failed")
       return
     }
+    // a missing/husk source layout cannot prove zero deletion debt — its
+    // sidecar (and the mark-honoring staging of a crashed in-place
+    // publish) must not be silently ignored. A crashed publish resumes
+    // under its ORIGINAL dir; a cross-fingerprint retry resumes first,
+    // then rebuilds from the resumed layout.
+    require(built(oldIdxDir),
+      s"rebuildDirProtocol: $oldIdxDir is not a complete layout — " +
+        "rebuilding from the corpus alone would resurrect any honored " +
+        "takedowns; resume the crashed publish under its original dir " +
+        "first (oldIdxDir == newIdxDir), then rebuild")
     val eSlim = corpus.select(col("vec_id"), col("embedding"))
     val survivors = ivfTombstones(spark, oldIdxDir) match {
       case Some(t) => eSlim.join(t.select(col("vec_id")).distinct(),
@@ -1963,13 +1979,14 @@ object Similarity {
       // the pre-rebuild generation (scratch — retired by the rebuild)
       val oldDir = s"$idxDir.pre"
       graft.ops.Layouts.delete(spark, oldDir)
-      ivfCentroids(union, k, iters = 2).write.parquet(s"$oldDir/centroids")
-      assignToCentroid(union, spark.read.parquet(s"$oldDir/centroids"))
-        .write.partitionBy("cid").parquet(s"$oldDir/assigned")
+      buildIvfDir(spark, union, oldDir, k)
       tombstoneIvfRows(spark, oldDir,
         eSlim.filter(col("vec_id") % 7 === 0))
       rebuildIvfLayout(spark, union, oldDir, idxDir, k)
-    }
+    } else
+      // a crash between the rebuild's publish and its old-dir retire
+      // leaves the scratch generation behind — retire it on re-entry
+      graft.ops.Layouts.delete(spark, s"$idxDir.pre")
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeIvf(spark, idxDir, probes, nprobe)
@@ -2008,18 +2025,14 @@ object Similarity {
       // the pre-rebuild generation (scratch — retired by the rebuild)
       val oldDir = s"$idxDir.pre"
       graft.ops.Layouts.delete(spark, oldDir)
-      ivfCentroids(union, k, iters = 2).write.parquet(s"$oldDir/centroids")
-      writeSqStats(union, s"$oldDir/stats")
-      val cd = spark.read.parquet(s"$oldDir/centroids")
-      val stats = sqStatsLocal(spark, s"$oldDir/stats")
-      assignToCentroid(union, cd)
-        .select(col("vec_id"),
-          quantizeExpr(col("embedding"), stats).as("qcode"), col("cid"))
-        .write.partitionBy("cid").parquet(s"$oldDir/assigned")
+      buildSqIvfDir(spark, union, oldDir, k)
       tombstoneIvfRows(spark, oldDir,
         eSlim.filter(col("vec_id") % 7 === 0))
       rebuildSqIvfLayout(spark, union, oldDir, idxDir, k)
-    }
+    } else
+      // a crash between the rebuild's publish and its old-dir retire
+      // leaves the scratch generation behind — retire it on re-entry
+      graft.ops.Layouts.delete(spark, s"$idxDir.pre")
     val probes = eSlim.filter(col("vec_id") % 7 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
     probeSqIvf(spark, idxDir, probes, nprobe, union)

@@ -656,11 +656,15 @@ object Streaming {
       .dropDuplicates(dedupKeys)
       .select(dataCols.map(col): _*)
       .withColumn("batch_id", lit(-2L))
-    // fresh generation dir BESIDE the table's own location: same
-    // filesystem/durability as the data it replaces
+    // fresh generation dir BESIDE the table's own location (same
+    // filesystem/durability as the data it replaces), namespaced on the
+    // TABLE IDENTIFIER — a regex over the location name could merge two
+    // tables' generation namespaces when one's dir happens to end in
+    // _rb<digits>, and an operator reaping one table's old generations
+    // must never be able to hit another's live dir
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val locFs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = loc.getName.replaceAll("_rb\\d+$", "")
+    val base = table.replaceAll("[^A-Za-z0-9_]", "_")
     val gen = Iterator.from(1).find(i => !locFs.exists(
       new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$i"))).get
     val path = new org.apache.hadoop.fs.Path(loc.getParent,

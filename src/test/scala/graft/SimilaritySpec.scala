@@ -946,13 +946,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ids === (10L until 60L).toSet,
       "resume must publish the mark-honoring staging copy, never rebuild " +
         "from the corpus (which would resurrect vec_id < 10)")
-    // the orphaned marks are preserved for the operator, NOT counted as
-    // serving debt (they match nothing under the new routing)
+    // the orphaned marks are preserved for the operator OUTSIDE the
+    // layout dir (a later rebuild's delete-and-replace must not destroy
+    // them), NOT counted as serving debt (they match nothing under the
+    // new routing)
     assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
     assert(graft.ops.Layouts.exists(spark,
-      s"$idxDir/_orphaned_tombstones/0"))
-    assert(spark.read.parquet(s"$idxDir/_orphaned_tombstones/0")
+      s"${idxDir}_orphaned_tombstones/0"))
+    assert(spark.read.parquet(s"${idxDir}_orphaned_tombstones/0")
       .count() === 1L)
+    // ...and a later rebuild leaves the preserved marks intact
+    Similarity.rebuildIvfLayout(spark, e.filter(col("vec_id") >= 10),
+      idxDir, idxDir, k = 4)
+    assert(graft.ops.Layouts.exists(spark,
+      s"${idxDir}_orphaned_tombstones/0"))
   }
 
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
