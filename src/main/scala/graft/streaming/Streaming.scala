@@ -575,7 +575,15 @@ object Streaming {
         survivorMarks.write.mode("overwrite").parquet(markStaging.toString)
       val staged = spark.read.parquet(staging.toString)
       val rows = staged.count()
-      withDynamicOverwrite(spark) {
+      // An EMPTY folded base (every base/live row <= uptoBatch is
+      // tombstoned — a full takedown followed by a scheduled fold) makes
+      // the dynamic overwrite below a NO-OP (the r8 empty-frame rule), so
+      // the old batch_id=-2 partition's deleted rows would stay physically
+      // in place while their marks retire — resurrecting every
+      // base-resident victim in all serving paths. Clear the base
+      // partition explicitly instead (clear-and-seed, index flavor).
+      if (rows == 0L) clearIndexPartition(spark, indexTable, -2L)
+      else withDynamicOverwrite(spark) {
         staged.write.mode("overwrite").insertInto(indexTable)
       }
       batches.foreach(clearIndexPartition(spark, indexTable, _))

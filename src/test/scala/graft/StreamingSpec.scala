@@ -548,6 +548,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
   }
 
+  test("foldIndexBase FULL takedown: when every base/live row in range " +
+      "is tombstoned the fold must clear the batch_id=-2 partition " +
+      "explicitly (an empty dynamic overwrite is a no-op) — otherwise " +
+      "the old base's deleted rows survive while their marks retire") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_fulltake_fold_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("fulltake_idx")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 10)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    // fold batch 0 into the base, then take down EVERY row
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 0L)
+    Streaming.tombstoneIndexRows(spark, tbl, eSlim, planes, tables)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() > 0)
+    // the tombstone-only fold folds an EMPTY base: the -2 partition must
+    // be physically cleared, not left behind by a no-op overwrite
+    val (folded, rows) = Streaming.foldIndexBase(spark, tbl, uptoBatch = 10L)
+    assert(folded === 0L && rows === 0L)
+    assert(spark.table(tbl).count() === 0,
+      "full takedown + fold must leave an empty table — surviving rows " +
+        "are resurrected victims (their marks retired with the fold)")
+    val probes = eSlim.select((col("vec_id") + 5000L).as("qid"),
+      col("embedding"))
+    assert(graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables).count() === 0)
+    // re-ingest after the takedown: admitted fresh, serving resumes
+    Streaming.appendIndexBatch(eSlim, 5L, tbl, planes, tables)
+    assert(graft.sim.Similarity
+      .probeIndexLive(spark, tbl, probes, planes, tables).count() === 10)
+  }
+
   test("foldIndexBase PARTIAL fold keeps a mark whose row lives in a " +
       "batch beyond uptoBatch — retiring it would resurrect the deleted " +
       "row in every live serving path — and the next full fold purges " +
