@@ -40,11 +40,22 @@ import graft.sim.{IndexParams, Similarity}
   *    (and an auditor) needs to see outstanding deletion debt. The tool
   *    differs by flavor: the fold retires table marks,
   *    `purgeIvfTombstones` retires sidecar marks.
-  *  - `rederive_params` when the layout's keyspace no longer matches
-  *    what [[IndexParams]] derives from the CURRENT corpus count — the
-  *    corpus grew past the layout's design point (never hardcode an
-  *    index keyspace parameter, the r13 rule; this check is its
-  *    operational enforcement).
+  *  - `rederive_params` when the layout's keyspace leaves a 2× RATIO
+  *    band around what [[IndexParams]] derives from the CURRENT corpus
+  *    count (`2·actual < target ∨ actual > 2·target`, integer
+  *    cross-multiplies) — the corpus grew past the layout's design point
+  *    (never hardcode an index keyspace parameter, the r13 rule; this
+  *    check is its operational enforcement). The band is the flap guard:
+  *    `IndexParams.ivfK = ⌈√n⌉` is un-quantized below its cap and
+  *    `indexBuckets = ⌈rows/1M⌉` between its clamps, so under continuous
+  *    ingest the target drifts by 1 every ~2√n new vectors (at n = 1M:
+  *    every ~2,000 rows) — an exact-match trigger would fire a full
+  *    Lloyd + full-corpus rewrite per ±1 drift with no operational
+  *    effect. Inside the band the parameter is within 2× of optimal
+  *    (candidates-per-probe off by ≤2×, the same tolerance lshPlanes
+  *    gets for free from its ceilLog2 quantization); a 2× breach means
+  *    the corpus quadrupled (√n targets) or doubled (linear targets)
+  *    since the build — a real rebuild, amortized over that growth.
   *
   * Rows-only in the driver gate (the PlanAudit flavor: filesystem and
   * catalog facts are not SQL-reproducible); MaintenanceSpec plants each
@@ -95,12 +106,19 @@ object Maintenance {
         lit(RebalanceHotFactor) * col("n_entries"), "rebuild_layout"))
       // appendable tables included since r16: their bucket count is fixed
       // at creation, so corpus growth drifts them exactly like the flat
-      // flavors; rebuildAppendableIndex is the bound tool
+      // flavors; rebuildAppendableIndex is the bound tool.
+      // observed = the positive magnitude of the 2x-band violation
+      // (greatest of actual - 2*target and target - 2*actual, floored at
+      // 0) so in-band drift reads 0 > 0 = quiet — an exact-match trigger
+      // (abs diff > 0, the pre-r17 form) rebuild-flaps on every ±1
+      // parameter drift of the un-quantized targets (see the scaladoc)
       .unionByName(check(
         Seq("bucketed_index", "ivf_layout", "appendable_index"),
         "rederive_params",
-        abs(col("keyspace_actual") - col("keyspace_target")), lit(0L),
-        "rebuild_with_derived_params"))
+        greatest(col("keyspace_actual") - lit(2L) * col("keyspace_target"),
+          col("keyspace_target") - lit(2L) * col("keyspace_actual"),
+          lit(0L)),
+        lit(0L), "rebuild_with_derived_params"))
   }
 
   /** The EXECUTE arm: run every triggered row of a [[schedule]] relation

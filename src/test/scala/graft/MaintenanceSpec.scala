@@ -72,20 +72,41 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(over(("v", "rebalance")) === ((true, "rebuild_layout")))
   }
 
-  test("rederive_params: fires on ANY keyspace drift from the " +
-      "corpus-derived target, both directions, both kinds") {
-    val grew = sched(
+  test("rederive_params: fires only when the keyspace leaves the 2x " +
+      "ratio band around the corpus-derived target — in-band drift " +
+      "(including the ivfK ±1-per-~2√n-rows flap) stays quiet; a >2x " +
+      "breach triggers, both directions, both kinds") {
+    // OUT of band: actual far below target (corpus quadrupled since the
+    // build: 2*64 < 256) and far above it (corpus shrank: 40 > 2*16)
+    val breached = sched(
       LayoutFacts("a", "bucketed_index", 10, 64, -1, 1000, -1,
         keyspace_actual = 64, keyspace_target = 256),
       LayoutFacts("v", "ivf_layout", -1, -1, -1, 1000, 100,
-        keyspace_actual = 23, keyspace_target = 16))
-    assert(grew(("a", "rederive_params")) ===
+        keyspace_actual = 40, keyspace_target = 16))
+    assert(breached(("a", "rederive_params")) ===
       ((true, "rebuild_with_derived_params")))
-    assert(grew(("v", "rederive_params")) ===
+    assert(breached(("v", "rederive_params")) ===
       ((true, "rebuild_with_derived_params")))
-    val inSync = sched(LayoutFacts("a", "bucketed_index", 10, 64, -1,
-      1000, -1, 64, 64))
-    assert(inSync(("a", "rederive_params")) === ((false, "none")))
+    // IN band: exact match, a ±1 drift (the continuous-ingest flap an
+    // exact-match trigger would rebuild on), and the 2x edges themselves
+    // (band inclusive: actual == 2*target and 2*actual == target)
+    val inBand = sched(
+      LayoutFacts("a", "bucketed_index", 10, 64, -1, 1000, -1, 64, 64),
+      LayoutFacts("b", "bucketed_index", 10, 64, -1, 1000, -1, 64, 65),
+      LayoutFacts("c", "ivf_layout", -1, -1, -1, 1000, 100, 17, 16),
+      LayoutFacts("d", "ivf_layout", -1, -1, -1, 1000, 100, 32, 16),
+      LayoutFacts("e", "ivf_layout", -1, -1, -1, 1000, 100, 16, 32))
+    Seq("a", "b", "c", "d", "e").foreach { l =>
+      assert(inBand((l, "rederive_params")) === ((false, "none")), l)
+    }
+    // just past the inclusive edges: fires
+    val justOut = sched(
+      LayoutFacts("f", "ivf_layout", -1, -1, -1, 1000, 100, 33, 16),
+      LayoutFacts("g", "ivf_layout", -1, -1, -1, 1000, 100, 16, 33))
+    assert(justOut(("f", "rederive_params")) ===
+      ((true, "rebuild_with_derived_params")))
+    assert(justOut(("g", "rederive_params")) ===
+      ((true, "rebuild_with_derived_params")))
   }
 
   test("tick closes the loop: planted decay triggers fold + compact, the " +
@@ -291,12 +312,15 @@ class MaintenanceSpec extends SparkSpecBase {
       tombstones = spark.table(tbl)
         .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
         .count()))
-    val before = Maintenance.schedule(factsNow(8L).toDF())
+    // target 9 vs built 4: past the inclusive 2x band edge (9 > 2*4), so
+    // rederive fires; a target of exactly 8 would sit ON the edge and
+    // stay quiet under the r17 deadband
+    val before = Maintenance.schedule(factsNow(9L).toDF())
     assert(before.filter(col("triggered") &&
       col("check") === "rederive_params").count() === 1)
     Maintenance.tick(before, Map(
       ("ap", "rebuild_with_derived_params") -> (() => {
-        Streaming.rebuildAppendableIndex(spark, tbl, 8); ()
+        Streaming.rebuildAppendableIndex(spark, tbl, 9); ()
       }),
       // purge also triggers (marks outstanding); the rebuild retires
       // them, so binding the fold as a harmless second action is fine —
@@ -304,8 +328,8 @@ class MaintenanceSpec extends SparkSpecBase {
       ("ap", "fold_index_base") -> (() => {
         Streaming.foldIndexBase(spark, tbl, 1L); ()
       })))
-    assert(buckets() === 8L)
-    assert(Maintenance.schedule(factsNow(8L).toDF())
+    assert(buckets() === 9L)
+    assert(Maintenance.schedule(factsNow(9L).toDF())
       .filter(col("triggered")).count() === 0)
     // deleted rows are gone, live rows rebucketed losslessly
     assert(spark.table(tbl).filter(col("vec_id") < 6).count() === 0)
@@ -321,7 +345,7 @@ class MaintenanceSpec extends SparkSpecBase {
         r.getAs[Long]("qid") - 5000L + 1000L, r.toString)
     }
     val plan = served.queryExecution.executedPlan.toString
-    assert("SelectedBucketsCount: \\d+ out of 8".r.findFirstIn(plan).isDefined,
+    assert("SelectedBucketsCount: \\d+ out of 9".r.findFirstIn(plan).isDefined,
       plan.take(2000))
   }
 
