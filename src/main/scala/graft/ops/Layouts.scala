@@ -57,6 +57,18 @@ object Layouts {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Child entry NAMES of a directory (empty when absent) — scheme-aware
+    * like every other layout primitive; used to count rebuild byproducts
+    * (`_rb<N>` generations, orphaned-tombstone slots) so the maintenance
+    * schedule can surface reap/reissue debt instead of letting it accrue
+    * invisibly beside the layouts. */
+  def listChildren(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath.getName)
+    else Seq.empty
+  }
+
   /** Crash-atomic publish of a multi-step directory-layout build: when
     * `idxDir` is absent, run `build` against a fresh `<idxDir>.build`
     * staging dir (a crashed prior attempt is deleted first) and rename it

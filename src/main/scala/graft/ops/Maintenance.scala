@@ -56,6 +56,13 @@ import graft.sim.{IndexParams, Similarity}
   *    gets for free from its ceilLog2 quantization); a 2× breach means
   *    the corpus quadrupled (√n targets) or doubled (linear targets)
   *    since the build — a real rebuild, amortized over that growth.
+  *  - `reap` when dead `<table>_rb<N>` rebuild generations sit beside an
+  *    appendable table (external DROPs keep data files by design) —
+  *    [[graft.streaming.Streaming.reapRebuildGenerations]] deletes them.
+  *  - `reissue` when a directory layout carries `_orphaned_tombstones`
+  *    slots (out-of-contract marks a crashed in-place rebuild preserved
+  *    aside) — [[Similarity.reissueOrphanedTombstones]] re-keys them
+  *    against the published layout and retires the slots.
   *
   * Rows-only in the driver gate (the PlanAudit flavor: filesystem and
   * catalog facts are not SQL-reproducible); MaintenanceSpec plants each
@@ -71,12 +78,20 @@ object Maintenance {
   val RebalanceHotFactor = 4L
 
   /** One row per audited layout; -1 marks a fact a kind does not carry.
-    * Public top-level (the r11 encoder rule). */
+    * Public top-level (the r11 encoder rule). `rb_old_generations` =
+    * dead `<table>_rb<N>` rebuild-generation dirs beside an appendable
+    * table ([[graft.streaming.Streaming.oldRebuildGenerations]]);
+    * `orphan_slots` = `_orphaned_tombstones` slots beside a directory
+    * layout ([[Similarity.orphanedTombstoneSlots]]) — both rebuild
+    * byproducts that were previously invisible to the one relation an
+    * operator is told to read. */
   case class LayoutFacts(layout: String, kind: String, data_files: Long,
                          buckets: Long, batch_partitions: Long,
                          n_entries: Long, occ_max: Long,
                          keyspace_actual: Long, keyspace_target: Long,
-                         tombstones: Long = -1L)
+                         tombstones: Long = -1L,
+                         rb_old_generations: Long = -1L,
+                         orphan_slots: Long = -1L)
 
   /** The pure decision function: per-layout facts → one row per
     * applicable (layout, check) with the observed value, its integer
@@ -119,6 +134,15 @@ object Maintenance {
           col("keyspace_target") - lit(2L) * col("keyspace_actual"),
           lit(0L)),
         lit(0L), "rebuild_with_derived_params"))
+      // rebuild byproducts (r17): dead _rb<N> generations and orphaned
+      // tombstone slots were documented as "for the operator to reap /
+      // re-issue" but surfaced nowhere — debt an operator cannot see
+      // accrues forever. Facts default to -1 (absent), so callers that
+      // do not gather them stay quiet.
+      .unionByName(check(Seq("appendable_index"), "reap",
+        col("rb_old_generations"), lit(0L), "reap_rebuild_generations"))
+      .unionByName(check(Seq("ivf_layout"), "reissue",
+        col("orphan_slots"), lit(0L), "reissue_orphaned_tombstones"))
   }
 
   /** The EXECUTE arm: run every triggered row of a [[schedule]] relation
@@ -137,20 +161,26 @@ object Maintenance {
     * checks converge on it — an appendable layout's `fold` and `purge`
     * checks both bind fold_index_base, and running the fold twice would
     * scan the table twice for a guaranteed no-op second pass. The
-    * returned replay log still carries every triggered check row. */
+    * returned replay log still carries every triggered check row; its
+    * `executed` flag is true on the one row per (layout, action) whose
+    * tool invocation actually ran and false on rows satisfied by an
+    * earlier row's run — so an operator replaying the log can
+    * distinguish ran-tool rows from converged-satisfied rows. */
   def tick(decisions: DataFrame,
-           tools: Map[(String, String), () => Unit]): Seq[(String, String, String)] = {
+           tools: Map[(String, String), () => Unit])
+      : Seq[(String, String, String, Boolean)] = {
     val due = decisions.filter(col("triggered"))
       .orderBy(col("layout"), col("check"))
       .select(col("layout"), col("check"), col("action")).collect()
     val ran = scala.collection.mutable.Set.empty[(String, String)]
     due.toSeq.map { r =>
       val key = (r.getString(0), r.getString(2))
-      if (ran.add(key))
+      val executed = ran.add(key)
+      if (executed)
         tools.getOrElse(key, sys.error(
           s"maintenance tick: no tool bound for layout=${key._1} " +
             s"action=${key._2} — every triggered decision must execute"))()
-      (r.getString(0), r.getString(1), r.getString(2))
+      (r.getString(0), r.getString(1), r.getString(2), executed)
     }
   }
 
@@ -192,7 +222,8 @@ object Maintenance {
       .agg(sum(col("occ")), max(col("occ"))).head()
     val ivfFacts = LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
       occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong,
-      tombstones = sidecarTombstones(spark, ivfDir))
+      tombstones = sidecarTombstones(spark, ivfDir),
+      orphan_slots = Similarity.orphanedTombstoneSlots(spark, ivfDir))
 
     val apBuckets = IndexParams.indexBuckets(n, tables)
     val apTbl = "g_maint_ap_idx_" + Layouts.tag(
@@ -224,7 +255,9 @@ object Maintenance {
       apBuckets.toLong,
       tombstones = spark.table(apTbl)
         .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
-        .count())
+        .count(),
+      rb_old_generations = graft.streaming.Streaming
+        .oldRebuildGenerations(spark, apTbl).length.toLong)
 
     // the text-side appendable band index (same flavor, own keyspace)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -251,7 +284,9 @@ object Maintenance {
       spark.table(bandTbl).filter(col("batch_id") >= 0)
         .select(col("batch_id")).distinct().count(),
       spark.table(bandTbl).count(), -1L, tableBuckets(bandTbl),
-      bandBuckets.toLong, tombstones = tombCount(bandTbl))
+      bandBuckets.toLong, tombstones = tombCount(bandTbl),
+      rb_old_generations = graft.streaming.Streaming
+        .oldRebuildGenerations(spark, bandTbl).length.toLong)
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
     // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code
@@ -263,7 +298,8 @@ object Maintenance {
       .agg(sum(col("occ")), max(col("occ"))).head()
     val sqIvfFacts = LayoutFacts("sq_ivf", "ivf_layout", -1L, -1L, -1L,
       sqOcc.getLong(0), sqOcc.getLong(1), sqK, IndexParams.ivfK(n).toLong,
-      tombstones = sidecarTombstones(spark, sqIvfDir))
+      tombstones = sidecarTombstones(spark, sqIvfDir),
+      orphan_slots = Similarity.orphanedTombstoneSlots(spark, sqIvfDir))
 
     // actual = what the table was BUILT at (its own metadata), target =
     // the derivation for the current corpus — deriving both from the

@@ -1673,17 +1673,27 @@ object Similarity {
     val staging = s"$newIdxDir.build"
     val p = new org.apache.hadoop.fs.Path(newIdxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resume branch: prior in-place attempt crashed between delete-live
-    // and rename — staging is complete and the live layout is gone, so
-    // the retry must finish the rename: the staging copy is the only one
-    // that remembers the honored marks. Marks CANNOT land in the husk
-    // through the API (tombstoneIvfRows fails loudly on the husk's
-    // missing centroids), so any husk sidecar is out-of-contract content
-    // routed by unknown centroids — (cid, vec_id) marks keyed to dead
-    // routing would silently never match, so they are preserved ASIDE
-    // (never consumed by serving) for the operator to re-issue against
-    // the published layout.
-    if (newIdxDir == oldIdxDir && built(staging) && !built(newIdxDir)) {
+    // resume branch: prior in-place attempt crashed after the staging
+    // build completed — the staging copy is the only one that remembers
+    // the honored marks (a fresh rebuild from the corpus would resurrect
+    // them), so the retry must finish the publish. A COMPLETE staging is
+    // the stronger signal than an apparently-built live dir: a
+    // successful publish RENAMES the staging away, so its presence
+    // proves a crash anywhere between build-done and rename-done —
+    // including mid-delete of the live dir, where the recursive delete
+    // may have removed the tombstones sidecar while centroids/assigned
+    // `_SUCCESS` files survive, leaving `built(live)` true and zero
+    // visible deletion debt. Gating the resume on `!built(live)` (the
+    // pre-r17 form) discarded the mark-honoring staging in exactly that
+    // window. Marks CANNOT land in the husk through the API after the
+    // crash window opens only if centroids died first (tombstoneIvfRows
+    // fails loudly on missing centroids); a sidecar still present in the
+    // husk is routed by the OLD centroids — (cid, vec_id) marks keyed to
+    // dead routing would silently never match under the fresh ones, so
+    // it is preserved ASIDE (never consumed by serving) for
+    // [[reissueOrphanedTombstones]] to re-key against the published
+    // layout.
+    if (newIdxDir == oldIdxDir && built(staging)) {
       val husk = new org.apache.hadoop.fs.Path(s"$oldIdxDir/tombstones")
       if (fs.exists(husk)) {
         // OUTSIDE the layout dir: an orphan preserved inside it would be
@@ -1904,6 +1914,49 @@ object Similarity {
       fs.delete(tombPath, true) // marks retire LAST
       (affected.length.toLong, purged)
     } finally fs.delete(staging, true)
+  }
+
+  /** Outstanding `_orphaned_tombstones` slots beside a directory layout —
+    * the out-of-contract marks a crashed in-place rebuild preserved aside
+    * (see [[rebuildIvfLayout]]). Surfaced as a q155 fact so the schedule's
+    * `reissue` check makes the debt visible; 0 when the dir is absent. */
+  def orphanedTombstoneSlots(spark: SparkSession, idxDir: String): Long =
+    graft.ops.Layouts.listChildren(spark,
+      s"${idxDir}_orphaned_tombstones").length.toLong
+
+  /** The `reissue_orphaned_tombstones` tool the q155 schedule's
+    * `reissue` check binds: re-key every orphaned mark against the
+    * PUBLISHED layout and retire the orphan slots. An orphaned
+    * (cid, vec_id) mark is routed by centroids that died with the
+    * rebuild, so its cid is meaningless — but its vec_id is not: a row
+    * still present in the live `assigned` dir must be re-hidden under
+    * the live layout's OWN routing (the assigned row's cid, exact by
+    * definition), while a vec_id absent from `assigned` was already
+    * honored by the rebuild's exclusion (or purged) and needs nothing.
+    * Marks land FIRST (append-mode, the [[tombstoneIvfRows]] crash
+    * contract), the orphan dir dies LAST — a crash between leaves
+    * duplicate-tolerant marks plus a re-runnable orphan dir, never a
+    * lost takedown. Single-writer contract with other mark landings and
+    * the purge applies. Returns marks re-issued. */
+  def reissueOrphanedTombstones(spark: SparkSession, idxDir: String): Long = {
+    val orphanDir = s"${idxDir}_orphaned_tombstones"
+    if (orphanedTombstoneSlots(spark, idxDir) == 0L) return 0L
+    val orphanIds = spark.read.parquet(s"$orphanDir/*")
+      .select(col("vec_id")).distinct()
+    // the live assigned rows for still-present victims, keyed by the
+    // LIVE layout's own routing — a distributed semi-join, never a
+    // driver collect (orphan volume is unbounded takedown backlog)
+    val marks = spark.read.parquet(s"$idxDir/assigned")
+      .join(orphanIds, Seq("vec_id"), "left_semi")
+      // partition discovery types the assigned dir's cid INT while the
+      // sidecar's files carry assignToCentroid's LONG — an un-cast append
+      // would mix int32/int64 parquet schemas in one dir
+      .select(col("cid").cast("long").as("cid"), col("vec_id"))
+    val n = marks.count()
+    if (n > 0L)
+      marks.write.mode("append").parquet(s"$idxDir/tombstones")
+    graft.ops.Layouts.delete(spark, orphanDir)
+    n
   }
 
   /** q159: deletion from the DIRECTORY IVF layout — q157's

@@ -686,6 +686,48 @@ object Streaming {
     rows
   }
 
+  /** OLD `<table>_rb<N>` rebuild generations of an appendable index —
+    * the data-file dirs [[rebuildAppendableIndex]]'s external DROP left
+    * behind (deliberately: a drop never deletes external files, and the
+    * newest generation IS the live table's location). Enumerated so the
+    * maintenance schedule (q155's `reap` check) can surface the debt
+    * instead of letting dead generations accrue invisibly beside the
+    * live one. Excludes the live table's own location and — when a
+    * crashed rebuild left its `<table>_rebuild` staging — the staging's
+    * location, whose files the resume branch still needs. Namespaced on
+    * the sanitized table identifier (the [[rebuildAppendableIndex]]
+    * naming rule), so one table's reap can never see another's dirs. */
+  def oldRebuildGenerations(spark: SparkSession,
+                            table: String): Seq[String] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val keep = scala.collection.mutable.Set(loc.getName)
+    val stagingTbl = s"${table}_rebuild"
+    if (spark.catalog.tableExists(stagingTbl))
+      keep += new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(stagingTbl))
+          .location).getName
+    val base = table.replaceAll("[^A-Za-z0-9_]", "_")
+    val gen = s"^${java.util.regex.Pattern.quote(base)}_rb\\d+$$".r
+    graft.ops.Layouts.listChildren(spark, loc.getParent.toString)
+      .filter(n => gen.findFirstIn(n).isDefined && !keep(n))
+      .sorted
+      .map(n => new org.apache.hadoop.fs.Path(loc.getParent, n).toString)
+  }
+
+  /** The `reap_rebuild_generations` tool the q155 schedule's `reap`
+    * check binds: delete every old [[oldRebuildGenerations]] dir of
+    * `table` and return how many died. Safe by construction — the live
+    * location and a crash-resume staging location are excluded at
+    * enumeration, and the generation namespace is the table's own. */
+  def reapRebuildGenerations(spark: SparkSession, table: String): Long = {
+    val old = oldRebuildGenerations(spark, table)
+    old.foreach(graft.ops.Layouts.delete(spark, _))
+    old.length.toLong
+  }
+
   private[graft] def withDynamicOverwrite[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val was = spark.conf.get(key)

@@ -43,7 +43,8 @@ class MaintenanceSpec extends SparkSpecBase {
     // tool, mirroring the flat flavor's compact + rebuild pair; no
     // compact rows appear for it
     assert(over.keySet ===
-      Set(("s", "fold"), ("s", "purge"), ("s", "rederive_params")))
+      Set(("s", "fold"), ("s", "purge"), ("s", "rederive_params"),
+        ("s", "reap")))
   }
 
   test("purge: any outstanding tombstone marks schedule a fold (deletion " +
@@ -158,8 +159,8 @@ class MaintenanceSpec extends SparkSpecBase {
       ("ap", "fold_index_base") -> (() => {
         Streaming.foldIndexBase(spark, "g_tick_ap_idx", 8L); ()
       })))
-    assert(ran === Seq(("ap", "fold", "fold_index_base"),
-      ("flat", "compact", "compact_bucketed")))
+    assert(ran === Seq(("ap", "fold", "fold_index_base", true),
+      ("flat", "compact", "compact_bucketed", true)))
     val after = Maintenance.schedule(factsNow().toDF())
     assert(after.filter(col("triggered")).count() === 0,
       after.collect().mkString("\n"))
@@ -179,8 +180,11 @@ class MaintenanceSpec extends SparkSpecBase {
     val ran = Maintenance.tick(due,
       Map(("a", "fold_index_base") -> (() => { runs += 1 })))
     assert(runs === 1, "one fold, not one per converging check")
-    assert(ran === Seq(("a", "fold", "fold_index_base"),
-      ("a", "purge", "fold_index_base")))
+    // the executed flag distinguishes the row that ran the tool from the
+    // row satisfied by the earlier row's run — the one thing a replayed
+    // log must preserve
+    assert(ran === Seq(("a", "fold", "fold_index_base", true),
+      ("a", "purge", "fold_index_base", false)))
   }
 
   test("tick refuses a triggered decision with no bound tool") {
@@ -222,7 +226,7 @@ class MaintenanceSpec extends SparkSpecBase {
       ("v", "purge_ivf_tombstones") -> (() => {
         graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
       })))
-    assert(ran === Seq(("v", "purge", "purge_ivf_tombstones")))
+    assert(ran === Seq(("v", "purge", "purge_ivf_tombstones", true)))
     val after = Maintenance.schedule(factsNow().toDF())
     assert(after.filter(col("triggered")).count() === 0,
       after.collect().mkString("\n"))
@@ -271,7 +275,7 @@ class MaintenanceSpec extends SparkSpecBase {
       ("sqv", "purge_ivf_tombstones") -> (() => {
         graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
       })))
-    assert(ran === Seq(("sqv", "purge", "purge_ivf_tombstones")))
+    assert(ran === Seq(("sqv", "purge", "purge_ivf_tombstones", true)))
     val after = Maintenance.schedule(factsNow().toDF())
     assert(after.filter(col("triggered")).count() === 0,
       after.collect().mkString("\n"))
@@ -282,6 +286,105 @@ class MaintenanceSpec extends SparkSpecBase {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.ByteType, containsNull = true))
     assert(assigned.count() === 35)
+  }
+
+  test("rebuild byproducts surface in the schedule and their tools close " +
+      "the loop: a dead _rb generation triggers reap (live and staging " +
+      "locations excluded), an orphaned-tombstone slot triggers reissue " +
+      "(still-present victims re-hidden under live routing, absent ids " +
+      "dropped), and the re-audit goes quiet") {
+    import spark.implicits._
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    // --- appendable table: two rebuilds leave one dead generation
+    val tbl = "g_reap_ap_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_rebuild")
+    val tmp = java.nio.file.Files.createTempDirectory("g_reap").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/ap", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    Streaming.rebuildAppendableIndex(spark, tbl, 4)
+    Streaming.rebuildAppendableIndex(spark, tbl, 8)
+    val dead = Streaming.oldRebuildGenerations(spark, tbl)
+    assert(dead.length === 1 && dead.head.endsWith("_rb1"), dead.toString)
+    // --- directory layout: plant an orphaned-tombstone slot (the state a
+    // crashed in-place rebuild preserves aside), marks keyed by DEAD cids
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idxDir = java.nio.file.Files.createTempDirectory("g_reissue")
+      .toString + "/layout"
+    val e40 = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    graft.sim.Similarity.ivfCentroids(e40, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    graft.sim.Similarity.assignToCentroid(e40,
+        spark.read.parquet(s"$idxDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    Seq((999L, 1L), (999L, 2L), (999L, 990099L))
+      .toDF("cid", "vec_id")
+      .write.parquet(s"${idxDir}_orphaned_tombstones/0")
+    assert(graft.sim.Similarity.orphanedTombstoneSlots(spark, idxDir) === 1L)
+    def factsNow() = Seq(
+      LayoutFacts("ap", "appendable_index",
+        graft.sources.Sources.countTableDataFiles(spark, tbl).toLong, 8L,
+        0L, spark.table(tbl).count(), -1L, 8L, 8L, tombstones = 0L,
+        rb_old_generations =
+          Streaming.oldRebuildGenerations(spark, tbl).length.toLong),
+      LayoutFacts("v", "ivf_layout", -1, -1, -1, 40L, 20L, 4L, 4L,
+        tombstones = Maintenance.sidecarTombstones(spark, idxDir),
+        orphan_slots =
+          graft.sim.Similarity.orphanedTombstoneSlots(spark, idxDir)))
+    val before = Maintenance.schedule(factsNow().toDF())
+    assert(before.filter(col("triggered") && col("check") === "reap")
+      .count() === 1)
+    assert(before.filter(col("triggered") && col("check") === "reissue")
+      .count() === 1)
+    val ran = Maintenance.tick(before, Map(
+      ("ap", "reap_rebuild_generations") -> (() => {
+        Streaming.reapRebuildGenerations(spark, tbl); ()
+      }),
+      ("v", "reissue_orphaned_tombstones") -> (() => {
+        graft.sim.Similarity.reissueOrphanedTombstones(spark, idxDir); ()
+      })))
+    assert(ran === Seq(("ap", "reap", "reap_rebuild_generations", true),
+      ("v", "reissue", "reissue_orphaned_tombstones", true)))
+    // reap: dead generation gone, live table intact and serving
+    assert(Streaming.oldRebuildGenerations(spark, tbl).isEmpty)
+    assert(spark.table(tbl).count() === 30L * tables)
+    // reissue: the slot retired; the two still-present victims are
+    // re-keyed under LIVE routing (their own assigned cids, not 999) and
+    // hidden from serving; the absent id landed nothing
+    assert(graft.sim.Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
+    val marks = spark.read.parquet(s"$idxDir/tombstones").collect()
+      .map(r => (r.getAs[Number]("cid").longValue(),
+        r.getAs[Number]("vec_id").longValue())).sorted
+    assert(marks.map(_._2).toSeq === Seq(1L, 2L), marks.mkString(","))
+    assert(marks.forall(_._1 !== 999L), marks.mkString(","))
+    val probes = e40.filter(col("vec_id").isin(1L, 2L))
+      .select((col("vec_id") + 5000L).as("qid"), col("embedding"))
+    graft.sim.Similarity.probeIvfLive(spark, idxDir, probes, nprobe = 4)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("retrieved_id") !== r.getAs[Long]("qid") - 5000L,
+          r.toString)
+      }
+    // the re-audit: reap and reissue are quiet; the reissue converted
+    // orphan debt into REGULAR mark debt by design, so purge now owes —
+    // run it and the audit goes fully quiet with the victims physically
+    // gone
+    val mid = Maintenance.schedule(factsNow().toDF())
+    assert(mid.filter(col("triggered") &&
+      col("check").isin("reap", "reissue")).count() === 0)
+    assert(mid.filter(col("triggered") && col("check") === "purge")
+      .count() === 1)
+    Maintenance.tick(mid, Map(("v", "purge_ivf_tombstones") -> (() => {
+      graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
+    })))
+    assert(Maintenance.schedule(factsNow().toDF())
+      .filter(col("triggered")).count() === 0)
+    assert(spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("vec_id").isin(1L, 2L)).count() === 0)
   }
 
   test("keyspace drift on an appendable index closes the loop: rederive " +
@@ -357,13 +460,14 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(byKey.keySet === Set(
       ("lsh_index", "compact"), ("lsh_index", "rederive_params"),
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
-      ("ivf_base", "purge"),
+      ("ivf_base", "purge"), ("ivf_base", "reissue"),
       ("appendable_index", "fold"), ("appendable_index", "purge"),
       ("appendable_index", "rederive_params"),
+      ("appendable_index", "reap"),
       ("band_index", "fold"), ("band_index", "purge"),
-      ("band_index", "rederive_params"),
+      ("band_index", "rederive_params"), ("band_index", "reap"),
       ("sq_ivf", "rebalance"), ("sq_ivf", "rederive_params"),
-      ("sq_ivf", "purge"),
+      ("sq_ivf", "purge"), ("sq_ivf", "reissue"),
       ("sq_index", "compact"), ("sq_index", "rederive_params")))
     // no deletions have been issued against any audited layout
     Seq("appendable_index", "ivf_base", "band_index", "sq_ivf").foreach { l =>

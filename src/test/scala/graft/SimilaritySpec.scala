@@ -962,6 +962,48 @@ class SimilaritySpec extends SparkSpecBase {
       s"${idxDir}_orphaned_tombstones/0"))
   }
 
+  test("rebuildIvfLayout resume branch prefers a complete staging over an " +
+      "apparently-built live dir: a crash MID-delete can remove the " +
+      "tombstones sidecar while centroids/assigned _SUCCESS survive, so " +
+      "gating the resume on !built(live) would discard the mark-honoring " +
+      "staging and rebuild from the corpus — resurrecting the takedowns") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_middel")
+      .toString
+    val idxDir = s"$root/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // the crash state: the in-place rebuild built a COMPLETE staging that
+    // honored the takedown of vec_id < 10, began deleting the live dir,
+    // and died after the recursive delete removed the tombstones sidecar
+    // but before it reached centroids/assigned — the live dir still
+    // passes ivfLayoutBuilt and shows ZERO visible deletion debt
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$idxDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    val staging = s"$idxDir.build"
+    val survivors = e.filter(col("vec_id") >= 10)
+    Similarity.ivfCentroids(survivors, 4, iters = 1)
+      .write.parquet(s"$staging/centroids")
+    Similarity.assignToCentroid(survivors,
+        spark.read.parquet(s"$staging/centroids"))
+      .write.partitionBy("cid").parquet(s"$staging/assigned")
+    assert(Similarity.ivfLayoutBuilt(spark, idxDir),
+      "precondition: the husk must LOOK complete for this to test anything")
+    // the retry: must publish the staging, never rebuild from the corpus
+    Similarity.rebuildIvfLayout(spark, e, idxDir, idxDir, k = 4)
+    assert(Similarity.ivfLayoutBuilt(spark, idxDir))
+    assert(!graft.ops.Layouts.exists(spark, staging))
+    val ids = spark.read.parquet(s"$idxDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (10L until 60L).toSet,
+      "the staging copy is the only one that remembers the honored " +
+        "marks — a corpus rebuild would resurrect vec_id < 10")
+  }
+
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
       "path fails loud, naming the distributed gate") {
     Similarity.ensureRegistered(spark)
