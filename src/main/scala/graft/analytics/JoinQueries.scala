@@ -384,8 +384,11 @@ object JoinQueries {
     // partitioning once at ingest, never at query time) — while a data
     // regeneration inside one long-lived session changes the fingerprint
     // and gets a fresh layout instead of silently serving the stale copy.
+    // tag() itself joins its parts with "|" — no separator argument
+    // (an extra "|" part would change the digest input and invalidate
+    // every existing g_bkt_* cached table name for one spurious rebuild)
     val tag = graft.ops.Layouts.tag(
-      graft.ops.Layouts.fileFp(s"$dir/orders.parquet"), "|",
+      graft.ops.Layouts.fileFp(s"$dir/orders.parquet"),
       graft.ops.Layouts.fileFp(s"$dir/customer.parquet"))
     val (ot, ct) = (s"g_bkt_orders_$tag", s"g_bkt_customer_$tag")
     if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(ct)) {
