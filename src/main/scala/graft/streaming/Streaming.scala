@@ -920,9 +920,11 @@ object Streaming {
     * decay a 30 s trigger accrues (~2,880/day) WITHOUT an external cron,
     * and the [[landTombstoneMarks]] single-writer contract holds by
     * construction: gate, append, and fold all run serialized inside one
-    * micro-batch thread. (Delete STREAMS remain external writers — pause
-    * them across this stream's fold batches, or land takedowns as an
-    * input to this stream's own pipeline.)
+    * micro-batch thread. (A separate [[indexDeleteStream]] remains an
+    * EXTERNAL writer that must be paused across this stream's fold
+    * batches; [[maintainedLifecycleStream]] removes that operational
+    * hazard by carrying takedowns as an input to this stream's own
+    * pipeline.)
     *
     * Replay semantics compose: a batch re-run after a crash-past-fold
     * gates against base + live batches, which hold exactly the rows the
@@ -948,6 +950,82 @@ object Streaming {
         }
       }
       .start()
+  }
+
+  /** Row-tag values for [[maintainedLifecycleStream]]'s unioned feed. */
+  private val OpIngest = "ingest"
+  private val OpDelete = "delete"
+
+  /** The FULL-LIFECYCLE stream — [[maintainedGateStream]] plus an
+    * in-stream takedown feed, closing the one seam that family left
+    * open: a separate [[indexDeleteStream]] is a second writer whose
+    * mark landings race this stream's fold (the [[landTombstoneMarks]]
+    * single-writer contract had to be held OPERATIONALLY, by pausing the
+    * delete stream across fold batches). Here both feeds union into one
+    * source — `vectors` and `takedowns` carry the same (vec_id,
+    * embedding) schema, tagged `op = ingest | delete` — so every
+    * micro-batch lands its marks, gates its ingest rows, and folds, all
+    * serialized inside one foreachBatch thread: the single-writer
+    * contract holds by CONSTRUCTION for the whole lifecycle.
+    *
+    * Per-batch order is marks FIRST, then the gate: a takedown's content
+    * must gate as novel again in the very batch that carries the
+    * takedown, so a same-batch re-ingest (under a fresh vec_id — the
+    * library-wide contract: ids are stable per ingest event, a re-ingest
+    * is a new id) re-admits immediately. A same-batch re-ingest under
+    * the SAME vec_id stays deleted — marks key on (sig, vec_id), which
+    * is exactly the takedown's scope.
+    *
+    * Replay semantics compose with both arms: mark landing is
+    * (sig, vec_id)-deduped union (idempotent — a replay re-lands the
+    * identical set; marks for rows an intervening fold already purged
+    * are standing no-ops the next fold retires), the gate excludes the
+    * batch's own index partition (and only the live head can replay, so
+    * the fold never moves a replayable batch's rows out of that
+    * partition), and the fold re-run is the documented lossless
+    * recompute. Unlike an external delete stream, a takedown can no
+    * longer land INSIDE another batch's crash window — it is ordered
+    * with its batch — so replayed decisions are deterministic
+    * unconditionally, not merely relative to a racing mark set. */
+  def maintainedLifecycleStream(vectors: DataFrame, takedowns: DataFrame,
+                                indexTable: String, planes: Int, tables: Int,
+                                decisionsDir: String, checkpointDir: String,
+                                theta: Double = 0.75,
+                                foldEvery: Int = 16): StreamingQuery = {
+    require(foldEvery > 0,
+      s"maintainedLifecycleStream: foldEvery must be positive, got $foldEvery")
+    vectors.withColumn("op", lit(OpIngest))
+      .unionByName(takedowns.withColumn("op", lit(OpDelete)))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lifecycleBatch(batch, batchId, indexTable, planes, tables,
+          decisionsDir, theta)
+        if (batchId > 0 && batchId % foldEvery == 0) {
+          foldIndexBase(batch.sparkSession, indexTable, batchId - 1)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The foreachBatch body of [[maintainedLifecycleStream]] (minus the
+    * fold arm), exposed for direct crash-replay testing: split the
+    * op-tagged batch, land the takedown marks first, then gate the
+    * ingest rows. An all-ingest batch degenerates to [[gateBatch]]
+    * exactly; an all-takedown batch still runs the gate's empty-batch
+    * clear-and-seed on both sinks. */
+  def lifecycleBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                     planes: Int, tables: Int, decisionsDir: String,
+                     theta: Double = 0.75): Unit = {
+    val b = batch.persist()
+    try {
+      val dels = b.filter(col("op") === OpDelete).drop("op")
+      if (!dels.isEmpty)
+        tombstoneIndexRows(b.sparkSession, indexTable, dels, planes, tables)
+      gateBatch(b.filter(col("op") === OpIngest).drop("op"), batchId,
+        indexTable, planes, tables, decisionsDir, theta)
+    } finally b.unpersist()
   }
 
   /** The foreachBatch body of [[dedupGateStream]], exposed for direct

@@ -852,6 +852,93 @@ class StreamingSpec extends SparkSpecBase {
       .collect()(0).getAs[Long]("retrieved_id") === corpus(5).vec_id)
   }
 
+  test("maintainedLifecycleStream: interleaved ingest+takedown feeds run " +
+      "through ONE writer thread — same-batch re-admission is exact, folds " +
+      "honor the marks, crash replays lose nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_lifecycle_gate_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("lifecycle_gate")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val corpus = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 15)
+      .collect().map(r => Vec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    def emb(id: Long) = corpus.find(_.vec_id == id).get.embedding
+    val ing = MemoryStream[Vec]
+    val del = MemoryStream[Vec]
+    val q = Streaming.maintainedLifecycleStream(ing.toDF(), del.toDF(), tbl,
+      planes, tables, decDir,
+      Files.createTempDirectory("lifecycle_ck").toString, foldEvery = 2)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    def marks() = {
+      spark.catalog.refreshTable(tbl)
+      spark.table(tbl).filter(col("batch_id") === tombId).count()
+    }
+    def decisions(bid: Long) = spark.read.parquet(decDir)
+      .filter(col("batch_id") === bid).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // b0: ingest only
+    ing.addData(corpus.take(10).toSeq); q.processAllAvailable()
+    assert(decisions(0).values.count(_ == "accepted") === 10)
+    // b1: takedown of vec 3 INTERLEAVED with a same-batch re-ingest of its
+    // content (fresh id 9003) and a copy of still-live vec 5 (id 9005):
+    // marks land before the gate, so 9003 re-admits exactly while 9005
+    // keeps rejecting
+    del.addData(Seq(Vec(3L, emb(3L))))
+    ing.addData(Seq(Vec(9003L, emb(3L)), Vec(9005L, emb(5L))))
+    q.processAllAvailable()
+    val d1 = decisions(1)
+    assert(d1(9003L) === "accepted", s"takedown must re-admit in-batch: $d1")
+    assert(d1(9005L) === "dup_index", d1.toString)
+    assert(marks() === 1L * tables)
+    // b2: plain ingest; the fold arm fires (upto 1) and purges vec 3's
+    // batch-0 row, retiring its honored marks — 9003 (a different vec_id)
+    // survives
+    ing.addData(corpus.slice(10, 15).toSeq); q.processAllAvailable()
+    assert(decisions(2).values.count(_ == "accepted") === 5)
+    assert(marks() === 0L)
+    assert(spark.table(tbl).filter(col("vec_id") === 3L).count() === 0)
+    assert(spark.table(tbl).filter(col("vec_id") === 9003L).count() ===
+      1L * tables)
+    val parts2 = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts2.toSeq === Seq(-2L, 2L), parts2.mkString(","))
+    val count2 = spark.table(tbl).count()
+    // crash replay of b2 (crash past the fold, before the checkpoint
+    // commit): the body recomputes identical decisions — the fold moved
+    // only batches BEFORE the replayable head — and the fold re-run is
+    // the documented no-op
+    Streaming.lifecycleBatch(
+      corpus.slice(10, 15).toSeq.toDF().withColumn("op", lit("ingest")),
+      2L, tbl, planes, tables, decDir)
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    assert(decisions(2).values.count(_ == "accepted") === 5)
+    assert(spark.table(tbl).count() === count2)
+    // b3: takedown-only batch (no ingest rows at all)
+    del.addData(Seq(Vec(9003L, emb(3L)))); q.processAllAvailable()
+    assert(marks() === 1L * tables)
+    assert(graft.sim.Similarity.liveIndexRelation(spark.table(tbl))
+      .filter(col("vec_id") === 9003L).count() === 0,
+      "the mark must hide 9003 from every serving/gating path")
+    // b4: re-ingest the twice-deleted content under a fresh id; the fold
+    // arm fires (upto 3) and pays the 9003 debt — no mark is ever lost,
+    // no purged row resurrects
+    ing.addData(Seq(Vec(9103L, emb(3L)))); q.processAllAvailable()
+    q.stop()
+    assert(decisions(4)(9103L) === "accepted", decisions(4).toString)
+    assert(marks() === 0L)
+    assert(spark.table(tbl).filter(col("vec_id") === 9003L).count() === 0)
+    assert(spark.table(tbl).filter(col("vec_id") === 9103L).count() ===
+      1L * tables)
+    // final corpus: ids {0,1,2,4..14} + 9103 = 15 accepted, each x tables
+    assert(spark.table(tbl).filter(col("batch_id") =!= tombId).count() ===
+      15L * tables)
+  }
+
   test("the LIVE gate stays shuffle-free on the index side: the tombstone " +
       "anti-join rides the sig bucketing (both sides are the same bucketed " +
       "table), so deletion adds no exchange to the ingest path") {
