@@ -480,6 +480,12 @@ object Streaming {
     * folding batches 0..`uptoBatch` into `batch_id = -2` bounds the
     * partition count while `insertInto` keeps every folded file
     * bucket-numbered, so sig pruning spans base + live batches unchanged.
+    * [[foldIndexLeveled]] generation partitions fold in too — the base
+    * fold is the one place marks retire and purged rows physically die,
+    * so it must consume every consolidated tier. Because this fold
+    * rewrites the whole base (cost linear in base rows — graft.TimeFold),
+    * it is the PURGE/retirement cadence, not the per-batch one: steady
+    * consolidation belongs to the leveled fold.
     *
     * Safety argument, in order:
     * (1) only fold batches the checkpoint has committed BEHIND the live
@@ -517,6 +523,10 @@ object Streaming {
     // "unfolded" mark-retention read below
     require(uptoBatch >= 0, s"foldIndexBase: uptoBatch must be >= 0, " +
       s"got $uptoBatch")
+    // drain pending LEVELED plans first: their staging remembers pre-purge
+    // rows mark-agnostically, so one replayed after this fold's purge
+    // would resurrect the purged victims into a generation
+    finishPendingLeveledFolds(spark, indexTable, meta)
     val tombId = graft.sim.Similarity.TombstoneBatchId
     // column roles come from the table's own metadata so the fold (and
     // the tombstone purge) serve BOTH appendable flavors — the vector
@@ -534,11 +544,20 @@ object Streaming {
       .select(dataCols.map(col): _*)
     val tomb = tombFull.select(dedupKeys.map(col): _*)
     val hasTomb = !tomb.isEmpty
+    // the base fold is GENERATION-AWARE: every [[foldIndexLeveled]]
+    // generation partition folds into the base here (and is cleared
+    // below, BEFORE mark retirement — a retired mark whose row still sat
+    // in an uncleared generation would resurrect it)
+    val genIds = spark.table(indexTable)
+      .filter(col("batch_id") <= GenerationBaseId)
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
     // a tombstone-only fold (no live batches) still runs: its job is to
     // purge deleted rows out of the BASE partition and retire the marks
-    if (batches.isEmpty && !hasTomb) return (0L, 0L)
+    if (batches.isEmpty && !hasTomb && genIds.isEmpty) return (0L, 0L)
     val source = live.unionByName(
-        spark.table(indexTable).filter(col("batch_id") === -2L))
+        spark.table(indexTable).filter(col("batch_id") === -2L ||
+          col("batch_id") <= GenerationBaseId))
       .dropDuplicates(dedupKeys)
       // the physical purge: tombstoned rows ([[tombstoneIndexRows]] /
       // [[tombstoneBandRows]]) do not make it into the folded base; the
@@ -587,6 +606,7 @@ object Streaming {
         staged.write.mode("overwrite").insertInto(indexTable)
       }
       batches.foreach(clearIndexPartition(spark, indexTable, _))
+      genIds.foreach(clearIndexPartition(spark, indexTable, _))
       if (hasTomb) {
         val survivors = spark.read.parquet(markStaging.toString)
         // marks retire LAST: a nonempty survivor set REPLACES the
@@ -607,6 +627,147 @@ object Streaming {
       fs.delete(staging, true)
       fs.delete(markStaging, true)
     }
+  }
+
+  /** Generation partitions of the LEVELED fold live at
+    * `batch_id = GenerationBaseId - level` (level 0 → −10, level 1 → −11,
+    * …), below every reserved id (−2 base, −3 marks) so no consumer can
+    * confuse them; serving and gating need no change at all — every read
+    * path filters `batch_id =!= TombstoneBatchId`, which includes
+    * generations like any other partition. */
+  val GenerationBaseId: Long = -10L
+
+  private val LeveledStagingRe = """_leveled_staging_t(\d+)_u(\d+)""".r
+
+  /** LEVELED fold — the amortized sibling of [[foldIndexBase]], closing
+    * the 100× question the full fold leaves open: the base fold rewrites
+    * EVERYTHING folded so far (measured linear in base rows, graft.TimeFold
+    * / PLANS.md), so a fixed fold cadence costs QUADRATIC total work over
+    * a stream's lifetime — at a 100 TB base every 16th micro-batch would
+    * pay a full-corpus rewrite. This fold instead consolidates the live
+    * batches 0..`uptoBatch` into binary-counter GENERATION partitions:
+    * the target is the smallest empty level j, merged together with every
+    * occupied level below j (so after m folds the occupied levels are
+    * exactly the set bits of m — at most log₂(m)+1 partitions), each row
+    * is rewritten at most log₂ times over the stream's lifetime
+    * (O(n log n) total fold work), and the base partition is never read
+    * or written. Partition decay stays answered: live batches collapse at
+    * the same cadence as before, into log-many generations instead of one
+    * ever-growing base.
+    *
+    * Deliberately MARK-AGNOSTIC (single responsibility): tombstone marks
+    * are neither honored nor retired here — serving correctness stays
+    * with the live view's anti-join, and the physical purge plus mark
+    * retirement remain [[foldIndexBase]]'s job (now generation-aware),
+    * run at a much slower cadence or by the q155 schedule's purge check.
+    *
+    * Crash contract — the PLAN rides the staging dir's NAME
+    * (`_leveled_staging_t<level>_u<upto>`): a resume must finish the
+    * identical plan, never recompute one from mutated state (a half-
+    * cleared source set would derive a different target level and leave
+    * the written generation serving duplicate rows forever). Entry
+    * finishes any committed pending plan first (deleting uncommitted
+    * staging debris), so every invocation converges the table before
+    * folding anew; within the window rows exist in staging ∪ sources ∪
+    * target and the (bucket, id) dedup makes re-execution identical —
+    * the same invariant the base fold holds. Duplicates visible inside
+    * the window are argmax-safe, exactly as for the base fold's window.
+    * Single-writer: same contract as every fold/landing on the table.
+    * Returns (batch partitions cleared, rows in the written generation). */
+  def foldIndexLeveled(spark: SparkSession, indexTable: String,
+                       uptoBatch: Long): (Long, Long) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"foldIndexLeveled($indexTable): expected the appendable-index " +
+        s"layout (batch_id partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    require(uptoBatch >= 0, s"foldIndexLeveled: uptoBatch must be >= 0, " +
+      s"got $uptoBatch")
+    val pending = finishPendingLeveledFolds(spark, indexTable, meta)
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
+      dataCols.head)
+    val live = spark.table(indexTable)
+      .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
+    if (live.isEmpty) return pending.getOrElse((0L, 0L))
+    val occupied = spark.table(indexTable)
+      .filter(col("batch_id") <= GenerationBaseId)
+      .select(col("batch_id")).distinct()
+      .collect().map(r => (GenerationBaseId - r.getLong(0)).toInt).toSet
+    val level = Iterator.from(0).find(!occupied(_)).get
+    val source = live.unionByName(
+        spark.table(indexTable).filter(
+          col("batch_id") <= GenerationBaseId &&
+            col("batch_id") > GenerationBaseId - level))
+      .dropDuplicates(dedupKeys)
+      .select(dataCols.map(col): _*)
+    val staging = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location),
+      s"_leveled_staging_t${level}_u$uptoBatch")
+    source.write.mode("overwrite").parquet(staging.toString)
+    finishLeveledFold(spark, indexTable, meta, level, uptoBatch, staging)
+  }
+
+  /** Execute (or resume) a leveled-fold plan whose committed staging sits
+    * at `staging`: overwrite the target generation with the staged rows,
+    * clear the source partitions the plan names (every occupied level
+    * below `level`, every batch partition ≤ `upto` still present), drop
+    * the staging last. Every step is idempotent, so re-entry from any
+    * crash point converges to the same table. */
+  private def finishLeveledFold(spark: SparkSession, indexTable: String,
+                                meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                                level: Int, upto: Long,
+                                staging: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = spark.read.parquet(staging.toString)
+    val rows = staged.count()
+    val target = GenerationBaseId - level
+    if (rows == 0L) clearIndexPartition(spark, indexTable, target)
+    else withDynamicOverwrite(spark) {
+      staged.select(dataCols.map(col): _*)
+        .withColumn("batch_id", lit(target))
+        .write.mode("overwrite").insertInto(indexTable)
+    }
+    spark.catalog.refreshTable(indexTable)
+    val sources = spark.table(indexTable)
+      .filter((col("batch_id") >= 0 && col("batch_id") <= upto) ||
+        (col("batch_id") <= GenerationBaseId &&
+          col("batch_id") > GenerationBaseId - level))
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0))
+    sources.foreach(clearIndexPartition(spark, indexTable, _))
+    spark.catalog.refreshTable(indexTable)
+    fs.delete(staging, true)
+    (sources.count(_ >= 0).toLong, rows)
+  }
+
+  /** Finish every committed pending leveled-fold plan beside `table`'s
+    * location (single-writer means at most one) and delete uncommitted
+    * staging debris. Shared by [[foldIndexLeveled]] (entry convergence)
+    * and [[foldIndexBase]] — the base fold purges rows and retires marks,
+    * and a stale plan replayed AFTER the purge would resurrect them (the
+    * staging remembers pre-purge rows, mark-agnostically), so the base
+    * fold must drain pending plans before mutating anything. Returns the
+    * last finished plan's counts, if any. */
+  private def finishPendingLeveledFolds(spark: SparkSession, table: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Option[(Long, Long)] = {
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    graft.ops.Layouts.listChildren(spark, meta.location.toString)
+      .flatMap {
+        case n @ LeveledStagingRe(level, upto) => Some((n, level.toInt,
+          upto.toLong))
+        case _ => None
+      }
+      .map { case (name, level, upto) =>
+        val p = new org.apache.hadoop.fs.Path(loc, name)
+        if (graft.ops.Layouts.committed(spark, p.toString))
+          Some(finishLeveledFold(spark, table, meta, level, upto, p))
+        else { graft.ops.Layouts.delete(spark, p.toString); None }
+      }.flatten.lastOption
   }
 
   /** REBUILD an appendable index under a re-derived bucket count — the
@@ -915,41 +1076,70 @@ object Streaming {
     * inside the same foreachBatch thread: every `foldEvery` batches the
     * committed batch partitions (0..batchId−1 — everything the checkpoint
     * can no longer replay once this batch commits is NOT foldable yet, so
-    * the bound stops one short of the live head) fold into the base,
-    * retiring any tombstone debt with them. This answers the partition
-    * decay a 30 s trigger accrues (~2,880/day) WITHOUT an external cron,
-    * and the [[landTombstoneMarks]] single-writer contract holds by
-    * construction: gate, append, and fold all run serialized inside one
-    * micro-batch thread. (A separate [[indexDeleteStream]] remains an
-    * EXTERNAL writer that must be paused across this stream's fold
-    * batches; [[maintainedLifecycleStream]] removes that operational
+    * the bound stops one short of the live head) consolidate via the
+    * LEVELED fold ([[foldIndexLeveled]] — amortized, each row rewritten
+    * at most log₂ times over the stream's lifetime), and every
+    * `majorEvery` batches the BASE fold runs instead, collapsing the
+    * generations and paying any tombstone debt. This answers the
+    * partition decay a 30 s trigger accrues (~2,880/day) WITHOUT an
+    * external cron, and the [[landTombstoneMarks]] single-writer contract
+    * holds by construction: gate, append, and fold all run serialized
+    * inside one micro-batch thread. (A separate [[indexDeleteStream]]
+    * remains an EXTERNAL writer that must be paused across this stream's
+    * fold batches; [[maintainedLifecycleStream]] removes that operational
     * hazard by carrying takedowns as an input to this stream's own
     * pipeline.)
     *
+    * The two cadences are the TimeFold economics: the base fold's cost is
+    * linear in base rows, so running it at a fixed cadence is quadratic
+    * total work over the stream's lifetime — it exists here only to bound
+    * mark-retirement latency (majorEvery · trigger interval) and can be
+    * pushed out (or delegated entirely to the q155 schedule's purge
+    * check) on deployments with little deletion traffic.
+    *
     * Replay semantics compose: a batch re-run after a crash-past-fold
-    * gates against base + live batches, which hold exactly the rows the
-    * pre-fold view held (the fold is lossless mod purged tombstones), so
-    * decisions recompute identically; the fold re-run is the documented
-    * tombstone-only no-op. */
+    * gates against base + generations + live batches, which hold exactly
+    * the rows the pre-fold view held (both folds are lossless mod purged
+    * tombstones), so decisions recompute identically; a leveled fold
+    * re-run finishes its named plan or no-ops, and the base fold re-run
+    * is the documented tombstone-only no-op. */
   def maintainedGateStream(vectors: DataFrame, indexTable: String,
                            planes: Int, tables: Int, decisionsDir: String,
                            checkpointDir: String, theta: Double = 0.75,
-                           foldEvery: Int = 16): StreamingQuery = {
-    // fail at START, not inside a foreachBatch mid-stream: 0 would be a
-    // divide-by-zero at batch 1, a negative silently never folds
-    require(foldEvery > 0,
-      s"maintainedGateStream: foldEvery must be positive, got $foldEvery")
+                           foldEvery: Int = 16,
+                           majorEvery: Int = 256): StreamingQuery = {
+    requireFoldCadence("maintainedGateStream", foldEvery, majorEvery)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateBatch(batch, batchId, indexTable, planes, tables, decisionsDir,
           theta)
-        if (batchId > 0 && batchId % foldEvery == 0) {
-          foldIndexBase(batch.sparkSession, indexTable, batchId - 1)
-          ()
-        }
+        foldArm(batch.sparkSession, indexTable, batchId, foldEvery,
+          majorEvery)
       }
       .start()
+  }
+
+  /** The shared maintenance arm of both self-maintaining streams: base
+    * fold at the major cadence, leveled fold at the minor one. */
+  private def foldArm(spark: SparkSession, indexTable: String, batchId: Long,
+                      foldEvery: Int, majorEvery: Int): Unit =
+    if (batchId > 0 && batchId % majorEvery == 0) {
+      foldIndexBase(spark, indexTable, batchId - 1); ()
+    } else if (batchId > 0 && batchId % foldEvery == 0) {
+      foldIndexLeveled(spark, indexTable, batchId - 1); ()
+    }
+
+  // fail at START, not inside a foreachBatch mid-stream: 0 would be a
+  // divide-by-zero at batch 1, a negative silently never folds; a major
+  // cadence off the minor grid would fire both folds in one batch
+  private def requireFoldCadence(site: String, foldEvery: Int,
+                                 majorEvery: Int): Unit = {
+    require(foldEvery > 0,
+      s"$site: foldEvery must be positive, got $foldEvery")
+    require(majorEvery > 0 && majorEvery % foldEvery == 0,
+      s"$site: majorEvery must be a positive multiple of foldEvery, " +
+        s"got majorEvery=$majorEvery foldEvery=$foldEvery")
   }
 
   /** Row-tag values for [[maintainedLifecycleStream]]'s unioned feed. */
@@ -991,9 +1181,9 @@ object Streaming {
                                 indexTable: String, planes: Int, tables: Int,
                                 decisionsDir: String, checkpointDir: String,
                                 theta: Double = 0.75,
-                                foldEvery: Int = 16): StreamingQuery = {
-    require(foldEvery > 0,
-      s"maintainedLifecycleStream: foldEvery must be positive, got $foldEvery")
+                                foldEvery: Int = 16,
+                                majorEvery: Int = 256): StreamingQuery = {
+    requireFoldCadence("maintainedLifecycleStream", foldEvery, majorEvery)
     vectors.withColumn("op", lit(OpIngest))
       .unionByName(takedowns.withColumn("op", lit(OpDelete)))
       .writeStream
@@ -1001,10 +1191,8 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lifecycleBatch(batch, batchId, indexTable, planes, tables,
           decisionsDir, theta)
-        if (batchId > 0 && batchId % foldEvery == 0) {
-          foldIndexBase(batch.sparkSession, indexTable, batchId - 1)
-          ()
-        }
+        foldArm(batch.sparkSession, indexTable, batchId, foldEvery,
+          majorEvery)
       }
       .start()
   }

@@ -806,6 +806,160 @@ class StreamingSpec extends SparkSpecBase {
     assert(d1(901L) === "exact_dup", d1.toString)
   }
 
+  test("foldIndexLeveled runs a binary counter over generation " +
+      "partitions: occupied levels track the fold count's set bits, rows " +
+      "are never lost or duplicated, serving and gating span generations") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_leveled_fold_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("leveled_fold")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    def parts() = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def appendSlice(b: Long) = Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") >= b * 10 && col("vec_id") < b * 10 + 10),
+      b, tbl, planes, tables)
+    val gen = Streaming.GenerationBaseId
+    // fold 1 (m=1, binary 1): batches 0,1 -> level 0
+    appendSlice(0L); appendSlice(1L)
+    assert(Streaming.foldIndexLeveled(spark, tbl, 1L) === (2L, 20L * tables))
+    assert(parts() === Seq(gen))
+    // fold 2 (m=2, binary 10): batches 2,3 + level 0 -> level 1
+    appendSlice(2L); appendSlice(3L)
+    assert(Streaming.foldIndexLeveled(spark, tbl, 3L) === (2L, 40L * tables))
+    assert(parts() === Seq(gen - 1))
+    // fold 3 (m=3, binary 11): batch 4 -> level 0; level 1 untouched
+    appendSlice(4L)
+    assert(Streaming.foldIndexLeveled(spark, tbl, 4L) === (1L, 10L * tables))
+    assert(parts() === Seq(gen - 1, gen))
+    // lossless: every appended row is still present exactly once
+    assert(spark.table(tbl).count() === 50L * tables)
+    assert(spark.table(tbl).select(col("vec_id")).distinct().count() === 50L)
+    // serving spans generations (probeIndex reads every partition)
+    val probe = eSlim.filter(col("vec_id") === 7L)
+      .select(lit(9007L).as("qid"), col("embedding"))
+    assert(graft.sim.Similarity.probeIndex(spark, tbl, probe, planes, tables)
+      .collect()(0).getAs[Long]("retrieved_id") === 7L)
+    // gating spans generations: a copy of level-1-resident content rejects
+    val gated = graft.sim.Similarity.dedupGateBatch(spark,
+      graft.sim.Similarity.liveIndexRelation(spark.table(tbl)),
+      eSlim.filter(col("vec_id") === 12L)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")),
+      planes, tables)
+    assert(gated.collect()(0).getString(1) === "dup_index")
+    // re-fold with nothing live: no-op
+    assert(Streaming.foldIndexLeveled(spark, tbl, 4L) === (0L, 0L))
+    assert(parts() === Seq(gen - 1, gen))
+  }
+
+  test("foldIndexLeveled crash resume: the staging dir's NAME is the plan " +
+      "— a committed pending plan is finished identically from the " +
+      "staged-only and target-already-written windows, uncommitted " +
+      "debris is deleted") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_leveled_resume_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("leveled_resume")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20)
+    Streaming.appendIndexBatch(eSlim.filter(col("vec_id") < 10), 0L, tbl,
+      planes, tables)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString
+    val gen = Streaming.GenerationBaseId
+    // window 1: crash AFTER the staging write, BEFORE the generation
+    // landed — plant the committed staging a real fold would have left
+    val signed = graft.sim.Similarity.indexedRelation(eSlim
+        .filter(col("vec_id") < 10), planes, tables)
+      .select(col("vec_id"), col("embedding"), col("sig"))
+    signed.write.mode("overwrite").parquet(s"$loc/_leveled_staging_t0_u0")
+    // plus uncommitted debris from an even earlier crash mid-write
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$loc/_leveled_staging_t3_u7"))
+    // the next fold call converges the table: plan finished, debris gone
+    Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") >= 10), 1L, tbl, planes, tables)
+    Streaming.foldIndexLeveled(spark, tbl, 1L)
+    assert(!graft.ops.Layouts.exists(spark, s"$loc/_leveled_staging_t0_u0"))
+    assert(!graft.ops.Layouts.exists(spark, s"$loc/_leveled_staging_t3_u7"))
+    // the pending plan landed level 0 and cleared batch 0 FIRST; the
+    // fresh fold then took batch 1 + level 0 into level 1
+    val parts = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(parts === Seq(gen - 1), parts.mkString(","))
+    assert(spark.table(tbl).count() === 20L * tables)
+    assert(spark.table(tbl).select(col("vec_id")).distinct().count() === 20L)
+    // window 2: crash AFTER the generation landed but BEFORE the source
+    // clears — batch rows exist twice (batch partition + generation);
+    // finishing the plan dedups nothing (mark-agnostic) but the clears
+    // converge the table to the identical end state
+    Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 500L).as("vec_id"), col("embedding")),
+      2L, tbl, planes, tables)
+    val signed2 = graft.sim.Similarity.indexedRelation(
+      eSlim.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 500L).as("vec_id"), col("embedding")),
+      planes, tables).select(col("vec_id"), col("embedding"), col("sig"))
+    signed2.write.mode("overwrite").parquet(s"$loc/_leveled_staging_t0_u2")
+    Streaming.withDynamicOverwrite(spark) {
+      signed2.withColumn("batch_id", lit(gen)).write.mode("overwrite")
+        .insertInto(tbl)
+    }
+    spark.catalog.refreshTable(tbl)
+    assert(spark.table(tbl).count() === (20L + 10L) * tables) // dup window
+    Streaming.foldIndexLeveled(spark, tbl, 2L)
+    val parts2 = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(parts2 === Seq(gen - 1, gen), parts2.mkString(","))
+    assert(spark.table(tbl).count() === 25L * tables)
+    assert(spark.table(tbl).select(col("vec_id")).distinct().count() === 25L)
+  }
+
+  test("foldIndexBase is generation-aware: generations fold into the base " +
+      "with marks honored, generation-resident victims purge and their " +
+      "marks retire only after the generation partition is cleared") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_genaware_base_test"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("genaware_base")
+    Streaming.createAppendableIndex(spark, tbl, s"$path/index", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    Streaming.appendIndexBatch(eSlim.filter(col("vec_id") < 10), 0L, tbl,
+      planes, tables)
+    Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") >= 10 && col("vec_id") < 20), 1L, tbl,
+      planes, tables)
+    Streaming.foldIndexLeveled(spark, tbl, 1L) // vecs 0..19 -> level 0
+    Streaming.appendIndexBatch(eSlim.filter(col("vec_id") >= 20), 2L, tbl,
+      planes, tables)
+    // victims: vec 7 (generation-resident) and vec 25 (lives in batch 2,
+    // BEYOND the fold bound — its mark must survive)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").isin(7L, 25L)), planes, tables)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    val parts = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(parts === Seq(tombId, -2L, 2L), parts.mkString(","))
+    assert(spark.table(tbl).filter(col("vec_id") === 7L).count() === 0,
+      "the generation-resident victim must purge with the base fold")
+    val markIds = spark.table(tbl).filter(col("batch_id") === tombId)
+      .select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(markIds === Seq(25L), markIds.mkString(","))
+    assert(spark.table(tbl).filter(col("batch_id") === -2L).count() ===
+      19L * tables) // vecs 0..19 minus victim 7
+  }
+
   test("maintainedGateStream folds its own committed batches every " +
       "foldEvery without an external cron: partitions stay bounded, " +
       "dedup decisions span the folded base, serving stays correct") {
@@ -824,10 +978,11 @@ class StreamingSpec extends SparkSpecBase {
     val in = MemoryStream[Vec]
     val q = Streaming.maintainedGateStream(in.toDF(), tbl, planes, tables,
       decDir, Files.createTempDirectory("maint_gate_ck").toString,
-      foldEvery = 2)
+      foldEvery = 2, majorEvery = 4)
     (0 until 5).foreach { b =>
       // batch 3 re-sends batch 0 content under new ids — by then batch 0
-      // has been FOLDED into the base, so the dup decision must span it
+      // has been LEVELED-folded into a generation, so the dup decision
+      // must span the generation partitions
       val data = if (b == 3)
         corpus.take(5).map(v => Vec(v.vec_id + 9000L, v.embedding)).toSeq
       else corpus.slice(b * 10, b * 10 + 10).toSeq
@@ -835,7 +990,9 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
     }
     q.stop()
-    // folds ran at b=2 (upto 1) and b=4 (upto 3): live partitions bounded
+    // a LEVELED fold ran at b=2 (upto 1) and the MAJOR fold at b=4
+    // (upto 3), collapsing the generation into the base: live partitions
+    // bounded
     val parts = spark.table(tbl).select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
     assert(parts.toSeq === Seq(-2L, 4L), parts.mkString(","))
@@ -872,7 +1029,8 @@ class StreamingSpec extends SparkSpecBase {
     val del = MemoryStream[Vec]
     val q = Streaming.maintainedLifecycleStream(ing.toDF(), del.toDF(), tbl,
       planes, tables, decDir,
-      Files.createTempDirectory("lifecycle_ck").toString, foldEvery = 2)
+      Files.createTempDirectory("lifecycle_ck").toString, foldEvery = 2,
+      majorEvery = 4)
     val tombId = graft.sim.Similarity.TombstoneBatchId
     def marks() = {
       spark.catalog.refreshTable(tbl)
@@ -895,18 +1053,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(d1(9003L) === "accepted", s"takedown must re-admit in-batch: $d1")
     assert(d1(9005L) === "dup_index", d1.toString)
     assert(marks() === 1L * tables)
-    // b2: plain ingest; the fold arm fires (upto 1) and purges vec 3's
-    // batch-0 row, retiring its honored marks — 9003 (a different vec_id)
-    // survives
+    // b2: plain ingest; the LEVELED fold arm fires (upto 1) — it is
+    // mark-agnostic, so vec 3's row rides into the generation still
+    // hidden by its standing mark, and 9003 rides along as a live row
     ing.addData(corpus.slice(10, 15).toSeq); q.processAllAvailable()
     assert(decisions(2).values.count(_ == "accepted") === 5)
-    assert(marks() === 0L)
-    assert(spark.table(tbl).filter(col("vec_id") === 3L).count() === 0)
+    assert(marks() === 1L * tables)
+    assert(spark.table(tbl).filter(col("vec_id") === 3L
+      && col("batch_id") =!= tombId).count() === 1L * tables)
+    assert(graft.sim.Similarity.liveIndexRelation(spark.table(tbl))
+      .filter(col("vec_id") === 3L).count() === 0,
+      "the generation-resident victim stays hidden until the major fold")
     assert(spark.table(tbl).filter(col("vec_id") === 9003L).count() ===
       1L * tables)
+    val gen = Streaming.GenerationBaseId
     val parts2 = spark.table(tbl).select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    assert(parts2.toSeq === Seq(-2L, 2L), parts2.mkString(","))
+    assert(parts2.toSeq === Seq(gen, tombId, 2L), parts2.mkString(","))
     val count2 = spark.table(tbl).count()
     // crash replay of b2 (crash past the fold, before the checkpoint
     // commit): the body recomputes identical decisions — the fold moved
@@ -915,18 +1078,20 @@ class StreamingSpec extends SparkSpecBase {
     Streaming.lifecycleBatch(
       corpus.slice(10, 15).toSeq.toDF().withColumn("op", lit("ingest")),
       2L, tbl, planes, tables, decDir)
-    Streaming.foldIndexBase(spark, tbl, uptoBatch = 1L)
+    Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 1L)
     assert(decisions(2).values.count(_ == "accepted") === 5)
     assert(spark.table(tbl).count() === count2)
-    // b3: takedown-only batch (no ingest rows at all)
+    // b3: takedown-only batch (no ingest rows at all); vec 3's marks
+    // still stand beside the new 9003 marks
     del.addData(Seq(Vec(9003L, emb(3L)))); q.processAllAvailable()
-    assert(marks() === 1L * tables)
+    assert(marks() === 2L * tables)
     assert(graft.sim.Similarity.liveIndexRelation(spark.table(tbl))
       .filter(col("vec_id") === 9003L).count() === 0,
       "the mark must hide 9003 from every serving/gating path")
-    // b4: re-ingest the twice-deleted content under a fresh id; the fold
-    // arm fires (upto 3) and pays the 9003 debt — no mark is ever lost,
-    // no purged row resurrects
+    // b4: re-ingest the twice-deleted content under a fresh id; the MAJOR
+    // fold arm fires (upto 3), collapses the generation into the base and
+    // pays the vec-3 and 9003 debt — no mark is ever lost, no purged row
+    // resurrects
     ing.addData(Seq(Vec(9103L, emb(3L)))); q.processAllAvailable()
     q.stop()
     assert(decisions(4)(9103L) === "accepted", decisions(4).toString)
