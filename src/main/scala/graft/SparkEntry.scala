@@ -249,6 +249,9 @@ object SparkEntry {
     // r16: the quantized-flavor rebuild — fresh-frozen centroids,
     // codebook and codes over the survivors, plain two-stage probe
     "q163_sq_ivf_rebuild_probe" -> (Similarity.q163SqIvfRebuildProbe(_, _)),
+    // r17: serving across the LEVELED fold's generation partitions with
+    // standing marks — the amortized consolidation path, live-view probe
+    "q164_leveled_fold_probe" -> (Similarity.q164LeveledFoldProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

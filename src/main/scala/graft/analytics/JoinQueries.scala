@@ -384,9 +384,13 @@ object JoinQueries {
     // partitioning once at ingest, never at query time) — while a data
     // regeneration inside one long-lived session changes the fingerprint
     // and gets a fresh layout instead of silently serving the stale copy.
-    // tag() itself joins its parts with "|" — no separator argument
-    // (an extra "|" part would change the digest input and invalidate
-    // every existing g_bkt_* cached table name for one spurious rebuild)
+    // tag() itself joins its parts with "|" — no separator argument.
+    // (r17 note: the pre-r17 form passed an extra "|" part, so dropping
+    // it changed the digest input ONCE — a deliberate one-time
+    // invalidation: each existing g_bkt_* layout rebuilds under the new
+    // tag on first use and the old tables linger until dropped. Future
+    // edits to the tag parts pay the same price; don't change them
+    // casually.)
     val tag = graft.ops.Layouts.tag(
       graft.ops.Layouts.fileFp(s"$dir/orders.parquet"),
       graft.ops.Layouts.fileFp(s"$dir/customer.parquet"))

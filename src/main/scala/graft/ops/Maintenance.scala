@@ -16,7 +16,9 @@ import graft.sim.{IndexParams, Similarity}
   * partition counts, partition occupancies, corpus-derived parameter
   * targets); this relation turns them into when-to-act rows so an
   * operator — or a cron'd job — reads one table instead of rediscovering
-  * the cost model each round.
+  * the cost model each round. (r17: the appendable flavor carries TWO
+  * fold tools — the amortized leveled fold for decay, the base fold for
+  * debt; the fold check picks per-row, see below.)
   *
   * Every threshold is an INTEGER and every comparison integer
   * arithmetic (the q97 rule: no float policy math):
@@ -26,8 +28,12 @@ import graft.sim.{IndexParams, Similarity}
   *    measured slope: a 30 s trigger writes ~2,880 generations/day).
   *  - `fold` when live batch partitions exceed
   *    [[FoldMaxBatchPartitions]] — every live partition is one more dir
-  *    in each probe's listing; foldIndexBase collapses them into the
-  *    batch_id=-2 base.
+  *    in each probe's listing. The bound tool is r17's AMORTIZED
+  *    [[graft.streaming.Streaming.foldIndexLeveled]] (binary-counter
+  *    generations; the base fold is linear in base rows, so decay alone
+  *    must never trigger it) — UNLESS the same layout also owes
+  *    tombstone debt, in which case decay converges with `purge` on
+  *    fold_index_base and tick's dedup runs one base fold for both.
   *  - `rebalance` when the hottest IVF partition holds more than
   *    [[RebalanceHotFactor]]× its fair share (occ_max·k > 4·n, the q147
   *    hot rule at the layout grain) — centroid drift concentrating mass
@@ -100,18 +106,27 @@ object Maintenance {
     * input's own partitioning, the same plan at any layout count. */
   def schedule(facts: DataFrame): DataFrame = {
     def check(kinds: Seq[String], name: String, observed: Column,
-              bound: Column, action: String): DataFrame =
+              bound: Column, action: Column): DataFrame =
       facts.filter(col("kind").isin(kinds: _*))
         .select(col("layout"), col("kind"), lit(name).as("check"),
-          observed.cast("long").as("observed"), bound.cast("long").as("bound"))
+          observed.cast("long").as("observed"), bound.cast("long").as("bound"),
+          when(observed.cast("long") > bound.cast("long"), action)
+            .otherwise(lit("none")).as("action"))
         .withColumn("triggered", col("observed") > col("bound"))
-        .withColumn("action",
-          when(col("triggered"), lit(action)).otherwise(lit("none")))
+        .select(col("layout"), col("kind"), col("check"), col("observed"),
+          col("bound"), col("triggered"), col("action"))
+    implicit def str2col(s: String): Column = lit(s)
     check(Seq("bucketed_index"), "compact", col("data_files"),
         lit(CompactFilesPerBucket) * col("buckets"), "compact_bucketed")
+      // partition decay alone takes the AMORTIZED leveled fold (r17:
+      // the base fold is measured linear in base rows, so running it on
+      // every decay trigger is quadratic lifetime work); when the same
+      // layout ALSO owes tombstone debt, decay and debt converge on the
+      // base fold — one tool run pays both, preserving tick's dedup
       .unionByName(check(Seq("appendable_index"), "fold",
         col("batch_partitions"), lit(FoldMaxBatchPartitions),
-        "fold_index_base"))
+        when(col("tombstones") > 0L, lit("fold_index_base"))
+          .otherwise(lit("fold_index_leveled"))))
       .unionByName(check(Seq("appendable_index"), "purge",
         col("tombstones"), lit(0L), "fold_index_base"))
       .unionByName(check(Seq("ivf_layout"), "purge",

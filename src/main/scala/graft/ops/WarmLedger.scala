@@ -56,7 +56,9 @@ object WarmLedger {
     "q159_ivf_delete_probe", "q160_sq_ivf_delete_probe",
     // r16: the maintenance rebuild trio (first ledger rows land in r17)
     "q161_ivf_rebuild_probe", "q162_index_rebuild_probe",
-    "q163_sq_ivf_rebuild_probe")
+    "q163_sq_ivf_rebuild_probe",
+    // r17: the leveled-fold serving probe (first ledger rows land in r18)
+    "q164_leveled_fold_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers

@@ -921,6 +921,56 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q164: serving across the LEVELED fold's generation partitions with
+    * standing deletion marks —
+    * [[graft.streaming.Streaming.foldIndexLeveled]] made hash-observable,
+    * completing the fold family's driver evidence (base fold via
+    * q157/q162, leveled fold here): the index ingests the corpus in two
+    * batches, leveled-folds them into level 0, ingests the planted copies
+    * as a third batch, leveled-folds again (binary counter: level 0 +
+    * batch → level 1), then tombstones the originals WITHOUT any base
+    * fold — so at serving time every row lives in a generation partition
+    * and every deletion is merge-on-read. The probe goes through
+    * [[probeIndexLive]]: a leveled fold that lost or duplicated rows,
+    * broke the bucket function (pruning would read the wrong buckets), or
+    * leaked marked rows past the anti-join flips retrieved ids and breaks
+    * the driver hash. Exactness is q157's argument — the physical layout
+    * (generations vs batches vs base) is invisible to the top-1. */
+  def q164LeveledFoldProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val copyShift = 36000000L; val offset = 37000000L; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = "g_lev_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
+      s"lev$planes", LayoutVersion)
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lev_idx")
+        .toString
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
+        s"$tmp/index", IndexParams.indexBuckets(n, tables))
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
+      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+        planes, tables)
+      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndexLive(spark, idx, probes, planes, tables)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields
     * both the literal sig list for bucket pruning AND the local relation
@@ -1710,6 +1760,16 @@ object Similarity {
       graft.ops.Layouts.delete(spark, newIdxDir)
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")
+      // re-key the preserved marks against the published layout NOW, not
+      // as schedule debt: the live dir can have been fully intact when
+      // this retry ran (crash fell between build-done and the delete),
+      // in which case its sidecar holds VALID in-contract marks landed
+      // after the crash — the staging predates them, so publishing it
+      // without the immediate reissue would serve those takedown victims
+      // for an unbounded window until an operator ran the reissue tool.
+      // Husk marks routed by dead centroids re-key identically (reissue
+      // keys on vec_id against the published assignment).
+      reissueOrphanedTombstones(spark, newIdxDir)
       return
     }
     // a missing/husk source layout cannot prove zero deletion debt — its
@@ -1952,11 +2012,17 @@ object Similarity {
       // sidecar's files carry assignToCentroid's LONG — an un-cast append
       // would mix int32/int64 parquet schemas in one dir
       .select(col("cid").cast("long").as("cid"), col("vec_id"))
-    val n = marks.count()
-    if (n > 0L)
-      marks.write.mode("append").parquet(s"$idxDir/tombstones")
-    graft.ops.Layouts.delete(spark, orphanDir)
-    n
+      // persisted across the count + write actions: the semi-join scans
+      // the full assigned dir, and re-executing it for the write would
+      // double the tool's I/O on a large layout
+      .persist()
+    try {
+      val n = marks.count()
+      if (n > 0L)
+        marks.write.mode("append").parquet(s"$idxDir/tombstones")
+      graft.ops.Layouts.delete(spark, orphanDir)
+      n
+    } finally marks.unpersist()
   }
 
   /** q159: deletion from the DIRECTORY IVF layout — q157's
@@ -2836,6 +2902,12 @@ object Similarity {
     "q163_sq_ivf_rebuild_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 34000000L,
         offset = 35000000L),
+    // q164: the leveled fold's generations serve the same answer as the
+    // flat layout would — ids flip if a fold lost/duplicated rows or a
+    // marked row leaked past the live view's anti-join
+    "q164_leveled_fold_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 36000000L,
+        offset = 37000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

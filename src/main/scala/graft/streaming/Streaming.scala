@@ -844,6 +844,25 @@ object Streaming {
     val rows = spark.table(staging).count()
     spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // the FIRST rebuild's dead generation is the original caller-chosen
+    // location, whose name cannot match the `_rb<N>` pattern — left
+    // as-is it would be invisible to oldRebuildGenerations (and so to
+    // the q155 reap check) forever, exactly the debt-visibility hole the
+    // reap machinery exists to close. Rename it into the generation
+    // namespace; later rebuilds' old locations are already `_rb<N>`
+    // names and skip this. (A crash between the table swap above and
+    // this rename leaves the dir unnamespaced — a bounded window whose
+    // debt an operator must reap by hand; the swap itself stays the
+    // atomic publish step.)
+    val genRe = s"^${java.util.regex.Pattern.quote(base)}_rb\\d+$$".r
+    if (locFs.exists(loc) && genRe.findFirstIn(loc.getName).isEmpty) {
+      val free = Iterator.from(1).find(i => !locFs.exists(
+        new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$i"))).get
+      if (!locFs.rename(loc,
+          new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$free")))
+        sys.error(s"rebuildAppendableIndex($table): could not move the " +
+          s"retired location $loc into the reapable generation namespace")
+    }
     rows
   }
 
@@ -1131,15 +1150,15 @@ object Streaming {
     }
 
   // fail at START, not inside a foreachBatch mid-stream: 0 would be a
-  // divide-by-zero at batch 1, a negative silently never folds; a major
-  // cadence off the minor grid would fire both folds in one batch
+  // divide-by-zero at batch 1, a negative silently never folds. The two
+  // cadences need NOT align: foldArm's else-if fires exactly one fold
+  // per batch, and the base fold subsumes any leveled fold it displaces.
   private def requireFoldCadence(site: String, foldEvery: Int,
                                  majorEvery: Int): Unit = {
     require(foldEvery > 0,
       s"$site: foldEvery must be positive, got $foldEvery")
-    require(majorEvery > 0 && majorEvery % foldEvery == 0,
-      s"$site: majorEvery must be a positive multiple of foldEvery, " +
-        s"got majorEvery=$majorEvery foldEvery=$foldEvery")
+    require(majorEvery > 0,
+      s"$site: majorEvery must be positive, got $majorEvery")
   }
 
   /** Row-tag values for [[maintainedLifecycleStream]]'s unioned feed. */
@@ -1205,14 +1224,58 @@ object Streaming {
     * clear-and-seed on both sinks. */
   def lifecycleBatch(batch: DataFrame, batchId: Long, indexTable: String,
                      planes: Int, tables: Int, decisionsDir: String,
-                     theta: Double = 0.75): Unit = {
+                     theta: Double = 0.75): Unit =
+    lifecycleBody(batch,
+      dels => tombstoneIndexRows(batch.sparkSession, indexTable, dels,
+        planes, tables),
+      ing => gateBatch(ing, batchId, indexTable, planes, tables,
+        decisionsDir, theta))
+
+  /** [[maintainedLifecycleStream]]'s TEXT twin over the appendable band
+    * index: `docs` and `takedowns` both carry (doc_id, text); marks land
+    * via [[tombstoneBandRows]] before the exact-content gate runs, so a
+    * takedown's content gates `unique` again in the very batch that
+    * carries the takedown (under a fresh doc_id), folds consolidate at
+    * the leveled cadence and the base fold pays the debt at the major
+    * one. Same single-writer-by-construction and replay-determinism
+    * arguments as the vector flavor — band marks are real (doc_id,
+    * digest, key) rows whose landing is (key, doc_id)-dedup idempotent. */
+  def maintainedTextLifecycleStream(docs: DataFrame, takedowns: DataFrame,
+                                    indexTable: String, decisionsDir: String,
+                                    checkpointDir: String,
+                                    foldEvery: Int = 16,
+                                    majorEvery: Int = 256): StreamingQuery = {
+    requireFoldCadence("maintainedTextLifecycleStream", foldEvery, majorEvery)
+    docs.withColumn("op", lit(OpIngest))
+      .unionByName(takedowns.withColumn("op", lit(OpDelete)))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        textLifecycleBatch(batch, batchId, indexTable, decisionsDir)
+        foldArm(batch.sparkSession, indexTable, batchId, foldEvery,
+          majorEvery)
+      }
+      .start()
+  }
+
+  /** The foreachBatch body of [[maintainedTextLifecycleStream]] (minus
+    * the fold arm), exposed for direct crash-replay testing. */
+  def textLifecycleBatch(batch: DataFrame, batchId: Long, indexTable: String,
+                         decisionsDir: String): Unit =
+    lifecycleBody(batch,
+      dels => tombstoneBandRows(batch.sparkSession, indexTable, dels),
+      ing => textGateBatchBody(ing, batchId, indexTable, decisionsDir))
+
+  /** ONE lifecycle-body contract for both modalities (the gateBody rule:
+    * a replay-semantics fix must not land in two places): marks first,
+    * gate second, both over the persisted op-split. */
+  private def lifecycleBody(batch: DataFrame, land: DataFrame => Unit,
+                            runGate: DataFrame => Unit): Unit = {
     val b = batch.persist()
     try {
       val dels = b.filter(col("op") === OpDelete).drop("op")
-      if (!dels.isEmpty)
-        tombstoneIndexRows(b.sparkSession, indexTable, dels, planes, tables)
-      gateBatch(b.filter(col("op") === OpIngest).drop("op"), batchId,
-        indexTable, planes, tables, decisionsDir, theta)
+      if (!dels.isEmpty) land(dels)
+      runGate(b.filter(col("op") === OpIngest).drop("op"))
     } finally b.unpersist()
   }
 

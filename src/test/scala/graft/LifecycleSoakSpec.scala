@@ -155,8 +155,11 @@ class LifecycleSoakSpec extends SparkSpecBase {
     }
     val due = Maintenance.schedule(factsNow().toDF())
     assert(due.filter(col("triggered") && col("check") === "fold").count() === 1)
-    Maintenance.tick(due, Map(("soak", "fold_index_base") -> (() => {
-      Streaming.foldIndexBase(spark, tbl, uptoBatch = 18L); ()
+    // no outstanding debt, so decay binds the AMORTIZED leveled fold
+    // (r17) — the batches consolidate into a generation, the base is
+    // never rewritten
+    Maintenance.tick(due, Map(("soak", "fold_index_leveled") -> (() => {
+      Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 18L); ()
     })))
     assert(Maintenance.schedule(factsNow().toDF())
       .filter(col("triggered")).count() === 0)

@@ -37,7 +37,15 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(at(("s", "fold")) === ((false, "none")))
     val over = sched(LayoutFacts("s", "appendable_index", 100, 64, 9,
       1000, -1, 64, 64))
-    assert(over(("s", "fold")) === ((true, "fold_index_base")))
+    // decay alone binds the AMORTIZED leveled fold (r17) — the base fold
+    // is linear in base rows and reserved for tombstone debt
+    assert(over(("s", "fold")) === ((true, "fold_index_leveled")))
+    // decay + debt on one layout converge on the base fold (one tool run
+    // pays both — tick's dedup contract)
+    val decayAndDebt = sched(LayoutFacts("s", "appendable_index", 100, 64,
+      9, 1000, -1, 64, 64, tombstones = 3))
+    assert(decayAndDebt(("s", "fold")) === ((true, "fold_index_base")))
+    assert(decayAndDebt(("s", "purge")) === ((true, "fold_index_base")))
     // an appendable index gets the fold-backed checks plus (since r16)
     // the rederive drift watch — rebuildAppendableIndex is its second
     // tool, mirroring the flat flavor's compact + rebuild pair; no
@@ -156,10 +164,10 @@ class MaintenanceSpec extends SparkSpecBase {
       ("flat", "compact_bucketed") -> (() => {
         Sources.compactBucketed(spark, "g_tick_flat_idx", "sig", buckets); ()
       }),
-      ("ap", "fold_index_base") -> (() => {
-        Streaming.foldIndexBase(spark, "g_tick_ap_idx", 8L); ()
+      ("ap", "fold_index_leveled") -> (() => {
+        Streaming.foldIndexLeveled(spark, "g_tick_ap_idx", 8L); ()
       })))
-    assert(ran === Seq(("ap", "fold", "fold_index_base", true),
+    assert(ran === Seq(("ap", "fold", "fold_index_leveled", true),
       ("flat", "compact", "compact_bucketed", true)))
     val after = Maintenance.schedule(factsNow().toDF())
     assert(after.filter(col("triggered")).count() === 0,
@@ -308,8 +316,13 @@ class MaintenanceSpec extends SparkSpecBase {
     Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
     Streaming.rebuildAppendableIndex(spark, tbl, 4)
     Streaming.rebuildAppendableIndex(spark, tbl, 8)
+    // TWO dead generations: the first rebuild's output (_rb1) AND the
+    // original caller-chosen location, which the first rebuild renamed
+    // into the generation namespace (_rb2) — previously the original
+    // corpus bytes were invisible to the reap check forever
     val dead = Streaming.oldRebuildGenerations(spark, tbl)
-    assert(dead.length === 1 && dead.head.endsWith("_rb1"), dead.toString)
+    assert(dead.length === 2 && dead.exists(_.endsWith("_rb1")) &&
+      dead.exists(_.endsWith("_rb2")), dead.toString)
     // --- directory layout: plant an orphaned-tombstone slot (the state a
     // crashed in-place rebuild preserves aside), marks keyed by DEAD cids
     implicit val s: org.apache.spark.sql.SparkSession = spark

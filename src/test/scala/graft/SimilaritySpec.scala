@@ -908,7 +908,8 @@ class SimilaritySpec extends SparkSpecBase {
       "delete and the rename finishes the RENAME on retry instead of " +
       "rebuilding — the staging copy is the only one that remembers the " +
       "honored marks — and an out-of-contract husk sidecar is preserved " +
-      "aside, never consumed (its cids were routed by dead centroids)") {
+      "aside then immediately RE-KEYED against the published layout " +
+      "(its dead-centroid routing is never consumed as-is)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     Similarity.ensureRegistered(spark)
     val root = java.nio.file.Files.createTempDirectory("g_rb_resume")
@@ -946,20 +947,70 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ids === (10L until 60L).toSet,
       "resume must publish the mark-honoring staging copy, never rebuild " +
         "from the corpus (which would resurrect vec_id < 10)")
-    // the orphaned marks are preserved for the operator OUTSIDE the
-    // layout dir (a later rebuild's delete-and-replace must not destroy
-    // them), NOT counted as serving debt (they match nothing under the
-    // new routing)
-    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
-    assert(graft.ops.Layouts.exists(spark,
-      s"${idxDir}_orphaned_tombstones/0"))
-    assert(spark.read.parquet(s"${idxDir}_orphaned_tombstones/0")
-      .count() === 1L)
-    // ...and a later rebuild leaves the preserved marks intact
+    // the orphaned marks are preserved aside and immediately RE-KEYED
+    // against the published layout (r17: the resume runs the reissue
+    // itself instead of leaving schedule debt — the live sidecar can
+    // hold VALID marks landed after the crash, and an unbounded wait on
+    // an operator would serve those victims): vec 20 survives in the
+    // published layout, so its re-keyed mark must hide it NOW, under the
+    // live routing, and the orphan slot must be retired
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 1L)
+    val mark = spark.read.parquet(s"$idxDir/tombstones").collect()(0)
+    assert(mark.getAs[Long]("vec_id") === 20L)
+    val liveCid = spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("vec_id") === 20L).select(col("cid")).collect()(0)
+      .getAs[Number](0).longValue
+    assert(mark.getAs[Long]("cid") === liveCid,
+      "the re-keyed mark must carry the LIVE layout's routing")
+    // ...and a later rebuild consumes the re-keyed mark by exclusion
     Similarity.rebuildIvfLayout(spark, e.filter(col("vec_id") >= 10),
       idxDir, idxDir, k = 4)
-    assert(graft.ops.Layouts.exists(spark,
-      s"${idxDir}_orphaned_tombstones/0"))
+    assert(spark.read.parquet(s"$idxDir/assigned")
+      .filter(col("vec_id") === 20L).count() === 0L)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
+  }
+
+  test("in-place resume with an INTACT live layout: a valid takedown " +
+      "landed between the crash and the retry is honored immediately — " +
+      "the published (stale) staging predates the mark, so the resume " +
+      "re-keys it rather than serving the victim until an operator acts") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_intact")
+      .toString
+    val idxDir = s"$root/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // crash state: staging complete, live layout STILL FULLY INTACT
+    // (the crash fell between build-done and the live delete)
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$idxDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    val staging = s"$idxDir.build"
+    val survivors = e.filter(col("vec_id") >= 10)
+    Similarity.ivfCentroids(survivors, 4, iters = 1)
+      .write.parquet(s"$staging/centroids")
+    Similarity.assignToCentroid(survivors,
+        spark.read.parquet(s"$staging/centroids"))
+      .write.partitionBy("cid").parquet(s"$staging/assigned")
+    // a LEGAL takedown lands against the intact live layout while the
+    // rebuild is down — in-contract, its victim hidden by the live view
+    Similarity.tombstoneIvfRows(spark, idxDir,
+      e.filter(col("vec_id") === 30))
+    // the retry publishes the mark-honoring staging AND re-keys the
+    // fresh mark against it in the same call
+    Similarity.rebuildIvfLayout(spark, e, idxDir, idxDir, k = 4)
+    val ids = spark.read.parquet(s"$idxDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (10L until 60L).toSet)
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 1L)
+    assert(spark.read.parquet(s"$idxDir/tombstones").collect()(0)
+      .getAs[Long]("vec_id") === 30L,
+      "the post-crash takedown must stay honored across the resume")
   }
 
   test("rebuildIvfLayout resume branch prefers a complete staging over an " +

@@ -1104,6 +1104,76 @@ class StreamingSpec extends SparkSpecBase {
       15L * tables)
   }
 
+  test("maintainedTextLifecycleStream: the text twin — takedown marks " +
+      "land before the exact-content gate, deleted content re-admits " +
+      "in-batch, leveled folds carry standing marks, the major fold pays " +
+      "the debt") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "g_text_lifecycle_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val path = Files.createTempDirectory("text_lifecycle")
+    val decDir = s"$path/decisions"
+    Streaming.createAppendableBandIndex(spark, tbl, s"$path/index",
+      buckets = 4)
+    val docs = Tables.documents(spark, Sf001)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => GateDoc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id).distinctBy(_.text).take(12)
+    val ing = MemoryStream[GateDoc]
+    val del = MemoryStream[GateDoc]
+    val q = Streaming.maintainedTextLifecycleStream(ing.toDF(), del.toDF(),
+      tbl, decDir, Files.createTempDirectory("text_lifecycle_ck").toString,
+      foldEvery = 2, majorEvery = 4)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    def marks() = {
+      spark.catalog.refreshTable(tbl)
+      spark.table(tbl).filter(col("batch_id") === tombId).count()
+    }
+    def decisions(bid: Long) = spark.read.parquet(decDir)
+      .filter(col("batch_id") === bid).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // b0: ingest only — all unique
+    ing.addData(docs.take(8).toSeq); q.processAllAvailable()
+    assert(decisions(0).values.count(_ == "unique") === 8)
+    // b1: takedown of docs(3) interleaved with a same-batch re-ingest of
+    // its content (fresh id) and a copy of still-live docs(4)
+    del.addData(Seq(docs(3)))
+    ing.addData(Seq(GateDoc(900L, docs(3).text), GateDoc(901L, docs(4).text)))
+    q.processAllAvailable()
+    val d1 = decisions(1)
+    assert(d1(900L) === "unique", s"takedown must re-admit in-batch: $d1")
+    assert(d1(901L) === "exact_dup", d1.toString)
+    assert(marks() === 4L) // one doc x 4 band rows
+    // b2: plain ingest; the LEVELED fold consolidates batches 0..1 into a
+    // generation, marks standing (mark-agnostic by design)
+    ing.addData(Seq(docs(8))); q.processAllAvailable()
+    assert(marks() === 4L)
+    val parts2 = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts2.toSeq === Seq(Streaming.GenerationBaseId, tombId, 2L),
+      parts2.mkString(","))
+    // b3: takedown of the re-admitted copy
+    del.addData(Seq(GateDoc(900L, docs(3).text))); q.processAllAvailable()
+    assert(marks() === 8L)
+    // b4: ingest; the MAJOR fold collapses the generation and pays both
+    // debts
+    ing.addData(Seq(docs(9))); q.processAllAvailable()
+    q.stop()
+    assert(decisions(4)(docs(9).doc_id) === "unique")
+    assert(marks() === 0L)
+    assert(spark.table(tbl)
+      .filter(col("doc_id").isin(docs(3).doc_id, 900L)).count() === 0,
+      "both takedown victims must purge with the major fold")
+    val parts4 = spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(parts4.toSeq === Seq(-2L, 4L), parts4.mkString(","))
+    // final corpus: 8 + 900 + docs(8) accepted, minus docs(3) and 900
+    // purged, plus docs(9) = 9 docs x 4 band rows
+    assert(spark.table(tbl).count() === 9L * 4)
+  }
+
   test("the LIVE gate stays shuffle-free on the index side: the tombstone " +
       "anti-join rides the sig bucketing (both sides are the same bucketed " +
       "table), so deletion adds no exchange to the ingest path") {
