@@ -1708,13 +1708,61 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$target/assigned")
   }
 
+  /** Preserve a layout sidecar ASIDE as an `_orphaned_tombstones/<slot>`
+    * dir (outside the layout dir — an orphan preserved inside it would be
+    * destroyed by the next rebuild's replace before anyone saw it).
+    * EMPTY sidecars (only a `_SUCCESS`, nothing to preserve) are deleted
+    * instead of preserved — an empty slot would crash the reissue read
+    * with UNABLE_TO_INFER_SCHEMA and leave permanently un-retirable
+    * schedule debt. No-op when the sidecar is absent. */
+  private def preserveSidecarAside(spark: SparkSession, sidecar: String,
+                                   idxDir: String): Unit = {
+    val husk = new org.apache.hadoop.fs.Path(sidecar)
+    val fs = husk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(husk)) return
+    if (!fs.listStatus(husk).exists(_.getPath.getName.endsWith(".parquet"))) {
+      fs.delete(husk, true); return
+    }
+    val orphanBase = s"${idxDir}_orphaned_tombstones"
+    val slot = Iterator.from(0).find(i =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$orphanBase/$i"))).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphanBase))
+    if (!fs.rename(husk,
+        new org.apache.hadoop.fs.Path(s"$orphanBase/$slot")))
+      sys.error(s"could not preserve out-of-contract marks at $husk")
+  }
+
   /** The shared directory-rebuild protocol behind [[rebuildIvfLayout]]
-    * and [[rebuildSqIvfLayout]]: resume a crashed in-place publish
-    * (rename the completed mark-honoring staging copy, preserving any
-    * out-of-contract husk sidecar aside), else build the flavor's
-    * staging over corpus-minus-old-marks and publish via delete+rename.
-    * `built` is the flavor's own completeness check (which subdirs must
-    * be committed). */
+    * and [[rebuildSqIvfLayout]]. The in-place retire is a RENAME-ASIDE
+    * (`<dir>.retiring`), never a recursive delete (r17: a crash
+    * mid-delete left ambiguous half-states — `built(live)` true with the
+    * sidecar already gone — that no entry condition could classify
+    * safely; a rename is atomic, so every crash state is now
+    * unambiguous):
+    *
+    *  - staging complete, live NOT built (retiring may exist) — the
+    *    crash fell between the retire and the publish (or the state is a
+    *    legacy mid-delete husk): the staging is the only complete copy;
+    *    finish the publish, preserving every reachable sidecar aside and
+    *    re-keying it against the published layout IMMEDIATELY (the
+    *    reissue, not operator debt — a takedown must never wait on a
+    *    human). The staging's parameters are the crashed attempt's; if
+    *    the caller re-derived k since, the next trigger applies it.
+    *  - live built — the live dir is AUTHORITATIVE: any stale staging is
+    *    discarded and rebuilt fresh (it may predate appends, marks, and
+    *    the caller's re-derived k — publishing it would silently drop
+    *    them), a leftover `.retiring` from a crash-after-publish is
+    *    drained (sidecar preserved + re-keyed, dir dropped), and any
+    *    dangling orphan slots are re-keyed.
+    *
+    * Nothing can land between the retire and the publish: both
+    * tombstoneIvfRows and the append path fail loudly on the missing
+    * centroids of a renamed-away live dir, so in-contract marks are
+    * always either in the live sidecar (fresh path reads them) or in the
+    * retired sidecar (already honored by the staging build; the
+    * defensive re-key is a no-op for them and only rescues
+    * out-of-contract landings). `built` is the flavor's own completeness
+    * check (which subdirs must be committed). */
   private def rebuildDirProtocol(spark: SparkSession, corpus: DataFrame,
       oldIdxDir: String, newIdxDir: String,
       built: String => Boolean,
@@ -1723,54 +1771,28 @@ object Similarity {
     val staging = s"$newIdxDir.build"
     val p = new org.apache.hadoop.fs.Path(newIdxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // resume branch: prior in-place attempt crashed after the staging
-    // build completed — the staging copy is the only one that remembers
-    // the honored marks (a fresh rebuild from the corpus would resurrect
-    // them), so the retry must finish the publish. A COMPLETE staging is
-    // the stronger signal than an apparently-built live dir: a
-    // successful publish RENAMES the staging away, so its presence
-    // proves a crash anywhere between build-done and rename-done —
-    // including mid-delete of the live dir, where the recursive delete
-    // may have removed the tombstones sidecar while centroids/assigned
-    // `_SUCCESS` files survive, leaving `built(live)` true and zero
-    // visible deletion debt. Gating the resume on `!built(live)` (the
-    // pre-r17 form) discarded the mark-honoring staging in exactly that
-    // window. Marks CANNOT land in the husk through the API after the
-    // crash window opens only if centroids died first (tombstoneIvfRows
-    // fails loudly on missing centroids); a sidecar still present in the
-    // husk is routed by the OLD centroids — (cid, vec_id) marks keyed to
-    // dead routing would silently never match under the fresh ones, so
-    // it is preserved ASIDE (never consumed by serving) for
-    // [[reissueOrphanedTombstones]] to re-key against the published
-    // layout.
-    if (newIdxDir == oldIdxDir && built(staging)) {
-      val husk = new org.apache.hadoop.fs.Path(s"$oldIdxDir/tombstones")
-      if (fs.exists(husk)) {
-        // OUTSIDE the layout dir: an orphan preserved inside it would be
-        // destroyed by the next rebuild's delete-and-replace before the
-        // operator ever saw it
-        val orphanBase = s"${newIdxDir}_orphaned_tombstones"
-        val slot = Iterator.from(0).find(i =>
-          !fs.exists(new org.apache.hadoop.fs.Path(s"$orphanBase/$i"))).get
-        fs.mkdirs(new org.apache.hadoop.fs.Path(orphanBase))
-        if (!fs.rename(husk,
-            new org.apache.hadoop.fs.Path(s"$orphanBase/$slot")))
-          sys.error(s"could not preserve out-of-contract marks at $husk")
+    val retiring = s"$newIdxDir.retiring"
+    if (newIdxDir == oldIdxDir) {
+      if (built(staging) && !built(newIdxDir)) {
+        // crash between retire and publish: finish it
+        preserveSidecarAside(spark, s"$newIdxDir/tombstones", newIdxDir)
+        preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
+        graft.ops.Layouts.delete(spark, newIdxDir)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+          sys.error(s"atomic publish of $newIdxDir failed")
+        graft.ops.Layouts.delete(spark, retiring)
+        reissueOrphanedTombstones(spark, newIdxDir)
+        return
       }
-      graft.ops.Layouts.delete(spark, newIdxDir)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
-        sys.error(s"atomic publish of $newIdxDir failed")
-      // re-key the preserved marks against the published layout NOW, not
-      // as schedule debt: the live dir can have been fully intact when
-      // this retry ran (crash fell between build-done and the delete),
-      // in which case its sidecar holds VALID in-contract marks landed
-      // after the crash — the staging predates them, so publishing it
-      // without the immediate reissue would serve those takedown victims
-      // for an unbounded window until an operator ran the reissue tool.
-      // Husk marks routed by dead centroids re-key identically (reissue
-      // keys on vec_id against the published assignment).
-      reissueOrphanedTombstones(spark, newIdxDir)
-      return
+      if (built(newIdxDir)) {
+        // crash after publish: drain the retired copy and any dangling
+        // slots before rebuilding anew — the live dir is authoritative
+        if (graft.ops.Layouts.exists(spark, retiring)) {
+          preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
+          graft.ops.Layouts.delete(spark, retiring)
+        }
+        reissueOrphanedTombstones(spark, newIdxDir)
+      }
     }
     // a missing/husk source layout cannot prove zero deletion debt — its
     // sidecar (and the mark-honoring staging of a crashed in-place
@@ -1790,14 +1812,29 @@ object Similarity {
     }
     graft.ops.Layouts.delete(spark, staging)
     // every read of the old sidecar and corpus happens HERE, before any
-    // deletion below
+    // mutation below
     build(survivors, staging)
-    // a pre-existing target (stale same-k dir, or the in-place rebalance
-    // case) cannot be trusted to honor the old layout's debt — replace it
-    graft.ops.Layouts.delete(spark, newIdxDir)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
-      sys.error(s"atomic publish of $newIdxDir failed")
-    if (newIdxDir != oldIdxDir) graft.ops.Layouts.delete(spark, oldIdxDir)
+    if (newIdxDir == oldIdxDir) {
+      // in-place publish: retire by RENAME (atomic — the crash states it
+      // can leave are exactly the two the entry windows above classify),
+      // publish, then drain the retired copy (its sidecar holds only
+      // marks the build just honored; the re-key is their no-op and an
+      // out-of-contract landing's rescue)
+      if (!fs.rename(p, new org.apache.hadoop.fs.Path(retiring)))
+        sys.error(s"in-place retire of $newIdxDir failed")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+        sys.error(s"atomic publish of $newIdxDir failed")
+      preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
+      graft.ops.Layouts.delete(spark, retiring)
+      reissueOrphanedTombstones(spark, newIdxDir)
+    } else {
+      // a pre-existing cross-dir target (stale same-k dir) cannot be
+      // trusted to honor the old layout's debt — replace it
+      graft.ops.Layouts.delete(spark, newIdxDir)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
+        sys.error(s"atomic publish of $newIdxDir failed")
+      graft.ops.Layouts.delete(spark, oldIdxDir)
+    }
   }
 
   /** The q143 base IVF layout's directory for `dir`'s embeddings at
@@ -1871,6 +1908,10 @@ object Similarity {
     * (vec_id, embedding). */
   def tombstoneIvfRows(spark: SparkSession, idxDir: String,
                        victims: DataFrame): Unit = {
+    // an empty victims frame must not materialize a sidecar: a dir
+    // holding only _SUCCESS reads as schema-less and would crash every
+    // downstream sidecar consumer (reissue above all)
+    if (victims.isEmpty) return
     val cd = spark.read.parquet(s"$idxDir/centroids")
     assignToCentroid(victims.select(col("vec_id"), col("embedding")), cd)
       .select(col("cid"), col("vec_id"))
@@ -2001,7 +2042,15 @@ object Similarity {
   def reissueOrphanedTombstones(spark: SparkSession, idxDir: String): Long = {
     val orphanDir = s"${idxDir}_orphaned_tombstones"
     if (orphanedTombstoneSlots(spark, idxDir) == 0L) return 0L
-    val orphanIds = spark.read.parquet(s"$orphanDir/*")
+    // per-slot data check: [[preserveSidecarAside]] never creates empty
+    // slots, but a legacy/foreign empty slot must retire quietly instead
+    // of crashing the schema inference forever (un-retirable debt)
+    val slots = graft.ops.Layouts.listChildren(spark, orphanDir)
+      .map(s => s"$orphanDir/$s")
+      .filter(s => graft.ops.Layouts.listChildren(spark, s)
+        .exists(_.endsWith(".parquet")))
+    if (slots.isEmpty) { graft.ops.Layouts.delete(spark, orphanDir); return 0L }
+    val orphanIds = spark.read.parquet(slots: _*)
       .select(col("vec_id")).distinct()
     // the live assigned rows for still-present victims, keyed by the
     // LIVE layout's own routing — a distributed semi-join, never a

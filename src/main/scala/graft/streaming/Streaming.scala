@@ -833,9 +833,8 @@ object Streaming {
     // must never be able to hit another's live dir
     val loc = new org.apache.hadoop.fs.Path(meta.location)
     val locFs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = table.replaceAll("[^A-Za-z0-9_]", "_")
-    val gen = Iterator.from(1).find(i => !locFs.exists(
-      new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$i"))).get
+    val base = rbBase(table)
+    val gen = nextFreeRbSlot(locFs, loc.getParent, base)
     val path = new org.apache.hadoop.fs.Path(loc.getParent,
       s"${base}_rb$gen").toString
     live.write.partitionBy("batch_id")
@@ -854,10 +853,8 @@ object Streaming {
     // this rename leaves the dir unnamespaced — a bounded window whose
     // debt an operator must reap by hand; the swap itself stays the
     // atomic publish step.)
-    val genRe = s"^${java.util.regex.Pattern.quote(base)}_rb\\d+$$".r
-    if (locFs.exists(loc) && genRe.findFirstIn(loc.getName).isEmpty) {
-      val free = Iterator.from(1).find(i => !locFs.exists(
-        new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$i"))).get
+    if (locFs.exists(loc) && rbRegex(base).findFirstIn(loc.getName).isEmpty) {
+      val free = nextFreeRbSlot(locFs, loc.getParent, base)
       if (!locFs.rename(loc,
           new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$free")))
         sys.error(s"rebuildAppendableIndex($table): could not move the " +
@@ -865,6 +862,20 @@ object Streaming {
     }
     rows
   }
+
+  /** ONE definition of the `_rb<N>` generation namespace — creation
+    * ([[rebuildAppendableIndex]]'s fresh dir and its retired-location
+    * rename) and enumeration ([[oldRebuildGenerations]], whose matches
+    * the reaper DELETES) must never drift apart. */
+  private def rbBase(table: String): String =
+    table.replaceAll("[^A-Za-z0-9_]", "_")
+  private def rbRegex(base: String): scala.util.matching.Regex =
+    s"^${java.util.regex.Pattern.quote(base)}_rb\\d+$$".r
+  private def nextFreeRbSlot(fs: org.apache.hadoop.fs.FileSystem,
+                             parent: org.apache.hadoop.fs.Path,
+                             base: String): Int =
+    Iterator.from(1).find(i => !fs.exists(
+      new org.apache.hadoop.fs.Path(parent, s"${base}_rb$i"))).get
 
   /** OLD `<table>_rb<N>` rebuild generations of an appendable index —
     * the data-file dirs [[rebuildAppendableIndex]]'s external DROP left
@@ -879,22 +890,31 @@ object Streaming {
     * naming rule), so one table's reap can never see another's dirs. */
   def oldRebuildGenerations(spark: SparkSession,
                             table: String): Seq[String] = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val loc = new org.apache.hadoop.fs.Path(meta.location)
-    val keep = scala.collection.mutable.Set(loc.getName)
+    def locOf(t: String) = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
     val stagingTbl = s"${table}_rebuild"
-    if (spark.catalog.tableExists(stagingTbl))
-      keep += new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(stagingTbl))
-          .location).getName
-    val base = table.replaceAll("[^A-Za-z0-9_]", "_")
-    val gen = s"^${java.util.regex.Pattern.quote(base)}_rb\\d+$$".r
-    graft.ops.Layouts.listChildren(spark, loc.getParent.toString)
-      .filter(n => gen.findFirstIn(n).isDefined && !keep(n))
+    val keep = scala.collection.mutable.Set.empty[String]
+    // the audit must survive the rebuild crash window (table dropped,
+    // staging not yet renamed) — exactly when byproduct visibility
+    // matters most: anchor on whichever of the two tables exists,
+    // protecting both locations from enumeration
+    val parent =
+      if (spark.catalog.tableExists(table)) {
+        val l = locOf(table); keep += l.getName
+        if (spark.catalog.tableExists(stagingTbl))
+          keep += locOf(stagingTbl).getName
+        l.getParent
+      } else if (spark.catalog.tableExists(stagingTbl)) {
+        val l = locOf(stagingTbl); keep += l.getName
+        l.getParent
+      } else return Seq.empty // no layout at all — nothing to audit
+    val base = rbBase(table)
+    val re = rbRegex(base)
+    graft.ops.Layouts.listChildren(spark, parent.toString)
+      .filter(n => re.findFirstIn(n).isDefined && !keep(n))
       .sorted
-      .map(n => new org.apache.hadoop.fs.Path(loc.getParent, n).toString)
+      .map(n => new org.apache.hadoop.fs.Path(parent, n).toString)
   }
 
   /** The `reap_rebuild_generations` tool the q155 schedule's `reap`

@@ -195,6 +195,28 @@ class MaintenanceSpec extends SparkSpecBase {
       ("a", "purge", "fold_index_base", false)))
   }
 
+  test("oldRebuildGenerations survives the rebuild crash window (table " +
+      "dropped, staging present) — the audit anchors on the staging " +
+      "instead of throwing exactly when byproduct visibility matters") {
+    import graft.streaming.Streaming
+    val tbl = "g_reap_crashwin_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_rebuild")
+    val tmp = java.nio.file.Files.createTempDirectory("g_reap_cw").toString
+    // the crash state: only the staging table exists (DROP ran, RENAME
+    // did not), plus one dead generation dir in the namespace
+    Streaming.createAppendableIndex(spark, s"${tbl}_rebuild",
+      s"$tmp/${tbl}_rb2", buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/${tbl}_rb1"))
+    val dead = Streaming.oldRebuildGenerations(spark, tbl)
+    assert(dead.length === 1 && dead.head.endsWith("_rb1"), dead.toString)
+    // and with NEITHER table present there is nothing to audit
+    spark.sql(s"DROP TABLE ${tbl}_rebuild")
+    assert(Streaming.oldRebuildGenerations(spark, tbl).isEmpty)
+  }
+
   test("tick refuses a triggered decision with no bound tool") {
     val due = Maintenance.schedule(Seq(LayoutFacts("x", "appendable_index",
       10, 4, batch_partitions = 99, n_entries = 10, occ_max = -1,

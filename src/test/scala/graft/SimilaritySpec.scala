@@ -904,12 +904,12 @@ class SimilaritySpec extends SparkSpecBase {
       "no deleted original survives the rebuild")
   }
 
-  test("rebuildIvfLayout resume branch: a crash between the in-place " +
-      "delete and the rename finishes the RENAME on retry instead of " +
-      "rebuilding — the staging copy is the only one that remembers the " +
-      "honored marks — and an out-of-contract husk sidecar is preserved " +
-      "aside then immediately RE-KEYED against the published layout " +
-      "(its dead-centroid routing is never consumed as-is)") {
+  test("rebuildIvfLayout finishes a mid-publish crash (live absent, " +
+      "staging complete — also the LEGACY pre-rename-aside husk state) " +
+      "by publishing the staging, never rebuilding — and an " +
+      "out-of-contract husk sidecar is preserved aside then immediately " +
+      "RE-KEYED against the published layout (its dead-centroid routing " +
+      "is never consumed as-is)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     Similarity.ensureRegistered(spark)
     val root = java.nio.file.Files.createTempDirectory("g_rb_resume")
@@ -971,10 +971,10 @@ class SimilaritySpec extends SparkSpecBase {
     assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
   }
 
-  test("in-place resume with an INTACT live layout: a valid takedown " +
-      "landed between the crash and the retry is honored immediately — " +
-      "the published (stale) staging predates the mark, so the resume " +
-      "re-keys it rather than serving the victim until an operator acts") {
+  test("in-place rebuild with an INTACT live layout: the live dir is " +
+      "authoritative — a stale complete staging (crash before the retire) " +
+      "is discarded and the fresh rebuild honors every live-sidecar mark, " +
+      "including a takedown landed between the crash and the retry") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     Similarity.ensureRegistered(spark)
     val root = java.nio.file.Files.createTempDirectory("g_rb_intact")
@@ -982,13 +982,17 @@ class SimilaritySpec extends SparkSpecBase {
     val idxDir = s"$root/layout"
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
-    // crash state: staging complete, live layout STILL FULLY INTACT
-    // (the crash fell between build-done and the live delete)
+    // crash state: staging complete, live layout STILL FULLY INTACT —
+    // the crash fell BEFORE the retire rename, so the live dir (which
+    // holds the marks the crashed build had honored, still un-retired)
+    // is the only authoritative copy
     Similarity.ivfCentroids(e, 4, iters = 1)
       .write.parquet(s"$idxDir/centroids")
     Similarity.assignToCentroid(e,
         spark.read.parquet(s"$idxDir/centroids"))
       .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    Similarity.tombstoneIvfRows(spark, idxDir,
+      e.filter(col("vec_id") < 10))
     val staging = s"$idxDir.build"
     val survivors = e.filter(col("vec_id") >= 10)
     Similarity.ivfCentroids(survivors, 4, iters = 1)
@@ -997,44 +1001,51 @@ class SimilaritySpec extends SparkSpecBase {
         spark.read.parquet(s"$staging/centroids"))
       .write.partitionBy("cid").parquet(s"$staging/assigned")
     // a LEGAL takedown lands against the intact live layout while the
-    // rebuild is down — in-contract, its victim hidden by the live view
+    // rebuild is down — the stale staging predates it; publishing the
+    // staging would serve this victim (the pre-r17 hazard)
     Similarity.tombstoneIvfRows(spark, idxDir,
       e.filter(col("vec_id") === 30))
-    // the retry publishes the mark-honoring staging AND re-keys the
-    // fresh mark against it in the same call
+    // the retry DISCARDS the stale staging and rebuilds fresh from the
+    // live corpus minus the live sidecar — both the crashed attempt's
+    // marks and the post-crash takedown are honored physically
     Similarity.rebuildIvfLayout(spark, e, idxDir, idxDir, k = 4)
     val ids = spark.read.parquet(s"$idxDir/assigned")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    assert(ids === (10L until 60L).toSet)
+    assert(ids === (10L until 60L).toSet - 30L)
     assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
-    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 1L)
-    assert(spark.read.parquet(s"$idxDir/tombstones").collect()(0)
-      .getAs[Long]("vec_id") === 30L,
-      "the post-crash takedown must stay honored across the resume")
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L,
+      "honored-by-exclusion marks retire with the rebuild")
+    assert(!graft.ops.Layouts.exists(spark, staging),
+      "the stale staging must not survive the fresh rebuild")
+    assert(!graft.ops.Layouts.exists(spark, s"$idxDir.retiring"),
+      "the retired copy is drained after the publish")
   }
 
-  test("rebuildIvfLayout resume branch prefers a complete staging over an " +
-      "apparently-built live dir: a crash MID-delete can remove the " +
-      "tombstones sidecar while centroids/assigned _SUCCESS survive, so " +
-      "gating the resume on !built(live) would discard the mark-honoring " +
-      "staging and rebuild from the corpus — resurrecting the takedowns") {
+  test("the in-place retire is a RENAME-ASIDE, so the ambiguous " +
+      "mid-delete husk state is unreachable: a crash between the retire " +
+      "and the publish leaves live ABSENT + .retiring present, the retry " +
+      "finishes the publish with the retired sidecar re-keyed; a crash " +
+      "after the publish drains the retired copy on the next call") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     Similarity.ensureRegistered(spark)
-    val root = java.nio.file.Files.createTempDirectory("g_rb_middel")
+    val root = java.nio.file.Files.createTempDirectory("g_rb_retiring")
       .toString
     val idxDir = s"$root/layout"
     val e = Tables.embeddings(spark, Sf001)
       .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
-    // the crash state: the in-place rebuild built a COMPLETE staging that
-    // honored the takedown of vec_id < 10, began deleting the live dir,
-    // and died after the recursive delete removed the tombstones sidecar
-    // but before it reached centroids/assigned — the live dir still
-    // passes ivfLayoutBuilt and shows ZERO visible deletion debt
+    // WINDOW A: the old layout (marks vec_id < 10 read by the build) was
+    // renamed to .retiring, the staging (which honored them) is complete,
+    // and the crash fell before the publish rename
     Similarity.ivfCentroids(e, 4, iters = 1)
       .write.parquet(s"$idxDir/centroids")
     Similarity.assignToCentroid(e,
         spark.read.parquet(s"$idxDir/centroids"))
       .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    Similarity.tombstoneIvfRows(spark, idxDir, e.filter(col("vec_id") < 10))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(s"$idxDir.retiring")))
     val staging = s"$idxDir.build"
     val survivors = e.filter(col("vec_id") >= 10)
     Similarity.ivfCentroids(survivors, 4, iters = 1)
@@ -1042,17 +1053,65 @@ class SimilaritySpec extends SparkSpecBase {
     Similarity.assignToCentroid(survivors,
         spark.read.parquet(s"$staging/centroids"))
       .write.partitionBy("cid").parquet(s"$staging/assigned")
-    assert(Similarity.ivfLayoutBuilt(spark, idxDir),
-      "precondition: the husk must LOOK complete for this to test anything")
-    // the retry: must publish the staging, never rebuild from the corpus
+    // the retry: finishes the publish — the staging is the only complete
+    // copy; the retired sidecar's marks re-key against it (a no-op here:
+    // their rows were honored by exclusion) and the retired copy drains
     Similarity.rebuildIvfLayout(spark, e, idxDir, idxDir, k = 4)
     assert(Similarity.ivfLayoutBuilt(spark, idxDir))
     assert(!graft.ops.Layouts.exists(spark, staging))
+    assert(!graft.ops.Layouts.exists(spark, s"$idxDir.retiring"))
     val ids = spark.read.parquet(s"$idxDir/assigned")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(ids === (10L until 60L).toSet,
-      "the staging copy is the only one that remembers the honored " +
-        "marks — a corpus rebuild would resurrect vec_id < 10")
+      "the staging copy remembers the honored marks — a corpus rebuild " +
+        "would resurrect vec_id < 10")
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
+    assert(graft.ops.Maintenance.sidecarTombstones(spark, idxDir) === 0L)
+    // WINDOW B: a crash after the publish leaves only the retired copy —
+    // plant one (with a stale already-honored mark inside) and ask for a
+    // fresh rebuild: the entry drains it, then rebuilds from live
+    spark.read.parquet(s"$idxDir/assigned")
+      .write.partitionBy("cid").parquet(s"$idxDir.retiring/assigned")
+    spark.read.parquet(s"$idxDir/centroids")
+      .write.parquet(s"$idxDir.retiring/centroids")
+    Similarity.tombstoneIvfRows(spark, s"$idxDir.retiring",
+      e.filter(col("vec_id") === 5)) // vec 5 already purged from live
+    Similarity.rebuildIvfLayout(spark, survivors, idxDir, idxDir, k = 4)
+    assert(!graft.ops.Layouts.exists(spark, s"$idxDir.retiring"))
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
+    assert(spark.read.parquet(s"$idxDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      (10L until 60L).toSet)
+  }
+
+  test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
+      "and a legacy empty orphan slot retires quietly instead of wedging " +
+      "the reissue tool forever") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_empty")
+      .toString
+    val idxDir = s"$root/layout"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20)
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$idxDir/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$idxDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$idxDir/assigned")
+    // an empty victims frame must not materialize a schema-less sidecar
+    Similarity.tombstoneIvfRows(spark, idxDir, e.filter(col("vec_id") < 0))
+    assert(!graft.ops.Layouts.exists(spark, s"$idxDir/tombstones"))
+    // a legacy empty slot (only _SUCCESS — an older binary could leave
+    // one) retires quietly: reissue returns 0 and the debt disappears
+    val slot = new org.apache.hadoop.fs.Path(
+      s"${idxDir}_orphaned_tombstones/0")
+    val fs = slot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(slot)
+    fs.create(new org.apache.hadoop.fs.Path(slot, "_SUCCESS")).close()
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 1L)
+    assert(Similarity.reissueOrphanedTombstones(spark, idxDir) === 0L)
+    assert(Similarity.orphanedTombstoneSlots(spark, idxDir) === 0L)
   }
 
   test("localizeProbes: an ingest-scale batch on the literal-IN serving " +
