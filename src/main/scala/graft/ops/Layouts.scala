@@ -69,6 +69,17 @@ object Layouts {
     else Seq.empty
   }
 
+  /** True iff `path` exists and holds at least one parquet DATA file —
+    * the ONE definition of "this sidecar/slot is readable" (r17): a
+    * legacy writer can leave a `_SUCCESS`-only dir, which `exists`
+    * blesses but `spark.read.parquet` rejects with UNABLE_TO_INFER_SCHEMA
+    * — and a reader that gates on `exists` alone wedges permanently on
+    * such a dir (serving, maintenance facts, and the very repair tools
+    * alike). Every sidecar read and preserve/retire decision must gate
+    * on THIS, not on `exists`. */
+  def hasParquetData(spark: SparkSession, path: String): Boolean =
+    listChildren(spark, path).exists(_.endsWith(".parquet"))
+
   /** Crash-atomic publish of a multi-step directory-layout build: when
     * `idxDir` is absent, run `build` against a fresh `<idxDir>.build`
     * staging dir (a crashed prior attempt is deleted first) and rename it

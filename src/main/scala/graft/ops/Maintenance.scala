@@ -205,7 +205,10 @@ object Maintenance {
     * serving paths keep anti-joining the marks, so the purge never
     * schedules and the physical rows never die. */
   def sidecarTombstones(spark: SparkSession, idxDir: String): Long =
-    if (Layouts.exists(spark, s"$idxDir/tombstones"))
+    // hasParquetData, not exists (the r17 reader guard): a legacy
+    // _SUCCESS-only sidecar is schema-less, carries zero debt, and must
+    // not wedge the fact gather on the read
+    if (Layouts.hasParquetData(spark, s"$idxDir/tombstones"))
       spark.read.parquet(s"$idxDir/tombstones").count()
     else 0L
 

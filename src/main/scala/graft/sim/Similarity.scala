@@ -1720,7 +1720,7 @@ object Similarity {
     val husk = new org.apache.hadoop.fs.Path(sidecar)
     val fs = husk.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(husk)) return
-    if (!fs.listStatus(husk).exists(_.getPath.getName.endsWith(".parquet"))) {
+    if (!graft.ops.Layouts.hasParquetData(spark, sidecar)) {
       fs.delete(husk, true); return
     }
     val orphanBase = s"${idxDir}_orphaned_tombstones"
@@ -1761,8 +1761,19 @@ object Similarity {
     * always either in the live sidecar (fresh path reads them) or in the
     * retired sidecar (already honored by the staging build; the
     * defensive re-key is a no-op for them and only rescues
-    * out-of-contract landings). `built` is the flavor's own completeness
-    * check (which subdirs must be committed). */
+    * out-of-contract landings). The cross-dir branch retires the OLD dir
+    * by the same rename-aside (a recursive delete could crash into a
+    * sidecar-less husk that passes `built` and re-trigger a rebuild with
+    * zero visible debt — the exact ambiguity the in-place fix removes).
+    * `built` is the flavor's own completeness check (which subdirs must
+    * be committed).
+    *
+    * UPGRADE CAVEAT: a crash under a PRE-rename-aside binary could leave
+    * the live dir as a mid-delete husk whose `_SUCCESS` files survived
+    * the sidecar's deletion — indistinguishable from an intact live, so
+    * this protocol classifies it live-authoritative and would rebuild
+    * without the husk's lost marks. Drain in-flight rebuilds before
+    * upgrading (the states THIS protocol leaves are all classified). */
   private def rebuildDirProtocol(spark: SparkSession, corpus: DataFrame,
       oldIdxDir: String, newIdxDir: String,
       built: String => Boolean,
@@ -1772,6 +1783,18 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(newIdxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retiring = s"$newIdxDir.retiring"
+    val oldRetiring = s"$oldIdxDir.retiring"
+    // cross-dir crash window: the publish landed and the OLD dir was
+    // renamed aside, but the drain didn't finish — complete it (re-key
+    // the retired sidecar, drop the retired copy) instead of failing the
+    // built(oldIdxDir) require on a state that is already published
+    if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir) &&
+        graft.ops.Layouts.exists(spark, oldRetiring)) {
+      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
+      graft.ops.Layouts.delete(spark, oldRetiring)
+      reissueOrphanedTombstones(spark, newIdxDir)
+      return
+    }
     if (newIdxDir == oldIdxDir) {
       if (built(staging) && !built(newIdxDir)) {
         // crash between retire and publish: finish it
@@ -1833,7 +1856,19 @@ object Similarity {
       graft.ops.Layouts.delete(spark, newIdxDir)
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")
-      graft.ops.Layouts.delete(spark, oldIdxDir)
+      // retire the old dir by RENAME (same rationale as in-place: a
+      // recursive delete can crash into a built-looking sidecar-less
+      // husk, and a re-trigger would then rebuild from it with zero
+      // visible debt), then drain it. A stale leftover retiring dir has
+      // its sidecar rescued first — marks must never ride a delete.
+      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
+      graft.ops.Layouts.delete(spark, oldRetiring)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(oldIdxDir),
+          new org.apache.hadoop.fs.Path(oldRetiring)))
+        sys.error(s"cross-dir retire of $oldIdxDir failed")
+      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
+      graft.ops.Layouts.delete(spark, oldRetiring)
+      reissueOrphanedTombstones(spark, newIdxDir)
     }
   }
 
@@ -1923,7 +1958,10 @@ object Similarity {
   // store — the r15 verdict's right-to-be-forgotten hole
   private def ivfTombstones(spark: SparkSession,
                             idxDir: String): Option[DataFrame] =
-    if (graft.ops.Layouts.exists(spark, s"$idxDir/tombstones"))
+    // hasParquetData, not exists (the r17 reader guard): a legacy
+    // _SUCCESS-only sidecar is schema-less — gating on exists would
+    // wedge serving, facts, and the repair tools on the read
+    if (graft.ops.Layouts.hasParquetData(spark, s"$idxDir/tombstones"))
       Some(spark.read.parquet(s"$idxDir/tombstones")
         .select(col("cid"), col("vec_id")))
     else None
@@ -1981,7 +2019,12 @@ object Similarity {
     val hc = spark.sparkContext.hadoopConfiguration
     val tombPath = new org.apache.hadoop.fs.Path(s"$idxDir/tombstones")
     val fs = tombPath.getFileSystem(hc)
-    if (!fs.exists(tombPath)) return (0L, 0L)
+    // a schema-less (_SUCCESS-only) legacy sidecar carries zero debt:
+    // retire it instead of wedging on the read (the r17 reader guard)
+    if (!graft.ops.Layouts.hasParquetData(spark, tombPath.toString)) {
+      if (fs.exists(tombPath)) fs.delete(tombPath, true)
+      return (0L, 0L)
+    }
     val marks = spark.read.parquet(s"$idxDir/tombstones")
       .select(col("cid"), col("vec_id")).distinct()
     val affected = marks.select(col("cid")).distinct()
@@ -2047,8 +2090,7 @@ object Similarity {
     // of crashing the schema inference forever (un-retirable debt)
     val slots = graft.ops.Layouts.listChildren(spark, orphanDir)
       .map(s => s"$orphanDir/$s")
-      .filter(s => graft.ops.Layouts.listChildren(spark, s)
-        .exists(_.endsWith(".parquet")))
+      .filter(graft.ops.Layouts.hasParquetData(spark, _))
     if (slots.isEmpty) { graft.ops.Layouts.delete(spark, orphanDir); return 0L }
     val orphanIds = spark.read.parquet(slots: _*)
       .select(col("vec_id")).distinct()

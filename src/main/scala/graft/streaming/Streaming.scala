@@ -908,7 +908,10 @@ object Streaming {
       } else if (spark.catalog.tableExists(stagingTbl)) {
         val l = locOf(stagingTbl); keep += l.getName
         l.getParent
-      } else return Seq.empty // no layout at all — nothing to audit
+      } else sys.error(s"oldRebuildGenerations($table): neither the " +
+        s"table nor its $stagingTbl staging exists — a mistyped/stale " +
+        "table name must not read as zero debt (the audit would bless " +
+        "invisibly accruing generations)")
     val base = rbBase(table)
     val re = rbRegex(base)
     graft.ops.Layouts.listChildren(spark, parent.toString)

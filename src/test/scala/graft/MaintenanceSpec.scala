@@ -212,9 +212,13 @@ class MaintenanceSpec extends SparkSpecBase {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/${tbl}_rb1"))
     val dead = Streaming.oldRebuildGenerations(spark, tbl)
     assert(dead.length === 1 && dead.head.endsWith("_rb1"), dead.toString)
-    // and with NEITHER table present there is nothing to audit
+    // with NEITHER table present the audit fails LOUD — a mistyped or
+    // stale table name must not read as zero debt
     spark.sql(s"DROP TABLE ${tbl}_rebuild")
-    assert(Streaming.oldRebuildGenerations(spark, tbl).isEmpty)
+    val ex = intercept[RuntimeException] {
+      Streaming.oldRebuildGenerations(spark, tbl)
+    }
+    assert(ex.getMessage.contains("neither"), ex.getMessage)
   }
 
   test("tick refuses a triggered decision with no bound tool") {

@@ -1084,6 +1084,43 @@ class SimilaritySpec extends SparkSpecBase {
       (10L until 60L).toSet)
   }
 
+  test("cross-dir retire is rename-aside too: a crash between the " +
+      "publish and the drain is finished on retry — retired sidecar " +
+      "re-keyed against the published layout, no rebuild, no loud fail") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_xdir")
+      .toString
+    val oldDir = s"$root/layout_k4"
+    val newDir = s"$root/layout_k8"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 60)
+    // crash state: the new dir is published (survivors only), the old
+    // dir was renamed aside with its honored sidecar, the drain died
+    val survivors = e.filter(col("vec_id") >= 10)
+    Similarity.ivfCentroids(survivors, 8, iters = 1)
+      .write.parquet(s"$newDir/centroids")
+    Similarity.assignToCentroid(survivors,
+        spark.read.parquet(s"$newDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$newDir/assigned")
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$oldDir.retiring/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$oldDir.retiring/centroids"))
+      .write.partitionBy("cid").parquet(s"$oldDir.retiring/assigned")
+    Similarity.tombstoneIvfRows(spark, s"$oldDir.retiring",
+      e.filter(col("vec_id") < 10))
+    // the retry: must finish the drain, not throw on built(oldDir)=false
+    // and not rebuild the published layout
+    Similarity.rebuildIvfLayout(spark, e, oldDir, newDir, k = 8)
+    assert(!graft.ops.Layouts.exists(spark, s"$oldDir.retiring"))
+    assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 0L)
+    assert(spark.read.parquet(s"$newDir/assigned")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
+      (10L until 60L).toSet,
+      "the published layout must be left as-is (honored marks excluded)")
+  }
+
   test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
       "and a legacy empty orphan slot retires quietly instead of wedging " +
       "the reissue tool forever") {
