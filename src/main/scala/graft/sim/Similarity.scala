@@ -1629,22 +1629,14 @@ object Similarity {
     *
     * Deployment wiring: `k = IndexParams.ivfK(corpus.count())`,
     * `newIdxDir = ivfBaseLayoutDir(dir, k)` — a changed k mints a new
-    * fingerprint dir beside the old one (deleted only after the
-    * publish; a crash between leaves both, the old still serving
-    * consistently under its own marks), while an unchanged k (the
-    * rebalance case, oldIdxDir == newIdxDir) replaces in place: stage to
-    * `.build`, delete the live dir, rename. A crash between the
-    * in-place delete and the rename is repaired by the RESUME branch:
-    * the completed staging copy is the only one that remembers the
-    * honored marks (a fresh rebuild from the corpus would resurrect
-    * them), so the retry finishes the rename instead of rebuilding.
-    * Takedowns cannot land during the window through the API
-    * ([[tombstoneIvfRows]] fails loudly on the husk's missing
-    * centroids); an out-of-contract husk sidecar would be unroutable
-    * under the fresh centroids, so it is preserved ASIDE as
-    * `_orphaned_tombstones` for the operator to re-issue, never consumed
-    * by serving. Maintenance-op single-writer contract applies (no
-    * concurrent takedowns mid-run). */
+    * fingerprint dir beside the old one (the old retired by rename-aside
+    * and drained only after the publish), while an unchanged k (the
+    * rebalance case, oldIdxDir == newIdxDir) replaces in place. Crash
+    * windows, retire semantics, and the immediate re-keying of preserved
+    * sidecars are [[rebuildDirProtocol]]'s (r17: retire is RENAME-ASIDE,
+    * every crash state classified; orphaned marks re-key at publish,
+    * never operator debt). Maintenance-op single-writer contract applies
+    * (no concurrent takedowns mid-run). */
   def rebuildIvfLayout(spark: SparkSession, corpus: DataFrame,
                        oldIdxDir: String, newIdxDir: String, k: Int): Unit = {
     implicit val s: SparkSession = spark
