@@ -207,7 +207,10 @@ object Maintenance {
   def sidecarTombstones(spark: SparkSession, idxDir: String): Long =
     // hasParquetData, not exists (the r17 reader guard): a legacy
     // _SUCCESS-only sidecar is schema-less, carries zero debt, and must
-    // not wedge the fact gather on the read
+    // not wedge the fact gather on the read. Deliberately READ-ONLY (the
+    // schedule is a pure observer): the husk itself is retired by the
+    // writer-side tools (purgeIvfTombstones and the rebuild drain), not
+    // by a fact gather that mutates state on sight.
     if (Layouts.hasParquetData(spark, s"$idxDir/tombstones"))
       spark.read.parquet(s"$idxDir/tombstones").count()
     else 0L

@@ -1776,14 +1776,20 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val retiring = s"$newIdxDir.retiring"
     val oldRetiring = s"$oldIdxDir.retiring"
-    // cross-dir crash window: the publish landed and the OLD dir was
-    // renamed aside, but the drain didn't finish — complete it (re-key
-    // the retired sidecar, drop the retired copy) instead of failing the
-    // built(oldIdxDir) require on a state that is already published
-    if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir) &&
-        graft.ops.Layouts.exists(spark, oldRetiring)) {
-      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
-      graft.ops.Layouts.delete(spark, oldRetiring)
+    // ONE drain semantics (sidecar rescued into an orphan slot — marks
+    // must never ride a delete — then the dir dropped; no-op when
+    // absent). Re-keying is each path's explicit finish step.
+    def drainRetired(dir: String): Unit = {
+      preserveSidecarAside(spark, s"$dir/tombstones", newIdxDir)
+      graft.ops.Layouts.delete(spark, dir)
+    }
+    // cross-dir crash window: the publish landed but the old dir's
+    // retire/drain didn't finish — the states are old-renamed-aside
+    // (retiring present), old-drained-but-slots-pending, and everything
+    // between. Complete the drain and the re-key instead of failing the
+    // built(oldIdxDir) require on a state that is already published.
+    if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir)) {
+      drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
       return
     }
@@ -1791,21 +1797,17 @@ object Similarity {
       if (built(staging) && !built(newIdxDir)) {
         // crash between retire and publish: finish it
         preserveSidecarAside(spark, s"$newIdxDir/tombstones", newIdxDir)
-        preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
+        drainRetired(retiring)
         graft.ops.Layouts.delete(spark, newIdxDir)
         if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
           sys.error(s"atomic publish of $newIdxDir failed")
-        graft.ops.Layouts.delete(spark, retiring)
         reissueOrphanedTombstones(spark, newIdxDir)
         return
       }
       if (built(newIdxDir)) {
         // crash after publish: drain the retired copy and any dangling
         // slots before rebuilding anew — the live dir is authoritative
-        if (graft.ops.Layouts.exists(spark, retiring)) {
-          preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
-          graft.ops.Layouts.delete(spark, retiring)
-        }
+        drainRetired(retiring)
         reissueOrphanedTombstones(spark, newIdxDir)
       }
     }
@@ -1839,27 +1841,30 @@ object Similarity {
         sys.error(s"in-place retire of $newIdxDir failed")
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")
-      preserveSidecarAside(spark, s"$retiring/tombstones", newIdxDir)
-      graft.ops.Layouts.delete(spark, retiring)
+      drainRetired(retiring)
       reissueOrphanedTombstones(spark, newIdxDir)
     } else {
       // a pre-existing cross-dir target (stale same-k dir) cannot be
-      // trusted to honor the old layout's debt — replace it
+      // trusted to honor the old layout's debt — replace it, rescuing
+      // its sidecar first: a crash-after-publish retry lands here with
+      // the PUBLISHED target as newIdxDir (the old dir not yet retired),
+      // and the deployment may have routed takedowns to it in the
+      // interim — those marks must never ride the delete (they re-key at
+      // the final reissue)
+      preserveSidecarAside(spark, s"$newIdxDir/tombstones", newIdxDir)
       graft.ops.Layouts.delete(spark, newIdxDir)
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")
       // retire the old dir by RENAME (same rationale as in-place: a
       // recursive delete can crash into a built-looking sidecar-less
       // husk, and a re-trigger would then rebuild from it with zero
-      // visible debt), then drain it. A stale leftover retiring dir has
-      // its sidecar rescued first — marks must never ride a delete.
-      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
-      graft.ops.Layouts.delete(spark, oldRetiring)
+      // visible debt), then drain it — a stale leftover retiring dir is
+      // drained first
+      drainRetired(oldRetiring)
       if (!fs.rename(new org.apache.hadoop.fs.Path(oldIdxDir),
           new org.apache.hadoop.fs.Path(oldRetiring)))
         sys.error(s"cross-dir retire of $oldIdxDir failed")
-      preserveSidecarAside(spark, s"$oldRetiring/tombstones", newIdxDir)
-      graft.ops.Layouts.delete(spark, oldRetiring)
+      drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
     }
   }

@@ -1119,6 +1119,29 @@ class SimilaritySpec extends SparkSpecBase {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet ===
       (10L until 60L).toSet,
       "the published layout must be left as-is (honored marks excluded)")
+    // second window: crash AFTER the publish but BEFORE the old retire —
+    // both dirs built; the deployment routed a takedown (vec 30) to the
+    // PUBLISHED target in the interim. The retry replaces the target,
+    // but that mark must never ride the delete: it re-keys against the
+    // re-published layout
+    val oldDir2 = s"$root/layout_k4b"
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$oldDir2/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$oldDir2/centroids"))
+      .write.partitionBy("cid").parquet(s"$oldDir2/assigned")
+    Similarity.tombstoneIvfRows(spark, oldDir2,
+      e.filter(col("vec_id") < 10))
+    Similarity.tombstoneIvfRows(spark, newDir,
+      e.filter(col("vec_id") === 30))
+    Similarity.rebuildIvfLayout(spark, e, oldDir2, newDir, k = 8)
+    assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 0L)
+    val marks2 = spark.read.parquet(s"$newDir/tombstones")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(marks2 === Seq(30L),
+      "the interim takedown on the published target must survive the " +
+        s"replace: $marks2")
+    assert(!graft.ops.Layouts.exists(spark, oldDir2))
   }
 
   test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
