@@ -252,6 +252,7 @@ object SparkEntry {
     // r17: serving across the LEVELED fold's generation partitions with
     // standing marks — the amortized consolidation path, live-view probe
     "q164_leveled_fold_probe" -> (Similarity.q164LeveledFoldProbe(_, _)),
+    "q165_scoped_purge_probe" -> (Similarity.q165ScopedPurgeProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

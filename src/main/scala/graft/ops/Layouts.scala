@@ -76,9 +76,20 @@ object Layouts {
     * — and a reader that gates on `exists` alone wedges permanently on
     * such a dir (serving, maintenance facts, and the very repair tools
     * alike). Every sidecar read and preserve/retire decision must gate
-    * on THIS, not on `exists`. */
-  def hasParquetData(spark: SparkSession, path: String): Boolean =
-    listChildren(spark, path).exists(_.endsWith(".parquet"))
+    * on THIS, not on `exists`. RECURSIVE (r18): a sidecar/slot whose
+    * data files are nested (e.g. ever written partitioned) must read as
+    * non-empty — callers like the preserve/purge paths DELETE on a
+    * false verdict, so a direct-children-only scan would silently
+    * destroy marks the moment a sidecar layout gains a partition level. */
+  def hasParquetData(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
 
   /** Crash-atomic publish of a multi-step directory-layout build: when
     * `idxDir` is absent, run `build` against a fresh `<idxDir>.build`

@@ -30,22 +30,28 @@ import graft.sim.{IndexParams, Similarity}
   *    [[FoldMaxBatchPartitions]] — every live partition is one more dir
   *    in each probe's listing. The bound tool is r17's AMORTIZED
   *    [[graft.streaming.Streaming.foldIndexLeveled]] (binary-counter
-  *    generations; the base fold is linear in base rows, so decay alone
-  *    must never trigger it) — UNLESS the same layout also owes
-  *    tombstone debt, in which case decay converges with `purge` on
-  *    fold_index_base and tick's dedup runs one base fold for both.
+  *    generations; the base fold is linear in base rows, so the
+  *    schedule never triggers it — r18 routed debt to the mark-scoped
+  *    purge, removing the last O(base) schedule path).
   *  - `rebalance` when the hottest IVF partition holds more than
   *    [[RebalanceHotFactor]]× its fair share (occ_max·k > 4·n, the q147
   *    hot rule at the layout grain) — centroid drift concentrating mass
   *    means probes scan far more than nprobe/k of the corpus.
-  *  - `purge` when a layout carries ANY tombstone marks
-  *    ([[graft.streaming.Streaming.tombstoneIndexRows]] /
-  *    `tombstoneBandRows` for the appendable tables,
-  *    [[Similarity.tombstoneIvfRows]]' sidecar for directory layouts) —
-  *    deletion is only LOGICAL until the purge pays it; an operator
-  *    (and an auditor) needs to see outstanding deletion debt. The tool
-  *    differs by flavor: the fold retires table marks,
-  *    `purgeIvfTombstones` retires sidecar marks.
+  *  - `purge` when a layout's tombstone debt is DUE — deletion is
+  *    honored logically the moment a mark lands (every serving path
+  *    anti-joins the marks), so the physical rewrite is pure space/
+  *    mark-set reclamation and is PACED, not debt-reflexive (r18; the
+  *    r17 any-debt trigger bought a full base fold per trickle
+  *    takedown). Appendable tables fire when the debt leaves the
+  *    integer band (tombstones·[[PurgeDebtFactor]] > n_entries, above
+  *    the [[PurgeMinMarks]] floor), bound to the mark-scoped
+  *    [[graft.streaming.Streaming.purgeIndexTombstones]] (rewrites only
+  *    victim-bearing consolidated partitions); a separate `purge_age`
+  *    row fires at ANY debt older than [[PurgeMaxAgeSec]] (landing
+  *    epochs ride the `_tombstone_epochs` sidecar), so sub-band debt
+  *    still has a bounded erasure SLA. Directory layouts
+  *    ([[Similarity.tombstoneIvfRows]]' sidecar) stay any-debt-
+  *    triggered: their `purgeIvfTombstones` is already cid-scoped.
   *  - `rederive_params` when the layout's keyspace leaves a 2× RATIO
   *    band around what [[IndexParams]] derives from the CURRENT corpus
   *    count (`2·actual < target ∨ actual > 2·target`, integer
@@ -82,6 +88,22 @@ object Maintenance {
   val FoldMaxBatchPartitions = 8L
   /** Rebuild an IVF layout when occ_max·k exceeds this × n_entries. */
   val RebalanceHotFactor = 4L
+  /** Appendable purge DEBT BAND (r18): the physical purge fires when
+    * tombstones·this exceeds n_entries — debt above ~1/64 ≈ 1.6% of the
+    * live corpus is worth a victim-partition rewrite; below it the marks
+    * keep riding the serving anti-join for free until the band (or the
+    * age bound) is breached. Integer cross-multiply, the q97 rule. */
+  val PurgeDebtFactor = 64L
+  /** Appendable purge absolute FLOOR: the band alone would fire a
+    * rewrite to erase a handful of marks on any small table (3 marks of
+    * a 100-row index is 3%) — below this many marks the band stays
+    * quiet and only the age bound forces the erasure. */
+  val PurgeMinMarks = 64L
+  /** Appendable purge AGE bound, in the landing-epoch units the marks
+    * carry (wall-clock seconds in deployments — 7 days): debt older than
+    * this fires the purge regardless of the band, so sub-band trickle
+    * takedowns still get a bounded erasure SLA. */
+  val PurgeMaxAgeSec = 604800L
 
   /** One row per audited layout; -1 marks a fact a kind does not carry.
     * Public top-level (the r11 encoder rule). `rb_old_generations` =
@@ -97,7 +119,8 @@ object Maintenance {
                          keyspace_actual: Long, keyspace_target: Long,
                          tombstones: Long = -1L,
                          rb_old_generations: Long = -1L,
-                         orphan_slots: Long = -1L)
+                         orphan_slots: Long = -1L,
+                         tombstone_age: Long = -1L)
 
   /** The pure decision function: per-layout facts → one row per
     * applicable (layout, check) with the observed value, its integer
@@ -118,17 +141,37 @@ object Maintenance {
     implicit def str2col(s: String): Column = lit(s)
     check(Seq("bucketed_index"), "compact", col("data_files"),
         lit(CompactFilesPerBucket) * col("buckets"), "compact_bucketed")
-      // partition decay alone takes the AMORTIZED leveled fold (r17:
+      // partition decay always takes the AMORTIZED leveled fold (r17:
       // the base fold is measured linear in base rows, so running it on
-      // every decay trigger is quadratic lifetime work); when the same
-      // layout ALSO owes tombstone debt, decay and debt converge on the
-      // base fold — one tool run pays both, preserving tick's dedup
+      // every decay trigger is quadratic lifetime work; r18: debt no
+      // longer re-routes decay onto the base fold either — the
+      // mark-scoped purge below is the debt tool, so NO schedule path
+      // pays O(base) any more)
       .unionByName(check(Seq("appendable_index"), "fold",
         col("batch_partitions"), lit(FoldMaxBatchPartitions),
-        when(col("tombstones") > 0L, lit("fold_index_base"))
-          .otherwise(lit("fold_index_leveled"))))
+        lit("fold_index_leveled")))
+      // appendable purge, DEBT-BANDED (r18): observed is the positive
+      // magnitude of the band violation (the rederive deadband form),
+      // gated on the absolute floor — sub-band debt keeps riding the
+      // serving anti-join for free (deletion is honored logically the
+      // moment the mark lands; the physical rewrite is pure reclamation)
+      // and the age row below guarantees the erasure SLA. The bound tool
+      // rewrites only victim-bearing consolidated partitions
+      // (Streaming.purgeIndexTombstones), never the whole base.
       .unionByName(check(Seq("appendable_index"), "purge",
-        col("tombstones"), lit(0L), "fold_index_base"))
+        when(col("tombstones") > lit(PurgeMinMarks),
+          greatest(col("tombstones") * lit(PurgeDebtFactor) -
+            col("n_entries"), lit(0L))).otherwise(lit(0L)),
+        lit(0L), "purge_index_tombstones"))
+      // the AGE bound: debt whose oldest mark is older than
+      // PurgeMaxAgeSec fires regardless of the band (tombstone_age is -1
+      // with zero debt or when a caller does not gather it — quiet)
+      .unionByName(check(Seq("appendable_index"), "purge_age",
+        col("tombstone_age"), lit(PurgeMaxAgeSec),
+        "purge_index_tombstones"))
+      // the DIRECTORY flavor's purge stays any-debt-triggered: its tool
+      // is already partition-scoped (purgeIvfTombstones rewrites only
+      // the victim cids), so there is no O(base) cost to band away
       .unionByName(check(Seq("ivf_layout"), "purge",
         col("tombstones"), lit(0L), "purge_ivf_tombstones"))
       .unionByName(check(Seq("ivf_layout"), "rebalance",
@@ -171,6 +214,17 @@ object Maintenance {
     * instead of a silently skipped decision. The decisions relation is
     * bounded (one row per layout × check), so the collect is driver-safe
     * at any corpus size.
+    *
+    * REQUIRED BINDINGS per layout kind (a triggered row whose action has
+    * no binding sys.errors, so cron wiring must carry every action its
+    * kinds can emit): appendable_index → `fold_index_leveled` (the fold
+    * check's decay action since r17 — wiring that still binds only
+    * `fold_index_base` errors on the first decay trigger),
+    * `purge_index_tombstones` (the purge/purge_age action since r18),
+    * `rebuild_with_derived_params`, `reap_rebuild_generations`;
+    * bucketed_index → `compact_bucketed`, `rebuild_with_derived_params`;
+    * ivf_layout → `purge_ivf_tombstones`, `rebuild_layout`,
+    * `rebuild_with_derived_params`, `reissue_orphaned_tombstones`.
     *
     * Each distinct (layout, action) runs ONCE per tick even when several
     * checks converge on it — an appendable layout's `fold` and `purge`
@@ -278,7 +332,11 @@ object Maintenance {
         .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
         .count(),
       rb_old_generations = graft.streaming.Streaming
-        .oldRebuildGenerations(spark, apTbl).length.toLong)
+        .oldRebuildGenerations(spark, apTbl).length.toLong,
+      // age rides the pinned reference epoch (deterministic output; with
+      // zero debt the fact is -1 regardless — the helper short-circuits)
+      tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
+        spark, apTbl, graft.quality.Quality.RefNowEpoch))
 
     // the text-side appendable band index (same flavor, own keyspace)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -307,7 +365,9 @@ object Maintenance {
       spark.table(bandTbl).count(), -1L, tableBuckets(bandTbl),
       bandBuckets.toLong, tombstones = tombCount(bandTbl),
       rb_old_generations = graft.streaming.Streaming
-        .oldRebuildGenerations(spark, bandTbl).length.toLong)
+        .oldRebuildGenerations(spark, bandTbl).length.toLong,
+      tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
+        spark, bandTbl, graft.quality.Quality.RefNowEpoch))
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
     // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code

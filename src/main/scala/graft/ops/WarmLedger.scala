@@ -58,7 +58,9 @@ object WarmLedger {
     "q161_ivf_rebuild_probe", "q162_index_rebuild_probe",
     "q163_sq_ivf_rebuild_probe",
     // r17: the leveled-fold serving probe (first ledger rows land in r18)
-    "q164_leveled_fold_probe")
+    "q164_leveled_fold_probe",
+    // r18: the scoped-purge serving probe (first ledger rows land in r19)
+    "q165_scoped_purge_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
@@ -89,7 +91,14 @@ object WarmLedger {
     * only exists once a query has ≥2 recorded rounds; `regressed` flags
     * >2× growth — the rule that replaces cold-time re-litigation. Round
     * recency orders on the tag's NUMERIC suffix ([[record]] enforces the
-    * r<N> shape), so r100 correctly follows r99. */
+    * r<N> shape), so r100 correctly follows r99.
+    *
+    * Known baseline moves (real added work, NOT regressions — the
+    * BenchReportSpec canary pattern applied to the ledger):
+    * q155_maintenance_schedule grew 1.36→2.44 s in r17 (new reap/reissue
+    * fact gathers) and gains purge_age rows + the tombstone-age gather
+    * in r18 — treat a q155 flag against a pre-r17 baseline as this move,
+    * not a plan defect. */
   def regressions(spark: SparkSession, ledgerDir: String): DataFrame = {
     val roundNum = expr("cast(substring(round, 2) as int)")
     val w = org.apache.spark.sql.expressions.Window

@@ -971,6 +971,56 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q165: the MARK-SCOPED physical purge made hash-observable —
+    * [[graft.streaming.Streaming.purgeIndexTombstones]]' driver evidence,
+    * completing the appendable deletion lifecycle's oracle coverage
+    * (logical delete q157, rebuild-as-purge q162, leveled serving q164,
+    * scoped physical purge here): the q164 build shape (corpus in two
+    * leveled-folded generations, copies in a third), originals
+    * tombstoned, then the SCOPED purge rewrites exactly the
+    * victim-bearing generations and retires the marks. The probe goes
+    * through the PLAIN [[probeIndex]] — no live view, no anti-join — so
+    * the hash certifies PHYSICAL death: a purge that left a victim's
+    * row standing would retrieve the original (smaller id wins the
+    * tiebreak at cosine 1), one that dropped a survivor or broke the
+    * bucket function flips ids elsewhere. Exactness is q157's planted
+    * argument over corpus-minus-deleted ∪ copies. */
+  def q165ScopedPurgeProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val copyShift = 38000000L; val offset = 39000000L; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = "g_purge_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
+      s"purge$planes", LayoutVersion)
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_purge_idx")
+        .toString
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
+        s"$tmp/index", IndexParams.indexBuckets(n, tables))
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
+      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+        planes, tables)
+      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+      graft.streaming.Streaming.purgeIndexTombstones(spark, staging)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields
     * both the literal sig list for bucket pruning AND the local relation
@@ -1788,7 +1838,18 @@ object Similarity {
     // (retiring present), old-drained-but-slots-pending, and everything
     // between. Complete the drain and the re-key instead of failing the
     // built(oldIdxDir) require on a state that is already published.
-    if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir)) {
+    // ONLY when drain evidence exists (the retiring dir, or pending
+    // orphan slots): a mistyped/stale oldIdxDir also reads as
+    // !built(old) && built(new), and silently returning "converged" on
+    // it would bless zero debt on a name that never held a layout — the
+    // same loud-fail rule oldRebuildGenerations enforces. A crash
+    // landing exactly after a no-sidecar drain (evidence consumed,
+    // nothing pending) falls through to the loud require below; that
+    // state is fully converged, so the operator confirms the publish
+    // and stops pointing at the old dir — loud beats guessing.
+    if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir) &&
+        (graft.ops.Layouts.exists(spark, oldRetiring) ||
+          orphanedTombstoneSlots(spark, newIdxDir) > 0L)) {
       drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
       return
@@ -2996,6 +3057,12 @@ object Similarity {
     "q164_leveled_fold_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 36000000L,
         offset = 37000000L),
+    // q165: the scoped PHYSICAL purge serves the same answer through the
+    // plain probe (no anti-join) — a victim row the partition rewrite
+    // left standing flips ids back to the original at cosine 1
+    "q165_scoped_purge_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 38000000L,
+        offset = 39000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

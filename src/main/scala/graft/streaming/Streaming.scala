@@ -622,6 +622,9 @@ object Streaming {
         }
       }
       spark.catalog.refreshTable(indexTable)
+      // landing stamps of retired marks retire with them (runs last —
+      // a crash before it only ages the debt upward)
+      if (hasTomb) syncEpochSidecar(spark, meta, indexTable, dedupKeys)
       (batches.length.toLong, rows)
     } finally {
       fs.delete(staging, true)
@@ -770,6 +773,141 @@ object Streaming {
       }.flatten.lastOption
   }
 
+  /** MARK-SCOPED physical purge of an appendable index — the table
+    * flavor's analog of [[graft.sim.Similarity.purgeIvfTombstones]]'
+    * partition-scoped rewrite, closing the r17 verdict's "any nonzero
+    * debt buys a FULL base fold": only the CONSOLIDATED partitions (the
+    * `-2` base and the leveled generations) that actually contain
+    * victims are read and rewritten — victim-bearing partitions are
+    * discovered by a bucket-aligned semi-join (marks and rows share the
+    * sig/key bucketing), untouched generations keep their files, and the
+    * cost is ∝ victim-bearing partition rows, not base size (measured:
+    * graft.TimePurge, PLANS.md r18). LIVE batch partitions are never
+    * touched — they belong to the stream's replay contract; their
+    * victims stay hidden by the serving anti-join until a fold
+    * consolidates them — so marks whose rows still sit in live batches
+    * survive the purge and re-land (exactly [[foldIndexBase]]'s
+    * partial-fold mark-retention rule, scoped to partitions instead of a
+    * batch bound). A purge whose victims ALL sit in live batches is a
+    * bounded no-op (zero partitions rewritten, content-free marks still
+    * retired); the next fold makes them purgeable — scheduling fold
+    * before purge (the q155 tick order) makes the pair converge in one
+    * tick.
+    *
+    * Crash contract (the fold invariant): survivors of every touched
+    * partition and the surviving marks are STAGED before any mutation;
+    * partition overwrites recompute identically on re-entry (the marks
+    * still stand), emptied partitions clear explicitly (the r8
+    * empty-frame rule), marks retire LAST, the epoch sidecar syncs after
+    * them. Pending leveled-fold plans drain FIRST — a stale staged plan
+    * replayed after this purge would resurrect the victims (leveled
+    * staging remembers pre-purge rows, mark-agnostically). Single-writer
+    * contract as for every fold/landing on the table. Returns
+    * (partitions rewritten, rows purged). */
+  def purgeIndexTombstones(spark: SparkSession, indexTable: String)
+      : (Long, Long) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"purgeIndexTombstones($indexTable): expected the appendable-index " +
+        s"layout (batch_id partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    finishPendingLeveledFolds(spark, indexTable, meta)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
+      dataCols.head)
+    val tombFull = spark.table(indexTable)
+      .filter(col("batch_id") === tombId)
+      .select(dataCols.map(col): _*)
+    val tomb = tombFull.select(dedupKeys.map(col): _*)
+    if (tomb.isEmpty) {
+      syncEpochSidecar(spark, meta, indexTable, dedupKeys)
+      return (0L, 0L)
+    }
+    val consolidated = spark.table(indexTable)
+      .filter(col("batch_id") === -2L ||
+        col("batch_id") <= GenerationBaseId)
+    val touched = consolidated.join(tomb, dedupKeys, "left_semi")
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // marks whose row still sits in a LIVE batch must survive — after the
+    // touched partitions rewrite, live batches hold the only remaining
+    // copies, so retiring their marks would resurrect the victims
+    val liveRows = spark.table(indexTable).filter(col("batch_id") >= 0)
+      .select(dedupKeys.map(col): _*)
+    val survivorMarks = tombFull.join(liveRows, dedupKeys, "left_semi")
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val staging = new org.apache.hadoop.fs.Path(loc, "_purge_staging")
+    val markStaging = new org.apache.hadoop.fs.Path(loc, "_purge_mark_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val scoped = consolidated
+        .filter(col("batch_id").isin(touched.map(Long.box): _*))
+      val orderCols = (dataCols :+ "batch_id").map(col)
+      scoped.join(tomb, dedupKeys, "left_anti")
+        .select(orderCols: _*)
+        .write.mode("overwrite").parquet(staging.toString)
+      survivorMarks.write.mode("overwrite").parquet(markStaging.toString)
+      val staged = spark.read.parquet(staging.toString)
+      // both sides read the pre-rewrite files (the purgeIvfTombstones
+      // accounting rule) — forced before any mutation below
+      val purged = scoped.count() - staged.count()
+      val stagedParts = staged.select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (stagedParts.nonEmpty) withDynamicOverwrite(spark) {
+        staged.select(orderCols: _*)
+          .write.mode("overwrite").insertInto(indexTable)
+      }
+      // a partition every row of which was a victim is absent from the
+      // staged frame — dynamic overwrite no-ops on it, so clear it
+      // explicitly or its dead rows outlive their retiring marks
+      touched.filterNot(stagedParts).foreach(
+        clearIndexPartition(spark, indexTable, _))
+      val sm = spark.read.parquet(markStaging.toString)
+      if (sm.isEmpty) clearIndexPartition(spark, indexTable, tombId)
+      else withDynamicOverwrite(spark) {
+        sm.select(dataCols.map(col): _*)
+          .withColumn("batch_id", lit(tombId))
+          .write.mode("overwrite").insertInto(indexTable)
+      }
+      spark.catalog.refreshTable(indexTable)
+      syncEpochSidecar(spark, meta, indexTable, dedupKeys)
+      (touched.length.toLong, purged)
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(markStaging, true)
+    }
+  }
+
+  /** Oldest outstanding deletion-debt AGE of an appendable index, in the
+    * epoch units its marks were landed with (`now − min(landing epoch)`
+    * over stamps whose mark still stands); −1 with zero debt. Marks with
+    * no stamp — a legacy table, or a crash between the mark landing and
+    * its stamp append — read as infinitely old (`now`), so the q155
+    * age-bound purge fires sooner, never later. A q155 fact gather
+    * (bounded: one mark-partition read + one sidecar read). */
+  def appendableTombstoneAge(spark: SparkSession, indexTable: String,
+                             now: Long): Long = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
+    val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
+      dataCols.head)
+    val tomb = spark.table(indexTable)
+      .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+      .select(dedupKeys.map(col): _*)
+    if (tomb.isEmpty) return -1L
+    val sidecar = epochSidecar(meta)
+    if (!graft.ops.Layouts.hasParquetData(spark, sidecar.toString)) return now
+    val oldest = spark.read.parquet(sidecar.toString)
+      .join(tomb, dedupKeys, "left_semi")
+      .agg(min(col("epoch"))).head()
+    if (oldest.isNullAt(0)) now
+    else math.max(0L, now - oldest.getLong(0))
+  }
+
   /** REBUILD an appendable index under a re-derived bucket count — the
     * `rebuild_with_derived_params` tool for the TABLE flavor (the
     * directory twin is [[graft.sim.Similarity.rebuildIvfLayout]]): the
@@ -802,7 +940,17 @@ object Streaming {
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(staging),
         s"rebuildAppendableIndex: neither $table nor $staging exists")
+      val resumedLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(staging)).location)
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      // the crashed attempt may have left its retiring-location marker
+      // standing (crash between the swap and the retired-location rename)
+      // — finish that rename here so the un-namespaced dead dir becomes
+      // reapable instead of hand-reap operator debt
+      finishRetiredLocationRename(spark,
+        resumedLoc.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        resumedLoc.getParent, rbBase(table), resumedLoc.getName)
       return spark.table(table).count()
     }
     if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
@@ -841,27 +989,76 @@ object Streaming {
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .option("path", path).format("parquet").saveAsTable(staging)
     val rows = spark.table(staging).count()
-    spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     // the FIRST rebuild's dead generation is the original caller-chosen
     // location, whose name cannot match the `_rb<N>` pattern — left
     // as-is it would be invisible to oldRebuildGenerations (and so to
     // the q155 reap check) forever, exactly the debt-visibility hole the
-    // reap machinery exists to close. Rename it into the generation
-    // namespace; later rebuilds' old locations are already `_rb<N>`
-    // names and skip this. (A crash between the table swap above and
-    // this rename leaves the dir unnamespaced — a bounded window whose
-    // debt an operator must reap by hand; the swap itself stays the
-    // atomic publish step.)
-    if (locFs.exists(loc) && rbRegex(base).findFirstIn(loc.getName).isEmpty) {
-      val free = nextFreeRbSlot(locFs, loc.getParent, base)
-      if (!locFs.rename(loc,
-          new org.apache.hadoop.fs.Path(loc.getParent, s"${base}_rb$free")))
-        sys.error(s"rebuildAppendableIndex($table): could not move the " +
-          s"retired location $loc into the reapable generation namespace")
-    }
+    // reap machinery exists to close. It gets renamed into the
+    // generation namespace AFTER the swap — and a MARKER recording the
+    // soon-dead location lands BEFORE the swap, so a crash inside the
+    // swap→rename window leaves the un-namespaced dir visible to the
+    // audit (and finishable by the resume branch) instead of hand-reap
+    // operator debt an operator has to notice. Later rebuilds' old
+    // locations are already `_rb<N>` names and need neither.
+    if (rbRegex(base).findFirstIn(loc.getName).isEmpty)
+      writeRetiringMarker(locFs, loc.getParent, base, loc.getName)
+    spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    finishRetiredLocationRename(spark, locFs, loc.getParent, base,
+      liveLocName = new org.apache.hadoop.fs.Path(path).getName)
     rows
   }
+
+  /** The retiring-location MARKER: a one-line file at
+    * `<parent>/<base>_rb_retiring` naming the dir the in-flight rebuild
+    * is about to orphan. Written before the table swap, consumed by
+    * [[finishRetiredLocationRename]] after it (or by the resume branch /
+    * [[oldRebuildGenerations]] if the rebuild crashed in between) — the
+    * name cannot match [[rbRegex]] (no trailing digits), so the reaper
+    * never enumerates the marker itself as a generation. */
+  private def retiringMarker(parent: org.apache.hadoop.fs.Path,
+                             base: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(parent, s"${base}_rb_retiring")
+
+  private def writeRetiringMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                  parent: org.apache.hadoop.fs.Path,
+                                  base: String, dirName: String): Unit = {
+    val out = fs.create(retiringMarker(parent, base), true)
+    try out.write(dirName.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readRetiringMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                 parent: org.apache.hadoop.fs.Path,
+                                 base: String): Option[String] = {
+    val p = retiringMarker(parent, base)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      .filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Finish (or retire) a standing retiring-location marker: rename the
+    * marker-named dir into a free `_rb<N>` slot, then drop the marker.
+    * Every state is classifiable — dir already renamed/gone or the
+    * marker naming the LIVE location (a crash landed before the swap,
+    * then the next attempt resumed) just drops the marker. Idempotent;
+    * shared by the rebuild's publish path and its crash-resume branch. */
+  private def finishRetiredLocationRename(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      parent: org.apache.hadoop.fs.Path, base: String,
+      liveLocName: String): Unit =
+    readRetiringMarker(fs, parent, base).foreach { name =>
+      val dead = new org.apache.hadoop.fs.Path(parent, name)
+      if (name != liveLocName && fs.exists(dead)) {
+        val free = nextFreeRbSlot(fs, parent, base)
+        if (!fs.rename(dead,
+            new org.apache.hadoop.fs.Path(parent, s"${base}_rb$free")))
+          sys.error(s"rebuildAppendableIndex: could not move the retired " +
+            s"location $dead into the reapable generation namespace")
+      }
+      fs.delete(retiringMarker(parent, base), false)
+    }
 
   /** ONE definition of the `_rb<N>` generation namespace — creation
     * ([[rebuildAppendableIndex]]'s fresh dir and its retired-location
@@ -914,9 +1111,19 @@ object Streaming {
         "invisibly accruing generations)")
     val base = rbBase(table)
     val re = rbRegex(base)
-    graft.ops.Layouts.listChildren(spark, parent.toString)
-      .filter(n => re.findFirstIn(n).isDefined && !keep(n))
-      .sorted
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a standing retiring-location marker names a dir a crashed rebuild
+    // orphaned OUTSIDE the `_rb<N>` namespace (crash between the table
+    // swap and the retired-location rename) — surface it like any other
+    // dead generation instead of relying on an operator noticing. A
+    // marker naming the live/staging location (crash before the swap) is
+    // excluded by the same keep set as everything else.
+    val markerNamed = readRetiringMarker(fs, parent, base)
+      .filter(n => !keep(n) &&
+        fs.exists(new org.apache.hadoop.fs.Path(parent, n)))
+    (graft.ops.Layouts.listChildren(spark, parent.toString)
+      .filter(n => re.findFirstIn(n).isDefined && !keep(n)) ++ markerNamed)
+      .distinct.sorted
       .map(n => new org.apache.hadoop.fs.Path(parent, n).toString)
   }
 
@@ -928,6 +1135,21 @@ object Streaming {
   def reapRebuildGenerations(spark: SparkSession, table: String): Long = {
     val old = oldRebuildGenerations(spark, table)
     old.foreach(graft.ops.Layouts.delete(spark, _))
+    // a retiring-location marker whose named dir is gone (reaped just
+    // now, or renamed by a finished rebuild that crashed before the
+    // marker delete) is spent — retire it so nothing stale accrues
+    if (spark.catalog.tableExists(table)) {
+      val parent = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+        .getParent
+      val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val base = rbBase(table)
+      readRetiringMarker(fs, parent, base).foreach { n =>
+        if (!fs.exists(new org.apache.hadoop.fs.Path(parent, n)))
+          fs.delete(retiringMarker(parent, base), false)
+      }
+    }
     old.length.toLong
   }
 
@@ -962,12 +1184,15 @@ object Streaming {
     * Single-writer: see [[landTombstoneMarks]] — landings must be
     * serialized with each other and with [[foldIndexBase]]. */
   def tombstoneIndexRows(spark: SparkSession, indexTable: String,
-                         victims: DataFrame, planes: Int, tables: Int): Unit =
+                         victims: DataFrame, planes: Int, tables: Int,
+                         epoch: Long = System.currentTimeMillis() / 1000L)
+      : Unit =
     landTombstoneMarks(spark, indexTable, graft.sim.Similarity
       .indexedRelation(victims.select(col("vec_id"), col("embedding")),
         planes, tables)
       .select(col("vec_id"),
-        lit(null).cast("array<float>").as("embedding"), col("sig")))
+        lit(null).cast("array<float>").as("embedding"), col("sig")),
+      epoch)
 
   /** [[tombstoneIndexRows]]' text twin: delete documents from the
     * appendable BAND index ([[createAppendableBandIndex]]) — marks carry
@@ -979,11 +1204,14 @@ object Streaming {
     * to `unique` the moment the mark lands, the re-admission contract a
     * takedown implies. */
   def tombstoneBandRows(spark: SparkSession, indexTable: String,
-                        victims: DataFrame): Unit =
+                        victims: DataFrame,
+                        epoch: Long = System.currentTimeMillis() / 1000L)
+      : Unit =
     landTombstoneMarks(spark, indexTable,
       graft.text.TextOps.bandedSignatures(
           victims.select(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("digest"), col("key")))
+        .select(col("doc_id"), col("digest"), col("key")),
+      epoch)
 
   /** Streaming DELETION maintenance — takedown requests as a live feed
     * (the delete-side sibling of [[indexAppendStream]]): each micro-batch
@@ -1044,7 +1272,8 @@ object Streaming {
     * maintenance ticks). Within one serialized writer, replays are
     * idempotent by the (bucket, id) dedup. */
   private def landTombstoneMarks(spark: SparkSession, indexTable: String,
-                                 marks: DataFrame): Unit = {
+                                 marks: DataFrame,
+                                 epoch: Long): Unit = {
     val tombId = graft.sim.Similarity.TombstoneBatchId
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
@@ -1068,6 +1297,61 @@ object Streaming {
           .write.mode("overwrite").insertInto(indexTable)
       }
       spark.catalog.refreshTable(indexTable)
+      // the LANDING-EPOCH sidecar (r18): debt age is a purge-policy input
+      // — without it a band-gated schedule could defer a handful of marks
+      // forever, unbounding erasure latency. Appended AFTER the marks (a
+      // crash in between leaves a mark with no stamp, which the age fact
+      // reads as infinitely old — conservative: the purge fires sooner,
+      // never later). Append-only: re-deletes append the same keys under
+      // later epochs, and min(epoch) per key keeps the FIRST landing.
+      marks.select(dedupKeys.map(col): _*)
+        .withColumn("epoch", lit(epoch))
+        .write.mode("append").parquet(epochSidecar(meta).toString)
+    } finally fs.delete(staging, true)
+  }
+
+  /** `<table location>/_tombstone_epochs` — landing stamps for the mark
+    * partition, one (bucket key, id, epoch) row per landed mark. The
+    * `_`-prefix hides it from every table reader; it is POLICY metadata
+    * only (never serving input): lost or stale rows degrade the q155 age
+    * fact toward "older", which fires the purge earlier — never later,
+    * and never wrong rows. Epoch units are the caller's (wall-clock
+    * seconds in deployments; test-controlled in specs) — policy metadata
+    * is exempt from the pinned-now oracle rule because no oracle reads
+    * it. */
+  private def epochSidecar(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(meta.location), "_tombstone_epochs")
+
+  /** Re-sync the epoch sidecar after mark retirement: keep only stamps
+    * whose (bucket, id) key is still marked, or drop the sidecar when the
+    * marks cleared. Runs LAST in every purge/fold — a crash before it
+    * leaves stale stamps, which only age the debt upward (conservative).
+    * Staged beside the sidecar (never read-your-own-dir in an overwrite). */
+  private def syncEpochSidecar(spark: SparkSession,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      indexTable: String, dedupKeys: Seq[String]): Unit = {
+    val sidecar = epochSidecar(meta)
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!graft.ops.Layouts.hasParquetData(spark, sidecar.toString)) {
+      if (fs.exists(sidecar)) fs.delete(sidecar, true)
+      return
+    }
+    val standing = spark.table(indexTable)
+      .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+      .select(dedupKeys.map(col): _*)
+    if (standing.isEmpty) { fs.delete(sidecar, true); return }
+    val staging = new org.apache.hadoop.fs.Path(
+      sidecar.getParent, "_tombstone_epochs_staging")
+    try {
+      spark.read.parquet(sidecar.toString)
+        .join(standing, dedupKeys, "left_semi")
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.delete(sidecar, true)
+      if (!fs.rename(staging, sidecar))
+        sys.error(s"epoch-sidecar sync of $indexTable failed to publish")
     } finally fs.delete(staging, true)
   }
 
@@ -1163,11 +1447,23 @@ object Streaming {
   }
 
   /** The shared maintenance arm of both self-maintaining streams: base
-    * fold at the major cadence, leveled fold at the minor one. */
+    * fold at the major cadence, leveled fold at the minor one. The major
+    * arm is DEBT-DRIVEN (r18): with an empty tombstone partition the
+    * base fold would be a pure base∪generations rewrite — O(base rows)
+    * of work with nothing to retire, quietly re-introducing (at 1/16 the
+    * constant) the quadratic lifetime cost the leveled fold eliminated —
+    * so a zero-debt major batch runs the amortized leveled fold instead.
+    * With ANY debt the base fold runs as before: majorEvery · trigger
+    * interval stays the stream's mark-retirement latency bound. */
   private def foldArm(spark: SparkSession, indexTable: String, batchId: Long,
                       foldEvery: Int, majorEvery: Int): Unit =
     if (batchId > 0 && batchId % majorEvery == 0) {
-      foldIndexBase(spark, indexTable, batchId - 1); ()
+      val debt = !spark.table(indexTable)
+        .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+        .isEmpty
+      if (debt) foldIndexBase(spark, indexTable, batchId - 1)
+      else foldIndexLeveled(spark, indexTable, batchId - 1)
+      ()
     } else if (batchId > 0 && batchId % foldEvery == 0) {
       foldIndexLeveled(spark, indexTable, batchId - 1); ()
     }

@@ -37,33 +37,61 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(at(("s", "fold")) === ((false, "none")))
     val over = sched(LayoutFacts("s", "appendable_index", 100, 64, 9,
       1000, -1, 64, 64))
-    // decay alone binds the AMORTIZED leveled fold (r17) — the base fold
-    // is linear in base rows and reserved for tombstone debt
+    // decay ALWAYS binds the AMORTIZED leveled fold (r17; r18 removed
+    // the debt re-route too — the base fold is linear in base rows and
+    // no schedule path triggers it any more)
     assert(over(("s", "fold")) === ((true, "fold_index_leveled")))
-    // decay + debt on one layout converge on the base fold (one tool run
-    // pays both — tick's dedup contract)
     val decayAndDebt = sched(LayoutFacts("s", "appendable_index", 100, 64,
-      9, 1000, -1, 64, 64, tombstones = 3))
-    assert(decayAndDebt(("s", "fold")) === ((true, "fold_index_base")))
-    assert(decayAndDebt(("s", "purge")) === ((true, "fold_index_base")))
+      9, 1000, -1, 64, 64, tombstones = 1000))
+    assert(decayAndDebt(("s", "fold")) === ((true, "fold_index_leveled")))
+    assert(decayAndDebt(("s", "purge")) ===
+      ((true, "purge_index_tombstones")))
     // an appendable index gets the fold-backed checks plus (since r16)
     // the rederive drift watch — rebuildAppendableIndex is its second
     // tool, mirroring the flat flavor's compact + rebuild pair; no
     // compact rows appear for it
     assert(over.keySet ===
-      Set(("s", "fold"), ("s", "purge"), ("s", "rederive_params"),
-        ("s", "reap")))
+      Set(("s", "fold"), ("s", "purge"), ("s", "purge_age"),
+        ("s", "rederive_params"), ("s", "reap")))
   }
 
-  test("purge: any outstanding tombstone marks schedule a fold (deletion " +
-      "is only logical until the purge pays the debt)") {
-    val clean = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
-      -1, 4, 4, tombstones = 0))
-    assert(clean(("s", "purge")) === ((false, "none")))
-    val owing = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
+  test("purge: DEBT-BANDED for the appendable flavor (r18) — sub-band " +
+      "debt stays quiet (deletion is already honored logically by the " +
+      "serving anti-join), the integer band and the absolute floor gate " +
+      "the physical rewrite, and the AGE bound fires on aged sub-band " +
+      "debt so the erasure SLA stays bounded") {
+    // sub-band: 7 marks of 100 rows is 7% but below the 64-mark floor
+    val subFloor = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 100,
       -1, 4, 4, tombstones = 7))
-    assert(owing(("s", "purge")) === ((true, "fold_index_base")))
-    // directory layouts owe to a different tool
+    assert(subFloor(("s", "purge")) === ((false, "none")))
+    assert(subFloor(("s", "purge_age")) === ((false, "none")))
+    // above the floor but inside the band: 100 marks of 1M rows (0.01%)
+    val subBand = sched(LayoutFacts("s", "appendable_index", 10, 4, 2,
+      1000000, -1, 4, 4, tombstones = 100))
+    assert(subBand(("s", "purge")) === ((false, "none")))
+    // band breach: 100 marks * 64 > 1000 rows — the scoped purge fires
+    val owing = sched(LayoutFacts("s", "appendable_index", 10, 4, 2, 1000,
+      -1, 4, 4, tombstones = 100))
+    assert(owing(("s", "purge")) === ((true, "purge_index_tombstones")))
+    // the band edge is exclusive both ways: 64*t == n stays quiet
+    val atEdge = sched(LayoutFacts("s", "appendable_index", 10, 4, 2,
+      64 * 100, -1, 4, 4, tombstones = 100))
+    assert(atEdge(("s", "purge")) === ((false, "none")))
+    // aged sub-band debt fires through the AGE row (same bound tool —
+    // tick's (layout, action) dedup runs the purge once if both fire)
+    val aged = sched(LayoutFacts("s", "appendable_index", 10, 4, 2,
+      1000000, -1, 4, 4, tombstones = 100,
+      tombstone_age = Maintenance.PurgeMaxAgeSec + 1))
+    assert(aged(("s", "purge")) === ((false, "none")))
+    assert(aged(("s", "purge_age")) === ((true, "purge_index_tombstones")))
+    // young debt stays quiet on the age row; -1 (no debt / not gathered)
+    // too
+    val young = sched(LayoutFacts("s", "appendable_index", 10, 4, 2,
+      1000000, -1, 4, 4, tombstones = 100,
+      tombstone_age = Maintenance.PurgeMaxAgeSec))
+    assert(young(("s", "purge_age")) === ((false, "none")))
+    // directory layouts stay ANY-debt-triggered: purgeIvfTombstones is
+    // already cid-scoped, there is no O(base) to band away
     val ivfOwing = sched(LayoutFacts("v", "ivf_layout", -1, -1, -1, 100,
       10, 4, 4, tombstones = 3))
     assert(ivfOwing(("v", "purge")) === ((true, "purge_ivf_tombstones")))
@@ -179,20 +207,23 @@ class MaintenanceSpec extends SparkSpecBase {
   }
 
   test("tick runs each distinct (layout, action) ONCE when several checks " +
-      "converge on it — fold + purge both bind fold_index_base — while " +
-      "the replay log keeps every triggered check row") {
+      "converge on it — purge + purge_age both bind " +
+      "purge_index_tombstones — while the replay log keeps every " +
+      "triggered check row") {
+    // over-band AND over-age debt: both purge rows fire on one layout
     val due = Maintenance.schedule(Seq(LayoutFacts("a", "appendable_index",
-      10, 4, batch_partitions = 20, n_entries = 100, occ_max = -1,
-      keyspace_actual = 4, keyspace_target = 4, tombstones = 3)).toDF())
+      10, 4, batch_partitions = 2, n_entries = 100, occ_max = -1,
+      keyspace_actual = 4, keyspace_target = 4, tombstones = 100,
+      tombstone_age = Maintenance.PurgeMaxAgeSec + 5)).toDF())
     var runs = 0
     val ran = Maintenance.tick(due,
-      Map(("a", "fold_index_base") -> (() => { runs += 1 })))
-    assert(runs === 1, "one fold, not one per converging check")
+      Map(("a", "purge_index_tombstones") -> (() => { runs += 1 })))
+    assert(runs === 1, "one purge, not one per converging check")
     // the executed flag distinguishes the row that ran the tool from the
     // row satisfied by the earlier row's run — the one thing a replayed
     // log must preserve
-    assert(ran === Seq(("a", "fold", "fold_index_base", true),
-      ("a", "purge", "fold_index_base", false)))
+    assert(ran === Seq(("a", "purge", "purge_index_tombstones", true),
+      ("a", "purge_age", "purge_index_tombstones", false)))
   }
 
   test("oldRebuildGenerations survives the rebuild crash window (table " +
@@ -320,6 +351,60 @@ class MaintenanceSpec extends SparkSpecBase {
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.ByteType, containsNull = true))
     assert(assigned.count() === 35)
+  }
+
+  test("appendable deletion debt closes the loop through the SCOPED " +
+      "purge (r18): over-band debt triggers purge_index_tombstones, the " +
+      "victim partitions rewrite, marks and their landing stamps retire, " +
+      "and the re-audit is quiet — no base fold anywhere") {
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    val tbl = "g_scoped_purge_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = java.nio.file.Files.createTempDirectory("g_scoped").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/idx", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 120)
+    (0 until 3).foreach { b =>
+      Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") >= b * 40 && col("vec_id") < (b + 1) * 40),
+        b.toLong, tbl, planes, tables)
+    }
+    // consolidate batches 0,1 into a generation; batch 2 stays live
+    Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 1L)
+    // 35 victims x 2 tables = 70 marks: above the 64-mark floor, and
+    // 70*64 = 4480 > n_entries — the band breaches
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") < 35), planes, tables, epoch = 1000L)
+    def factsNow() = Seq(LayoutFacts("ap", "appendable_index",
+      graft.sources.Sources.countTableDataFiles(spark, tbl).toLong, 4L,
+      spark.table(tbl).filter(col("batch_id") >= 0)
+        .select(col("batch_id")).distinct().count(),
+      spark.table(tbl).count(), -1L, 4L, 4L,
+      tombstones = spark.table(tbl)
+        .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
+        .count(),
+      tombstone_age =
+        Streaming.appendableTombstoneAge(spark, tbl, now = 2000L)))
+    val before = Maintenance.schedule(factsNow().toDF())
+    assert(before.filter(col("triggered") && col("check") === "purge")
+      .count() === 1, before.collect().mkString("\n"))
+    // the debt is young (age 1000 < bound), so only the band row fires
+    assert(before.filter(col("triggered") && col("check") === "purge_age")
+      .count() === 0)
+    val ran = Maintenance.tick(before, Map(
+      ("ap", "purge_index_tombstones") -> (() => {
+        Streaming.purgeIndexTombstones(spark, tbl); ()
+      })))
+    assert(ran === Seq(("ap", "purge", "purge_index_tombstones", true)))
+    val after = Maintenance.schedule(factsNow().toDF())
+    assert(after.filter(col("triggered")).count() === 0,
+      after.collect().mkString("\n"))
+    // victims physically gone, marks and stamps retired, survivors intact
+    assert(spark.table(tbl).filter(col("vec_id") < 35).count() === 0)
+    assert(spark.table(tbl).count() === 85L * tables)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 2000L) === -1L)
   }
 
   test("rebuild byproducts surface in the schedule and their tools close " +
@@ -463,13 +548,10 @@ class MaintenanceSpec extends SparkSpecBase {
     Maintenance.tick(before, Map(
       ("ap", "rebuild_with_derived_params") -> (() => {
         Streaming.rebuildAppendableIndex(spark, tbl, 9); ()
-      }),
-      // purge also triggers (marks outstanding); the rebuild retires
-      // them, so binding the fold as a harmless second action is fine —
-      // this also exercises tick running DIFFERENT actions on one layout
-      ("ap", "fold_index_base") -> (() => {
-        Streaming.foldIndexBase(spark, tbl, 1L); ()
       })))
+    // the 12 outstanding marks sit below the r18 purge floor, so only
+    // rederive fired — and the rebuild retires them anyway (deletion
+    // honored by exclusion), which the re-audit below confirms
     assert(buckets() === 9L)
     assert(Maintenance.schedule(factsNow(9L).toDF())
       .filter(col("triggered")).count() === 0)
@@ -501,13 +583,20 @@ class MaintenanceSpec extends SparkSpecBase {
       ("ivf_base", "rebalance"), ("ivf_base", "rederive_params"),
       ("ivf_base", "purge"), ("ivf_base", "reissue"),
       ("appendable_index", "fold"), ("appendable_index", "purge"),
+      ("appendable_index", "purge_age"),
       ("appendable_index", "rederive_params"),
       ("appendable_index", "reap"),
       ("band_index", "fold"), ("band_index", "purge"),
+      ("band_index", "purge_age"),
       ("band_index", "rederive_params"), ("band_index", "reap"),
       ("sq_ivf", "rebalance"), ("sq_ivf", "rederive_params"),
       ("sq_ivf", "purge"), ("sq_ivf", "reissue"),
       ("sq_index", "compact"), ("sq_index", "rederive_params")))
+    // no debt -> the age fact is -1 and the age rows are quiet
+    Seq("appendable_index", "band_index").foreach { l =>
+      assert(byKey((l, "purge_age")).getAs[Long]("observed") === -1L, l)
+      assert(byKey((l, "purge_age")).getAs[Boolean]("triggered") === false, l)
+    }
     // no deletions have been issued against any audited layout
     Seq("appendable_index", "ivf_base", "band_index", "sq_ivf").foreach { l =>
       assert(byKey((l, "purge")).getAs[Long]("observed") === 0L, l)

@@ -962,7 +962,10 @@ class StreamingSpec extends SparkSpecBase {
 
   test("maintainedGateStream folds its own committed batches every " +
       "foldEvery without an external cron: partitions stay bounded, " +
-      "dedup decisions span the folded base, serving stays correct") {
+      "dedup decisions span the folded generations, serving stays " +
+      "correct — and a ZERO-DEBT stream runs ONLY leveled folds through " +
+      "a majorEvery boundary (r18: the debt-driven major arm never pays " +
+      "O(base) with an empty tombstone partition)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val planes = 5; val tables = 2
@@ -990,13 +993,16 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
     }
     q.stop()
-    // a LEVELED fold ran at b=2 (upto 1) and the MAJOR fold at b=4
-    // (upto 3), collapsing the generation into the base: live partitions
-    // bounded
+    // a LEVELED fold ran at b=2 (upto 1 → level 0); at the b=4 majorEvery
+    // boundary the tombstone partition is EMPTY, so the debt-driven arm
+    // runs the amortized leveled fold instead of the O(base) base fold
+    // (batches 2,3 + level 0 merge into level 1): partitions stay
+    // bounded, no batch_id=-2 base ever forms
     val parts = spark.table(tbl).select(col("batch_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    assert(parts.toSeq === Seq(-2L, 4L), parts.mkString(","))
-    // the re-sent batch-0 content was rejected against the FOLDED base
+    assert(parts.toSeq === Seq(Streaming.GenerationBaseId - 1L, 4L),
+      parts.mkString(","))
+    // the re-sent batch-0 content was rejected against the FOLDED generation
     val d3 = spark.read.parquet(decDir).filter(col("batch_id") === 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     (0 until 5).foreach(i => assert(d3(9000L + i) === "dup_index", d3.toString))
@@ -1172,6 +1178,100 @@ class StreamingSpec extends SparkSpecBase {
     // final corpus: 8 + 900 + docs(8) accepted, minus docs(3) and 900
     // purged, plus docs(9) = 9 docs x 4 band rows
     assert(spark.table(tbl).count() === 9L * 4)
+  }
+
+  test("purgeIndexTombstones is MARK-SCOPED: only victim-bearing " +
+      "consolidated partitions rewrite (an untouched generation keeps " +
+      "its exact files), live-batch marks survive and re-land, a " +
+      "fully-victim partition clears, the landing-stamp age fact tracks " +
+      "the debt, and a re-purge is idempotent") {
+    import spark.implicits._
+    val planes = 5; val tables = 2
+    val tbl = "g_scoped_purge_mech_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = Files.createTempDirectory("scoped_purge").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/idx", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 100)
+    def slice(lo: Int, hi: Int) =
+      eSlim.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    // two coexisting generations via the binary counter: level 1 holds
+    // vecs 0..39 (b0 folded to level 0, then b1+level0 merged up), level
+    // 0 holds vecs 40..79 (b2,b3 folded fresh), batch 4 stays live
+    Streaming.appendIndexBatch(slice(0, 20), 0L, tbl, planes, tables)
+    Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 0L)
+    Streaming.appendIndexBatch(slice(20, 40), 1L, tbl, planes, tables)
+    Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 1L)
+    Streaming.appendIndexBatch(slice(40, 60), 2L, tbl, planes, tables)
+    Streaming.appendIndexBatch(slice(60, 80), 3L, tbl, planes, tables)
+    Streaming.foldIndexLeveled(spark, tbl, uptoBatch = 3L)
+    Streaming.appendIndexBatch(slice(80, 100), 4L, tbl, planes, tables)
+    val gen = Streaming.GenerationBaseId
+    assert(spark.table(tbl).select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(gen - 1L, gen, 4L))
+    // no debt: the age fact is -1
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 250L) === -1L)
+    // victims: 6 rows of level 0 (vecs 40..45) + 1 live-batch row (85)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").between(40, 45) || col("vec_id") === 85),
+      planes, tables, epoch = 100L)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 250L) === 150L)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(batchId: Long) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(loc),
+          s"batch_id=$batchId"))
+      .map(s => (s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_._1).toSeq
+    val level1Before = filesOf(gen - 1L)
+    val liveBefore = filesOf(4L)
+    val (touched, purged) = Streaming.purgeIndexTombstones(spark, tbl)
+    // scoped: ONLY level 0 rewrote — level 1 and the live batch keep
+    // their exact files (name, mtime, length)
+    assert(touched === 1L && purged === 6L * tables, s"$touched/$purged")
+    assert(filesOf(gen - 1L) === level1Before)
+    assert(filesOf(4L) === liveBefore)
+    // level-0 victims gone, its survivors intact
+    assert(spark.table(tbl).filter(col("batch_id") === gen)
+      .agg(min(col("vec_id")), max(col("vec_id"))).head().toSeq ===
+      Seq(46L, 79L))
+    // the live-batch mark survived (row 85 still physically present,
+    // hidden from the live view); the level-0 marks retired with their
+    // rows — and the age fact still reads the surviving stamp
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    assert(spark.table(tbl).filter(col("batch_id") === tombId)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSeq ===
+      Seq(85L))
+    assert(spark.table(tbl).filter(col("vec_id") === 85L &&
+      col("batch_id") === 4L).count() === 1L * tables)
+    assert(graft.sim.Similarity.liveIndexRelation(spark.table(tbl))
+      .filter(col("vec_id") === 85L).count() === 0L)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 250L) === 150L)
+    // re-purge: idempotent no-op (85's row sits in a live batch, which
+    // the purge never touches)
+    assert(Streaming.purgeIndexTombstones(spark, tbl) === ((0L, 0L)))
+    // a lost/never-written stamp sidecar reads as infinitely old — the
+    // age-bound purge must fire sooner, never later
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), "_tombstone_epochs"), true)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 250L) === 250L)
+    // tombstone the REST of level 0: the emptied partition dir must
+    // clear explicitly (a dynamic overwrite of zero rows is a no-op)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").between(46, 79)), planes, tables,
+      epoch = 300L)
+    val (touched2, purged2) = Streaming.purgeIndexTombstones(spark, tbl)
+    assert(touched2 === 1L && purged2 === 34L * tables)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(loc), s"batch_id=$gen")))
+    // level 1 STILL untouched; serving sees exactly vecs 0..39 + live 80..99
+    // minus the marked 85
+    assert(filesOf(gen - 1L) === level1Before)
+    assert(graft.sim.Similarity.liveIndexRelation(spark.table(tbl))
+      .select(col("vec_id")).distinct().count() === 59L)
   }
 
   test("the LIVE gate stays shuffle-free on the index side: the tombstone " +
