@@ -80,15 +80,23 @@ object Layouts {
     * data files are nested (e.g. ever written partitioned) must read as
     * non-empty — callers like the preserve/purge paths DELETE on a
     * false verdict, so a direct-children-only scan would silently
-    * destroy marks the moment a sidecar layout gains a partition level. */
+    * destroy marks the moment a sidecar layout gains a partition level.
+    * The walk skips HIDDEN children (`_`/`.` prefixes, matching Spark's
+    * reader path filter): a crashed first write leaves only
+    * `_temporary/**/part-*.parquet`, which the reader ignores — counting
+    * it as data would wedge every guarded reader on exactly the husk
+    * this predicate exists to classify. The TOP path itself may be
+    * `_`-prefixed (the epoch sidecar is); only descendants filter. */
   def hasParquetData(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    while (it.hasNext)
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
-    false
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(dir: Path): Boolean = {
+      val st = fs.listStatus(dir).filterNot(s => hidden(s.getPath.getName))
+      st.exists(s => !s.isDirectory && s.getPath.getName.endsWith(".parquet")) ||
+        st.exists(s => s.isDirectory && walk(s.getPath))
+    }
+    fs.exists(p) && walk(p)
   }
 
   /** Crash-atomic publish of a multi-step directory-layout build: when

@@ -333,10 +333,16 @@ object Maintenance {
         .count(),
       rb_old_generations = graft.streaming.Streaming
         .oldRebuildGenerations(spark, apTbl).length.toLong,
-      // age rides the pinned reference epoch (deterministic output; with
-      // zero debt the fact is -1 regardless — the helper short-circuits)
+      // the age fact must share the MARKS' clock — landing epochs
+      // default to wall-clock seconds, and an age derived across
+      // mismatched clocks (e.g. the pinned oracle RefNowEpoch, which
+      // PRECEDES every wall-clock stamp) clamps to 0 and can never fire
+      // the SLA it watches. The audited layouts carry zero debt, so the
+      // emitted fact is -1 and the relation stays deterministic; the
+      // pinned-now rule binds oracle-checked emissions, not a policy
+      // fact's clock.
       tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
-        spark, apTbl, graft.quality.Quality.RefNowEpoch))
+        spark, apTbl, System.currentTimeMillis() / 1000L))
 
     // the text-side appendable band index (same flavor, own keyspace)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -367,7 +373,7 @@ object Maintenance {
       rb_old_generations = graft.streaming.Streaming
         .oldRebuildGenerations(spark, bandTbl).length.toLong,
       tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
-        spark, bandTbl, graft.quality.Quality.RefNowEpoch))
+        spark, bandTbl, System.currentTimeMillis() / 1000L))
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
     // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code

@@ -93,10 +93,14 @@ object Metrics {
                    validationTimeS: Double,
                    threshold: Double = DefaultQualityThreshold,
                    checks: Seq[(String, Double)] = Nil): Unit = {
-    check.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    metricsRow(check, runId, validationTimeS, threshold, checks)
-      .write.mode("overwrite").partitionBy("run_id").parquet(metricsDir)
+    // set/restore, never a bare set (the r13 leak rule): this runs on
+    // batch callers' own sessions, where a leaked dynamic mode turns
+    // every later full-overwrite partitioned write partial and strips
+    // root _SUCCESS markers (breaking Layouts.committed downstream)
+    graft.streaming.Streaming.withDynamicOverwrite(check.sparkSession) {
+      metricsRow(check, runId, validationTimeS, threshold, checks)
+        .write.mode("overwrite").partitionBy("run_id").parquet(metricsDir)
+    }
   }
 
   def readMetrics(spark: SparkSession, metricsDir: String): DataFrame =

@@ -1833,25 +1833,41 @@ object Similarity {
       preserveSidecarAside(spark, s"$dir/tombstones", newIdxDir)
       graft.ops.Layouts.delete(spark, dir)
     }
+    // the cross-dir retire MARKER: written beside the target right after
+    // the publish, naming the old dir the retire is about to consume,
+    // deleted only once the drain + reissue completed — so every
+    // crash-window state inside the retire carries evidence NAMING
+    // oldIdxDir. (Pending orphan slots alone are NOT evidence: slots are
+    // keyed to the target, not to which old dir they came from, so an
+    // unrelated earlier crash's slots plus a mistyped oldIdxDir would
+    // silently read as a completed rebuild.)
+    val crossMarker = new org.apache.hadoop.fs.Path(
+      s"$newIdxDir.retiring_from")
+    def readCrossMarker(): Option[String] =
+      if (!fs.exists(crossMarker)) None
+      else {
+        val in = fs.open(crossMarker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
     // cross-dir crash window: the publish landed but the old dir's
     // retire/drain didn't finish — the states are old-renamed-aside
-    // (retiring present), old-drained-but-slots-pending, and everything
-    // between. Complete the drain and the re-key instead of failing the
-    // built(oldIdxDir) require on a state that is already published.
-    // ONLY when drain evidence exists (the retiring dir, or pending
-    // orphan slots): a mistyped/stale oldIdxDir also reads as
-    // !built(old) && built(new), and silently returning "converged" on
-    // it would bless zero debt on a name that never held a layout — the
-    // same loud-fail rule oldRebuildGenerations enforces. A crash
-    // landing exactly after a no-sidecar drain (evidence consumed,
-    // nothing pending) falls through to the loud require below; that
-    // state is fully converged, so the operator confirms the publish
-    // and stops pointing at the old dir — loud beats guessing.
+    // (retiring present), old-drained-but-slots-pending (marker still
+    // naming oldIdxDir), and everything between. Complete the drain and
+    // the re-key instead of failing the built(oldIdxDir) require on a
+    // state that is already published. ONLY when drain evidence exists
+    // (the retiring dir, or the marker naming THIS old dir): a
+    // mistyped/stale oldIdxDir also reads as !built(old) && built(new),
+    // and silently returning "converged" on it would bless zero debt on
+    // a name that never held a layout — the same loud-fail rule
+    // oldRebuildGenerations enforces.
     if (newIdxDir != oldIdxDir && !built(oldIdxDir) && built(newIdxDir) &&
         (graft.ops.Layouts.exists(spark, oldRetiring) ||
-          orphanedTombstoneSlots(spark, newIdxDir) > 0L)) {
+          readCrossMarker().contains(oldIdxDir))) {
       drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
+      fs.delete(crossMarker, false)
       return
     }
     if (newIdxDir == oldIdxDir) {
@@ -1916,6 +1932,14 @@ object Similarity {
       graft.ops.Layouts.delete(spark, newIdxDir)
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging), p))
         sys.error(s"atomic publish of $newIdxDir failed")
+      // the retire carries its marker from here to completion (see the
+      // entry guard): written before the first mutation of the old dir,
+      // dropped after the drain + reissue — a crash anywhere inside
+      // leaves evidence naming exactly this oldIdxDir
+      locally {
+        val out = fs.create(crossMarker, true)
+        try out.write(oldIdxDir.getBytes("UTF-8")) finally out.close()
+      }
       // retire the old dir by RENAME (same rationale as in-place: a
       // recursive delete can crash into a built-looking sidecar-less
       // husk, and a re-trigger would then rebuild from it with zero
@@ -1927,6 +1951,7 @@ object Similarity {
         sys.error(s"cross-dir retire of $oldIdxDir failed")
       drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
+      fs.delete(crossMarker, false)
     }
   }
 

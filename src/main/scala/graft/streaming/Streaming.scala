@@ -901,8 +901,14 @@ object Streaming {
     if (tomb.isEmpty) return -1L
     val sidecar = epochSidecar(meta)
     if (!graft.ops.Layouts.hasParquetData(spark, sidecar.toString)) return now
-    val oldest = spark.read.parquet(sidecar.toString)
-      .join(tomb, dedupKeys, "left_semi")
+    val stamps = spark.read.parquet(sidecar.toString)
+    // ANY standing mark with no stamp reads as infinitely old — not just
+    // the all-unstamped case: a crash between one mark's landing and its
+    // stamp append must not hide behind a later mark's younger stamp
+    // (the SLA fires sooner, never later — per mark, not per table)
+    if (!tomb.join(stamps.select(dedupKeys.map(col): _*), dedupKeys,
+        "left_anti").isEmpty) return now
+    val oldest = stamps.join(tomb, dedupKeys, "left_semi")
       .agg(min(col("epoch"))).head()
     if (oldest.isNullAt(0)) now
     else math.max(0L, now - oldest.getLong(0))
@@ -1755,17 +1761,22 @@ object Streaming {
           .parquet(seed.toString)
       return
     }
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch
-      .withColumn("year", year(col("ts")))
-      .withColumn("month", month(col("ts")))
-      .withColumn("day", dayofmonth(col("ts")))
-      .withColumn("hour", hour(col("ts")))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .partitionBy("year", "month", "day", "hour", "batch_id")
-      .parquet(outDir)
+    // set/restore, never a bare set (the r13 leak rule, applied to this
+    // legacy site in r18): these bodies also run DIRECTLY on a caller's
+    // session (batch jobs, specs), where a leaked dynamic mode turns
+    // every later full-overwrite partitioned write into a partial one
+    // AND strips root _SUCCESS markers (breaking Layouts.committed)
+    withDynamicOverwrite(batch.sparkSession) {
+      batch
+        .withColumn("year", year(col("ts")))
+        .withColumn("month", month(col("ts")))
+        .withColumn("day", dayofmonth(col("ts")))
+        .withColumn("hour", hour(col("ts")))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "hour", "batch_id")
+        .parquet(outDir)
+    }
   }
 
   /** [[writePartitioned]] + the metrics side-sink: each micro-batch lands
@@ -1852,9 +1863,7 @@ object Streaming {
         if (!fs.exists(seed))
           badRows.limit(0).coalesce(1).write.mode("overwrite")
             .parquet(seed.toString)
-      } else {
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      } else withDynamicOverwrite(batch.sparkSession) {
         badRows
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").partitionBy("batch_id")

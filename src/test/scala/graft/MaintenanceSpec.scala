@@ -208,21 +208,26 @@ class MaintenanceSpec extends SparkSpecBase {
 
   test("tick runs each distinct (layout, action) ONCE when several checks " +
       "converge on it — purge + purge_age both bind " +
-      "purge_index_tombstones — while the replay log keeps every " +
+      "purge_index_tombstones — while DIFFERENT actions on one layout " +
+      "each run (fold stays leveled) and the replay log keeps every " +
       "triggered check row") {
-    // over-band AND over-age debt: both purge rows fire on one layout
+    // over-band AND over-age debt (both purge rows fire) PLUS partition
+    // decay (a different action on the same layout must still run)
     val due = Maintenance.schedule(Seq(LayoutFacts("a", "appendable_index",
-      10, 4, batch_partitions = 2, n_entries = 100, occ_max = -1,
+      10, 4, batch_partitions = 20, n_entries = 100, occ_max = -1,
       keyspace_actual = 4, keyspace_target = 4, tombstones = 100,
       tombstone_age = Maintenance.PurgeMaxAgeSec + 5)).toDF())
-    var runs = 0
-    val ran = Maintenance.tick(due,
-      Map(("a", "purge_index_tombstones") -> (() => { runs += 1 })))
-    assert(runs === 1, "one purge, not one per converging check")
+    var purges = 0; var folds = 0
+    val ran = Maintenance.tick(due, Map(
+      ("a", "purge_index_tombstones") -> (() => { purges += 1 }),
+      ("a", "fold_index_leveled") -> (() => { folds += 1 })))
+    assert(purges === 1, "one purge, not one per converging check")
+    assert(folds === 1, "a distinct action on the same layout must run")
     // the executed flag distinguishes the row that ran the tool from the
     // row satisfied by the earlier row's run — the one thing a replayed
     // log must preserve
-    assert(ran === Seq(("a", "purge", "purge_index_tombstones", true),
+    assert(ran === Seq(("a", "fold", "fold_index_leveled", true),
+      ("a", "purge", "purge_index_tombstones", true),
       ("a", "purge_age", "purge_index_tombstones", false)))
   }
 

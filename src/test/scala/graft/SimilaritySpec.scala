@@ -1144,6 +1144,74 @@ class SimilaritySpec extends SparkSpecBase {
     assert(!graft.ops.Layouts.exists(spark, oldDir2))
   }
 
+  test("hasParquetData classifies sidecars like Spark's reader: nested " +
+      "(partitioned) data counts, a _SUCCESS-only husk does not, and a " +
+      "crashed write's _temporary debris does not (counting it would " +
+      "wedge every guarded reader on an unreadable dir)") {
+    import graft.ops.Layouts
+    val root = java.nio.file.Files.createTempDirectory("g_haspq").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(p: String): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p).getParent)
+      fs.create(new org.apache.hadoop.fs.Path(p), true).close()
+    }
+    assert(!Layouts.hasParquetData(spark, s"$root/absent"))
+    touch(s"$root/husk/_SUCCESS")
+    assert(!Layouts.hasParquetData(spark, s"$root/husk"))
+    // crashed FIRST write: only uncommitted task files under _temporary
+    touch(s"$root/crashed/_temporary/0/task_0/part-0.snappy.parquet")
+    assert(!Layouts.hasParquetData(spark, s"$root/crashed"))
+    // flat data and nested (partition-level) data both count; the top
+    // path itself may be _-prefixed (the epoch sidecar is)
+    touch(s"$root/flat/part-0.parquet")
+    assert(Layouts.hasParquetData(spark, s"$root/flat"))
+    touch(s"$root/_nested/cid=3/part-0.parquet")
+    assert(Layouts.hasParquetData(spark, s"$root/_nested"))
+  }
+
+  test("a pending orphan slot alone is NOT cross-dir drain evidence: a " +
+      "mistyped oldIdxDir fails LOUD even when an unrelated crash left " +
+      "slots beside the published target; the retire MARKER naming the " +
+      "old dir converges quietly") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    Similarity.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("g_rb_evidence")
+      .toString
+    val newDir = s"$root/layout_k8"
+    val e = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    Similarity.ivfCentroids(e, 8, iters = 1)
+      .write.parquet(s"$newDir/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$newDir/centroids"))
+      .write.partitionBy("cid").parquet(s"$newDir/assigned")
+    // unrelated debt from an earlier crashed in-place rebuild
+    Seq((999L, 3L)).toDF("cid", "vec_id")
+      .write.parquet(s"${newDir}_orphaned_tombstones/0")
+    val ex = intercept[RuntimeException] {
+      Similarity.rebuildIvfLayout(spark, e, s"$root/typo_dir", newDir, k = 8)
+    }
+    assert(ex.getMessage.contains("not a complete layout"), ex.getMessage)
+    assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 1L,
+      "the loud path must not consume the unrelated slots")
+    // the marker state (old drained, retiring gone, reissue pending):
+    // converges quietly, re-keys the slots, retires the marker
+    val oldDir = s"$root/layout_k4_drained"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$newDir.retiring_from")
+    val out = fs.create(marker, true)
+    try out.write(oldDir.getBytes("UTF-8")) finally out.close()
+    Similarity.rebuildIvfLayout(spark, e, oldDir, newDir, k = 8)
+    assert(!fs.exists(marker), "a finished drain retires its marker")
+    assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 0L)
+    // the pending slot was re-keyed into a live mark for vec 3
+    val marks = spark.read.parquet(s"$newDir/tombstones")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(marks === Seq(3L), marks.toString)
+  }
+
   test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
       "and a legacy empty orphan slot retires quietly instead of wedging " +
       "the reissue tool forever") {

@@ -1263,6 +1263,10 @@ class StreamingSpec extends SparkSpecBase {
     Streaming.tombstoneIndexRows(spark, tbl,
       eSlim.filter(col("vec_id").between(46, 79)), planes, tables,
       epoch = 300L)
+    // mark 85 is standing but UNSTAMPED (its stamp died with the sidecar
+    // above) while 46..79 carry fresh stamps — ANY unstamped standing
+    // mark reads infinitely old, not the youngest stamped one's age
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 301L) === 301L)
     val (touched2, purged2) = Streaming.purgeIndexTombstones(spark, tbl)
     assert(touched2 === 1L && purged2 === 34L * tables)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
