@@ -139,6 +139,37 @@ object Layouts {
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     }
 
+  /** ONE-LINE MARKER files — the crash-protocol primitive behind the
+    * rebuild retire markers (`<base>_rb_retiring`, `<dir>.retiring_from`):
+    * a tiny file recording the name/path a multi-step protocol is about
+    * to consume, written before the destructive step and deleted after
+    * it, so every crash window carries evidence naming its exact target.
+    * One definition (the r16 consolidation rule): a marker-format fix
+    * must not have to land in two packages. */
+  def writeMarkerFile(spark: SparkSession, marker: String,
+                      content: String): Unit = {
+    val p = new Path(marker)
+    val out = fsOf(spark, p).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The marker's content, trimmed; None when absent or blank. */
+  def readMarkerFile(spark: SparkSession, marker: String): Option[String] = {
+    val p = new Path(marker)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      .filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  def deleteMarkerFile(spark: SparkSession, marker: String): Unit = {
+    val p = new Path(marker)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Cheap source-data fingerprint: path + size + mtime (the driver
     * regenerates test data in place between rounds — mtime catches it).
     * Scheme-aware like every other layout primitive; for local plain

@@ -1814,8 +1814,14 @@ object Similarity {
     * the live dir as a mid-delete husk whose `_SUCCESS` files survived
     * the sidecar's deletion — indistinguishable from an intact live, so
     * this protocol classifies it live-authoritative and would rebuild
-    * without the husk's lost marks. Drain in-flight rebuilds before
-    * upgrading (the states THIS protocol leaves are all classified). */
+    * without the husk's lost marks. Similarly, a PRE-marker binary's
+    * cross-dir retire crash (old dir drained, orphan slots pending)
+    * carries no `.retiring_from` marker, so a re-run under this binary
+    * fails the loud require instead of converging — run
+    * [[reissueOrphanedTombstones]] on the published dir by hand (the
+    * require's message says so; the slot re-key is the only pending
+    * step). Drain in-flight rebuilds before upgrading (the states THIS
+    * protocol leaves are all classified). */
   private def rebuildDirProtocol(spark: SparkSession, corpus: DataFrame,
       oldIdxDir: String, newIdxDir: String,
       built: String => Boolean,
@@ -1841,16 +1847,24 @@ object Similarity {
     // keyed to the target, not to which old dir they came from, so an
     // unrelated earlier crash's slots plus a mistyped oldIdxDir would
     // silently read as a completed rebuild.)
-    val crossMarker = new org.apache.hadoop.fs.Path(
-      s"$newIdxDir.retiring_from")
+    val crossMarker = s"$newIdxDir.retiring_from"
     def readCrossMarker(): Option[String] =
-      if (!fs.exists(crossMarker)) None
-      else {
-        val in = fs.open(crossMarker)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-          .filter(_.nonEmpty)
-        finally in.close()
-      }
+      graft.ops.Layouts.readMarkerFile(spark, crossMarker)
+    // a marker whose named old dir is still BUILT is STALE evidence: the
+    // retire it announces never consumed the old dir (crash between the
+    // marker write and the old dir's rename — the old dir kept serving).
+    // Invalidate it NOW, or an old dir later lost for unrelated reasons
+    // (manual decommission, a mid-delete husk) would silently convert
+    // the loud-fail path below into a blessed-lost-takedowns converge.
+    // Residual window (documented, not closed): if NO rebuild of this
+    // pair runs between the crash and an unmanaged loss of the old dir,
+    // the stale marker still converges — bounded by the same rule as
+    // the mid-delete-husk caveat below: a published target supersedes
+    // the old dir, so routing takedowns to a superseded layout is
+    // already outside the deployment contract.
+    if (newIdxDir != oldIdxDir && built(oldIdxDir) &&
+        readCrossMarker().contains(oldIdxDir))
+      graft.ops.Layouts.deleteMarkerFile(spark, crossMarker)
     // cross-dir crash window: the publish landed but the old dir's
     // retire/drain didn't finish — the states are old-renamed-aside
     // (retiring present), old-drained-but-slots-pending (marker still
@@ -1867,7 +1881,7 @@ object Similarity {
           readCrossMarker().contains(oldIdxDir))) {
       drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
-      fs.delete(crossMarker, false)
+      graft.ops.Layouts.deleteMarkerFile(spark, crossMarker)
       return
     }
     if (newIdxDir == oldIdxDir) {
@@ -1897,7 +1911,11 @@ object Similarity {
       s"rebuildDirProtocol: $oldIdxDir is not a complete layout — " +
         "rebuilding from the corpus alone would resurrect any honored " +
         "takedowns; resume the crashed publish under its original dir " +
-        "first (oldIdxDir == newIdxDir), then rebuild")
+        "first (oldIdxDir == newIdxDir), then rebuild. If this state was " +
+        "left by a PRE-marker binary's cross-dir retire (old dir drained, " +
+        s"orphan slots pending beside $newIdxDir), run " +
+        "reissueOrphanedTombstones on the published dir instead — the " +
+        "slot re-key is the only pending step")
     val eSlim = corpus.select(col("vec_id"), col("embedding"))
     val survivors = ivfTombstones(spark, oldIdxDir) match {
       case Some(t) => eSlim.join(t.select(col("vec_id")).distinct(),
@@ -1936,10 +1954,7 @@ object Similarity {
       // entry guard): written before the first mutation of the old dir,
       // dropped after the drain + reissue — a crash anywhere inside
       // leaves evidence naming exactly this oldIdxDir
-      locally {
-        val out = fs.create(crossMarker, true)
-        try out.write(oldIdxDir.getBytes("UTF-8")) finally out.close()
-      }
+      graft.ops.Layouts.writeMarkerFile(spark, crossMarker, oldIdxDir)
       // retire the old dir by RENAME (same rationale as in-place: a
       // recursive delete can crash into a built-looking sidecar-less
       // husk, and a re-trigger would then rebuild from it with zero
@@ -1951,7 +1966,7 @@ object Similarity {
         sys.error(s"cross-dir retire of $oldIdxDir failed")
       drainRetired(oldRetiring)
       reissueOrphanedTombstones(spark, newIdxDir)
-      fs.delete(crossMarker, false)
+      graft.ops.Layouts.deleteMarkerFile(spark, crossMarker)
     }
   }
 

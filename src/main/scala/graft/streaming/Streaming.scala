@@ -901,17 +901,20 @@ object Streaming {
     if (tomb.isEmpty) return -1L
     val sidecar = epochSidecar(meta)
     if (!graft.ops.Layouts.hasParquetData(spark, sidecar.toString)) return now
+    // ONE pass answers both questions: min stamp over STANDING marks
+    // (stale stamps for retired marks drop out of the left join's left
+    // side), and whether ANY standing mark has no stamp at all — which
+    // reads as infinitely old, not just the all-unstamped case: a crash
+    // between one mark's landing and its stamp append must not hide
+    // behind a later mark's younger stamp (the SLA fires sooner, never
+    // later — per mark, not per table)
     val stamps = spark.read.parquet(sidecar.toString)
-    // ANY standing mark with no stamp reads as infinitely old — not just
-    // the all-unstamped case: a crash between one mark's landing and its
-    // stamp append must not hide behind a later mark's younger stamp
-    // (the SLA fires sooner, never later — per mark, not per table)
-    if (!tomb.join(stamps.select(dedupKeys.map(col): _*), dedupKeys,
-        "left_anti").isEmpty) return now
-    val oldest = stamps.join(tomb, dedupKeys, "left_semi")
-      .agg(min(col("epoch"))).head()
-    if (oldest.isNullAt(0)) now
-    else math.max(0L, now - oldest.getLong(0))
+      .select((dedupKeys.map(col) :+ col("epoch")): _*)
+    val r = tomb.join(stamps, dedupKeys, "left")
+      .agg(min(col("epoch")),
+        sum(when(col("epoch").isNull, 1L).otherwise(0L))).head()
+    if (r.getLong(1) > 0L) now
+    else math.max(0L, now - r.getLong(0))
   }
 
   /** REBUILD an appendable index under a re-derived bucket count — the
@@ -1007,7 +1010,7 @@ object Streaming {
     // operator debt an operator has to notice. Later rebuilds' old
     // locations are already `_rb<N>` names and need neither.
     if (rbRegex(base).findFirstIn(loc.getName).isEmpty)
-      writeRetiringMarker(locFs, loc.getParent, base, loc.getName)
+      writeRetiringMarker(spark, loc.getParent, base, loc.getName)
     spark.sql(s"DROP TABLE $table") // external: old files outlive the drop
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     finishRetiredLocationRename(spark, locFs, loc.getParent, base,
@@ -1026,23 +1029,17 @@ object Streaming {
                              base: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(parent, s"${base}_rb_retiring")
 
-  private def writeRetiringMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private def writeRetiringMarker(spark: SparkSession,
                                   parent: org.apache.hadoop.fs.Path,
-                                  base: String, dirName: String): Unit = {
-    val out = fs.create(retiringMarker(parent, base), true)
-    try out.write(dirName.getBytes("UTF-8")) finally out.close()
-  }
+                                  base: String, dirName: String): Unit =
+    graft.ops.Layouts.writeMarkerFile(spark,
+      retiringMarker(parent, base).toString, dirName)
 
-  private def readRetiringMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private def readRetiringMarker(spark: SparkSession,
                                  parent: org.apache.hadoop.fs.Path,
-                                 base: String): Option[String] = {
-    val p = retiringMarker(parent, base)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      .filter(_.nonEmpty)
-    finally in.close()
-  }
+                                 base: String): Option[String] =
+    graft.ops.Layouts.readMarkerFile(spark,
+      retiringMarker(parent, base).toString)
 
   /** Finish (or retire) a standing retiring-location marker: rename the
     * marker-named dir into a free `_rb<N>` slot, then drop the marker.
@@ -1054,7 +1051,7 @@ object Streaming {
       fs: org.apache.hadoop.fs.FileSystem,
       parent: org.apache.hadoop.fs.Path, base: String,
       liveLocName: String): Unit =
-    readRetiringMarker(fs, parent, base).foreach { name =>
+    readRetiringMarker(spark, parent, base).foreach { name =>
       val dead = new org.apache.hadoop.fs.Path(parent, name)
       if (name != liveLocName && fs.exists(dead)) {
         val free = nextFreeRbSlot(fs, parent, base)
@@ -1124,7 +1121,7 @@ object Streaming {
     // dead generation instead of relying on an operator noticing. A
     // marker naming the live/staging location (crash before the swap) is
     // excluded by the same keep set as everything else.
-    val markerNamed = readRetiringMarker(fs, parent, base)
+    val markerNamed = readRetiringMarker(spark, parent, base)
       .filter(n => !keep(n) &&
         fs.exists(new org.apache.hadoop.fs.Path(parent, n)))
     (graft.ops.Layouts.listChildren(spark, parent.toString)
@@ -1151,7 +1148,7 @@ object Streaming {
         .getParent
       val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val base = rbBase(table)
-      readRetiringMarker(fs, parent, base).foreach { n =>
+      readRetiringMarker(spark, parent, base).foreach { n =>
         if (!fs.exists(new org.apache.hadoop.fs.Path(parent, n)))
           fs.delete(retiringMarker(parent, base), false)
       }
