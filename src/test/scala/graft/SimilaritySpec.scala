@@ -1200,16 +1200,38 @@ class SimilaritySpec extends SparkSpecBase {
     val oldDir = s"$root/layout_k4_drained"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$newDir.retiring_from")
-    val out = fs.create(marker, true)
-    try out.write(oldDir.getBytes("UTF-8")) finally out.close()
+    val marker = s"$newDir.retiring_from"
+    graft.ops.Layouts.writeMarkerFile(spark, marker, oldDir)
     Similarity.rebuildIvfLayout(spark, e, oldDir, newDir, k = 8)
-    assert(!fs.exists(marker), "a finished drain retires its marker")
+    assert(graft.ops.Layouts.readMarkerFile(spark, marker).isEmpty,
+      "a finished drain retires its marker")
     assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 0L)
     // the pending slot was re-keyed into a live mark for vec 3
     val marks = spark.read.parquet(s"$newDir/tombstones")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     assert(marks === Seq(3L), marks.toString)
+    // STALE marker invalidation: a marker naming a still-BUILT old dir
+    // is evidence of a retire that never began — the entry must NOT
+    // take the silent converge (which would leave the stale target
+    // serving and the old sidecar un-honored) but invalidate it and run
+    // the full rebuild: new layout honors the old dir's fresh mark, the
+    // old dir retires, the marker is consumed
+    val oldBuilt = s"$root/layout_k4_built"
+    Similarity.ivfCentroids(e, 4, iters = 1)
+      .write.parquet(s"$oldBuilt/centroids")
+    Similarity.assignToCentroid(e,
+        spark.read.parquet(s"$oldBuilt/centroids"))
+      .write.partitionBy("cid").parquet(s"$oldBuilt/assigned")
+    Similarity.tombstoneIvfRows(spark, oldBuilt,
+      e.filter(col("vec_id") === 7))
+    graft.ops.Layouts.writeMarkerFile(spark, marker, oldBuilt)
+    Similarity.rebuildIvfLayout(spark, e, oldBuilt, newDir, k = 8)
+    assert(!graft.ops.Layouts.exists(spark, oldBuilt),
+      "the full rebuild must run (old retired), not a stale converge")
+    assert(spark.read.parquet(s"$newDir/assigned")
+      .filter(col("vec_id") === 7).count() === 0,
+      "the old sidecar's mark must be honored by exclusion")
+    assert(graft.ops.Layouts.readMarkerFile(spark, marker).isEmpty)
   }
 
   test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
