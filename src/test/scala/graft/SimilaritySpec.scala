@@ -1203,19 +1203,23 @@ class SimilaritySpec extends SparkSpecBase {
     val marker = s"$newDir.retiring_from"
     graft.ops.Layouts.writeMarkerFile(spark, marker, oldDir)
     Similarity.rebuildIvfLayout(spark, e, oldDir, newDir, k = 8)
-    assert(graft.ops.Layouts.readMarkerFile(spark, marker).isEmpty,
+    // raw existence, not readMarkerFile (which also maps a lingering
+    // BLANK file to None): retirement means the file is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(marker)),
       "a finished drain retires its marker")
     assert(Similarity.orphanedTombstoneSlots(spark, newDir) === 0L)
     // the pending slot was re-keyed into a live mark for vec 3
     val marks = spark.read.parquet(s"$newDir/tombstones")
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
     assert(marks === Seq(3L), marks.toString)
-    // STALE marker invalidation: a marker naming a still-BUILT old dir
-    // is evidence of a retire that never began — the entry must NOT
-    // take the silent converge (which would leave the stale target
-    // serving and the old sidecar un-honored) but invalidate it and run
-    // the full rebuild: new layout honors the old dir's fresh mark, the
-    // old dir retires, the marker is consumed
+    // STALE marker invalidation, pinned through the crash window it
+    // exists for: a marker naming a still-BUILT old dir (the retire it
+    // announces never began) must be deleted at ENTRY — so when the
+    // rebuild then dies mid-build and the old dir is later lost
+    // unmanaged, the next attempt hits the LOUD require instead of
+    // silently converging on the stale evidence (blessed lost
+    // takedowns). The failing corpus throws only at build time, AFTER
+    // the entry invalidation ran.
     val oldBuilt = s"$root/layout_k4_built"
     Similarity.ivfCentroids(e, 4, iters = 1)
       .write.parquet(s"$oldBuilt/centroids")
@@ -1225,13 +1229,24 @@ class SimilaritySpec extends SparkSpecBase {
     Similarity.tombstoneIvfRows(spark, oldBuilt,
       e.filter(col("vec_id") === 7))
     graft.ops.Layouts.writeMarkerFile(spark, marker, oldBuilt)
-    Similarity.rebuildIvfLayout(spark, e, oldBuilt, newDir, k = 8)
-    assert(!graft.ops.Layouts.exists(spark, oldBuilt),
-      "the full rebuild must run (old retired), not a stale converge")
-    assert(spark.read.parquet(s"$newDir/assigned")
-      .filter(col("vec_id") === 7).count() === 0,
-      "the old sidecar's mark must be honored by exclusion")
-    assert(graft.ops.Layouts.readMarkerFile(spark, marker).isEmpty)
+    // assert_true throws at EXECUTION (first action inside the build
+    // step), never at plan time — the entry invalidation runs first
+    val failingCorpus = e.filter(expr("assert_true(vec_id < 0) IS NULL"))
+    intercept[Exception] {
+      Similarity.rebuildIvfLayout(spark, failingCorpus, oldBuilt, newDir,
+        k = 8)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(marker)),
+      "entry must invalidate a marker naming a still-built old dir " +
+        "BEFORE any rebuild work, so a mid-build crash leaves no stale " +
+        "evidence behind")
+    // the old dir is then lost unmanaged: the retry must fail LOUD, not
+    // converge on evidence the invalidation just retired
+    graft.ops.Layouts.delete(spark, oldBuilt)
+    val ex2 = intercept[RuntimeException] {
+      Similarity.rebuildIvfLayout(spark, e, oldBuilt, newDir, k = 8)
+    }
+    assert(ex2.getMessage.contains("not a complete layout"), ex2.getMessage)
   }
 
   test("empty-sidecar guards: an empty victims frame lands no sidecar, " +
