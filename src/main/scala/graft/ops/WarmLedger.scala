@@ -60,7 +60,11 @@ object WarmLedger {
     // r17: the leveled-fold serving probe (first ledger rows land in r18)
     "q164_leveled_fold_probe",
     // r18: the scoped-purge serving probe (first ledger rows land in r19)
-    "q165_scoped_purge_probe")
+    "q165_scoped_purge_probe",
+    // r19: the r18 cold-anomaly cluster's two members with no warm
+    // history (q12 0.55→3.96 s, q130 0.91→3.28 s cold in one noisy run
+    // while the suite total dropped) — warm rows settle noise-vs-real
+    "q12_rollup_orders", "q130_latency_profile")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
