@@ -253,6 +253,10 @@ object SparkEntry {
     // standing marks — the amortized consolidation path, live-view probe
     "q164_leveled_fold_probe" -> (Similarity.q164LeveledFoldProbe(_, _)),
     "q165_scoped_purge_probe" -> (Similarity.q165ScopedPurgeProbe(_, _)),
+    // r19: the converging purge — fold-committed-head + re-purge when
+    // victims are live-batch-resident (the purge_age SLA's erasure tool)
+    "q166_converging_purge_probe" ->
+      (Similarity.q166ConvergingPurgeProbe(_, _)),
     // r15: maintenance scheduler — integer when-to-act decisions (compact
     // / fold / rebalance / re-derive params) over the lifecycle's own
     // facts, one row per (layout, check); rows-only (filesystem/catalog

@@ -165,7 +165,14 @@ object Maintenance {
         lit(0L), "purge_index_tombstones"))
       // the AGE bound: debt whose oldest mark is older than
       // PurgeMaxAgeSec fires regardless of the band (tombstone_age is -1
-      // with zero debt or when a caller does not gather it — quiet)
+      // with zero debt or when a caller does not gather it — quiet).
+      // The SLA only converges when the bound tool can actually erase:
+      // victims still in LIVE batches survive the scoped purge by
+      // design, and the fold row may never independently trigger on a
+      // low-traffic table — so wiring must bind the CONVERGING purge
+      // ([[graft.streaming.Streaming.purgeIndexTombstonesConverging]],
+      // what [[defaultTools]] binds), which folds the committed live
+      // batches and re-purges when marks survive the first pass.
       .unionByName(check(Seq("appendable_index"), "purge_age",
         col("tombstone_age"), lit(PurgeMaxAgeSec),
         "purge_index_tombstones"))
@@ -225,6 +232,9 @@ object Maintenance {
     * bucketed_index → `compact_bucketed`, `rebuild_with_derived_params`;
     * ivf_layout → `purge_ivf_tombstones`, `rebuild_layout`,
     * `rebuild_with_derived_params`, `reissue_orphaned_tombstones`.
+    * [[defaultTools]] (r19) builds every non-rebuild binding from layout
+    * handles, so future action renames are non-events for callers using
+    * it — hand-wire only the rebuild family, which needs caller inputs.
     *
     * Each distinct (layout, action) runs ONCE per tick even when several
     * checks converge on it — an appendable layout's `fold` and `purge`
@@ -251,6 +261,98 @@ object Maintenance {
             s"action=${key._2} — every triggered decision must execute"))()
       (r.getString(0), r.getString(1), r.getString(2), executed)
     }
+  }
+
+  /** Default (layout, action) tool bindings for [[tick]] — the wiring
+    * factory the r17→r18 action renames showed was missing (every rename
+    * broke hand-written binding maps twice in two rounds; with the
+    * factory a rename is a non-event for any caller using it). Covers
+    * every action a kind can emit EXCEPT the rebuild family
+    * (`rebuild_layout`, `rebuild_with_derived_params`), which by
+    * contract needs caller-supplied inputs — the live corpus for a
+    * directory rebuild, the derived parameter for a re-bucketing — so
+    * those merge in via `rebuilds` and a triggered rebuild with no
+    * binding still fails LOUD in [[tick]].
+    *
+    * `appendable` maps a layout label to its table plus a
+    * COMMITTED-HEAD thunk (the fold/purge `uptoBatch` bound —
+    * [[graft.streaming.Streaming.maxLiveBatch]] for a static table, the
+    * stream's own committed head when one is live; see
+    * [[graft.streaming.Streaming.purgeIndexTombstonesConverging]] for
+    * why folding an uncommitted batch is unsafe). The purge binding is
+    * the CONVERGING purge, so a `purge_age` SLA erases in the tick that
+    * fires it instead of no-op-purging forever when victims are
+    * live-batch-resident. `bucketed` maps a label to its flat bucketed
+    * table (key and bucket count read from the table's own metadata);
+    * `directory` maps a label to its IVF layout dir. */
+  def defaultTools(spark: SparkSession,
+      appendable: Map[String, (String, () => Long)] = Map.empty,
+      bucketed: Map[String, String] = Map.empty,
+      directory: Map[String, String] = Map.empty,
+      rebuilds: Map[(String, String), () => Unit] = Map.empty)
+      : Map[(String, String), () => Unit] = {
+    import graft.streaming.Streaming
+    val ap = appendable.flatMap { case (layout, (tbl, head)) => Seq(
+      (layout, "fold_index_leveled") -> (() => {
+        val h = head()
+        if (h >= 0) Streaming.foldIndexLeveled(spark, tbl, h)
+        ()
+      }),
+      (layout, "purge_index_tombstones") -> (() => {
+        Streaming.purgeIndexTombstonesConverging(spark, tbl, head()); ()
+      }),
+      (layout, "reap_rebuild_generations") -> (() => {
+        Streaming.reapRebuildGenerations(spark, tbl); ()
+      }))
+    }
+    val flat = bucketed.map { case (layout, tbl) =>
+      (layout, "compact_bucketed") -> (() => {
+        val spec = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec.get
+        graft.sources.Sources.compactBucketed(spark, tbl,
+          spec.bucketColumnNames.head, spec.numBuckets)
+        ()
+      })
+    }
+    val dir = directory.flatMap { case (layout, d) => Seq(
+      (layout, "purge_ivf_tombstones") -> (() => {
+        Similarity.purgeIvfTombstones(spark, d); ()
+      }),
+      (layout, "reissue_orphaned_tombstones") -> (() => {
+        Similarity.reissueOrphanedTombstones(spark, d); ()
+      }))
+    }
+    ap ++ flat ++ dir ++ rebuilds
+  }
+
+  /** One appendable-index [[LayoutFacts]] gather — the fact side of the
+    * q155 audit, factored for deployments and specs. The debt-band
+    * DENOMINATOR (`n_entries`) counts DATA rows only (consolidated +
+    * live, every partition except the `-3` marks): the band
+    * `tombstones·64 > n_entries` measures debt against the live corpus,
+    * and counting the marks themselves (plus any crash-window duplicates
+    * of them) in the denominator would delay the trigger it gates. `now`
+    * must share the MARKS' landing-epoch clock (wall-clock seconds in
+    * deployments, pinned in fixtures). */
+  def appendableLayoutFacts(spark: SparkSession, layout: String,
+      table: String, targetBuckets: Long, now: Long): LayoutFacts = {
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.get.numBuckets.toLong
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val all = spark.table(table)
+    LayoutFacts(layout, "appendable_index",
+      graft.sources.Sources.countTableDataFiles(spark, table).toLong,
+      buckets,
+      all.filter(col("batch_id") >= 0)
+        .select(col("batch_id")).distinct().count(),
+      all.filter(col("batch_id") =!= tombId).count(),
+      -1L, buckets, targetBuckets,
+      tombstones = all.filter(col("batch_id") === tombId).count(),
+      rb_old_generations = graft.streaming.Streaming
+        .oldRebuildGenerations(spark, table).length.toLong,
+      tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
+        spark, table, now))
   }
 
   /** Outstanding deletion debt of a directory layout's tombstone sidecar
@@ -321,28 +423,28 @@ object Maintenance {
     def tableBuckets(tbl: String) = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
       .bucketSpec.get.numBuckets.toLong
-    val apFacts = LayoutFacts("appendable_index", "appendable_index",
-      graft.sources.Sources.countTableDataFiles(spark, apTbl).toLong,
-      tableBuckets(apTbl),
-      spark.table(apTbl).filter(col("batch_id") >= 0)
-        .select(col("batch_id")).distinct().count(),
-      spark.table(apTbl).count(), -1L, tableBuckets(apTbl),
-      apBuckets.toLong,
-      tombstones = spark.table(apTbl)
-        .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
-        .count(),
-      rb_old_generations = graft.streaming.Streaming
-        .oldRebuildGenerations(spark, apTbl).length.toLong,
-      // the age fact must share the MARKS' clock — landing epochs
-      // default to wall-clock seconds, and an age derived across
-      // mismatched clocks (e.g. the pinned oracle RefNowEpoch, which
-      // PRECEDES every wall-clock stamp) clamps to 0 and can never fire
-      // the SLA it watches. The audited layouts carry zero debt, so the
-      // emitted fact is -1 and the relation stays deterministic; the
-      // pinned-now rule binds oracle-checked emissions, not a policy
-      // fact's clock.
-      tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
-        spark, apTbl, System.currentTimeMillis() / 1000L))
+    // the age fact must share the MARKS' clock — landing epochs default
+    // to wall-clock seconds, and an age derived across mismatched clocks
+    // (e.g. the pinned oracle RefNowEpoch, which PRECEDES every
+    // wall-clock stamp) clamps to 0 and can never fire the SLA it
+    // watches. The audited layouts carry zero debt, so the emitted fact
+    // is -1 and the relation stays deterministic — guarded loud below:
+    // a future fixture that plants standing debt against a wall clock
+    // would silently make this rows-only relation time-dependent between
+    // driver runs. The pinned-now rule binds oracle-checked emissions,
+    // not a policy fact's clock.
+    def zeroDebtFacts(layout: String, tbl: String, target: Long) = {
+      val f = appendableLayoutFacts(spark, layout, tbl, target,
+        System.currentTimeMillis() / 1000L)
+      require(f.tombstones == 0L && f.tombstone_age == -1L,
+        s"q155 audits zero-debt layouts ($layout carries " +
+          s"${f.tombstones} marks, age ${f.tombstone_age}): a fixture " +
+          s"with standing debt must gather its facts under a PINNED " +
+          s"clock or the rows-only relation becomes time-dependent " +
+          s"between driver runs")
+      f
+    }
+    val apFacts = zeroDebtFacts("appendable_index", apTbl, apBuckets.toLong)
 
     // the text-side appendable band index (same flavor, own keyspace)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -360,20 +462,7 @@ object Maintenance {
           d.filter(col("doc_id") % 50 === b), b.toLong, staging)
       }
     }
-    def tombCount(tbl: String) = spark.table(tbl)
-      .filter(col("batch_id") === graft.sim.Similarity.TombstoneBatchId)
-      .count()
-    val bandFacts = LayoutFacts("band_index", "appendable_index",
-      graft.sources.Sources.countTableDataFiles(spark, bandTbl).toLong,
-      tableBuckets(bandTbl),
-      spark.table(bandTbl).filter(col("batch_id") >= 0)
-        .select(col("batch_id")).distinct().count(),
-      spark.table(bandTbl).count(), -1L, tableBuckets(bandTbl),
-      bandBuckets.toLong, tombstones = tombCount(bandTbl),
-      rb_old_generations = graft.streaming.Streaming
-        .oldRebuildGenerations(spark, bandTbl).length.toLong,
-      tombstone_age = graft.streaming.Streaming.appendableTombstoneAge(
-        spark, bandTbl, System.currentTimeMillis() / 1000L))
+    val bandFacts = zeroDebtFacts("band_index", bandTbl, bandBuckets.toLong)
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
     // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code

@@ -64,7 +64,10 @@ object WarmLedger {
     // r19: the r18 cold-anomaly cluster's two members with no warm
     // history (q12 0.55→3.96 s, q130 0.91→3.28 s cold in one noisy run
     // while the suite total dropped) — warm rows settle noise-vs-real
-    "q12_rollup_orders", "q130_latency_profile")
+    "q12_rollup_orders", "q130_latency_profile",
+    // r19: the converging-purge probe (first ledger rows land in r20 —
+    // the r19 partition was recorded before it existed, record-first)
+    "q166_converging_purge_probe")
 
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers

@@ -1021,6 +1021,57 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** q166: the CONVERGING purge made hash-observable —
+    * [[graft.streaming.Streaming.purgeIndexTombstonesConverging]]'s
+    * driver evidence, the r18 ADVICE scenario certified physically: the
+    * corpus and the planted copies land as three LIVE batches that are
+    * NEVER folded, so every victim is live-batch-resident and the plain
+    * scoped purge ([[q165ScopedPurgeProbe]]'s tool) would be a bounded
+    * no-op forever — exactly the state in which a schedule's `purge_age`
+    * SLA used to spin. The converging purge folds the committed head
+    * (all three batches — no stream, so [[graft.streaming.Streaming
+    * .maxLiveBatch]] IS the committed head) and re-purges in the same
+    * call. The probe goes through the PLAIN [[probeIndex]] — no live
+    * view, no anti-join — so the hash certifies PHYSICAL death through
+    * the fold+purge composition: a victim row left standing in the
+    * folded generation retrieves the original at cosine 1 and flips the
+    * id. Exactness is q157's planted argument over corpus-minus-deleted
+    * ∪ copies. */
+  def q166ConvergingPurgeProbe(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val copyShift = 40000000L; val offset = 41000000L; val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = "g_cvg_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
+      s"cvg$planes", LayoutVersion)
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cvg_idx")
+        .toString
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
+        s"$tmp/index", IndexParams.indexBuckets(n, tables))
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+        planes, tables)
+      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+      graft.streaming.Streaming.purgeIndexTombstonesConverging(spark,
+        staging, graft.streaming.Streaming.maxLiveBatch(spark, staging))
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    probeIndex(spark, idx, probes, planes, tables)
+      .withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields
     * both the literal sig list for bucket pruning AND the local relation
@@ -3103,6 +3154,13 @@ object Similarity {
     "q165_scoped_purge_probe" ->
       plantedDeleteOracle(modulus = 7, copyShift = 38000000L,
         offset = 39000000L),
+    // q166: the CONVERGING purge (fold committed head + re-purge when
+    // victims are live-batch-resident) serves the same
+    // corpus-minus-deleted ∪ copies answer through the plain probe — a
+    // victim surviving the fold+purge composition flips ids back
+    "q166_converging_purge_probe" ->
+      plantedDeleteOracle(modulus = 7, copyShift = 40000000L,
+        offset = 41000000L),
     // q150: every θ-crossing pair is an exact copy (a certain LSH
     // candidate), so the gate's candidate-join decisions equal these
     // exhaustive ones; θ=0.75 is dyadic and hazard-free (naturals ≤0.53)

@@ -790,9 +790,13 @@ object Streaming {
     * partial-fold mark-retention rule, scoped to partitions instead of a
     * batch bound). A purge whose victims ALL sit in live batches is a
     * bounded no-op (zero partitions rewritten, content-free marks still
-    * retired); the next fold makes them purgeable — scheduling fold
-    * before purge (the q155 tick order) makes the pair converge in one
-    * tick.
+    * retired); the next fold makes them purgeable. That fold is NOT
+    * guaranteed by the q155 schedule alone — its fold row triggers on
+    * partition decay, which a low-traffic table may never reach, so a
+    * purge_age SLA bound to this plain purge would fire a no-op every
+    * tick forever. Schedule-driven erasure must bind
+    * [[purgeIndexTombstonesConverging]], which folds the committed live
+    * batches and re-purges when marks survive this pass.
     *
     * Crash contract (the fold invariant): survivors of every touched
     * partition and the surviving marks are STAGED before any mutation;
@@ -881,6 +885,58 @@ object Streaming {
     }
   }
 
+  /** [[purgeIndexTombstones]] plus the CONVERGENCE arm a schedule-driven
+    * erasure SLA needs: a mark whose victim sits only in LIVE batch
+    * partitions survives the scoped purge by design (live batches belong
+    * to the replay contract), and on a low-traffic table the q155 fold
+    * row (partition decay > 8) may never independently trigger — so a
+    * `purge_age` bound to the plain purge would fire a no-op rewrite of
+    * the mark partition every tick forever while physical erasure is
+    * deferred indefinitely. This variant purges, and if marks survived
+    * that pass AND committed live batches exist, consolidates them with
+    * ONE leveled fold (amortized — each row rewritten ≤ log₂ times over
+    * the table's lifetime, base never read) and purges once more, so the
+    * SLA converges in the tick that fires it.
+    *
+    * `uptoBatch` is the caller's COMMITTED head — the largest live
+    * batch_id the stream's checkpoint can no longer replay (the
+    * [[maintainedGateStream]] fold bound): folding an uncommitted batch
+    * would make a crash replay's own rows visible to its re-gating (its
+    * partition filter no longer hides them once they sit in a
+    * generation), changing replayed decisions. For a static table with
+    * no active stream, pass [[maxLiveBatch]]. Marks whose victims sit
+    * in batches BEYOND `uptoBatch` still survive (correctly — the
+    * replay window is not erasable); they converge on a later tick once
+    * those batches commit. Returns summed (partitions rewritten, rows
+    * purged) across both passes. Single-writer contract as for every
+    * fold/purge on the table. */
+  def purgeIndexTombstonesConverging(spark: SparkSession,
+      indexTable: String, uptoBatch: Long): (Long, Long) = {
+    val first = purgeIndexTombstones(spark, indexTable)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val standing = !spark.table(indexTable)
+      .filter(col("batch_id") === tombId).isEmpty
+    if (!standing || uptoBatch < 0) return first
+    val foldable = !spark.table(indexTable)
+      .filter(col("batch_id") >= 0 && col("batch_id") <= uptoBatch)
+      .isEmpty
+    if (!foldable) return first
+    foldIndexLeveled(spark, indexTable, uptoBatch)
+    val second = purgeIndexTombstones(spark, indexTable)
+    (first._1 + second._1, first._2 + second._2)
+  }
+
+  /** Largest live batch_id of an appendable index, −1 with none — the
+    * `uptoBatch` bound for maintenance on a table with NO active stream
+    * (every landed batch is final, so all of them are foldable). A table
+    * with a live stream must use the stream's own committed head instead
+    * — see [[purgeIndexTombstonesConverging]]. */
+  def maxLiveBatch(spark: SparkSession, indexTable: String): Long = {
+    val r = spark.table(indexTable).filter(col("batch_id") >= 0)
+      .agg(max(col("batch_id"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
   /** Oldest outstanding deletion-debt AGE of an appendable index, in the
     * epoch units its marks were landed with (`now − min(landing epoch)`
     * over stamps whose mark still stands); −1 with zero debt. Marks with
@@ -892,6 +948,14 @@ object Streaming {
                              now: Long): Long = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    // the maintenance-op layout-shape rule: on a non-bucketed or
+    // differently-partitioned table this would throw a bare
+    // NoSuchElementException (or silently misread the dedup keys)
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"appendableTombstoneAge($indexTable): expected the appendable-" +
+        s"index layout (batch_id partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
     val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
       dataCols.head)
@@ -1332,12 +1396,21 @@ object Streaming {
     * whose (bucket, id) key is still marked, or drop the sidecar when the
     * marks cleared. Runs LAST in every purge/fold — a crash before it
     * leaves stale stamps, which only age the debt upward (conservative).
-    * Staged beside the sidecar (never read-your-own-dir in an overwrite). */
+    * Staged beside the sidecar (never read-your-own-dir in an overwrite),
+    * and published by RENAME-ASIDE (the r17 retire rule): the live
+    * sidecar moves to `_tombstone_epochs_retiring` and is deleted only
+    * AFTER the staging rename lands — a delete-then-rename publish whose
+    * rename fails destroys BOTH copies and every landing stamp with it
+    * (degradation was conservative — unstamped marks read infinitely old
+    * — but the loss plus the per-tick no-op purges it buys are
+    * avoidable). [[convergeEpochSidecar]] finishes any crash state at the
+    * next writer's entry. */
   private def syncEpochSidecar(spark: SparkSession,
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
       indexTable: String, dedupKeys: Seq[String]): Unit = {
     val sidecar = epochSidecar(meta)
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    convergeEpochSidecar(spark, sidecar)
     if (!graft.ops.Layouts.hasParquetData(spark, sidecar.toString)) {
       if (fs.exists(sidecar)) fs.delete(sidecar, true)
       return
@@ -1348,14 +1421,45 @@ object Streaming {
     if (standing.isEmpty) { fs.delete(sidecar, true); return }
     val staging = new org.apache.hadoop.fs.Path(
       sidecar.getParent, "_tombstone_epochs_staging")
+    val retiring = new org.apache.hadoop.fs.Path(
+      sidecar.getParent, "_tombstone_epochs_retiring")
     try {
       spark.read.parquet(sidecar.toString)
         .join(standing, dedupKeys, "left_semi")
         .write.mode("overwrite").parquet(staging.toString)
-      fs.delete(sidecar, true)
-      if (!fs.rename(staging, sidecar))
+      if (!fs.rename(sidecar, retiring))
+        sys.error(s"epoch-sidecar sync of $indexTable could not retire " +
+          s"the live copy aside")
+      if (!fs.rename(staging, sidecar)) {
+        // restore the retired copy so the stamps survive the failure
+        fs.rename(retiring, sidecar)
         sys.error(s"epoch-sidecar sync of $indexTable failed to publish")
+      }
+      fs.delete(retiring, true)
     } finally fs.delete(staging, true)
+  }
+
+  /** Finish a [[syncEpochSidecar]] crash window at the next writer's
+    * entry: a crash between the rename-aside and the publish leaves no
+    * live sidecar — resume from the committed staging (the fresher,
+    * already-filtered copy) or, failing that, restore the retired copy
+    * (stale stamps only age debt upward); then clear debris. Writer-side
+    * only — the q155 fact gather stays a pure observer, reading missing
+    * stamps as infinitely old until the next purge/fold converges. */
+  private def convergeEpochSidecar(spark: SparkSession,
+      sidecar: org.apache.hadoop.fs.Path): Unit = {
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      sidecar.getParent, "_tombstone_epochs_staging")
+    val retiring = new org.apache.hadoop.fs.Path(
+      sidecar.getParent, "_tombstone_epochs_retiring")
+    if (!fs.exists(sidecar)) {
+      if (graft.ops.Layouts.committed(spark, staging.toString))
+        fs.rename(staging, sidecar)
+      else if (fs.exists(retiring)) fs.rename(retiring, sidecar)
+    }
+    fs.delete(staging, true)
+    fs.delete(retiring, true)
   }
 
   /** Delete one batch_id partition directory of a catalog-table index —

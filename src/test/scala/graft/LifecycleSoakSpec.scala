@@ -139,14 +139,11 @@ class LifecycleSoakSpec extends SparkSpecBase {
 
     // ---- arm 7: the scheduler sees a quiet layout and stays quiet;
     // planted decay (re-appending batches) wakes fold, tick runs it,
-    // the re-audit is quiet again
-    def factsNow() = Seq(LayoutFacts("soak", "appendable_index",
-      graft.sources.Sources.countTableDataFiles(spark, tbl).toLong, 4L,
-      spark.table(tbl).filter(col("batch_id") >= 0)
-        .select(col("batch_id")).distinct().count(),
-      spark.table(tbl).count(), -1L, 4L, 4L,
-      tombstones = spark.table(tbl)
-        .filter(col("batch_id") === tombId).count()))
+    // the re-audit is quiet again. Facts ride the shared gather (honest
+    // band denominator, mark ages) under a PINNED clock.
+    val soakNow = 9000L
+    def factsNow() = Seq(
+      Maintenance.appendableLayoutFacts(spark, "soak", tbl, 4L, soakNow))
     assert(Maintenance.schedule(factsNow().toDF())
       .filter(col("triggered") && col("check").isin("fold", "purge"))
       .count() === 0)
@@ -164,5 +161,39 @@ class LifecycleSoakSpec extends SparkSpecBase {
     assert(Maintenance.schedule(factsNow().toDF())
       .filter(col("triggered")).count() === 0)
     assert(indexIds() === liveNow ++ (100L until 190L))
+
+    // ---- arm 8 (r19): OVER-BAND takedown debt drives the r18 band +
+    // the mark-scoped purge end-to-end — tick (defaultTools bindings) →
+    // purge_index_tombstones → crash replay → quiet re-audit, zero rows
+    // lost outside the victims. 35 victims × 2 tables = 70 marks: above
+    // the 64-mark floor and 70·64 ≫ the ~378-row corpus, so the band
+    // breaches while the young age (1000 s) keeps the SLA row quiet.
+    val victims2 = (100L until 135L)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").isin(victims2.map(Long.box): _*)),
+      planes, tables, epoch = soakNow - 1000L)
+    val due8 = Maintenance.schedule(factsNow().toDF())
+    assert(due8.filter(col("triggered") && col("check") === "purge")
+      .count() === 1, due8.collect().mkString("\n"))
+    assert(due8.filter(col("triggered") && col("check") === "purge_age")
+      .count() === 0, "young debt stays off the SLA row")
+    assert(due8.filter(col("triggered")).count() === 1)
+    val ran8 = Maintenance.tick(due8, Maintenance.defaultTools(spark,
+      appendable = Map(
+        "soak" -> ((tbl, () => Streaming.maxLiveBatch(spark, tbl))))))
+    assert(ran8 === Seq(("soak", "purge", "purge_index_tombstones", true)))
+    // crash replay of the purge tool: idempotent, nothing re-erased
+    Streaming.purgeIndexTombstonesConverging(spark, tbl,
+      Streaming.maxLiveBatch(spark, tbl))
+    assert(Maintenance.schedule(factsNow().toDF())
+      .filter(col("triggered")).count() === 0,
+      "the re-audit is quiet after the purge")
+    val liveFinal = liveNow ++ (100L until 190L) -- victims2
+    assert(indexIds() === liveFinal)
+    // PHYSICAL erasure, not anti-join masking: raw row count drops to
+    // exactly the survivors, marks and stamps fully retired
+    assert(spark.table(tbl).count() === liveFinal.size.toLong * tables)
+    assert(spark.table(tbl).filter(col("batch_id") === tombId).count() === 0)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, soakNow) === -1L)
   }
 }

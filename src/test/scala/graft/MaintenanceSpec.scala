@@ -412,6 +412,166 @@ class MaintenanceSpec extends SparkSpecBase {
     assert(Streaming.appendableTombstoneAge(spark, tbl, now = 2000L) === -1L)
   }
 
+  test("appendableLayoutFacts: the debt-band denominator counts DATA " +
+      "rows only — marks (the -3 partition) never inflate n_entries — " +
+      "and the gathered facts agree with the table measured directly") {
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    val tbl = "g_facts_denom_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = java.nio.file.Files.createTempDirectory("g_denom").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/idx", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 40)
+    (0 until 2).foreach { b =>
+      Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") >= b * 20 && col("vec_id") < (b + 1) * 20),
+        b.toLong, tbl, planes, tables)
+    }
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") < 3), planes, tables, epoch = 500L)
+    val f = Maintenance.appendableLayoutFacts(spark, "d", tbl, 4L,
+      now = 600L)
+    val tombId = graft.sim.Similarity.TombstoneBatchId
+    val dataRows = spark.table(tbl)
+      .filter(col("batch_id") =!= tombId).count()
+    val markRows = spark.table(tbl)
+      .filter(col("batch_id") === tombId).count()
+    assert(markRows === 3L * tables)
+    assert(f.n_entries === dataRows,
+      "n_entries must exclude the mark partition")
+    assert(f.n_entries === 40L * tables)
+    assert(f.tombstones === markRows)
+    assert(f.batch_partitions === 2L)
+    assert(f.keyspace_actual === 4L)
+    assert(f.tombstone_age === 100L)
+  }
+
+  test("purge_age on LIVE-batch-resident victims: the plain scoped purge " +
+      "is a bounded no-op forever (fold never independently triggers on " +
+      "a low-traffic table), the CONVERGING purge folds the committed " +
+      "head and erases in one tick — bound by defaultTools") {
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    val tbl = "g_converge_purge_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = java.nio.file.Files.createTempDirectory("g_converge").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/idx", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 30)
+    // 3 live batches, NEVER folded: fold (>8 partitions) cannot trigger
+    (0 until 3).foreach { b =>
+      Streaming.appendIndexBatch(
+        eSlim.filter(col("vec_id") >= b * 10 && col("vec_id") < (b + 1) * 10),
+        b.toLong, tbl, planes, tables)
+    }
+    // sub-band trickle debt (2 victims x 2 tables = 4 marks < 64 floor),
+    // aged past the SLA — exactly the ADVICE scenario
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id").isin(7L, 23L)), planes, tables,
+      epoch = 1000L)
+    val now = 1000L + Maintenance.PurgeMaxAgeSec + 1L
+    def factsNow() = Seq(
+      Maintenance.appendableLayoutFacts(spark, "lt", tbl, 4L, now))
+    val due = Maintenance.schedule(factsNow().toDF())
+    assert(due.filter(col("triggered") && col("check") === "purge")
+      .count() === 0, "sub-band debt stays off the band row")
+    assert(due.filter(col("triggered") && col("check") === "fold")
+      .count() === 0, "3 live partitions never trigger the fold")
+    assert(due.filter(col("triggered") && col("check") === "purge_age")
+      .count() === 1, due.collect().mkString("\n"))
+    // the PLAIN purge: victims all live-resident -> nothing rewritten,
+    // marks survive and re-land, the SLA row would fire again next tick
+    val plain = Streaming.purgeIndexTombstones(spark, tbl)
+    assert(plain === ((0L, 0L)))
+    assert(Maintenance.schedule(factsNow().toDF())
+      .filter(col("triggered") && col("check") === "purge_age")
+      .count() === 1, "the no-op purge leaves the SLA owing")
+    // the CONVERGING purge via defaultTools: fold committed head, erase
+    val ran = Maintenance.tick(Maintenance.schedule(factsNow().toDF()),
+      Maintenance.defaultTools(spark, appendable = Map(
+        "lt" -> ((tbl, () => Streaming.maxLiveBatch(spark, tbl))))))
+    assert(ran === Seq(("lt", "purge_age", "purge_index_tombstones", true)))
+    assert(Maintenance.schedule(factsNow().toDF())
+      .filter(col("triggered")).count() === 0,
+      "the SLA converges in the tick that fired it")
+    // victims physically gone, marks and stamps retired, survivors whole
+    assert(spark.table(tbl).filter(col("vec_id").isin(7L, 23L))
+      .count() === 0)
+    assert(spark.table(tbl).count() === 28L * tables)
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now) === -1L)
+    // serving still bucket-prunes over the folded layout
+    val probes = eSlim.filter(col("vec_id") === 7L)
+      .select(lit(42L).as("qid"), col("embedding"))
+    val served = graft.sim.Similarity.probeIndex(spark, tbl, probes,
+      planes, tables)
+    served.collect().foreach(r =>
+      assert(r.getAs[Long]("retrieved_id") !== 7L, r.toString))
+  }
+
+  test("epoch-sidecar crash windows converge at the next writer: a crash " +
+      "between the rename-aside and the publish (committed staging, no " +
+      "live sidecar) resumes from the staging; a crash before the " +
+      "staging rename restores the retired copy — stamps survive either " +
+      "way instead of dying with a delete-then-rename publish") {
+    import graft.streaming.Streaming
+    graft.sim.Similarity.ensureRegistered(spark)
+    val planes = 5; val tables = 2
+    val tbl = "g_sidecar_crash_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val tmp = java.nio.file.Files.createTempDirectory("g_sidecar").toString
+    Streaming.createAppendableIndex(spark, tbl, s"$tmp/idx", buckets = 4)
+    val eSlim = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 20)
+    Streaming.appendIndexBatch(eSlim, 0L, tbl, planes, tables)
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") < 2), planes, tables, epoch = 1000L)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(loc, "_tombstone_epochs")
+    val staging = new org.apache.hadoop.fs.Path(loc,
+      "_tombstone_epochs_staging")
+    val retiring = new org.apache.hadoop.fs.Path(loc,
+      "_tombstone_epochs_retiring")
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
+
+    // crash state A: staging committed, sidecar renamed aside (crash
+    // between the two renames)
+    spark.read.parquet(sidecar.toString)
+      .write.parquet(staging.toString)
+    assert(fs.rename(sidecar, retiring))
+    // the READ path stays a pure observer: missing stamps read as
+    // infinitely old (conservative), no mutation on sight
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 1500L)
+    assert(!fs.exists(sidecar) && fs.exists(staging) && fs.exists(retiring))
+    // the next WRITER converges at entry: a purge whose victims are all
+    // live-resident retires nothing, so the stamps must survive it
+    Streaming.purgeIndexTombstones(spark, tbl)
+    assert(fs.exists(sidecar) && !fs.exists(staging) && !fs.exists(retiring))
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
+
+    // crash state B: only the retired copy survives (no committed staging)
+    assert(fs.rename(sidecar, retiring))
+    Streaming.purgeIndexTombstones(spark, tbl)
+    assert(fs.exists(sidecar) && !fs.exists(retiring))
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
+  }
+
+  test("appendableTombstoneAge refuses a non-appendable layout loudly " +
+      "(the maintenance-op layout-shape rule)") {
+    import graft.streaming.Streaming
+    spark.sql("DROP TABLE IF EXISTS g_age_guard_plain")
+    spark.range(5).write.saveAsTable("g_age_guard_plain")
+    val ex = intercept[IllegalArgumentException] {
+      Streaming.appendableTombstoneAge(spark, "g_age_guard_plain", 100L)
+    }
+    assert(ex.getMessage.contains("appendable"), ex.getMessage)
+  }
+
   test("rebuild byproducts surface in the schedule and their tools close " +
       "the loop: a dead _rb generation triggers reap (live and staging " +
       "locations excluded), an orphaned-tombstone slot triggers reissue " +
