@@ -237,9 +237,10 @@ object Maintenance {
     * it — hand-wire only the rebuild family, which needs caller inputs.
     *
     * Each distinct (layout, action) runs ONCE per tick even when several
-    * checks converge on it — an appendable layout's `fold` and `purge`
-    * checks both bind fold_index_base, and running the fold twice would
-    * scan the table twice for a guaranteed no-op second pass. The
+    * checks converge on it — an appendable layout's `purge` and
+    * `purge_age` checks both bind purge_index_tombstones, and running
+    * the purge twice would scan the table twice for a guaranteed no-op
+    * second pass. The
     * returned replay log still carries every triggered check row; its
     * `executed` flag is true on the one row per (layout, action) whose
     * tool invocation actually ran and false on rows satisfied by an
@@ -307,8 +308,16 @@ object Maintenance {
     }
     val flat = bucketed.map { case (layout, tbl) =>
       (layout, "compact_bucketed") -> (() => {
-        val spec = spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec.get
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        // the maintenance-op layout-shape rule: a mis-wired plain table
+        // must fail loud, not with a bare None.get (compactBucketed's
+        // own require rejects partitioned tables; the bucket spec is
+        // dereferenced here, so it is guarded here)
+        require(meta.bucketSpec.isDefined,
+          s"defaultTools compact_bucketed($tbl): expected a bucketed " +
+            s"table, got buckets=${meta.bucketSpec}")
+        val spec = meta.bucketSpec.get
         graft.sources.Sources.compactBucketed(spark, tbl,
           spec.bucketColumnNames.head, spec.numBuckets)
         ()

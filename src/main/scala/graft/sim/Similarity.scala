@@ -921,6 +921,47 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The shared build-and-probe scaffold of the appendable-lifecycle
+    * probe family (q164/q165/q166): the corpus and planted copies of
+    * every 7th vector ingest through `build` — which owns the appends
+    * and the maintenance steps under test against the staging table —
+    * and the originals' content probes the result (the q157
+    * planted-delete argument: each top-1 provably flips original →
+    * copy). `live` picks [[probeIndexLive]] (merge-on-read serving)
+    * versus the PLAIN [[probeIndex]] (physical-death certification).
+    * One definition so a scaffold fix cannot drift across the family —
+    * the next probe (q167…) is a lambda, not a fourth copy. */
+  private def appendableLifecycleProbe(spark: SparkSession, dir: String,
+      tag: String, copyShift: Long, offset: Long, live: Boolean)(
+      build: (String, DataFrame, DataFrame, Int, Int) => Unit)
+      : DataFrame = {
+    ensureRegistered(spark)
+    val tables = 4
+    val e = Tables.embeddings(spark, dir)
+    val n = e.count()
+    val planes = IndexParams.lshPlanes(n)
+    val eSlim = e.select(col("vec_id"), col("embedding"))
+    val copies = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
+    val idx = s"g_${tag}_index_" + layoutTag(
+      fileFp(s"$dir/embeddings.parquet"), s"$tag$planes", LayoutVersion)
+    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_${tag}_idx").toString
+      graft.streaming.Streaming.createAppendableIndex(spark, staging,
+        s"$tmp/index", IndexParams.indexBuckets(n, tables))
+      build(staging, eSlim, copies, planes, tables)
+    }
+    val probes = eSlim.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + offset).as("qid"), col("embedding"))
+    val served =
+      if (live) probeIndexLive(spark, idx, probes, planes, tables)
+      else probeIndex(spark, idx, probes, planes, tables)
+    served.withColumn("hit",
+        col("retrieved_id") === col("qid") - (offset - copyShift))
+      .orderBy(col("qid"))
+  }
+
   /** q164: serving across the LEVELED fold's generation partitions with
     * standing deletion marks —
     * [[graft.streaming.Streaming.foldIndexLeveled]] made hash-observable,
@@ -936,40 +977,21 @@ object Similarity {
     * leaked marked rows past the anti-join flips retrieved ids and breaks
     * the driver hash. Exactness is q157's argument — the physical layout
     * (generations vs batches vs base) is invisible to the top-1. */
-  def q164LeveledFoldProbe(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    val copyShift = 36000000L; val offset = 37000000L; val tables = 4
-    val e = Tables.embeddings(spark, dir)
-    val n = e.count()
-    val planes = IndexParams.lshPlanes(n)
-    val eSlim = e.select(col("vec_id"), col("embedding"))
-    val copies = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
-    val idx = "g_lev_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
-      s"lev$planes", LayoutVersion)
-    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lev_idx")
-        .toString
-      graft.streaming.Streaming.createAppendableIndex(spark, staging,
-        s"$tmp/index", IndexParams.indexBuckets(n, tables))
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
-      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
-      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
-        planes, tables)
-      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
-      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
-        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+  def q164LeveledFoldProbe(spark: SparkSession, dir: String): DataFrame =
+    appendableLifecycleProbe(spark, dir, "lev",
+        copyShift = 36000000L, offset = 37000000L, live = true) {
+      (staging, eSlim, copies, planes, tables) =>
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
+        graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+          planes, tables)
+        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
+        graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+          eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
     }
-    val probes = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding"))
-    probeIndexLive(spark, idx, probes, planes, tables)
-      .withColumn("hit",
-        col("retrieved_id") === col("qid") - (offset - copyShift))
-      .orderBy(col("qid"))
-  }
 
   /** q165: the MARK-SCOPED physical purge made hash-observable —
     * [[graft.streaming.Streaming.purgeIndexTombstones]]' driver evidence,
@@ -985,41 +1007,23 @@ object Similarity {
     * tiebreak at cosine 1), one that dropped a survivor or broke the
     * bucket function flips ids elsewhere. Exactness is q157's planted
     * argument over corpus-minus-deleted ∪ copies. */
-  def q165ScopedPurgeProbe(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    val copyShift = 38000000L; val offset = 39000000L; val tables = 4
-    val e = Tables.embeddings(spark, dir)
-    val n = e.count()
-    val planes = IndexParams.lshPlanes(n)
-    val eSlim = e.select(col("vec_id"), col("embedding"))
-    val copies = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
-    val idx = "g_purge_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
-      s"purge$planes", LayoutVersion)
-    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_purge_idx")
-        .toString
-      graft.streaming.Streaming.createAppendableIndex(spark, staging,
-        s"$tmp/index", IndexParams.indexBuckets(n, tables))
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
-      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
-      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
-        planes, tables)
-      graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
-      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
-        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
-      graft.streaming.Streaming.purgeIndexTombstones(spark, staging)
+  def q165ScopedPurgeProbe(spark: SparkSession, dir: String): DataFrame =
+    appendableLifecycleProbe(spark, dir, "purge",
+        copyShift = 38000000L, offset = 39000000L, live = false) {
+      (staging, eSlim, copies, planes, tables) =>
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
+        graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+          planes, tables)
+        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
+        graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+          eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+        graft.streaming.Streaming.purgeIndexTombstones(spark, staging)
+        ()
     }
-    val probes = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding"))
-    probeIndex(spark, idx, probes, planes, tables)
-      .withColumn("hit",
-        col("retrieved_id") === col("qid") - (offset - copyShift))
-      .orderBy(col("qid"))
-  }
 
   /** q166: the CONVERGING purge made hash-observable —
     * [[graft.streaming.Streaming.purgeIndexTombstonesConverging]]'s
@@ -1037,40 +1041,22 @@ object Similarity {
     * folded generation retrieves the original at cosine 1 and flips the
     * id. Exactness is q157's planted argument over corpus-minus-deleted
     * ∪ copies. */
-  def q166ConvergingPurgeProbe(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    val copyShift = 40000000L; val offset = 41000000L; val tables = 4
-    val e = Tables.embeddings(spark, dir)
-    val n = e.count()
-    val planes = IndexParams.lshPlanes(n)
-    val eSlim = e.select(col("vec_id"), col("embedding"))
-    val copies = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + copyShift).as("vec_id"), col("embedding"))
-    val idx = "g_cvg_index_" + layoutTag(fileFp(s"$dir/embeddings.parquet"),
-      s"cvg$planes", LayoutVersion)
-    graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cvg_idx")
-        .toString
-      graft.streaming.Streaming.createAppendableIndex(spark, staging,
-        s"$tmp/index", IndexParams.indexBuckets(n, tables))
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
-      graft.streaming.Streaming.appendIndexBatch(
-        eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
-      graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
-        planes, tables)
-      graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
-        eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
-      graft.streaming.Streaming.purgeIndexTombstonesConverging(spark,
-        staging, graft.streaming.Streaming.maxLiveBatch(spark, staging))
+  def q166ConvergingPurgeProbe(spark: SparkSession, dir: String): DataFrame =
+    appendableLifecycleProbe(spark, dir, "cvg",
+        copyShift = 40000000L, offset = 41000000L, live = false) {
+      (staging, eSlim, copies, planes, tables) =>
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+        graft.streaming.Streaming.appendIndexBatch(
+          eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+        graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+          planes, tables)
+        graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+          eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+        graft.streaming.Streaming.purgeIndexTombstonesConverging(spark,
+          staging, graft.streaming.Streaming.maxLiveBatch(spark, staging))
+        ()
     }
-    val probes = eSlim.filter(col("vec_id") % 7 === 0)
-      .select((col("vec_id") + offset).as("qid"), col("embedding"))
-    probeIndex(spark, idx, probes, planes, tables)
-      .withColumn("hit",
-        col("retrieved_id") === col("qid") - (offset - copyShift))
-      .orderBy(col("qid"))
-  }
 
   /** ONE pass over a serving batch's lineage (bounded by contract:
     * |batch|×tables rows, embeddings included): the collected batch yields

@@ -1371,6 +1371,13 @@ object Streaming {
       // reads as infinitely old — conservative: the purge fires sooner,
       // never later). Append-only: re-deletes append the same keys under
       // later epochs, and min(epoch) per key keeps the FIRST landing.
+      // Converge any syncEpochSidecar crash window FIRST (r19): a
+      // landing is a sidecar writer, and appending into the no-live-
+      // sidecar window would re-create the sidecar with only this
+      // batch's stamp — the next converge would then see it exists,
+      // skip the resume, and delete the staging/retiring copies holding
+      // every pre-crash stamp.
+      convergeEpochSidecar(spark, epochSidecar(meta))
       marks.select(dedupKeys.map(col): _*)
         .withColumn("epoch", lit(epoch))
         .write.mode("append").parquet(epochSidecar(meta).toString)
@@ -1453,10 +1460,21 @@ object Streaming {
       sidecar.getParent, "_tombstone_epochs_staging")
     val retiring = new org.apache.hadoop.fs.Path(
       sidecar.getParent, "_tombstone_epochs_retiring")
+    // a failed resume rename must fail LOUD before the debris deletes
+    // below — falling through would erase the only surviving stamp
+    // copies, exactly the silent loss the rename-aside protocol exists
+    // to prevent (syncEpochSidecar itself sys.errors on the same
+    // failures before touching anything)
     if (!fs.exists(sidecar)) {
-      if (graft.ops.Layouts.committed(spark, staging.toString))
-        fs.rename(staging, sidecar)
-      else if (fs.exists(retiring)) fs.rename(retiring, sidecar)
+      if (graft.ops.Layouts.committed(spark, staging.toString)) {
+        if (!fs.rename(staging, sidecar))
+          sys.error(s"epoch-sidecar converge: could not resume the " +
+            s"committed staging copy into $sidecar")
+      } else if (fs.exists(retiring)) {
+        if (!fs.rename(retiring, sidecar))
+          sys.error(s"epoch-sidecar converge: could not restore the " +
+            s"retired copy into $sidecar")
+      }
     }
     fs.delete(staging, true)
     fs.delete(retiring, true)

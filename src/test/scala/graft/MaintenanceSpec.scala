@@ -559,6 +559,18 @@ class MaintenanceSpec extends SparkSpecBase {
     Streaming.purgeIndexTombstones(spark, tbl)
     assert(fs.exists(sidecar) && !fs.exists(retiring))
     assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
+
+    // crash state C: a mark LANDING inside the window is a sidecar
+    // writer too — appending without converging first would re-create
+    // the sidecar with only the new stamp, and the next converge would
+    // then delete the retired copy holding every pre-crash stamp
+    assert(fs.rename(sidecar, retiring))
+    Streaming.tombstoneIndexRows(spark, tbl,
+      eSlim.filter(col("vec_id") === 5L), planes, tables, epoch = 1400L)
+    assert(fs.exists(sidecar) && !fs.exists(retiring))
+    // oldest standing debt is still the PRE-crash landing (epoch 1000),
+    // not the fresh stamp — the old stamps survived the landing
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
   }
 
   test("appendableTombstoneAge refuses a non-appendable layout loudly " +
