@@ -345,9 +345,15 @@ object Maintenance {
     * deployments, pinned in fixtures). */
   def appendableLayoutFacts(spark: SparkSession, layout: String,
       table: String, targetBuckets: Long, now: Long): LayoutFacts = {
-    val buckets = spark.sessionState.catalog.getTableMetadata(
+    val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .bucketSpec.get.numBuckets.toLong
+    // the maintenance-op layout-shape rule: a mis-wired table fails loud
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"appendableLayoutFacts($table): expected the appendable-index " +
+        s"layout (batch_id partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    val buckets = meta.bucketSpec.get.numBuckets.toLong
     val tombId = graft.sim.Similarity.TombstoneBatchId
     val all = spark.table(table)
     LayoutFacts(layout, "appendable_index",

@@ -977,20 +977,30 @@ object Similarity {
     * leaked marked rows past the anti-join flips retrieved ids and breaks
     * the driver hash. Exactness is q157's argument — the physical layout
     * (generations vs batches vs base) is invisible to the top-1. */
+  /** The q164/q165 ingest sequence: corpus in two leveled-folded
+    * generations, copies leveled-folded in as a third batch, originals
+    * tombstoned (merge-on-read) — one definition so the two probes
+    * cannot drift. */
+  private def leveledIngest(spark: SparkSession, staging: String,
+      eSlim: DataFrame, copies: DataFrame, planes: Int, tables: Int)
+      : Unit = {
+    graft.streaming.Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
+    graft.streaming.Streaming.appendIndexBatch(
+      eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
+    graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
+    graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
+      planes, tables)
+    graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
+    graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
+      eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+  }
+
   def q164LeveledFoldProbe(spark: SparkSession, dir: String): DataFrame =
     appendableLifecycleProbe(spark, dir, "lev",
         copyShift = 36000000L, offset = 37000000L, live = true) {
       (staging, eSlim, copies, planes, tables) =>
-        graft.streaming.Streaming.appendIndexBatch(
-          eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
-        graft.streaming.Streaming.appendIndexBatch(
-          eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
-        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
-        graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
-          planes, tables)
-        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
-        graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
-          eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+        leveledIngest(spark, staging, eSlim, copies, planes, tables)
     }
 
   /** q165: the MARK-SCOPED physical purge made hash-observable —
@@ -1011,16 +1021,7 @@ object Similarity {
     appendableLifecycleProbe(spark, dir, "purge",
         copyShift = 38000000L, offset = 39000000L, live = false) {
       (staging, eSlim, copies, planes, tables) =>
-        graft.streaming.Streaming.appendIndexBatch(
-          eSlim.filter(col("vec_id") % 2 === 0), 0L, staging, planes, tables)
-        graft.streaming.Streaming.appendIndexBatch(
-          eSlim.filter(col("vec_id") % 2 === 1), 1L, staging, planes, tables)
-        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 1L)
-        graft.streaming.Streaming.appendIndexBatch(copies, 2L, staging,
-          planes, tables)
-        graft.streaming.Streaming.foldIndexLeveled(spark, staging, 2L)
-        graft.streaming.Streaming.tombstoneIndexRows(spark, staging,
-          eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
+        leveledIngest(spark, staging, eSlim, copies, planes, tables)
         graft.streaming.Streaming.purgeIndexTombstones(spark, staging)
         ()
     }
