@@ -347,12 +347,8 @@ object Maintenance {
       table: String, targetBuckets: Long, now: Long): LayoutFacts = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    // the maintenance-op layout-shape rule: a mis-wired table fails loud
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"appendableLayoutFacts($table): expected the appendable-index " +
-        s"layout (batch_id partitions + bucketed), got " +
-        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    graft.streaming.Streaming.requireAppendableLayout(meta,
+      s"appendableLayoutFacts($table)")
     val buckets = meta.bucketSpec.get.numBuckets.toLong
     val tombId = graft.sim.Similarity.TombstoneBatchId
     val all = spark.table(table)

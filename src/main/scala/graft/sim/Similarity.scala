@@ -962,21 +962,6 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
-  /** q164: serving across the LEVELED fold's generation partitions with
-    * standing deletion marks —
-    * [[graft.streaming.Streaming.foldIndexLeveled]] made hash-observable,
-    * completing the fold family's driver evidence (base fold via
-    * q157/q162, leveled fold here): the index ingests the corpus in two
-    * batches, leveled-folds them into level 0, ingests the planted copies
-    * as a third batch, leveled-folds again (binary counter: level 0 +
-    * batch → level 1), then tombstones the originals WITHOUT any base
-    * fold — so at serving time every row lives in a generation partition
-    * and every deletion is merge-on-read. The probe goes through
-    * [[probeIndexLive]]: a leveled fold that lost or duplicated rows,
-    * broke the bucket function (pruning would read the wrong buckets), or
-    * leaked marked rows past the anti-join flips retrieved ids and breaks
-    * the driver hash. Exactness is q157's argument — the physical layout
-    * (generations vs batches vs base) is invisible to the top-1. */
   /** The q164/q165 ingest sequence: corpus in two leveled-folded
     * generations, copies leveled-folded in as a third batch, originals
     * tombstoned (merge-on-read) — one definition so the two probes
@@ -996,6 +981,21 @@ object Similarity {
       eSlim.filter(col("vec_id") % 7 === 0), planes, tables)
   }
 
+  /** q164: serving across the LEVELED fold's generation partitions with
+    * standing deletion marks —
+    * [[graft.streaming.Streaming.foldIndexLeveled]] made hash-observable,
+    * completing the fold family's driver evidence (base fold via
+    * q157/q162, leveled fold here): the index ingests the corpus in two
+    * batches, leveled-folds them into level 0, ingests the planted copies
+    * as a third batch, leveled-folds again (binary counter: level 0 +
+    * batch → level 1), then tombstones the originals WITHOUT any base
+    * fold — so at serving time every row lives in a generation partition
+    * and every deletion is merge-on-read. The probe goes through
+    * [[probeIndexLive]]: a leveled fold that lost or duplicated rows,
+    * broke the bucket function (pruning would read the wrong buckets), or
+    * leaked marked rows past the anti-join flips retrieved ids and breaks
+    * the driver hash. Exactness is q157's argument — the physical layout
+    * (generations vs batches vs base) is invisible to the top-1. */
   def q164LeveledFoldProbe(spark: SparkSession, dir: String): DataFrame =
     appendableLifecycleProbe(spark, dir, "lev",
         copyShift = 36000000L, offset = 37000000L, live = true) {

@@ -507,18 +507,28 @@ object Streaming {
     *     over duplicated candidates returns the same top-1 — and only
     *     occupancy counts (q147) inflate until the resume finishes.
     * Returns (batches folded, base rows after the fold). */
-  def foldIndexBase(spark: SparkSession, indexTable: String,
-                    uptoBatch: Long): (Long, Long) = {
-    // the maintenance-op layout guard (CLAUDE.md rule): without batch_id
-    // partitions a "dynamic" overwrite is a FULL-table replace and this
-    // fold would silently rewrite every row's batch_id
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+  /** The appendable-index layout-shape guard every maintenance op and
+    * fact gather shares (the CLAUDE.md rule: any maintenance op taking a
+    * TABLE must require the layout it assumes — without batch_id
+    * partitions a "dynamic" overwrite is a FULL-table replace, and
+    * without the bucket spec the dedup keys are misread or die in a
+    * bare None.get). ONE definition (the marker-file rule) so the
+    * mutating ops and the observers can never drift on what
+    * "appendable" means. */
+  private[graft] def requireAppendableLayout(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      site: String): Unit =
     require(meta.partitionColumnNames == Seq("batch_id") &&
         meta.bucketSpec.isDefined,
-      s"foldIndexBase($indexTable): expected the appendable-index layout " +
-        "(batch_id partitions + bucketed), got " +
+      s"$site: expected the appendable-index layout (batch_id " +
+        s"partitions + bucketed), got " +
         s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+
+  def foldIndexBase(spark: SparkSession, indexTable: String,
+                    uptoBatch: Long): (Long, Long) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    requireAppendableLayout(meta, s"foldIndexBase($indexTable)")
     // a negative bound would sweep the base/tombstone partitions into the
     // "unfolded" mark-retention read below
     require(uptoBatch >= 0, s"foldIndexBase: uptoBatch must be >= 0, " +
@@ -681,11 +691,7 @@ object Streaming {
                        uptoBatch: Long): (Long, Long) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"foldIndexLeveled($indexTable): expected the appendable-index " +
-        s"layout (batch_id partitions + bucketed), got " +
-        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    requireAppendableLayout(meta, s"foldIndexLeveled($indexTable)")
     require(uptoBatch >= 0, s"foldIndexLeveled: uptoBatch must be >= 0, " +
       s"got $uptoBatch")
     val pending = finishPendingLeveledFolds(spark, indexTable, meta)
@@ -812,11 +818,7 @@ object Streaming {
       : (Long, Long) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"purgeIndexTombstones($indexTable): expected the appendable-index " +
-        s"layout (batch_id partitions + bucketed), got " +
-        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    requireAppendableLayout(meta, s"purgeIndexTombstones($indexTable)")
     finishPendingLeveledFolds(spark, indexTable, meta)
     val tombId = graft.sim.Similarity.TombstoneBatchId
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
@@ -948,14 +950,7 @@ object Streaming {
                              now: Long): Long = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
-    // the maintenance-op layout-shape rule: on a non-bucketed or
-    // differently-partitioned table this would throw a bare
-    // NoSuchElementException (or silently misread the dedup keys)
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"appendableTombstoneAge($indexTable): expected the appendable-" +
-        s"index layout (batch_id partitions + bucketed), got " +
-        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+    requireAppendableLayout(meta, s"appendableTombstoneAge($indexTable)")
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
     val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
       dataCols.head)
@@ -1029,11 +1024,7 @@ object Streaming {
     if (spark.catalog.tableExists(staging)) spark.sql(s"DROP TABLE $staging")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"rebuildAppendableIndex($table): expected the appendable-index " +
-        s"layout, got partitions=${meta.partitionColumnNames} " +
-        s"buckets=${meta.bucketSpec}")
+    requireAppendableLayout(meta, s"rebuildAppendableIndex($table)")
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
     val bucketCol = meta.bucketSpec.get.bucketColumnNames.head
     val dedupKeys = Seq(bucketCol, dataCols.head)
