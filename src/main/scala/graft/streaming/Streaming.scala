@@ -471,6 +471,23 @@ object Streaming {
     spark.catalog.refreshTable(indexTable)
   }
 
+  /** The appendable-index layout-shape guard every maintenance op and
+    * fact gather shares (the CLAUDE.md rule: any maintenance op taking a
+    * TABLE must require the layout it assumes — without batch_id
+    * partitions a "dynamic" overwrite is a FULL-table replace, and
+    * without the bucket spec the dedup keys are misread or die in a
+    * bare None.get). ONE definition (the marker-file rule) so the
+    * mutating ops and the observers can never drift on what
+    * "appendable" means. */
+  private[graft] def requireAppendableLayout(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      site: String): Unit =
+    require(meta.partitionColumnNames == Seq("batch_id") &&
+        meta.bucketSpec.isDefined,
+      s"$site: expected the appendable-index layout (batch_id " +
+        s"partitions + bucketed), got " +
+        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
+
   /** Fold the appendable index's checkpoint-committed batch partitions
     * into ONE base partition — the maintenance arm of the THIRD layout
     * flavor (batch_id partitions × sig buckets), where q148's flat
@@ -507,23 +524,6 @@ object Streaming {
     *     over duplicated candidates returns the same top-1 — and only
     *     occupancy counts (q147) inflate until the resume finishes.
     * Returns (batches folded, base rows after the fold). */
-  /** The appendable-index layout-shape guard every maintenance op and
-    * fact gather shares (the CLAUDE.md rule: any maintenance op taking a
-    * TABLE must require the layout it assumes — without batch_id
-    * partitions a "dynamic" overwrite is a FULL-table replace, and
-    * without the bucket spec the dedup keys are misread or die in a
-    * bare None.get). ONE definition (the marker-file rule) so the
-    * mutating ops and the observers can never drift on what
-    * "appendable" means. */
-  private[graft] def requireAppendableLayout(
-      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
-      site: String): Unit =
-    require(meta.partitionColumnNames == Seq("batch_id") &&
-        meta.bucketSpec.isDefined,
-      s"$site: expected the appendable-index layout (batch_id " +
-        s"partitions + bucketed), got " +
-        s"partitions=${meta.partitionColumnNames} buckets=${meta.bucketSpec}")
-
   def foldIndexBase(spark: SparkSession, indexTable: String,
                     uptoBatch: Long): (Long, Long) = {
     val meta = spark.sessionState.catalog.getTableMetadata(
@@ -1335,6 +1335,7 @@ object Streaming {
     val tombId = graft.sim.Similarity.TombstoneBatchId
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+    requireAppendableLayout(meta, s"landTombstoneMarks($indexTable)")
     val dataCols = meta.schema.fieldNames.filterNot(_ == "batch_id").toSeq
     val dedupKeys = Seq(meta.bucketSpec.get.bucketColumnNames.head,
       dataCols.head)
