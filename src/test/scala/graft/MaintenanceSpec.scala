@@ -188,13 +188,13 @@ class MaintenanceSpec extends SparkSpecBase {
       spark.table("g_tick_ap_idx").count())
     val before = Maintenance.schedule(factsNow().toDF())
     assert(before.filter(col("triggered")).count() === 2, before.collect().mkString("\n"))
-    val ran = Maintenance.tick(before, Map(
-      ("flat", "compact_bucketed") -> (() => {
-        Sources.compactBucketed(spark, "g_tick_flat_idx", "sig", buckets); ()
-      }),
-      ("ap", "fold_index_leveled") -> (() => {
-        Streaming.foldIndexLeveled(spark, "g_tick_ap_idx", 8L); ()
-      })))
+    // bindings via the r19 factory: compact reads key+buckets from the
+    // table's own metadata; the fold bound is the committed head (static
+    // table, so maxLiveBatch = 8)
+    val ran = Maintenance.tick(before, Maintenance.defaultTools(spark,
+      appendable = Map("ap" -> (("g_tick_ap_idx",
+        () => Streaming.maxLiveBatch(spark, "g_tick_ap_idx")))),
+      bucketed = Map("flat" -> "g_tick_flat_idx")))
     assert(ran === Seq(("ap", "fold", "fold_index_leveled", true),
       ("flat", "compact", "compact_bucketed", true)))
     val after = Maintenance.schedule(factsNow().toDF())
@@ -292,10 +292,9 @@ class MaintenanceSpec extends SparkSpecBase {
     val before = Maintenance.schedule(factsNow().toDF())
     assert(before.filter(col("triggered") &&
       col("check") === "purge").count() === 1)
-    val ran = Maintenance.tick(before, Map(
-      ("v", "purge_ivf_tombstones") -> (() => {
-        graft.sim.Similarity.purgeIvfTombstones(spark, idxDir); ()
-      })))
+    // the directory-kind bindings via the r19 factory
+    val ran = Maintenance.tick(before,
+      Maintenance.defaultTools(spark, directory = Map("v" -> idxDir)))
     assert(ran === Seq(("v", "purge", "purge_ivf_tombstones", true)))
     val after = Maintenance.schedule(factsNow().toDF())
     assert(after.filter(col("triggered")).count() === 0,
