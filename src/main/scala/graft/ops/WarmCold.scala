@@ -63,7 +63,17 @@ object WarmCold {
     * Integer arithmetic throughout (half-up). */
   def warmColdProfile(spark: SparkSession, dir: String,
                       names: Seq[String]): DataFrame = {
-    val rows = names.map { n =>
+    import spark.implicits._
+    profile(spark, dir, names).toDF().orderBy(col("query_id"))
+  }
+
+  /** The profile as local rows — [[graft.ops.WarmLedger.record]] needs
+    * per-query access to re-run internally-anomalous readings (warm ≥ cold
+    * in one session = a clipped rep2, physically impossible as steady
+    * state) before they enter the committed cross-round baseline. */
+  def profile(spark: SparkSession, dir: String,
+              names: Seq[String]): Seq[Prof] =
+    names.map { n =>
       def run(): (Long, SparkPlan) = {
         // the timer starts BEFORE construction, matching Bench.run1: some
         // entries run driver-side jobs while building the DataFrame (q96's
@@ -88,9 +98,6 @@ object WarmCold {
         if (total == 0) 0L else (2 * inGen.toLong * 100 + total) / (2 * total),
         total.toLong)
     }
-    import spark.implicits._
-    rows.toDF().orderBy(col("query_id"))
-  }
 
   /** The q132 driver entry: a cheap representative trio (scan+agg with
     * arg-extrema, JSON-projection, pushdown time-range) so the relation's

@@ -69,18 +69,57 @@ object WarmLedger {
     // the r19 partition was recorded before it existed, record-first)
     "q166_converging_purge_probe")
 
+  /** A reading is internally ANOMALOUS when its same-session rep2 ran no
+    * faster than its rep1 (`warm_ms >= cold_ms`): steady state can only be
+    * ≤ first-run-with-codegen, so warm ≥ cold means the warm rep was
+    * clipped by a host stall — the number measures the host, not the plan.
+    * The r19 partition committed exactly such a row (q141 warm 1718 >
+    * cold 1139 ms, reading as a phantom 2.58× regression) and the round's
+    * prose was written from a different, clean run — the instrument and
+    * its evidence disagreed. Backfilled rows with no recorded cold
+    * (`cold_ms` null) are unknown, not anomalous. */
+  val anomalousCond: org.apache.spark.sql.Column =
+    col("cold_ms").isNotNull && col("warm_ms") >= col("cold_ms")
+
+  /** The ledger with the derived `anomalous` flag — derived, not stored,
+    * so every historical partition is annotated under one rule without
+    * rewriting committed evidence. */
+  def annotated(spark: SparkSession, ledgerDir: String): DataFrame =
+    read(spark, ledgerDir).withColumn("anomalous", anomalousCond)
+
   /** Profile `names` at `dir` and write the round's partition. `source`
     * distinguishes profiler-measured rows from backfilled prose numbers
     * (r10's rows carry the TimeQ warm times recorded in PLANS.md, with
-    * nulls where only warm was written down). Returns what it wrote. */
+    * nulls where only warm was written down). Anomalous readings
+    * (warm ≥ cold — see [[anomalousCond]]) are re-profiled up to
+    * `retries` times before the partition is written; a reading that
+    * stays anomalous is kept (the partition records what the host did)
+    * but [[regressions]] never admits it to the baseline. Returns what
+    * it wrote. */
   def record(spark: SparkSession, dir: String, round: String,
              ledgerDir: String,
-             names: Seq[String] = watchlist): DataFrame = {
+             names: Seq[String] = watchlist,
+             retries: Int = 2): DataFrame = {
+    import spark.implicits._
     // a malformed tag would silently corrupt the triage artifact (the
     // regression view orders rounds by their numeric suffix)
     require(round.matches("r\\d+"),
       s"round tag must be r<N> (e.g. r11), got '$round'")
-    val prof = WarmCold.warmColdProfile(spark, dir, names)
+    var profs = WarmCold.profile(spark, dir, names)
+    var attempt = 0
+    while (attempt < retries && profs.exists(p => p.warm_ms >= p.cold_ms)) {
+      val bad = profs.filter(p => p.warm_ms >= p.cold_ms).map(_.query_id)
+      println(s"WarmLedger: re-profiling ${bad.size} anomalous " +
+        s"(warm >= cold) reading(s): ${bad.mkString(", ")}")
+      val redo = WarmCold.profile(spark, dir, bad).map(p => p.query_id -> p).toMap
+      profs = profs.map(p => redo.getOrElse(p.query_id, p))
+      attempt += 1
+    }
+    profs.filter(p => p.warm_ms >= p.cold_ms).foreach(p => println(
+      s"WarmLedger: ${p.query_id} still anomalous after $retries retries " +
+        s"(cold ${p.cold_ms} ms, warm ${p.warm_ms} ms) — recorded but " +
+        "excluded from the regression baseline"))
+    val prof = profs.toDF().orderBy(col("query_id"))
       .withColumn("source", lit("profiler"))
     // one self-contained partition per round: re-running a round replaces
     // exactly that round's rows and can never touch another round's
@@ -98,7 +137,11 @@ object WarmLedger {
     * only exists once a query has ≥2 recorded rounds; `regressed` flags
     * >2× growth — the rule that replaces cold-time re-litigation. Round
     * recency orders on the tag's NUMERIC suffix ([[record]] enforces the
-    * r<N> shape), so r100 correctly follows r99.
+    * r<N> shape), so r100 correctly follows r99. Anomalous readings
+    * ([[anomalousCond]]: warm ≥ cold, a clipped rep2) are excluded BEFORE
+    * round selection — an anomalous latest round falls back to comparing
+    * the two most recent CLEAN rounds, and an anomalous reading can never
+    * become next round's `prev_warm_ms` baseline (the r19 q141 lesson).
     *
     * Known baseline moves (real added work, NOT regressions — the
     * BenchReportSpec canary pattern applied to the ledger):
@@ -111,6 +154,10 @@ object WarmLedger {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(roundNum.desc)
     read(spark, ledgerDir)
+      // null-cold backfilled rows are unknown-but-usable (their warm came
+      // from a verified PLANS.md measurement); only a same-session
+      // warm >= cold reading is evidence against itself
+      .filter(col("cold_ms").isNull || col("warm_ms") < col("cold_ms"))
       .groupBy(col("query_id"), col("round"))
       .agg(min(col("warm_ms")).as("warm_ms"))
       .withColumn("rk", row_number().over(w))

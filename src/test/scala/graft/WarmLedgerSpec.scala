@@ -73,6 +73,53 @@ class WarmLedgerSpec extends SparkSpecBase {
     assert(out2("qb").getAs[Boolean]("regressed"))
   }
 
+  test("anomalous readings (warm >= cold, a clipped rep2) are excluded " +
+      "from the regression baseline; null-cold backfills stay usable") {
+    val dir = java.nio.file.Files.createTempDirectory("warmled").toString
+    def part(round: String, rows: Seq[(String, Long, Option[Long])]): Unit =
+      rows.toDF("query_id", "warm_ms", "cold_ms")
+        .withColumn("warmup_pct", lit(50L)).withColumn("codegen_pct", lit(80L))
+        .withColumn("n_ops", lit(10L)).withColumn("source", lit("test"))
+        .select(profCols.map(col): _*)
+        .write.parquet(s"$dir/round=$round")
+    // qa: clean r01/r02, then an anomalous r03 (warm 3000 >= cold 1500 —
+    // physically a clipped rep2, exactly the committed r19 q141 shape)
+    // qb: a null-cold backfilled r01 row (unknown, NOT anomalous)
+    part("r01", Seq(("qa", 1000L, Some(2000L)), ("qb", 1000L, None)))
+    part("r02", Seq(("qa", 1100L, Some(2200L)), ("qb", 1500L, Some(3000L))))
+    part("r03", Seq(("qa", 3000L, Some(1500L))))
+    val ann = WarmLedger.annotated(spark, dir)
+    assert(ann.filter(col("anomalous")).select("query_id", "round")
+      .as[(String, String)].collect().toSeq === Seq(("qa", "r03")))
+    val out = WarmLedger.regressions(spark, dir).collect()
+      .map(r => r.getAs[String]("query_id") -> r).toMap
+    // qa's anomalous r03 never enters the view: the comparison falls back
+    // to the two most recent CLEAN rounds — no phantom 2.7x regression
+    assert(out("qa").getAs[String]("cur_round") === "r02")
+    assert(out("qa").getAs[String]("prev_round") === "r01")
+    assert(out("qa").getAs[Long]("warm_ratio_x100") === 110L)
+    assert(!out("qa").getAs[Boolean]("regressed"))
+    // qb's backfilled row is a valid baseline
+    assert(out("qb").getAs[String]("prev_round") === "r01")
+    assert(out("qb").getAs[Long]("warm_ratio_x100") === 150L)
+  }
+
+  test("the committed r19 q141 anomaly is flagged and kept out of the " +
+      "cross-round baseline") {
+    val ann = WarmLedger.annotated(spark, "bench/warm_ledger")
+    val flagged = ann.filter(col("anomalous"))
+      .select("query_id", "round").as[(String, String)].collect().toSet
+    // the adjudicated r19 host-stall reading is annotated, not rewritten
+    assert(flagged.contains(("q141_flight_summary", "r19")))
+    // ...and the regression view's q141 row skips r19 on both sides
+    val q141 = WarmLedger.regressions(spark, "bench/warm_ledger")
+      .filter(col("query_id") === "q141_flight_summary").collect()
+    q141.foreach { r =>
+      assert(r.getAs[String]("cur_round") !== "r19")
+      assert(r.getAs[String]("prev_round") !== "r19")
+    }
+  }
+
   test("the committed repo ledger holds >=2 rounds of warm baselines and " +
       "only real query ids") {
     val led = WarmLedger.read(spark, "bench/warm_ledger")
