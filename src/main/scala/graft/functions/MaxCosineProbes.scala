@@ -71,6 +71,45 @@ final class ProbeKernel(probes: Array[Array[Double]]) extends Serializable {
     }
     best
   }
+
+  /** Index (0-based, row order of the constructor matrix) of the max-cosine
+    * probe, ties broken toward the SMALLEST index (strict `>` keeps the
+    * first maximum). Mirrors the `greatest(struct(csim, -cid))` centroid
+    * ladder bit-for-bit when rows are sorted by ascending cid: greatest
+    * picks max csim then min cid, and under Spark's total order NaN sorts
+    * LARGEST — so a NaN cosine (degenerate query or probe vector) wins over
+    * every finite one, first NaN winning among several. Per-probe cosine
+    * arithmetic is the same op-for-op [[VecMath.cosineG]] loop as
+    * [[maxCosine]]. */
+  def argmaxCosine(a: ArrayData, aFloat: Boolean): Int = {
+    val na = a.numElements()
+    val av = new Array[Double](na)
+    var sa = 0.0
+    var i = 0
+    while (i < na) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      av(i) = x
+      sa += x * x
+      i += 1
+    }
+    val sqa = math.sqrt(sa)
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var bestNaN = false
+    var p = 0
+    while (p < k && !bestNaN) {
+      val off = p * maxLen
+      val n = math.min(na, lens(p))
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += av(j) * flat(off + j); j += 1 }
+      val c = dot / (sqa * norms(p))
+      if (java.lang.Double.isNaN(c)) { bestNaN = true; bestIdx = p }
+      else if (c > best) { best = c; bestIdx = p }
+      p += 1
+    }
+    bestIdx
+  }
 }
 
 /** Native max-cosine-against-a-probe-matrix kernel (builder-brief path
@@ -125,6 +164,89 @@ case class MaxCosineProbes(child: Expression, probes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native argmax-cosine-against-a-probe-matrix kernel — the r20 lift for
+  * the IVF centroid-assignment ceiling: `assignToCentroid`'s literal
+  * `greatest(struct(cosine_sim(...), -cid), …)` ladder is k expression
+  * nodes and blows Janino's 64 KB generated-method limit in the low
+  * hundreds of centroids, which is why `IndexParams.ivfK` clamped at 256
+  * (r19 VERDICT task 2). Same dissolution as [[MaxCosineProbes]]: ONE plan
+  * node carrying the centroid matrix as a reference object, one fused
+  * argmax loop, whole-stage codegen at any k. Returns the 0-based ROW
+  * INDEX of the winning probe (ties → smallest index; NaN wins — see
+  * [[ProbeKernel.argmaxCosine]]); the caller maps index → id via a literal
+  * array lookup, keeping ids out of the kernel.
+  *
+  * SQL form: `argmax_cosine_probes(vec, probes)` with `probes` a FOLDABLE
+  * array<array<double>> literal, extracted at resolution time. */
+case class ArgmaxCosineProbes(child: Expression, probes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "argmax_cosine_probes"
+
+  // contents-based equality — the MaxCosineProbes canonicalization rule
+  override def equals(other: Any): Boolean = other match {
+    case m: ArgmaxCosineProbes =>
+      child == m.child && java.util.Arrays.deepEquals(
+        probes.asInstanceOf[Array[AnyRef]], m.probes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.deepHashCode(
+      probes.asInstanceOf[Array[AnyRef]])
+
+  private lazy val eF = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val kernel = new ProbeKernel(probes)
+
+  override protected def nullSafeEval(v: Any): Any =
+    kernel.argmaxCosine(v.asInstanceOf[ArrayData], eF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("probeKernel", kernel,
+      classOf[ProbeKernel].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.argmaxCosine($v, $eF)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArgmaxCosineProbesFunction {
+  val info = (
+    FunctionIdentifier("argmax_cosine_probes"),
+    new ExpressionInfo(classOf[ArgmaxCosineProbes].getName, "argmax_cosine_probes"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2, "argmax_cosine_probes(vec, probes_literal)")
+      val probesExpr = exprs(1)
+      require(probesExpr.foldable,
+        "argmax_cosine_probes: the probe matrix must be a literal (typedlit)")
+      val outer = probesExpr.eval().asInstanceOf[ArrayData]
+      require(outer != null && outer.numElements() > 0,
+        "argmax_cosine_probes: empty probe matrix")
+      val elemType = probesExpr.dataType
+        .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+      val innerFloat = elemType == FloatType
+      val probes = (0 until outer.numElements()).map { i =>
+        val row = outer.getArray(i)
+        Array.tabulate(row.numElements()) { j =>
+          if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
+        }
+      }.toArray
+      def coerceVec(e: Expression): Expression = e.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
+        case _ => Cast(e, ArrayType(DoubleType))
+      }
+      ArgmaxCosineProbes(coerceVec(exprs.head), probes)
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
 }
 
 object MaxCosineProbesFunction {

@@ -45,15 +45,27 @@ object IndexParams {
   def hotBucketCap(targetOcc: Int = 16): Int = 8 * targetOcc
 
   /** IVF cluster count ~ ⌈√n⌉ (the classic IVF-flat balance: probe cost
-    * n/k ≈ centroid-scan cost k at k = √n), clamped to [4, 256]. The
-    * ceiling is the measured comfort zone of the literal assignment ladder
-    * ([[Similarity.assignToCentroid]] unrolls one codegen'd cosine kernel
-    * call per centroid — Janino's 64 KB method limit bites in the low
-    * hundreds of calls; the q116 history shows the matrix-kernel escape
-    * hatch (`max_cosine_probes`-style argmax) is the lift if a corpus ever
-    * needs k beyond it. At the ceiling, k=256 over 10⁹ vectors means
-    * nprobe=2 scans ~8M candidates — still the right order. */
-  def ivfK(n: Long, minK: Int = 4, maxK: Int = 256): Int =
+    * n/k ≈ centroid-scan cost k at k = √n), clamped to [4, 4096].
+    *
+    * The ceiling was 256 through r19 — the comfort zone of the literal
+    * assignment ladder (one codegen'd cosine call per centroid; Janino's
+    * 64 KB method limit bites in the low hundreds of calls). r20 took the
+    * q116 matrix-kernel escape hatch: beyond
+    * [[Similarity.LadderMaxCentroids]] centroids,
+    * [[Similarity.assignToCentroid]] rides ONE native
+    * `argmax_cosine_probes` node (bit-identical to the ladder,
+    * spec-pinned), so assignment cost is k·dims multiply-adds per row at
+    * any k — measured warm on 200k×64 vectors: kernel 0.33/0.60/1.66 s at
+    * k=256/1024/4096 vs ladder 2.26/14.0/34.0 s (graft.TimeCentroids,
+    * PLANS.md r20). k now tracks √n to n ≈ 16.7M vectors per layout; the
+    * 4096 ceiling is the next genuine driver bound, not codegen:
+    * [[Similarity.ivfCentroids]]' Lloyd step collects k×dim averaged
+    * components per iteration (262k rows at k=4096 — fine; 4M at 65536 —
+    * not), and the centroid matrix itself rides the plan as a collected
+    * reference object (2 MB at k=4096). Beyond it, nprobe pruning
+    * saturates at nprobe/4096 of the corpus — at 10⁹ vectors, nprobe=2
+    * scans ~500k candidates. */
+  def ivfK(n: Long, minK: Int = 4, maxK: Int = 4096): Int =
     math.min(maxK, math.max(minK, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
 
   /** Bucket count for a PERSISTED signature index (q142/q145): the index

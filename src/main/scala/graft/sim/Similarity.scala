@@ -49,6 +49,7 @@ object Similarity {
     graft.functions.CosineSimFunction.register(spark)
     graft.functions.HyperplaneSigFunction.register(spark)
     graft.functions.MaxCosineProbesFunction.register(spark)
+    graft.functions.ArgmaxCosineProbesFunction.register(spark)
   }
 
   /** q26: exact top-3 cosine neighbors for each probe vector (vec_id ≤ 50). */
@@ -171,15 +172,34 @@ object Similarity {
     centroids
   }
 
+  /** Centroid count at which [[assignToCentroid]] flips from the literal
+    * greatest-ladder to the [[graft.functions.ArgmaxCosineProbes]] matrix
+    * kernel: the ladder is k expression nodes × dim literals and Janino's
+    * 64 KB generated-method limit bites in the low hundreds of calls —
+    * this constant was `IndexParams.ivfK`'s whole ceiling until r20. Kept
+    * as the small-k path only out of oracle conservatism (every committed
+    * layout fingerprint was built by it); the kernel is bit-identical
+    * (spec-pinned across the flip) and faster at every k measured
+    * (graft.TimeCentroids, PLANS.md r20). */
+  val LadderMaxCentroids = 256
+
   /** Assign each vector to its max-cosine centroid. Centroid state is
-    * k×dim doubles, so it rides the plan as LITERALS (one cosine kernel
-    * call per centroid, unrolled Scala-side — the q27/q100 sig-table rule:
-    * a plan-time-constant loop bound must not become a lambda or a join):
-    * argmax = `greatest` over (csim, −cid) structs, which is a pure per-row
+    * k×dim doubles, so it rides the plan driver-side, never as a join.
+    * k ≤ [[LadderMaxCentroids]]: LITERALS (one cosine kernel call per
+    * centroid, unrolled Scala-side — the q27/q100 sig-table rule: a
+    * plan-time-constant loop bound must not become a lambda or a join);
+    * argmax = `greatest` over (csim, −cid) structs, a pure per-row
     * projection in whole-stage codegen — no k× row blow-up, no window, no
-    * shuffle. Tiebreak (csim desc, cid asc) matches the former window
-    * formulation; assignment stays a pure function of the embedding value
-    * (the q111 recall proof leans on this). */
+    * shuffle. Beyond: the ladder's generated projection would blow
+    * Janino's method limit, so the whole centroid matrix rides ONE native
+    * [[graft.functions.ArgmaxCosineProbes]] node (the `max_cosine_probes`
+    * dissolution, argmax flavor) and the winning row index maps to its cid
+    * through a literal array lookup — still one plan node, codegen at any
+    * k. Both paths: tiebreak (csim desc, cid asc), matching the former
+    * window formulation; assignment stays a pure function of the embedding
+    * value (the q111 recall proof leans on this) and is bitwise IDENTICAL
+    * across the flip (same per-centroid cosine arithmetic, same tiebreak —
+    * SimilaritySpec pins ladder↔kernel equality straddling the boundary). */
   def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -187,12 +207,36 @@ object Similarity {
     require(cents.nonEmpty,
       "assignToCentroid: empty centroid relation — the corpus behind the " +
         "layout (or rebuild survivors) has no rows")
-    val best = greatest(cents.map { case (cid, ce) =>
+    if (cents.length <= LadderMaxCentroids) assignLadder(emb, cents)
+    else assignKernel(emb, cents)
+  }
+
+  /** Ladder path: one literal cosine kernel call per centroid. `cents`
+    * must be cid-sorted (as [[assignToCentroid]] collects them). Public
+    * alongside [[assignKernel]] so TimeCentroids can measure, and
+    * SimilaritySpec pin equality of, both paths at any k. */
+  def assignLadder(emb: DataFrame,
+                   cents: Array[(Long, Array[Double])]): DataFrame = {
+    val best = greatest(cents.map { case (c, ce) =>
       struct(cosine(col("embedding"), typedlit(ce)).as("csim"),
-        lit(-cid).as("ncid"))
+        lit(-c).as("ncid"))
     }.toIndexedSeq: _*)
     emb.select(col("vec_id"), col("embedding"),
       (-best.getField("ncid")).as("cid"))
+  }
+
+  /** Matrix-kernel path: the whole cid-sorted centroid matrix rides one
+    * [[graft.functions.ArgmaxCosineProbes]] node; the winning row index
+    * maps to its cid through a literal array lookup. */
+  def assignKernel(emb: DataFrame,
+                   cents: Array[(Long, Array[Double])]): DataFrame = {
+    ensureRegistered(emb.sparkSession)
+    val idx = call_function("argmax_cosine_probes", col("embedding"),
+      typedlit(cents.map(_._2.toIndexedSeq).toIndexedSeq))
+    // rows are cid-sorted, so index i ↔ the i-th smallest cid; ANSI
+    // element_at is 1-based and idx ∈ [0, k) by construction
+    emb.select(col("vec_id"), col("embedding"),
+      element_at(typedlit(cents.map(_._1).toIndexedSeq), idx + lit(1)).as("cid"))
   }
 
   /** q43: IVF ANN — 16 clusters, 2 Lloyd rounds, nprobe=2: each probe scans
@@ -1041,7 +1085,12 @@ object Similarity {
     * the fold+purge composition: a victim row left standing in the
     * folded generation retrieves the original at cosine 1 and flips the
     * id. Exactness is q157's planted argument over corpus-minus-deleted
-    * ∪ copies. */
+    * ∪ copies. Cost model is MEASURED, not asserted (TimePurge converging
+    * arm, PLANS.md r20): flat across a 1×–100× base ladder at 1%
+    * live-resident debt (11–14 s at 10k-row batches regardless of base
+    * size) — the second pass pays a leveled fold of the committed head
+    * plus a scoped re-purge, never O(base), with a fixed ~1.2–1.4×
+    * bookkeeping premium over the manual purge+fold+purge decomposition. */
   def q166ConvergingPurgeProbe(spark: SparkSession, dir: String): DataFrame =
     appendableLifecycleProbe(spark, dir, "cvg",
         copyShift = 40000000L, offset = 41000000L, live = false) {

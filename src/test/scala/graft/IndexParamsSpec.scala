@@ -34,10 +34,16 @@ class IndexParamsSpec extends AnyFunSuite {
     }
   }
 
-  test("ivfK: ~sqrt(n), clamped to the assignment-ladder bound") {
+  test("ivfK: ~sqrt(n), clamped to the Lloyd driver-collect bound") {
     assert(IndexParams.ivfK(500) === 23)
     assert(IndexParams.ivfK(2000) === 45)
-    assert(IndexParams.ivfK(1000000) === 256) // ceiling: ladder codegen bound
+    // past the r19 ladder bound (256): the argmax matrix kernel carries
+    // assignment, so k keeps tracking sqrt(n)...
+    assert(IndexParams.ivfK(1000000) === 1000)
+    assert(IndexParams.ivfK(16000000) === 4000)
+    // ...to the r20 ceiling (4096): the ivfCentroids Lloyd collect
+    // (k x dim averaged components) is the next driver-side bound
+    assert(IndexParams.ivfK(1000000000L) === 4096)
     assert(IndexParams.ivfK(4) === 4)
     assert(IndexParams.ivfK(1) === 4)
   }
