@@ -24,14 +24,29 @@ import graft.streaming.Streaming
   *  - `fold base`: [[Streaming.foldIndexBase]] on the same 1% debt — the
   *    r17 debt tool, linear in base rows by measurement (TimeFold).
   *
-  * Vectors are hash-derived synthetics (the r13 rule). Numbers and the
-  * resulting schedule policy live in PLANS.md (r18).
+  * The `converging` mode (r20, VERDICT task 3) measures the SLA path of
+  * [[Streaming.purgeIndexTombstonesConverging]] instead: 1% debt resident
+  * in a LIVE (unconsolidated) batch — the state where the plain purge
+  * provably spins (live batches are never rewritten, so marks survive and
+  * the purge_age row re-fires every tick). Per rung, two identically
+  * shaped tables (two-generation base + a live batch 3 carrying the
+  * victims) time the converging tool against its decomposition — plain
+  * purge, manual [[Streaming.foldIndexLeveled]] of the committed head,
+  * re-purge — so the converging path's asserted cost model (≈ leveled
+  * fold + scoped purge, never O(base) beyond what the carry chain owes)
+  * is measured, not asserted.
   *
-  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.TimePurge [batchRows]"
+  * Vectors are hash-derived synthetics (the r13 rule). Numbers and the
+  * resulting schedule policy live in PLANS.md (r18; converging arm r20).
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.TimePurge [batchRows] [mode]"
+  *   mode: `arms` (default — the r18 recent/uniform/fold ladder) or
+  *         `converging` (the r20 SLA-path ladder)
   */
 object TimePurge {
   def main(args: Array[String]): Unit = {
     val batchRows = args.headOption.map(_.toLong).getOrElse(10000L)
+    val mode = args.drop(1).headOption.getOrElse("arms")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     implicit val spark: SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -93,6 +108,46 @@ object TimePurge {
       Streaming.tombstoneIndexRows(spark, "g_timepurge_warm",
         victims(0, ru, 11L), planes, tables, epoch = 2L)
       Streaming.foldIndexBase(spark, "g_timepurge_warm", 2L)
+    }
+
+    if (mode == "converging") {
+      // the two-generation shape plus a LIVE batch 3 holding the victims
+      def buildLive(tbl: String, baseRows: Long): (Long, Long) = {
+        val (_, until) = build(tbl, baseRows)
+        Streaming.appendIndexBatch(vecs(until, batchRows), 3L, tbl,
+          planes, tables)
+        (until, until + batchRows)
+      }
+      val results = Seq(1L, 3L, 10L, 30L, 100L).map { ratio =>
+        val baseRows = ratio * batchRows
+        val (lf, lu) = buildLive(s"g_timepurge_c$ratio", baseRows)
+        buildLive(s"g_timepurge_m$ratio", baseRows)
+        Streaming.tombstoneIndexRows(spark, s"g_timepurge_c$ratio",
+          victims(lf, lu, 37L), planes, tables, epoch = 1L)
+        Streaming.tombstoneIndexRows(spark, s"g_timepurge_m$ratio",
+          victims(lf, lu, 37L), planes, tables, epoch = 1L)
+        val convS = timed(f"purge converging base=${ratio}%3dx")(
+          Streaming.purgeIndexTombstonesConverging(spark,
+            s"g_timepurge_c$ratio", 3L))
+        val manS = timed(f"purge+fold manual base=${ratio}%3dx") {
+          Streaming.purgeIndexTombstones(spark, s"g_timepurge_m$ratio")
+          Streaming.foldIndexLeveled(spark, s"g_timepurge_m$ratio", 3L)
+          Streaming.purgeIndexTombstones(spark, s"g_timepurge_m$ratio")
+        }
+        // both tables must have erased the debt completely
+        Seq(s"g_timepurge_c$ratio", s"g_timepurge_m$ratio").foreach { t =>
+          val marks = spark.table(t).filter(
+            col("batch_id") === graft.sim.Similarity.TombstoneBatchId).count()
+          require(marks == 0L, s"$t still owes $marks marks after converge")
+        }
+        (ratio, baseRows, convS, manS)
+      }
+      println("\nratio baseRows batchRows convergingS manualS")
+      results.foreach { case (r, b, cs, ms) =>
+        println(f"$r%5d $b%8d $batchRows%9d $cs%11.2f $ms%7.2f")
+      }
+      spark.stop()
+      return
     }
 
     val results = Seq(1L, 3L, 10L, 30L, 100L).map { ratio =>

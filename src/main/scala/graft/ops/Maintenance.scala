@@ -297,6 +297,18 @@ object Maintenance {
       (layout, "fold_index_leveled") -> (() => {
         val h = head()
         if (h >= 0) Streaming.foldIndexLeveled(spark, tbl, h)
+        else
+          // surface the skip (r19 ADVICE): tick's replay log records this
+          // row executed=true, so a silent no-op here would read as a
+          // satisfied fold while the decision re-fires every tick with no
+          // progress — the signature of a stream that never commits (or a
+          // static table mis-wired with a stream-head thunk; static heads
+          // come from maxLiveBatch, which is >= 0 whenever a fold can
+          // trigger)
+          println(s"maintenance defaultTools: fold_index_leveled($tbl) " +
+            s"SKIPPED — committed head $h < 0 (nothing committed yet); " +
+            "a fold row that keeps firing with this skip is spinning, " +
+            "not progressing")
         ()
       }),
       (layout, "purge_index_tombstones") -> (() => {

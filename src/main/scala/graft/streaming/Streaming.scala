@@ -1458,7 +1458,15 @@ object Streaming {
     // to prevent (syncEpochSidecar itself sys.errors on the same
     // failures before touching anything)
     if (!fs.exists(sidecar)) {
-      if (graft.ops.Layouts.committed(spark, staging.toString)) {
+      // the staging copy must have committed AND carry data (the repo's
+      // sidecar-read rule, r19 ADVICE): a committed-but-empty husk (zero
+      // stamps survived the sync's semi-join) is schema-less, and resuming
+      // it would discard the retiring stamps on the IMPLICIT invariant
+      // that an empty semi-join means every retiring stamp's mark retired
+      // — restore the retiring copy instead; its stale stamps only age
+      // debt upward (conservative) and the next sync re-filters them
+      if (graft.ops.Layouts.committed(spark, staging.toString) &&
+          graft.ops.Layouts.hasParquetData(spark, staging.toString)) {
         if (!fs.rename(staging, sidecar))
           sys.error(s"epoch-sidecar converge: could not resume the " +
             s"committed staging copy into $sidecar")

@@ -570,6 +570,20 @@ class MaintenanceSpec extends SparkSpecBase {
     // oldest standing debt is still the PRE-crash landing (epoch 1000),
     // not the fresh stamp — the old stamps survived the landing
     assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
+
+    // crash state D (r19 ADVICE): a committed-but-EMPTY staging husk
+    // (_SUCCESS landed, zero data files — schema-less) must not be
+    // resumed over the retiring copy: renaming it in would discard every
+    // retiring stamp on the implicit invariant that an empty semi-join
+    // means all their marks retired. The converge makes the conservative
+    // choice explicit — restore the retired copy (stale stamps only age
+    // debt upward) and clear the husk as debris
+    assert(fs.rename(sidecar, retiring))
+    fs.mkdirs(staging)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")).close()
+    Streaming.purgeIndexTombstones(spark, tbl)
+    assert(fs.exists(sidecar) && !fs.exists(staging) && !fs.exists(retiring))
+    assert(Streaming.appendableTombstoneAge(spark, tbl, now = 1500L) === 500L)
   }
 
   test("appendableTombstoneAge refuses a non-appendable layout loudly " +
