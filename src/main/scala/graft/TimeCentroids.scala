@@ -52,7 +52,10 @@ object TimeCentroids {
       }
 
     for (k <- ks) {
-      val cents = corpus.limit(k).collect()
+      // ids are dense 0..nRows, so a filter (not limit — limit after a
+      // repartition returns whichever partitions answer first) keeps the
+      // centroid set deterministic across runs and ks
+      val cents = corpus.filter(col("vec_id") < k).collect()
         .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1)

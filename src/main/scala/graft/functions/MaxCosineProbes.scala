@@ -217,32 +217,46 @@ case class ArgmaxCosineProbes(child: Expression, probes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Shared resolution-time plumbing for the probe-matrix kernel family:
+  * extract the foldable matrix literal into the driver-side double array
+  * the kernel carries, and coerce the vector argument to a float/double
+  * array — ONE definition, so a fix (null row handling, accepted element
+  * types) can never reach one builder and miss the other. */
+private[functions] object ProbeMatrixBuilder {
+  def extract(exprs: Seq[Expression],
+              name: String): (Expression, Array[Array[Double]]) = {
+    require(exprs.length == 2, s"$name(vec, probes_literal)")
+    val probesExpr = exprs(1)
+    require(probesExpr.foldable,
+      s"$name: the probe matrix must be a literal (typedlit)")
+    val outer = probesExpr.eval().asInstanceOf[ArrayData]
+    require(outer != null && outer.numElements() > 0,
+      s"$name: empty probe matrix")
+    val elemType = probesExpr.dataType
+      .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+    val innerFloat = elemType == FloatType
+    val probes = (0 until outer.numElements()).map { i =>
+      val row = outer.getArray(i)
+      Array.tabulate(row.numElements()) { j =>
+        if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
+      }
+    }.toArray
+    val vec = exprs.head.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => exprs.head
+      case _ => Cast(exprs.head, ArrayType(DoubleType))
+    }
+    (vec, probes)
+  }
+}
+
 object ArgmaxCosineProbesFunction {
   val info = (
     FunctionIdentifier("argmax_cosine_probes"),
     new ExpressionInfo(classOf[ArgmaxCosineProbes].getName, "argmax_cosine_probes"),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 2, "argmax_cosine_probes(vec, probes_literal)")
-      val probesExpr = exprs(1)
-      require(probesExpr.foldable,
-        "argmax_cosine_probes: the probe matrix must be a literal (typedlit)")
-      val outer = probesExpr.eval().asInstanceOf[ArrayData]
-      require(outer != null && outer.numElements() > 0,
-        "argmax_cosine_probes: empty probe matrix")
-      val elemType = probesExpr.dataType
-        .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
-      val innerFloat = elemType == FloatType
-      val probes = (0 until outer.numElements()).map { i =>
-        val row = outer.getArray(i)
-        Array.tabulate(row.numElements()) { j =>
-          if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
-        }
-      }.toArray
-      def coerceVec(e: Expression): Expression = e.dataType match {
-        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
-        case _ => Cast(e, ArrayType(DoubleType))
-      }
-      ArgmaxCosineProbes(coerceVec(exprs.head), probes)
+      val (vec, probes) =
+        ProbeMatrixBuilder.extract(exprs, "argmax_cosine_probes")
+      ArgmaxCosineProbes(vec, probes)
     })
 
   def register(spark: SparkSession): Unit =
@@ -254,27 +268,9 @@ object MaxCosineProbesFunction {
     FunctionIdentifier("max_cosine_probes"),
     new ExpressionInfo(classOf[MaxCosineProbes].getName, "max_cosine_probes"),
     (exprs: Seq[Expression]) => {
-      require(exprs.length == 2, "max_cosine_probes(vec, probes_literal)")
-      val probesExpr = exprs(1)
-      require(probesExpr.foldable,
-        "max_cosine_probes: the probe matrix must be a literal (typedlit)")
-      val outer = probesExpr.eval().asInstanceOf[ArrayData]
-      require(outer != null && outer.numElements() > 0,
-        "max_cosine_probes: empty probe matrix")
-      val elemType = probesExpr.dataType
-        .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
-      val innerFloat = elemType == FloatType
-      val probes = (0 until outer.numElements()).map { i =>
-        val row = outer.getArray(i)
-        Array.tabulate(row.numElements()) { j =>
-          if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
-        }
-      }.toArray
-      def coerceVec(e: Expression): Expression = e.dataType match {
-        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => e
-        case _ => Cast(e, ArrayType(DoubleType))
-      }
-      MaxCosineProbes(coerceVec(exprs.head), probes)
+      val (vec, probes) =
+        ProbeMatrixBuilder.extract(exprs, "max_cosine_probes")
+      MaxCosineProbes(vec, probes)
     })
 
   def register(spark: SparkSession): Unit =

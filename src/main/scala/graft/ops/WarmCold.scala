@@ -68,7 +68,7 @@ object WarmCold {
   }
 
   /** The profile as local rows — [[graft.ops.WarmLedger.record]] needs
-    * per-query access to re-run internally-anomalous readings (warm ≥ cold
+    * per-query access to re-run internally-anomalous readings (warm > cold
     * in one session = a clipped rep2, physically impossible as steady
     * state) before they enter the committed cross-round baseline. */
   def profile(spark: SparkSession, dir: String,

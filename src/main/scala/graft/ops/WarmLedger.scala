@@ -69,17 +69,24 @@ object WarmLedger {
     // the r19 partition was recorded before it existed, record-first)
     "q166_converging_purge_probe")
 
-  /** A reading is internally ANOMALOUS when its same-session rep2 ran no
-    * faster than its rep1 (`warm_ms >= cold_ms`): steady state can only be
-    * ≤ first-run-with-codegen, so warm ≥ cold means the warm rep was
+  /** A reading is internally ANOMALOUS when its same-session rep2 ran
+    * SLOWER than its rep1 (`warm_ms > cold_ms`): steady state can only be
+    * ≤ first-run-with-codegen, so warm > cold means the warm rep was
     * clipped by a host stall — the number measures the host, not the plan.
     * The r19 partition committed exactly such a row (q141 warm 1718 >
     * cold 1139 ms, reading as a phantom 2.58× regression) and the round's
     * prose was written from a different, clean run — the instrument and
-    * its evidence disagreed. Backfilled rows with no recorded cold
-    * (`cold_ms` null) are unknown, not anomalous. */
+    * its evidence disagreed. STRICTLY greater: an exact millisecond tie is
+    * structural for fast queries (a sub-ms query floors to cold=warm=1
+    * every session) and is not stall evidence — `>=` would permanently
+    * exclude such a query from the baseline. Backfilled rows with no
+    * recorded cold (`cold_ms` null) are unknown, not anomalous. ONE rule,
+    * two carriers: this Column (the read side — [[annotated]],
+    * [[regressions]]' `!anomalousCond` baseline filter) and [[record]]'s
+    * local `anom` predicate (the same comparison on driver-side Prof rows
+    * at retry time) — refine BOTH together. */
   val anomalousCond: org.apache.spark.sql.Column =
-    col("cold_ms").isNotNull && col("warm_ms") >= col("cold_ms")
+    col("cold_ms").isNotNull && col("warm_ms") > col("cold_ms")
 
   /** The ledger with the derived `anomalous` flag — derived, not stored,
     * so every historical partition is annotated under one rule without
@@ -91,11 +98,16 @@ object WarmLedger {
     * distinguishes profiler-measured rows from backfilled prose numbers
     * (r10's rows carry the TimeQ warm times recorded in PLANS.md, with
     * nulls where only warm was written down). Anomalous readings
-    * (warm ≥ cold — see [[anomalousCond]]) are re-profiled up to
-    * `retries` times before the partition is written; a reading that
-    * stays anomalous is kept (the partition records what the host did)
-    * but [[regressions]] never admits it to the baseline. Returns what
-    * it wrote. */
+    * (warm > cold — see [[anomalousCond]]) are re-profiled up to
+    * `retries` times before the partition is written. A retry runs in an
+    * already-warm session, so its rep1 is NOT a cold reading: the row
+    * keeps its ORIGINAL session-cold, and the warm estimate becomes the
+    * MIN over every post-first-run execution observed (original warm +
+    * both retry reps) — stall-clipped reps drop out of the min instead of
+    * masquerading as steady state. A reading that stays anomalous after
+    * retries is kept (the partition records what the host did) but
+    * [[regressions]] never admits it to the baseline. Returns what it
+    * wrote. */
   def record(spark: SparkSession, dir: String, round: String,
              ledgerDir: String,
              names: Seq[String] = watchlist,
@@ -105,20 +117,31 @@ object WarmLedger {
     // regression view orders rounds by their numeric suffix)
     require(round.matches("r\\d+"),
       s"round tag must be r<N> (e.g. r11), got '$round'")
+    // the driver-side twin of anomalousCond (profiler rows always carry a
+    // real cold, so no null arm) — refine the two together
+    def anom(p: WarmCold.Prof) = p.warm_ms > p.cold_ms
     var profs = WarmCold.profile(spark, dir, names)
     var attempt = 0
-    while (attempt < retries && profs.exists(p => p.warm_ms >= p.cold_ms)) {
-      val bad = profs.filter(p => p.warm_ms >= p.cold_ms).map(_.query_id)
+    while (attempt < retries && profs.exists(anom)) {
+      val bad = profs.filter(anom).map(_.query_id)
       println(s"WarmLedger: re-profiling ${bad.size} anomalous " +
-        s"(warm >= cold) reading(s): ${bad.mkString(", ")}")
+        s"(warm > cold) reading(s): ${bad.mkString(", ")}")
       val redo = WarmCold.profile(spark, dir, bad).map(p => p.query_id -> p).toMap
-      profs = profs.map(p => redo.getOrElse(p.query_id, p))
+      profs = profs.map { p =>
+        redo.get(p.query_id).fold(p) { r =>
+          val warmBest = math.min(p.warm_ms, math.min(r.cold_ms, r.warm_ms))
+          p.copy(warm_ms = warmBest,
+            warmup_pct = (2 * math.max(0L, p.cold_ms - warmBest) * 100 +
+              p.cold_ms) / (2 * p.cold_ms),
+            codegen_pct = r.codegen_pct, n_ops = r.n_ops)
+        }
+      }
       attempt += 1
     }
-    profs.filter(p => p.warm_ms >= p.cold_ms).foreach(p => println(
+    profs.filter(anom).foreach(p => println(
       s"WarmLedger: ${p.query_id} still anomalous after $retries retries " +
-        s"(cold ${p.cold_ms} ms, warm ${p.warm_ms} ms) — recorded but " +
-        "excluded from the regression baseline"))
+        s"(cold ${p.cold_ms} ms, best post-first-run ${p.warm_ms} ms) — " +
+        "recorded but excluded from the regression baseline"))
     val prof = profs.toDF().orderBy(col("query_id"))
       .withColumn("source", lit("profiler"))
     // one self-contained partition per round: re-running a round replaces
@@ -138,7 +161,7 @@ object WarmLedger {
     * >2× growth — the rule that replaces cold-time re-litigation. Round
     * recency orders on the tag's NUMERIC suffix ([[record]] enforces the
     * r<N> shape), so r100 correctly follows r99. Anomalous readings
-    * ([[anomalousCond]]: warm ≥ cold, a clipped rep2) are excluded BEFORE
+    * ([[anomalousCond]]: warm > cold, a clipped rep2) are excluded BEFORE
     * round selection — an anomalous latest round falls back to comparing
     * the two most recent CLEAN rounds, and an anomalous reading can never
     * become next round's `prev_warm_ms` baseline (the r19 q141 lesson).
@@ -154,10 +177,13 @@ object WarmLedger {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(roundNum.desc)
     read(spark, ledgerDir)
-      // null-cold backfilled rows are unknown-but-usable (their warm came
-      // from a verified PLANS.md measurement); only a same-session
-      // warm >= cold reading is evidence against itself
-      .filter(col("cold_ms").isNull || col("warm_ms") < col("cold_ms"))
+      // ONE definition of admissibility: the negation of anomalousCond
+      // (null-cold backfilled rows are unknown-but-usable — their warm
+      // came from a verified PLANS.md measurement — and !(null && …)
+      // keeps them); re-spelling the rule here would let a future
+      // refinement of anomalousCond silently diverge from the baseline
+      // filter
+      .filter(!anomalousCond)
       .groupBy(col("query_id"), col("round"))
       .agg(min(col("warm_ms")).as("warm_ms"))
       .withColumn("rk", row_number().over(w))

@@ -50,11 +50,10 @@ object IndexParams {
     * The ceiling was 256 through r19 — the comfort zone of the literal
     * assignment ladder (one codegen'd cosine call per centroid; Janino's
     * 64 KB method limit bites in the low hundreds of calls). r20 took the
-    * q116 matrix-kernel escape hatch: beyond
-    * [[Similarity.LadderMaxCentroids]] centroids,
-    * [[Similarity.assignToCentroid]] rides ONE native
-    * `argmax_cosine_probes` node (bit-identical to the ladder,
-    * spec-pinned), so assignment cost is k·dims multiply-adds per row at
+    * q116 matrix-kernel escape hatch: [[Similarity.assignToCentroid]]
+    * rides ONE native `argmax_cosine_probes` node at every k
+    * (bit-identical to the retired ladder, spec-pinned), so assignment
+    * cost is k·dims multiply-adds per row at
     * any k — measured warm on 200k×64 vectors: kernel 0.33/0.60/1.66 s at
     * k=256/1024/4096 vs ladder 2.26/14.0/34.0 s (graft.TimeCentroids,
     * PLANS.md r20). k now tracks √n to n ≈ 16.7M vectors per layout; the

@@ -172,34 +172,28 @@ object Similarity {
     centroids
   }
 
-  /** Centroid count at which [[assignToCentroid]] flips from the literal
-    * greatest-ladder to the [[graft.functions.ArgmaxCosineProbes]] matrix
-    * kernel: the ladder is k expression nodes × dim literals and Janino's
-    * 64 KB generated-method limit bites in the low hundreds of calls —
-    * this constant was `IndexParams.ivfK`'s whole ceiling until r20. Kept
-    * as the small-k path only out of oracle conservatism (every committed
-    * layout fingerprint was built by it); the kernel is bit-identical
-    * (spec-pinned across the flip) and faster at every k measured
-    * (graft.TimeCentroids, PLANS.md r20). */
-  val LadderMaxCentroids = 256
-
-  /** Assign each vector to its max-cosine centroid. Centroid state is
-    * k×dim doubles, so it rides the plan driver-side, never as a join.
-    * k ≤ [[LadderMaxCentroids]]: LITERALS (one cosine kernel call per
-    * centroid, unrolled Scala-side — the q27/q100 sig-table rule: a
-    * plan-time-constant loop bound must not become a lambda or a join);
-    * argmax = `greatest` over (csim, −cid) structs, a pure per-row
-    * projection in whole-stage codegen — no k× row blow-up, no window, no
-    * shuffle. Beyond: the ladder's generated projection would blow
-    * Janino's method limit, so the whole centroid matrix rides ONE native
-    * [[graft.functions.ArgmaxCosineProbes]] node (the `max_cosine_probes`
-    * dissolution, argmax flavor) and the winning row index maps to its cid
-    * through a literal array lookup — still one plan node, codegen at any
-    * k. Both paths: tiebreak (csim desc, cid asc), matching the former
-    * window formulation; assignment stays a pure function of the embedding
-    * value (the q111 recall proof leans on this) and is bitwise IDENTICAL
-    * across the flip (same per-centroid cosine arithmetic, same tiebreak —
-    * SimilaritySpec pins ladder↔kernel equality straddling the boundary). */
+  /** Assign each vector to its max-cosine centroid — always the single
+    * [[assignKernel]] node. Centroid state is k×dim doubles, so it rides
+    * the plan driver-side, never as a join: the whole cid-sorted centroid
+    * matrix is ONE native [[graft.functions.ArgmaxCosineProbes]] node
+    * (the `max_cosine_probes` dissolution, argmax flavor), a pure per-row
+    * projection in whole-stage codegen at any k — no k× row blow-up, no
+    * window, no shuffle.
+    *
+    * History (r20, the withMaxSimToProbes r8 story repeating): through
+    * r19 this unrolled one literal cosine call per centroid
+    * ([[assignLadder]] — the q27/q100 sig-table rule), which capped
+    * `IndexParams.ivfK` at 256 (Janino's 64 KB generated-method limit
+    * bites in the low hundreds of calls). The kernel is bitwise-identical
+    * to the ladder by construction — same per-centroid cosine arithmetic,
+    * same (csim desc, cid asc) tiebreak, same NaN-largest and null-row
+    * routing, spec-pinned at k=40 and k=300 including zero-vector and
+    * null-embedding rows — and measured FASTER at every k
+    * (graft.TimeCentroids warm, 200k×64: kernel 0.33/0.60/1.66 s vs
+    * ladder 2.26/14.0/34.0 s at k=256/1024/4096; PLANS.md r20), so the
+    * flip guard had no failure mode left to guard and the kernel is the
+    * only wired path. Assignment stays a pure function of the embedding
+    * value (the q111 recall proof leans on this). */
   def assignToCentroid(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -207,14 +201,15 @@ object Similarity {
     require(cents.nonEmpty,
       "assignToCentroid: empty centroid relation — the corpus behind the " +
         "layout (or rebuild survivors) has no rows")
-    if (cents.length <= LadderMaxCentroids) assignLadder(emb, cents)
-    else assignKernel(emb, cents)
+    assignKernel(emb, cents)
   }
 
-  /** Ladder path: one literal cosine kernel call per centroid. `cents`
-    * must be cid-sorted (as [[assignToCentroid]] collects them). Public
-    * alongside [[assignKernel]] so TimeCentroids can measure, and
-    * SimilaritySpec pin equality of, both paths at any k. */
+  /** Ladder alternative: one literal cosine kernel call per centroid.
+    * Retired as a wired path in r20 (see [[assignToCentroid]]); kept as
+    * the measured alternative TimeCentroids compares and SimilaritySpec
+    * pins bit-equal to the kernel at any k — the same role
+    * [[maxSimChunkedLadder]] plays for the probe kernel. Output is
+    * independent of `cents` order (greatest is commutative). */
   def assignLadder(emb: DataFrame,
                    cents: Array[(Long, Array[Double])]): DataFrame = {
     val best = greatest(cents.map { case (c, ce) =>
@@ -227,16 +222,35 @@ object Similarity {
 
   /** Matrix-kernel path: the whole cid-sorted centroid matrix rides one
     * [[graft.functions.ArgmaxCosineProbes]] node; the winning row index
-    * maps to its cid through a literal array lookup. */
+    * maps to its cid through a literal array lookup. The sort order is a
+    * CORRECTNESS precondition, not a convention — the kernel breaks ties
+    * (and routes NaN-cosine rows) toward the smallest ARRAY INDEX, which
+    * equals the documented smallest-cid contract only when rows are
+    * cid-ascending — so it is required loudly, not assumed. */
   def assignKernel(emb: DataFrame,
                    cents: Array[(Long, Array[Double])]): DataFrame = {
+    // loud before cents.head / the kernel's own require can obscure it
+    require(cents.nonEmpty,
+      "assignKernel: empty centroid matrix — the corpus behind the " +
+        "layout (or rebuild survivors) has no rows")
+    require(cents.length <= 1 ||
+        cents.iterator.map(_._1).sliding(2).forall(p => p.head < p.last),
+      "assignKernel: centroid rows must be strictly cid-ascending — " +
+        "tiebreak and NaN routing resolve by array index")
     ensureRegistered(emb.sparkSession)
     val idx = call_function("argmax_cosine_probes", col("embedding"),
       typedlit(cents.map(_._2.toIndexedSeq).toIndexedSeq))
     // rows are cid-sorted, so index i ↔ the i-th smallest cid; ANSI
-    // element_at is 1-based and idx ∈ [0, k) by construction
+    // element_at is 1-based and idx ∈ [0, k) by construction. A NULL
+    // embedding nulls the kernel (nullSafeEval) — but the ladder sends
+    // such a row to the SMALLEST cid (every csim field is null, null
+    // sorts smallest in the struct compare, ncid breaks the all-equal
+    // tie), so coalesce mirrors that and the flip stays
+    // behavior-identical on null rows too (spec-pinned)
     emb.select(col("vec_id"), col("embedding"),
-      element_at(typedlit(cents.map(_._1).toIndexedSeq), idx + lit(1)).as("cid"))
+      coalesce(
+        element_at(typedlit(cents.map(_._1).toIndexedSeq), idx + lit(1)),
+        lit(cents.head._1)).as("cid"))
   }
 
   /** q43: IVF ANN — 16 clusters, 2 Lloyd rounds, nprobe=2: each probe scans

@@ -212,26 +212,33 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("centroid assignment: literal ladder and argmax matrix kernel " +
-      "agree exactly on both sides of the LadderMaxCentroids flip, " +
-      "including degenerate (NaN-cosine) vectors") {
-    // the r20 ivfK-ceiling lift: beyond LadderMaxCentroids centroids,
-    // assignToCentroid swaps the greatest-struct ladder for ONE native
-    // argmax_cosine_probes node. Same per-centroid cosine loop, same
-    // (csim desc, cid asc) tiebreak, NaN sorts largest on both paths —
-    // so the picked cid must agree exactly at ANY k, which is the whole
-    // license for raising the ceiling without re-opening the q139/q143/
-    // q146/q154 planted oracles (assignment stays one pure function)
+      "agree exactly at small and large k, " +
+      "including degenerate (NaN-cosine and null-embedding) vectors") {
+    // the r20 ivfK-ceiling lift: assignToCentroid retired the
+    // greatest-struct ladder for ONE native argmax_cosine_probes node at
+    // every k. Same per-centroid cosine loop, same (csim desc, cid asc)
+    // tiebreak, NaN sorts largest on both paths — so the picked cid must
+    // agree exactly at ANY k, which is the whole license for the swap
+    // (and the ceiling raise) without re-opening the q139/q143/q146/q154
+    // planted oracles (assignment stays one pure function)
     Similarity.ensureRegistered(spark)
     val e = graft.Tables.embeddings(spark, Sf001)
     // a zero vector makes every cosine NaN: both paths must send it to
-    // the smallest cid (NaN ties broken by cid), not drop or crash it
+    // the smallest cid (NaN ties broken by cid), not drop or crash it.
+    // A NULL embedding likewise: the ladder's greatest compares structs
+    // whose csim fields are all null (null sorts smallest, ncid breaks
+    // the tie -> smallest cid); the kernel coalesces its nulled argmax to
+    // the same smallest cid — the flip must not change null-row routing
     val corpus = e.select(col("vec_id"), col("embedding")).unionByName(
       Seq((9999999L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+      .unionByName(
+        Seq(Tuple1(9999998L)).toDF("vec_id")
+          .withColumn("embedding", lit(null).cast("array<float>")))
     def centsOf(k: Int): Array[(Long, Array[Double])] =
       e.orderBy(col("vec_id")).limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1)
-    for (k <- Seq(40, Similarity.LadderMaxCentroids + 44)) {
+    for (k <- Seq(40, 300)) {
       val cents = centsOf(k)
       val lad = Similarity.assignLadder(corpus, cents)
         .select(col("vec_id"), col("cid").as("a"))
@@ -239,17 +246,19 @@ class SimilaritySpec extends SparkSpecBase {
         .select(col("vec_id"), col("cid").as("b"))
       assert(lad.join(ker, "vec_id").filter(col("a") =!= col("b"))
         .count() === 0L, s"ladder/kernel disagreement at k=$k")
-      // the dispatcher picks the path this k belongs to — and therefore
-      // the same assignment either way
+      // the wired entry point (kernel at every k) matches both
       val cdf = cents.toSeq.map { case (c, ce) => (c, ce.toSeq) }
         .toDF("cid", "ce")
       val via = Similarity.assignToCentroid(corpus, cdf)
         .select(col("vec_id"), col("cid").as("c"))
       assert(lad.join(via, "vec_id").filter(col("a") =!= col("c"))
         .count() === 0L, s"dispatcher disagreement at k=$k")
-      // the degenerate vector landed on the smallest cid on both paths
+      // the degenerate vectors landed on the smallest cid on both paths
       val z = via.filter(col("vec_id") === 9999999L).head().getLong(1)
       assert(z === cents.head._1, s"NaN tiebreak at k=$k")
+      val nl = via.filter(col("vec_id") === 9999998L).head()
+      assert(!nl.isNullAt(1) && nl.getLong(1) === cents.head._1,
+        s"null-embedding routing at k=$k")
     }
   }
 

@@ -73,7 +73,7 @@ class WarmLedgerSpec extends SparkSpecBase {
     assert(out2("qb").getAs[Boolean]("regressed"))
   }
 
-  test("anomalous readings (warm >= cold, a clipped rep2) are excluded " +
+  test("anomalous readings (warm > cold, a clipped rep2) are excluded " +
       "from the regression baseline; null-cold backfills stay usable") {
     val dir = java.nio.file.Files.createTempDirectory("warmled").toString
     def part(round: String, rows: Seq[(String, Long, Option[Long])]): Unit =
@@ -82,11 +82,16 @@ class WarmLedgerSpec extends SparkSpecBase {
         .withColumn("n_ops", lit(10L)).withColumn("source", lit("test"))
         .select(profCols.map(col): _*)
         .write.parquet(s"$dir/round=$round")
-    // qa: clean r01/r02, then an anomalous r03 (warm 3000 >= cold 1500 —
+    // qa: clean r01/r02, then an anomalous r03 (warm 3000 > cold 1500 —
     // physically a clipped rep2, exactly the committed r19 q141 shape)
     // qb: a null-cold backfilled r01 row (unknown, NOT anomalous)
-    part("r01", Seq(("qa", 1000L, Some(2000L)), ("qb", 1000L, None)))
-    part("r02", Seq(("qa", 1100L, Some(2200L)), ("qb", 1500L, Some(3000L))))
+    // qc: an exact tie (cold=warm=1 every round — the sub-ms shape):
+    // STRUCTURAL, not stall evidence; must stay admissible or the query
+    // is permanently excluded from the baseline (the >= vs > rule)
+    part("r01", Seq(("qa", 1000L, Some(2000L)), ("qb", 1000L, None),
+      ("qc", 1L, Some(1L))))
+    part("r02", Seq(("qa", 1100L, Some(2200L)), ("qb", 1500L, Some(3000L)),
+      ("qc", 1L, Some(1L))))
     part("r03", Seq(("qa", 3000L, Some(1500L))))
     val ann = WarmLedger.annotated(spark, dir)
     assert(ann.filter(col("anomalous")).select("query_id", "round")
@@ -102,6 +107,9 @@ class WarmLedgerSpec extends SparkSpecBase {
     // qb's backfilled row is a valid baseline
     assert(out("qb").getAs[String]("prev_round") === "r01")
     assert(out("qb").getAs[Long]("warm_ratio_x100") === 150L)
+    // qc's tie rows are clean on both sides — present, flat, unflagged
+    assert(out("qc").getAs[Long]("warm_ratio_x100") === 100L)
+    assert(!out("qc").getAs[Boolean]("regressed"))
   }
 
   test("the committed r19 q141 anomaly is flagged and kept out of the " +
