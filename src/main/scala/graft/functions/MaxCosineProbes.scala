@@ -234,6 +234,12 @@ private[functions] object ProbeMatrixBuilder {
       s"$name: empty probe matrix")
     val elemType = probesExpr.dataType
       .asInstanceOf[ArrayType].elementType.asInstanceOf[ArrayType].elementType
+    // a loud contract beats the ClassCastException getDouble would throw
+    // on int-backed ArrayData (these are registered SQL functions — an
+    // integer literal matrix is one typo away)
+    require(elemType == FloatType || elemType == DoubleType,
+      s"$name: probe matrix elements must be float or double, got $elemType" +
+        " — cast the literal (array<array<double>>)")
     val innerFloat = elemType == FloatType
     val probes = (0 until outer.numElements()).map { i =>
       val row = outer.getArray(i)

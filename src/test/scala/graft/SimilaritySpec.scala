@@ -260,6 +260,14 @@ class SimilaritySpec extends SparkSpecBase {
       assert(!nl.isNullAt(1) && nl.getLong(1) === cents.head._1,
         s"null-embedding routing at k=$k")
     }
+    // the registered SQL surface rejects a non-float/double literal
+    // matrix loudly (an integer matrix is one typo away and getDouble on
+    // int-backed ArrayData would otherwise throw a bare CCE)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT argmax_cosine_probes(array(1.0f), array(array(1, 2)))")
+        .collect()
+    }
+    assert(ex.getMessage.contains("float or double"), ex.getMessage)
   }
 
   /** Shared planted-retrieval contract: one row per probe, every top-1 is
