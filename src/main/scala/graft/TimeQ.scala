@@ -1,15 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: time named queries in isolation (2 reps — rep1 shows JIT/codegen
-  * cold-start, rep2 the steady state), same checksum action as Bench.
+/** Dev tool: time named queries in isolation (default 2 reps — rep1 shows
+  * JIT/codegen cold-start, rep2 the steady state), same checksum action as
+  * Bench.
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.TimeQ /root/testdata/sf0.1 q24_ngram_jaccard"
+  *
+  * Options (r20, the q115 rep2-slowdown investigation):
+  *   -reps N   run N reps instead of 2
+  *   -gc       System.gc() + 2 s pause between reps — lets the
+  *             ContextCleaner actually drain dropped localCheckpoint /
+  *             broadcast blocks, isolating "rep1's session debris slows
+  *             rep2" from "the plan is slower warm" (q115's profile shows
+  *             rep2 > rep1 in 8 of 9 recorded ledger rounds; PLANS.md r20).
+  *             Finding: for q115 the drain made rep2 WORSE (+75%) while
+  *             its family behaved normally — the asymmetry is post-GC
+  *             heap condition, not checkpoint debris; see the PLANS.md
+  *             r20 ledger note for the full measurement.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val names = args.tail.toSeq
+    var reps = 2
+    var gcBetween = false
+    val names = scala.collection.mutable.Buffer.empty[String]
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "-reps" => reps = args(i + 1).toInt; i += 2
+        case "-gc" => gcBetween = true; i += 1
+        case n => names += n; i += 1
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,7 +41,8 @@ object TimeQ {
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
     import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
     names.foreach { n =>
-      (1 to 2).foreach { rep =>
+      (1 to reps).foreach { rep =>
+        if (gcBetween && rep > 1) { System.gc(); Thread.sleep(2000) }
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, sfDir)
         df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
