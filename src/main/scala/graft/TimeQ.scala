@@ -28,11 +28,16 @@ object TimeQ {
     var i = 1
     while (i < args.length) {
       args(i) match {
-        case "-reps" => reps = args(i + 1).toInt; i += 2
+        case "-reps" =>
+          require(i + 1 < args.length, "-reps needs a count")
+          reps = args(i + 1).toInt; i += 2
         case "-gc" => gcBetween = true; i += 1
         case n => names += n; i += 1
       }
     }
+    // a zero/negative count would run nothing and print nothing — a
+    // confusing dead run for a tool whose readings feed PLANS.md
+    require(reps >= 1, s"-reps must be >= 1, got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

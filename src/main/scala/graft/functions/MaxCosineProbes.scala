@@ -229,6 +229,15 @@ private[functions] object ProbeMatrixBuilder {
     val probesExpr = exprs(1)
     require(probesExpr.foldable,
       s"$name: the probe matrix must be a literal (typedlit)")
+    // shape BEFORE eval: a flat array (or non-array) second argument is
+    // as much one typo away as an int matrix, and would otherwise die in
+    // the casts below with a bare ClassCastException
+    require(probesExpr.dataType match {
+        case ArrayType(ArrayType(_, _), _) => true
+        case _ => false
+      },
+      s"$name: the probe matrix must be array<array<float|double>>, got " +
+        probesExpr.dataType.sql)
     val outer = probesExpr.eval().asInstanceOf[ArrayData]
     require(outer != null && outer.numElements() > 0,
       s"$name: empty probe matrix")

@@ -268,6 +268,13 @@ class SimilaritySpec extends SparkSpecBase {
         .collect()
     }
     assert(ex.getMessage.contains("float or double"), ex.getMessage)
+    // ...and a wrong-SHAPE matrix (flat array) fails on the shape
+    // require, not a bare ClassCastException in the nested-type casts
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT argmax_cosine_probes(array(1.0f), array(1.0, 2.0))")
+        .collect()
+    }
+    assert(ex2.getMessage.contains("array<array"), ex2.getMessage)
   }
 
   /** Shared planted-retrieval contract: one row per probe, every top-1 is
