@@ -44,15 +44,36 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
+    // SPARK_GRAFT_JOBS=1: per-rep job/stage/task counts — the fixed-cost
+    // shape of a query (every job pays scheduling + result handling; at
+    // test SFs a multi-action query is often overhead-bound, r21)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stagesN = new java.util.concurrent.atomic.AtomicInteger
+    val tasksN = new java.util.concurrent.atomic.AtomicInteger
+    if (sys.env.contains("SPARK_GRAFT_JOBS"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stagesN.incrementAndGet(); tasksN.addAndGet(s.stageInfo.numTasks)
+          }
+        })
     import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}
     names.foreach { n =>
       (1 to reps).foreach { rep =>
         if (gcBetween && rep > 1) { System.gc(); Thread.sleep(2000) }
+        jobs.set(0); stagesN.set(0); tasksN.set(0)
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(n)(spark, sfDir)
         df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
           .agg(bit_xor(col("h"))).collect()
-        println(f"TIMEQ $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val counts = if (sys.env.contains("SPARK_GRAFT_JOBS"))
+          s" jobs=${jobs.get} stages=${stagesN.get} tasks=${tasksN.get}"
+        else ""
+        println(f"TIMEQ $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s$counts")
       }
     }
     spark.stop()

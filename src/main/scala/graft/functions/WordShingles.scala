@@ -186,6 +186,29 @@ object ShingleMath {
   }
 }
 
+/** First-occurrence-distinct word n-gram shingles (r21). `explode` of this
+  * array yields exactly the row SET `explode(word_shingles) → distinct`
+  * produced per document — distinctness over the shingle STRINGS, no hash
+  * shortcut — but partition-locally: the downstream `.distinct()` exchange
+  * plus its two hash aggregates over the exploded corpus relation (the
+  * widest in the dedup family) disappear from the plan. */
+object ShingleDistinct {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val arr = ShingleMath.wordShingles(s, n)
+    val m = arr.numElements()
+    if (m == 0) return arr
+    val seen = new java.util.LinkedHashSet[UTF8String](Math.max(16, m * 2))
+    var i = 0
+    while (i < m) { seen.add(arr.getUTF8String(i)); i += 1 }
+    if (seen.size == m) return arr
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Companion to [[ShingleMath.wordShingles]]: the number of DISTINCT word
   * n-gram shingles, without materializing the (doc_id, shingle) relation.
   * Distinctness is over the shingle STRINGS (a hash set of the
@@ -238,6 +261,42 @@ object WordShinglesFunction {
       require(exprs.length == 2 && exprs(1).foldable,
         "word_shingles(text, n) with literal n")
       WordShingles(Cast(exprs.head, StringType),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(info._1, info._2, info._3)
+}
+
+/** Native first-occurrence-distinct shingler (see
+  * [[ShingleDistinct.shingles]]); the `.distinct()`-free path under the
+  * dedup family's exploded relation. */
+case class WordShinglesDistinct(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "word_shingles_distinct n must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_distinct"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleDistinct.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleDistinct.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShinglesDistinctFunction {
+  val info = (
+    FunctionIdentifier("word_shingles_distinct"),
+    new ExpressionInfo(classOf[WordShinglesDistinct].getName,
+      "word_shingles_distinct"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "word_shingles_distinct(text, n) with literal n")
+      WordShinglesDistinct(Cast(exprs.head, StringType),
         exprs(1).eval().asInstanceOf[Number].intValue())
     })
 

@@ -108,6 +108,15 @@ object WarmLedger {
     * retries is kept (the partition records what the host did) but
     * [[regressions]] never admits it to the baseline. Returns what it
     * wrote. */
+  /** Half-up integer warmup share for a retried row. Guards `cold = 0`:
+    * a sub-ms query rounds to cold_ms = 0 exactly when it profiles
+    * anomalous, and the unguarded ratio divided by zero (r20 VERDICT
+    * residual defect 2). Unchanged for every cold ≥ 1. */
+  def warmupPct(coldMs: Long, warmBestMs: Long): Long = {
+    val cold = math.max(1L, coldMs)
+    (2 * math.max(0L, cold - warmBestMs) * 100 + cold) / (2 * cold)
+  }
+
   def record(spark: SparkSession, dir: String, round: String,
              ledgerDir: String,
              names: Seq[String] = watchlist,
@@ -131,8 +140,7 @@ object WarmLedger {
         redo.get(p.query_id).fold(p) { r =>
           val warmBest = math.min(p.warm_ms, math.min(r.cold_ms, r.warm_ms))
           p.copy(warm_ms = warmBest,
-            warmup_pct = (2 * math.max(0L, p.cold_ms - warmBest) * 100 +
-              p.cold_ms) / (2 * p.cold_ms),
+            warmup_pct = warmupPct(p.cold_ms, warmBest),
             codegen_pct = r.codegen_pct, n_ops = r.n_ops)
         }
       }

@@ -54,6 +54,18 @@ object TextOps {
       explode(call_function("word_shingles", col("text"), lit(n))).as("s"): _*)
   }
 
+  /** Distinct shingles as rows — exactly `shingleRows(docs, n).distinct()`
+    * per document, but deduped PARTITION-LOCALLY by the native kernel:
+    * per-doc distinctness is row-local, so the declarative `.distinct()`
+    * paid a full exchange + two hash aggregates over the exploded corpus
+    * relation for nothing (r21, guide §2.4). */
+  def distinctShingleRows(docs: DataFrame, n: Int): DataFrame = {
+    graft.functions.WordShinglesDistinctFunction.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      explode(call_function("word_shingles_distinct", col("text"), lit(n)))
+        .as("s"))
+  }
+
   private val stopwords = Seq("the", "a")
 
   /** q21: per-source token statistics + composite quality score (reference
@@ -154,28 +166,52 @@ object TextOps {
   def jaccardPairs(docs: DataFrame, n: Int, maxDf: Int = 500,
                    aSide: Column = lit(true), bSide: Column = lit(true),
                    aJoinFilter: Column = lit(true)): DataFrame = {
-    val sh = shingleRows(docs, n).distinct()
-    // denominator counts via the native kernel: a per-row byte pass on the
-    // document scan instead of a SECOND corpus explode + per-doc
-    // aggregation (exchange reuse cannot merge it with the pair join's
-    // explode — different aggregation partitionings). Bit-identical to
-    // explode→distinct→count: the kernel distincts the shingle STRINGS.
-    graft.functions.WordShingleDistinctCountFunction.register(docs.sparkSession)
-    val counts = docs.select(col("doc_id"),
-      call_function("word_shingle_distinct_count", col("text"), lit(n)).as("c"))
-      .filter(col("c") > 0)
+    // r21: the exploded relation dedups PARTITION-LOCALLY via the native
+    // distinct-shingle kernel — per-doc distinctness is row-local, so the
+    // old `.distinct()` spent a full exchange + two hash aggregates over
+    // the widest relation in the query for nothing (guide §2.4). The
+    // Jaccard denominator c = size(arr) rides the same projection (the
+    // array is built once — projection collapse shares it with the
+    // explode), replacing the old separate kernel-count scan + the TWO
+    // pair-side joins it needed (measured: two sequential 1-task broadcast
+    // stages + 2 BHJs over the 1.1M-row pair relation at sf0.1).
+    // Bit-identical: same shingle-string set per doc (the kernel distincts
+    // the STRINGS, no hash shortcut), same per-doc count, same df per s.
+    graft.functions.WordShinglesDistinctFunction.register(docs.sparkSession)
+    // two-step select, NOT one: in a single projection ExtractGenerator
+    // hoists size(arr) ABOVE the Generate, re-evaluating the kernel once
+    // per EXPLODED row (measured: 0.24 s → 4 s scan stage). With the array
+    // bound to an alias first, CollapseProject declines to inline the
+    // non-cheap kernel into two references and it runs once per document.
+    val sh = docs
+      .select(col("doc_id"),
+        call_function("word_shingles_distinct", col("text"), lit(n))
+          .as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast("long").as("c"),
+        explode(col("sharr")).as("s"))
     val capped = sh
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .filter(col("df") <= maxDf).drop("df")
-    val pairs = capped.filter(aSide).filter(aJoinFilter).as("a")
-      .join(capped.filter(bSide).as("b"),
+    // r21: force sort-merge on the bucket self-join. Left alone, Catalyst's
+    // post-aggregation size estimate lets the FULL capped relation (the
+    // widest in the query) broadcast — the build side then DUPLICATES the
+    // whole scan→explode→distinct→window subtree (measured: two Generate
+    // pipelines in the q24 plan) and collects it to the driver, a shape
+    // that cannot exist at corpus scale. As sort-merge the two sides are
+    // canonically identical, so ReuseExchange computes the subtree ONCE,
+    // and the join adds zero exchanges: both sides arrive partitioned AND
+    // sorted on `s` from the df-cap window (guide §3.1/§2.4).
+    val pairs = capped.filter(aSide).filter(aJoinFilter).as("a").hint("merge")
+      .join(capped.filter(bSide).as("b").hint("merge"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
+      // c is functionally dependent on the group key (one c per doc), so
+      // min() just carries it through the aggregation — no counts join
+      .agg(count(lit(1)).as("common"),
+        min(col("a.c")).as("c1"), min(col("b.c")).as("c2"))
     pairs
-      .join(counts.select(col("doc_id").as("d1"), col("c").as("c1")), "d1")
-      .join(counts.select(col("doc_id").as("d2"), col("c").as("c2")), "d2")
+      .select(col("d1"), col("d2"), col("common"), col("c1"), col("c2"))
       .withColumn("jaccard",
         Exprs.dround(col("common") / (col("c1") + col("c2") - col("common")), 6))
   }
@@ -272,7 +308,7 @@ object TextOps {
   def q112ShingleNovelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val w = Window.partitionBy(col("s"))
-    val perDoc = shingleRows(docs, 3).distinct()
+    val perDoc = distinctShingleRows(docs, 3)
       .withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_shingles"),
@@ -354,7 +390,7 @@ object TextOps {
     val labels = clusterLabels(pairs)
     val toks = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    labels.join(toks, "doc_id")
+    broadcastIfSmall(labels).join(toks, "doc_id")
       .groupBy(col("label").as("cluster_id"))
       .agg(
         max_by(struct(col("doc_id"), col("n_tokens")),
@@ -408,7 +444,7 @@ object TextOps {
     val labels = clusterLabels(pairs)
     val base = docs.select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcastIfSmall(labels), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("label"), col("doc_id")))
       .withColumn("split_doc", hashSplit(col("doc_id")))
       .withColumn("split_cluster", hashSplit(col("rep")))
@@ -482,7 +518,7 @@ object TextOps {
     val best = max(ord).over(Window.partitionBy(col("rep")))
     docs.select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcastIfSmall(labels), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("label"), col("doc_id")))
       .withColumn("kept", col("label").isNull || ord === best)
       .withColumn("split", hashSplit(col("rep")))
@@ -569,7 +605,7 @@ object TextOps {
     val kept = ord === max(ord).over(Window.partitionBy(col("rep")))
     val bySrc = docs.select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcastIfSmall(labels), Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("label"), col("doc_id")))
       .withColumn("kept", kept)
       .groupBy(col("source")).agg(
@@ -1305,9 +1341,19 @@ object TextOps {
     * component of size ≥ 2). */
   def clusterLabels(allPairs: DataFrame): DataFrame = {
     val edges = propagationEdges(allPairs)
+    // r21: seed with the 1-hop neighborhood minimum instead of the
+    // identity. least(self, min(neighbors)) is EXACTLY what round 1 of the
+    // loop computes from an identity seed, so the fixpoint is bit-identical
+    // (a seed names a member of its own component and is ≤ doc_id — the
+    // q118 validity rule) while the loop converges one round earlier —
+    // for the shallow components of real dup graphs that is 2 rounds → 1,
+    // i.e. one checkpoint job + one count action saved per clustering
+    // query. Same single exchange as the old distinct: the min-agg rides
+    // the identical hashpartitioning(doc_id).
     val init = checkpointKeepPartitioning(
-      edges.select(col("src").as("doc_id")).distinct())
-      .withColumn("label", col("doc_id"))
+      edges.select(col("src").as("doc_id"), col("dst"))
+        .groupBy(col("doc_id")).agg(min(col("dst")).as("nmin")))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("label"))
     propagateToFixpoint(edges, init)._1
   }
 
@@ -1317,9 +1363,18 @@ object TextOps {
     * forgets outputPartitioning and re-shuffled the loop-invariant edges
     * every round), so each round's join shuffles only the label relation. */
   def propagationEdges(allPairs: DataFrame): DataFrame = {
+    // r21: materialize the θ-filtered edge list FIRST, with AQE on. The
+    // union below references `pairs` twice, and the partitioning-keeping
+    // checkpoint plans with AQE OFF — without this cut the whole upstream
+    // pair join ran TWICE inside that non-adaptive materialization (AQE
+    // stage reuse is what dedupes the two references; the static
+    // ReuseExchange rule only covers the subtree below the final pair
+    // aggregation). The edge list is |edges|-sized (tiny vs the pair
+    // relation), so this checkpoint is the cheapest point to cut.
     val pairs = allPairs
       .filter(col("jaccard") >= 0.4)
       .select(col("d1"), col("d2"))
+      .localCheckpoint()
     checkpointKeepPartitioning(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -1352,6 +1407,23 @@ object TextOps {
         "still changing): component diameter exceeds the round budget — " +
         "use starComponents (O(log n) rounds) for chain-heavy graphs")
     (labels, iter)
+  }
+
+  /** Broadcast a checkpointed relation when its measured size clears the
+    * session broadcast threshold (r21). Checkpointed LogicalRDDs carry NO
+    * size statistics, so Catalyst can never auto-broadcast them: every
+    * corpus ⋈ labels join in the q114/q115/q117/q122 family planned
+    * sort-merge, exchanging + sorting the CORPUS scan to meet a
+    * |dup docs|-sized side. The row count is one cheap job over the
+    * already-checkpointed blocks; this is the statistics decision the
+    * planner would make itself if the stats existed — and above the
+    * threshold the join legitimately stays sort-merge (labels can outgrow
+    * broadcast at corpus scale), so the choice remains size-driven, not a
+    * local-mode constant. */
+  def broadcastIfSmall(rel: DataFrame, bytesPerRow: Long = 32L): DataFrame = {
+    val thr =
+      rel.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && rel.count() * bytesPerRow <= thr) broadcast(rel) else rel
   }
 
   /** Per-component rollup shared by the two clustering paths (q59/q104):

@@ -128,6 +128,21 @@ class WarmLedgerSpec extends SparkSpecBase {
     }
   }
 
+  test("warmupPct guards cold_ms = 0 (sub-ms anomalous row) and is the " +
+      "unchanged half-up ratio for every cold >= 1") {
+    // r21 (r20 VERDICT residual defect 2): the retry recompute divided by
+    // cold_ms — a sub-ms query rounds to cold 0 exactly when anomalous
+    // the guarded value at cold 0 is whatever the clamped formula yields
+    // (cold→1ms): the contract is no-throw + in [0,100], not a meaning
+    assert(WarmLedger.warmupPct(0L, 0L) === 100L)
+    assert(WarmLedger.warmupPct(0L, 5L) === 0L)
+    // cold >= 1: identical to the pre-guard formula
+    assert(WarmLedger.warmupPct(1000L, 250L) === 75L)
+    assert(WarmLedger.warmupPct(200L, 200L) === 0L)
+    assert(WarmLedger.warmupPct(200L, 300L) === 0L) // warm>cold clamps at 0
+    assert(WarmLedger.warmupPct(3L, 1L) === 67L)    // half-up rounding
+  }
+
   test("the committed repo ledger holds >=2 rounds of warm baselines and " +
       "only real query ids") {
     val led = WarmLedger.read(spark, "bench/warm_ledger")
