@@ -32,10 +32,40 @@ import graft.ops.Exprs
   */
 object Multimodal {
 
+  // r21: ImageIO wraps every read/write stream in a DISK-backed cache by
+  // default — each codec call creates (and deletes) a temp file, which
+  // serializes 32 concurrent decode tasks on /tmp and made the parallel
+  // pipelines SLOWER than single-task (q124 1.3 s → 4.5 s until this
+  // line). All blobs here are in-memory byte arrays; the memory-backed
+  // stream is strictly correct. Object-init runs wherever the decode
+  // closures load (driver in local mode, executors on a cluster).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(width: Int, height: Int, durationMs: Int, codec: String)
   case class MediaRecord(mediaId: Long, kind: String, content: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Int,
                            contentHash: String, brightness: Double)
+
+  /** The id feed for the real-codec synthesis/decode pipelines (r21).
+    * `documents.parquet` reads as ONE input split at test SFs (the file is
+    * far below `maxPartitionBytes`), so every partition-local encode +
+    * decode pass — the dominant cost of the whole multimodal family — ran
+    * on a single core (measured: q119 7.4 s warm across 5 single-task
+    * stages). The decode work must track the session's parallelism, not
+    * the upstream table's file count: hash-repartition the BARE ids
+    * (8 bytes/row — the guide-§8 lightweight proxy; the heavy media bytes
+    * are synthesized/decoded AFTER the exchange, so they never shuffle).
+    * Deterministic key (doc_id), never round-robin over synthesized rows
+    * (guide §2.5 retry rule). Every downstream aggregate in the family is
+    * integer/exact-dyadic arithmetic, so partition order cannot flip a
+    * rounded emission (audited per query, OPTIMIZATION_r21.md). */
+  private def mediaIds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+  }
 
   /** Deterministic media table derived from documents (content = utf8 text
     * bytes) — stands in for a real blob store at test scale. */
@@ -155,7 +185,7 @@ object Multimodal {
     * codec round-trip end-to-end. */
   def synthesizeImages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    mediaIds(spark, dir)
       .mapPartitions { it =>
         it.map { id =>
           if (id % 50 == 0) (id, Array[Byte](0, 1, 2, 3))
@@ -260,7 +290,7 @@ object Multimodal {
     * perceptual-hash extraction end-to-end (the q102 trust structure). */
   def synthesizePatternImages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    mediaIds(spark, dir)
       .flatMap(id =>
         if (id % 7 == 0) Seq((id, id, 0), (id + 5000000L, id, 20))
         else Seq((id, id, 0)))
@@ -426,6 +456,14 @@ object Multimodal {
     * 50th row is a corrupt 4-byte blob exercising the fallback path. */
   def synthesizeAudio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // r21: deliberately NOT mediaIds — measured BOTH ways: the
+    // javax.sound.sampled registry (AudioSystem.write /
+    // getAudioInputStream provider lookup) is lock-bound, and 32
+    // concurrent decode tasks convoy on it (q120 0.8 s serial vs 2.3-3.6 s
+    // parallel warm; q128 0.7 vs 1.7-4.5 s). The image pipelines
+    // parallelize cleanly once ImageIO's disk cache is off; audio stays
+    // on the scan's own partitioning until the WAV path stops funneling
+    // through the shared registry.
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -602,7 +640,7 @@ object Multimodal {
     * byte stub. Every 50th row is corrupt for the fallback path. */
   def synthesizeAnimations(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    mediaIds(spark, dir)
       .mapPartitions { it =>
         it.map { id =>
           if (id % 50 == 0) (id, Array[Byte](7, 7, 7, 7))
