@@ -1368,22 +1368,43 @@ object Similarity {
     * cosine against dequantized codes, top-R candidates per probe. Public
     * so specs can pin the pruned-scan shape [[probeSqIvf]] consumes
     * eagerly. */
-  def sqIvfCandidates(spark: SparkSession, idxDir: String, probes: DataFrame,
-                      nprobe: Int, topR: Int,
-                      live: Boolean = false): DataFrame = {
-    import spark.implicits._
-    ensureRegistered(spark)
-    val stats = sqStatsLocal(spark, s"$idxDir/stats")
-    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
+  /** Probe→centroid routing for the IVF serving paths, collected ONCE
+    * (r21): the routing pipeline (probes scan → broadcast centroid cross
+    * join → top-nprobe window) previously ran TWICE per probe call — once
+    * to collect the wanted partition ids for pruning and once recomputed
+    * inside the candidate query itself. Probes are a bounded serving
+    * batch by contract (the [[localizeProbes]] rule, enforced with the
+    * same loud [[MaxCollectProbes]] guard), so the (qid, qe, cid) routing
+    * relation collects once, the partition list derives driver-side, and
+    * the routing re-enters the candidate join as a broadcast LOCAL
+    * relation — one pipeline run instead of two, and the candidate join's
+    * build side is exact instead of estimate-driven. */
+  private def localizeProbeClusters(spark: SparkSession, probes: DataFrame,
+      centroidsDisk: DataFrame, nprobe: Int): (DataFrame, Array[Int]) = {
     val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
+    val pc = probes.select(col("qid"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroidsDisk))
       .withColumn("csim", cosine(col("qe"), col("ce")))
       .withColumn("crn", row_number().over(wC))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("qe"), col("cid"))
-    val wantedCids = probeClusters.select(col("cid")).distinct()
-      .as[Long].collect().sorted.map(_.toInt)
+    val rows = pc.limit(MaxCollectProbes + 1).collect()
+    require(rows.length <= MaxCollectProbes,
+      s"serving batch exceeds $MaxCollectProbes (probe, cluster) rows — " +
+        "too large to collect for the partition-pruned serving path; " +
+        "ingest-scale batches belong on a distributed join, not probeIvf")
+    val cids = rows.map(_.getAs[Long]("cid")).distinct.sorted.map(_.toInt)
+    (spark.createDataFrame(java.util.Arrays.asList(rows: _*), pc.schema), cids)
+  }
+
+  def sqIvfCandidates(spark: SparkSession, idxDir: String, probes: DataFrame,
+                      nprobe: Int, topR: Int,
+                      live: Boolean = false): DataFrame = {
+    ensureRegistered(spark)
+    val stats = sqStatsLocal(spark, s"$idxDir/stats")
+    val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
+    val (probeClusters, wantedCids) =
+      localizeProbeClusters(spark, probes, centroidsDisk, nprobe)
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("cid_vec"))
     val scoped = spark.read.parquet(s"$idxDir/assigned")
@@ -1400,7 +1421,7 @@ object Similarity {
     }
     alive
       .select(col("cid"), col("vec_id").as("cid_vec"), col("qcode"))
-      .join(probeClusters, "cid")
+      .join(broadcast(probeClusters), "cid")
       .withColumn("approx", cosine(col("qe"), reconExpr(col("qcode"), stats)))
       .select(col("qid"), col("cid_vec"), col("approx"))
       .withColumn("rn", row_number().over(wA))
@@ -2105,23 +2126,15 @@ object Similarity {
     * re-score, per-probe argmax. `probes` must carry (qid, embedding). */
   def probeIvf(spark: SparkSession, idxDir: String, probes: DataFrame,
                nprobe: Int): DataFrame = {
-    import spark.implicits._
     ensureRegistered(spark)
     val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
-    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroidsDisk))
-      .withColumn("csim", cosine(col("qe"), col("ce")))
-      .withColumn("crn", row_number().over(wC))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cid"))
-    val wantedCids = probeClusters.select(col("cid")).distinct()
-      .as[Long].collect().sorted.map(_.toInt)
+    val (probeClusters, wantedCids) =
+      localizeProbeClusters(spark, probes, centroidsDisk, nprobe)
     val cand = spark.read.parquet(s"$idxDir/assigned")
       .filter(col("cid").isin(wantedCids.map(Int.box): _*))
       .select(col("cid"), col("vec_id").as("cid_vec"), col("embedding").as("ce2"))
     val wS = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid_vec"))
-    probeClusters.join(cand, "cid")
+    broadcast(probeClusters).join(cand, "cid")
       .withColumn("sim_raw", cosine(col("qe"), col("ce2")))
       .select(col("qid"), col("cid_vec"), col("sim_raw"))
       .withColumn("rn", row_number().over(wS))
@@ -2173,18 +2186,10 @@ object Similarity {
     * after the physical purge. */
   def probeIvfLive(spark: SparkSession, idxDir: String, probes: DataFrame,
                    nprobe: Int): DataFrame = {
-    import spark.implicits._
     ensureRegistered(spark)
     val centroidsDisk = spark.read.parquet(s"$idxDir/centroids")
-    val wC = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probeClusters = probes.select(col("qid"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroidsDisk))
-      .withColumn("csim", cosine(col("qe"), col("ce")))
-      .withColumn("crn", row_number().over(wC))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("qe"), col("cid"))
-    val wantedCids = probeClusters.select(col("cid")).distinct()
-      .as[Long].collect().sorted.map(_.toInt)
+    val (probeClusters, wantedCids) =
+      localizeProbeClusters(spark, probes, centroidsDisk, nprobe)
     val scoped = spark.read.parquet(s"$idxDir/assigned")
       .filter(col("cid").isin(wantedCids.map(Int.box): _*))
     val alive = ivfTombstones(spark, idxDir) match {
@@ -2196,7 +2201,7 @@ object Similarity {
     val cand = alive
       .select(col("cid"), col("vec_id").as("cid_vec"), col("embedding").as("ce2"))
     val wS = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid_vec"))
-    probeClusters.join(cand, "cid")
+    broadcast(probeClusters).join(cand, "cid")
       .withColumn("sim_raw", cosine(col("qe"), col("ce2")))
       .select(col("qid"), col("cid_vec"), col("sim_raw"))
       .withColumn("rn", row_number().over(wS))
