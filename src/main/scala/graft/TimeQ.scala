@@ -59,6 +59,13 @@ object TimeQ {
           override def onStageCompleted(
               s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
             stagesN.incrementAndGet(); tasksN.addAndGet(s.stageInfo.numTasks)
+            if (sys.env.get("SPARK_GRAFT_JOBS").contains("2")) {
+              val si = s.stageInfo
+              val wall = (for { a <- si.submissionTime; b <- si.completionTime }
+                yield b - a).getOrElse(-1L)
+              println(f"  STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d " +
+                f"wall=$wall%5d ms task=${si.taskMetrics.executorRunTime}%6d ms")
+            }
           }
         })
     import org.apache.spark.sql.functions.{bit_xor, col, struct, xxhash64}

@@ -48,8 +48,25 @@ object Geo {
     val ap = airports(spark, dir)
     // value ≤ 100 is the data_quality_score > 0.8 pre-filter analog (and
     // keeps the synthetic lat inside real range for this query)
+    // r21: hash-repartition the slim event relation by event_id BEFORE the
+    // broadcast range join. Two wins, measured: (1) events.parquet reads
+    // as one split at test SFs, so the join + distance math ran on a
+    // single core — twice, because the Pct branch's column pruning makes
+    // the two `nearest` subtrees canonically different and AQE stage
+    // reuse never fires (two sequential 1.5 s single-task stages); the
+    // repartition exchange IS canonically shared, and everything above it
+    // runs at full parallelism. (2) The top-1 window partitions by
+    // event_id, so establishing that partitioning below the join removes
+    // the post-join exchange of the ~2.5x wider candidate relation
+    // (guide §2.4) — the shuffle moves slim events once instead.
+    // explicit count from the session conf: a bare repartition(col) is
+    // AQE-coalesced back to 1-2 partitions at this volume and the join
+    // stays serial — the conf value is the scale dial (bench contract
+    // sets it to the core count; clusters tune it to data)
     val e = Tables.withSyntheticPositions(Tables.events(spark, dir))
       .filter(col("value") <= 100)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("event_id"))
     val cand = e.join(broadcast(ap),
         col("lat").between(col("alat") - 4, col("alat") + 4) &&
         col("lon").between(col("alon") - 12, col("alon") + 12))
@@ -58,10 +75,18 @@ object Geo {
       .filter(col("dist_mi") <= 450)
     val w = Window.partitionBy(col("event_id"))
       .orderBy(col("dist_mi"), col("akey"))
+    // localCheckpoint: `nearest` feeds TWO aggregations (the per-airport
+    // rollup and the Pct quartile pass), and per-branch column pruning
+    // makes the two copies canonically DIFFERENT, so neither static
+    // ReuseExchange nor AQE stage reuse ever dedupes them — the whole
+    // scan→join→window pipeline ran twice (r21, measured: twin 1.5 s
+    // single-task stages). One bounded materialization (top-1 row per
+    // event, slim columns) ends that; both consumers re-aggregate it.
     val nearest = cand
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .withColumn("octant",
         Exprs.bearingOctant(col("alat"), col("alon"), col("lat"), col("lon")))
+      .localCheckpoint()
     def octCount(vals: String*) =
       count(when(col("octant").isin(vals: _*), 1))
     // exact order-statistics quartiles of dist_mi (Pct): dist_mi is 4dp —

@@ -407,23 +407,36 @@ object Maintenance {
     val eSlim = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
 
+    // r21 structure: every layout is ENSURED/BUILT sequentially first —
+    // builds flip session confs through the save/set/restore helpers
+    // (withDynamicOverwrite), which are session-global and must never
+    // overlap across threads — and only then do the per-layout FACT
+    // gathers (read-only: counts, occupancy aggregations, sidecar reads,
+    // file listings) run concurrently from a small pool. Measured: the
+    // warm path was 50 sequential jobs of 10-140 ms wall each — pure
+    // per-job scheduling/planning overhead; overlapping the independent
+    // fact jobs back-fills the idle cores (guide §2.6).
     val (lshTbl, planes, tables) = Similarity.ensureLshIndex(spark, dir)
-    val lshMeta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(lshTbl))
-    val lshFacts = LayoutFacts("lsh_index", "bucketed_index",
-      graft.sources.Sources.countTableDataFiles(spark, lshTbl).toLong,
-      lshMeta.bucketSpec.get.numBuckets.toLong, -1L,
-      spark.table(lshTbl).count(), -1L,
-      lshMeta.bucketSpec.get.numBuckets.toLong,
-      IndexParams.indexBuckets(n, tables).toLong)
+    val lshFactsF = () => {
+      val lshMeta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(lshTbl))
+      LayoutFacts("lsh_index", "bucketed_index",
+        graft.sources.Sources.countTableDataFiles(spark, lshTbl).toLong,
+        lshMeta.bucketSpec.get.numBuckets.toLong, -1L,
+        spark.table(lshTbl).count(), -1L,
+        lshMeta.bucketSpec.get.numBuckets.toLong,
+        IndexParams.indexBuckets(n, tables).toLong)
+    }
 
     val (ivfDir, k) = Similarity.ensureIvfLayout(spark, dir)
-    val occ = Similarity.ivfLayoutOccupancies(spark, ivfDir)
-      .agg(sum(col("occ")), max(col("occ"))).head()
-    val ivfFacts = LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
-      occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong,
-      tombstones = sidecarTombstones(spark, ivfDir),
-      orphan_slots = Similarity.orphanedTombstoneSlots(spark, ivfDir))
+    val ivfFactsF = () => {
+      val occ = Similarity.ivfLayoutOccupancies(spark, ivfDir)
+        .agg(sum(col("occ")), max(col("occ"))).head()
+      LayoutFacts("ivf_base", "ivf_layout", -1L, -1L, -1L,
+        occ.getLong(0), occ.getLong(1), k, IndexParams.ivfK(n).toLong,
+        tombstones = sidecarTombstones(spark, ivfDir),
+        orphan_slots = Similarity.orphanedTombstoneSlots(spark, ivfDir))
+    }
 
     val apBuckets = IndexParams.indexBuckets(n, tables)
     val apTbl = "g_maint_ap_idx_" + Layouts.tag(
@@ -467,7 +480,8 @@ object Maintenance {
           s"between driver runs")
       f
     }
-    val apFacts = zeroDebtFacts("appendable_index", apTbl, apBuckets.toLong)
+    val apFactsF =
+      () => zeroDebtFacts("appendable_index", apTbl, apBuckets.toLong)
 
     // the text-side appendable band index (same flavor, own keyspace)
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -485,7 +499,8 @@ object Maintenance {
           d.filter(col("doc_id") % 50 === b), b.toLong, staging)
       }
     }
-    val bandFacts = zeroDebtFacts("band_index", bandTbl, bandBuckets.toLong)
+    val bandFactsF =
+      () => zeroDebtFacts("band_index", bandTbl, bandBuckets.toLong)
 
     // the QUANTIZED layouts (r15 verdict finding 3): q160-style takedowns
     // land sidecar marks in the SQ8-IVF dir, and the q149 bucketed code
@@ -493,25 +508,39 @@ object Maintenance {
     // that cannot see either lets quantized deletion debt and file decay
     // accrue invisibly
     val (sqIvfDir, sqK) = Similarity.ensureSqIvfLayout(spark, dir)
-    val sqOcc = Similarity.ivfLayoutOccupancies(spark, sqIvfDir)
-      .agg(sum(col("occ")), max(col("occ"))).head()
-    val sqIvfFacts = LayoutFacts("sq_ivf", "ivf_layout", -1L, -1L, -1L,
-      sqOcc.getLong(0), sqOcc.getLong(1), sqK, IndexParams.ivfK(n).toLong,
-      tombstones = sidecarTombstones(spark, sqIvfDir),
-      orphan_slots = Similarity.orphanedTombstoneSlots(spark, sqIvfDir))
+    val sqIvfFactsF = () => {
+      val sqOcc = Similarity.ivfLayoutOccupancies(spark, sqIvfDir)
+        .agg(sum(col("occ")), max(col("occ"))).head()
+      LayoutFacts("sq_ivf", "ivf_layout", -1L, -1L, -1L,
+        sqOcc.getLong(0), sqOcc.getLong(1), sqK, IndexParams.ivfK(n).toLong,
+        tombstones = sidecarTombstones(spark, sqIvfDir),
+        orphan_slots = Similarity.orphanedTombstoneSlots(spark, sqIvfDir))
+    }
 
     // actual = what the table was BUILT at (its own metadata), target =
     // the derivation for the current corpus — deriving both from the
     // corpus would make the drift check structurally dead
     val sq = Similarity.ensureSqIndex(spark, dir)
-    val sqIdxFacts = LayoutFacts("sq_index", "bucketed_index",
+    val sqIdxFactsF = () => LayoutFacts("sq_index", "bucketed_index",
       graft.sources.Sources.countTableDataFiles(spark, sq.table).toLong,
       tableBuckets(sq.table), -1L, spark.table(sq.table).count(), -1L,
       tableBuckets(sq.table),
       IndexParams.indexBuckets(n, sq.tables).toLong)
 
-    schedule(Seq(lshFacts, ivfFacts, apFacts, bandFacts, sqIvfFacts,
-        sqIdxFacts).toDF())
+    // every layout exists by here — gather the read-only facts
+    // concurrently (FIFO scheduling back-fills the tail, guide §2.6)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val facts =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          Seq(lshFactsF, ivfFactsF, apFactsF, bandFactsF, sqIvfFactsF,
+            sqIdxFactsF).map(f => scala.concurrent.Future(f()))),
+        scala.concurrent.duration.Duration(15, "min"))
+      finally pool.shutdown()
+
+    schedule(facts.toDF())
       .orderBy(col("layout"), col("check"))
   }
 }
