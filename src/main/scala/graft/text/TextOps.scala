@@ -1394,6 +1394,13 @@ object TextOps {
     var labels = init
     var changed = 1L
     var iter = 0
+    // r21 note: a count-FIRST variant (count the un-checkpointed round,
+    // checkpoint only when changed) was tried and REVERTED — under AQE
+    // the un-checkpointed count materializes as 2-3 stage jobs, so it
+    // costs MORE scheduling than checkpoint-then-count for changing
+    // rounds and breaks even on the confirming round. The loop's real
+    // saving this round is the 1-hop seed in [[clusterLabels]] (one
+    // whole round gone).
     while (changed > 0 && iter < maxIter) {
       val next = checkpointKeepPartitioning(labelPropRound(edges, labels))
       changed = next.filter(col("changed")).count()
