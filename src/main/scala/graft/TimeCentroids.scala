@@ -19,6 +19,9 @@ import graft.sim.Similarity
 object TimeCentroids {
   def main(args: Array[String]): Unit = {
     val nRows = args.headOption.map(_.toInt).getOrElse(200000)
+    // the checksum action NPEs on an empty corpus (sum over zero rows is
+    // null) — fail loudly instead, the TimeQ -reps guard rule (r20 ADVICE)
+    require(nRows > 0, s"nRows must be > 0, got $nRows")
     val ks = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(256, 1024, 4096))
     val dims = 64

@@ -67,7 +67,11 @@ object CoreQueries {
     val perBand = banded.groupBy(col("price_band")).agg(
       count(lit(1)).as("n"),
       Exprs.dround(avg(col("l_quantity")), 4).as("avg_qty"))
-    val total = banded.agg(count(lit(1)).as("total_n"))
+    // r21: total derives from the per-band counts (sum of the 5-row
+    // aggregate, stage-reused with the perBand branch) instead of a third
+    // column-pruned lineitem scan — one fewer scan + aggregation job,
+    // same exact integer, same broadcast 1-row combine shape (J5)
+    val total = perBand.agg(sum(col("n")).as("total_n"))
     perBand.join(broadcast(pcts), "price_band")
       .crossJoin(broadcast(total))
       .select(col("price_band"), col("n"), col("avg_qty"),

@@ -252,6 +252,10 @@ private[functions] object ProbeMatrixBuilder {
     val innerFloat = elemType == FloatType
     val probes = (0 until outer.numElements()).map { i =>
       val row = outer.getArray(i)
+      // loud-contract completeness (r20 ADVICE): a literal like
+      // array(array(1.0d), null) returns a null inner row here and
+      // numElements() would NPE without naming the culprit
+      require(row != null, s"$name: probe matrix row $i is null")
       Array.tabulate(row.numElements()) { j =>
         if (innerFloat) row.getFloat(j).toDouble else row.getDouble(j)
       }

