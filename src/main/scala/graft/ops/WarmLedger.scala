@@ -117,6 +117,25 @@ object WarmLedger {
     (2 * math.max(0L, cold - warmBestMs) * 100 + cold) / (2 * cold)
   }
 
+  /** The recording session's host-speed probe — the same fixed workload
+    * as Bench's calibration (a distributed hash fold over a constant
+    * range + a tiny parquet scan; duplicated here rather than shared so
+    * the driver-contract Bench.scala stays untouched), in milliseconds.
+    * Its nominal cost is constant across rounds, so the ratio of two
+    * rounds' calib_ms is the host factor between their recording
+    * sessions — the r21 partition carried a +15-80% hot-session factor
+    * on untouched rows and weakened the next round's baseline; stamping
+    * the factor lets [[regressions]] normalize it out. */
+  private[graft] def calibrateMs(spark: SparkSession, dir: String): Long = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 50000000L, 1L, 32)
+      .select(xxhash64(col("id")).as("h")).agg(bit_xor(col("h"))).collect()
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    r.select(xxhash64(struct(r.columns.toIndexedSeq.map(col): _*)).as("h"))
+      .agg(bit_xor(col("h"))).collect()
+    math.max(1L, (System.nanoTime() - t0) / 1000000L)
+  }
+
   def record(spark: SparkSession, dir: String, round: String,
              ledgerDir: String,
              names: Seq[String] = watchlist,
@@ -126,6 +145,8 @@ object WarmLedger {
     // regression view orders rounds by their numeric suffix)
     require(round.matches("r\\d+"),
       s"round tag must be r<N> (e.g. r11), got '$round'")
+    calibrateMs(spark, dir) // untimed: JIT-warm the probe (the Bench rule)
+    val calibMs = calibrateMs(spark, dir)
     // the driver-side twin of anomalousCond (profiler rows always carry a
     // real cold, so no null arm) — refine the two together
     def anom(p: WarmCold.Prof) = p.warm_ms > p.cold_ms
@@ -152,6 +173,9 @@ object WarmLedger {
         "recorded but excluded from the regression baseline"))
     val prof = profs.toDF().orderBy(col("query_id"))
       .withColumn("source", lit("profiler"))
+      // the session host factor, constant across the partition (r22) —
+      // pre-r22 partitions lack the column and read back null
+      .withColumn("calib_ms", lit(calibMs))
     // one self-contained partition per round: re-running a round replaces
     // exactly that round's rows and can never touch another round's
     prof.coalesce(1).write.mode(SaveMode.Overwrite)
@@ -159,9 +183,17 @@ object WarmLedger {
     prof
   }
 
-  /** The whole ledger, `round` recovered from the partition dirs. */
-  def read(spark: SparkSession, ledgerDir: String): DataFrame =
-    spark.read.parquet(ledgerDir)
+  /** The whole ledger, `round` recovered from the partition dirs.
+    * mergeSchema: pre-r22 partitions lack `calib_ms` — without the merge
+    * the union schema is whichever file the reader samples first, and a
+    * pre-r22 sample would silently drop every partition's calibration. A
+    * ledger with NO calibrated partition yet still exposes the column
+    * (all null) so [[regressions]] resolves against any history. */
+  def read(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(ledgerDir)
+    if (df.columns.contains("calib_ms")) df
+    else df.withColumn("calib_ms", lit(null).cast("long"))
+  }
 
   /** Cross-round triage view: per query, the two most recent recorded
     * rounds' warm times and their ratio ×100 (integer, half-up). A row
@@ -193,17 +225,37 @@ object WarmLedger {
       // filter
       .filter(!anomalousCond)
       .groupBy(col("query_id"), col("round"))
-      .agg(min(col("warm_ms")).as("warm_ms"))
+      .agg(min(col("warm_ms")).as("warm_ms"),
+        // constant per partition (record stamps one value per round);
+        // null on pre-r22 partitions
+        max(col("calib_ms")).as("calib_ms"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 2)
       .groupBy(col("query_id")).agg(
         max(when(col("rk") === 1, col("round"))).as("cur_round"),
         max(when(col("rk") === 1, col("warm_ms"))).as("cur_warm_ms"),
+        max(when(col("rk") === 1, col("calib_ms"))).as("cur_calib_ms"),
         max(when(col("rk") === 2, col("round"))).as("prev_round"),
-        max(when(col("rk") === 2, col("warm_ms"))).as("prev_warm_ms"))
+        max(when(col("rk") === 2, col("warm_ms"))).as("prev_warm_ms"),
+        max(when(col("rk") === 2, col("calib_ms"))).as("prev_calib_ms"))
       .filter(col("prev_warm_ms").isNotNull && col("prev_warm_ms") > 0)
+      // r22: normalize by the recording sessions' host factor before the
+      // >2x test — warm/calib is the host-speed-free reading, so the
+      // ratio compares plans, not recording sessions (the r21 partition's
+      // +15-80% hot factor read as uniform near-regressions). Rounds
+      // without a stamped calibration (pre-r22) compare raw — both
+      // factors collapse to 1, the old behavior, so history stays
+      // comparable. Integer half-up throughout (the q97 rule).
+      .withColumn("__have_calib",
+        col("cur_calib_ms").isNotNull && col("prev_calib_ms").isNotNull)
+      .withColumn("__cc", when(col("__have_calib"), col("cur_calib_ms"))
+        .otherwise(lit(1L)))
+      .withColumn("__pc", when(col("__have_calib"), col("prev_calib_ms"))
+        .otherwise(lit(1L)))
       .withColumn("warm_ratio_x100",
-        expr("(2 * cur_warm_ms * 100 + prev_warm_ms) div (2 * prev_warm_ms)"))
+        expr("(2 * cur_warm_ms * __pc * 100 + prev_warm_ms * __cc) " +
+          "div (2 * prev_warm_ms * __cc)"))
+      .drop("__have_calib", "__cc", "__pc")
       .withColumn("regressed", col("warm_ratio_x100") > 200)
       .orderBy(col("warm_ratio_x100").desc, col("query_id"))
   }

@@ -1184,7 +1184,15 @@ object Similarity {
     * (frozen beside the codes it writes, the q149 rule). mode=overwrite
     * so the q149 rebuild-both-halves path can re-land it. */
   private[graft] def writeSqStats(eSlim: DataFrame, target: String): Unit =
-    eSlim.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+    // r22: the corpus arrives as one input split, so the posexplode +
+    // partial min/max agg ran as a single 1.5-2.2 s task (guide §2.4) —
+    // spread it with a deterministic-key repartition at a conf-derived
+    // width (the r21 explicit-count rule; bare repartition(col) would be
+    // AQE-coalesced right back). min/max are exact and order-free, so
+    // the written codebook is bit-identical at any parallelism.
+    eSlim.repartition(eSlim.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .select(col("pos").as("dim"), col("xf").cast("double").as("x"))
       .groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -1648,10 +1656,14 @@ object Similarity {
     // registered base-only index that later invocations silently serve
     graft.ops.Layouts.buildTableIfAbsent(spark, idx) { staging =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+      val buckets = IndexParams.indexBuckets(n, tables)
       graft.sources.Sources.writeBucketed(indexed(eSlim), staging, s"$tmp/index", "sig",
-        IndexParams.indexBuckets(n, tables))
+        buckets)
       // the incremental ingest: position-based insert, bucketing preserved
-      indexed(delta).write.insertInto(staging)
+      // (repartitioned onto the bucket function — the writeBucketed r22
+      // rule — so the delta's sign+write runs buckets-wide, not as the
+      // source scan's single split, and still lands one file per bucket)
+      indexed(delta).repartition(buckets, col("sig")).write.insertInto(staging)
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1703,8 +1715,12 @@ object Similarity {
         s"$tmp/index", "sig", buckets)
       // two separate ingest batches: each insertInto lands its own
       // bucket-file generation — the small-files decay compaction repairs
-      indexed(delta.filter(col("vec_id") % 2 === 0)).write.insertInto(staging)
-      indexed(delta.filter(col("vec_id") % 2 =!= 0)).write.insertInto(staging)
+      // (bucket-function repartition per batch: parallel sign+write, same
+      // one-file-per-(batch, bucket) generations the decay story needs)
+      indexed(delta.filter(col("vec_id") % 2 === 0))
+        .repartition(buckets, col("sig")).write.insertInto(staging)
+      indexed(delta.filter(col("vec_id") % 2 =!= 0))
+        .repartition(buckets, col("sig")).write.insertInto(staging)
       // compacting the staging name keeps the publish atomic: a crash
       // mid-compact leaves no live table, and the rebuild re-enters here
       graft.sources.Sources.compactBucketed(spark, staging, "sig", buckets)

@@ -28,10 +28,27 @@ object Sources {
     * paid once at write time and amortized over every subsequent join or
     * aggregation on that key. External-table form (explicit `path`) so the
     * layout lives with the data, not the session catalog; q127 pins the
-    * exchange-free plan. */
+    * exchange-free plan.
+    *
+    * r22: the input is repartitioned onto the bucket function before the
+    * write. A bucketed WRITE requires no distribution, so whatever
+    * parallelism the plan arrives with is what the writer gets — and the
+    * index builds arrive as a single input split (one small parquet file
+    * → one map task computing signatures/quantization for the whole
+    * corpus AND writing every bucket's file serially, measured 1.0-2.5 s
+    * single-task stages at any core count, guide §2.4/§6). Routing rows
+    * by `pmod(murmur3(key), buckets)` — exactly the bucket-placement
+    * hash — gives each task exactly one bucket, so the write runs
+    * buckets-wide and still lands ONE file per bucket (the same file
+    * set a single-task write produces; layout facts and pruning are
+    * byte-for-byte unaffected). For already-bucket-aligned inputs
+    * (compactBucketed's rewrite) the explicit repartition collapses
+    * against the scan's claimed HashPartitioning, keeping that path
+    * shuffle-free. */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
                     key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(tableName)

@@ -463,10 +463,23 @@ object Streaming {
                                 indexTable: String,
                                 sign: DataFrame => DataFrame): Unit = {
     val spark = batch.sparkSession
+    // r22: route the signed rows onto the bucket function before the
+    // insert (the writeBucketed rule): corpus-scale appends (full-corpus
+    // seeds, %k slices) otherwise arrive as ONE input split and the
+    // sign+write runs serial; the repartition keys by exactly the bucket
+    // placement hash, so each task holds one bucket and the batch still
+    // lands one file per (batch, bucket) — the same file set as before.
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(indexTable))
+      .bucketSpec
     withDynamicOverwrite(spark) {
       if (batch.isEmpty) clearIndexPartition(spark, indexTable, batchId)
-      else sign(batch).withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").insertInto(indexTable)
+      else {
+        val signed = sign(batch).withColumn("batch_id", lit(batchId))
+        val routed = bucketSpec.fold(signed)(bs =>
+          signed.repartition(bs.numBuckets, col(bs.bucketColumnNames.head)))
+        routed.write.mode("overwrite").insertInto(indexTable)
+      }
     }
     spark.catalog.refreshTable(indexTable)
   }

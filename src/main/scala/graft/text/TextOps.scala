@@ -1494,10 +1494,12 @@ object TextOps {
     var converged = sig._1 == 0L
     var iter = 0
     val wU = Window.partitionBy(col("u"))
-    while (!converged && iter < maxIter) {
+    // one large-star + small-star contraction round as a pure
+    // transformation (no action, no checkpoint)
+    def round(es: DataFrame): DataFrame = {
       // large-star over both orientations of the canonical set
-      val nbr = edges.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+      val nbr = es.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(es.select(col("b").as("u"), col("a").as("v")))
       val large = nbr
         .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .filter(col("v") > col("u"))
@@ -1506,11 +1508,24 @@ object TextOps {
       // every smaller neighbor onto the neighborhood minimum
       val oriented = large.select(col("b").as("u"), col("a").as("v"))
       val withMin = oriented.withColumn("m", min(col("v")).over(wU))
-      val small = withMin.filter(col("v") =!= col("m"))
+      withMin.filter(col("v") =!= col("m"))
         .select(col("m").as("a"), col("v").as("b"))
         .unionByName(withMin.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b"))                 // u may BE the min's peer
-        .distinct().localCheckpoint()
+        .distinct()
+    }
+    while (!converged && iter < maxIter) {
+      // r22: TWO contraction rounds per checkpoint + signature — at test
+      // scale each round's real cost is the driver-paced checkpoint job
+      // plus the signature action (~2 actions/round, the r21 q104
+      // finding), so pairing rounds halves them. Convergence is checked
+      // against the set from two rounds ago: the operators are
+      // deterministic functions of the edge set, so once any round hits
+      // the fixpoint the next round reproduces it and the pair check
+      // fires — the loop runs at most one extra round pair, over an
+      // already-contracted (tiny) set, and the final edge set is
+      // bit-identical to the per-round-checked loop's.
+      val small = round(round(edges)).localCheckpoint()
       val sig2 = signature(small)
       converged = sig2 == sig
       edges = small

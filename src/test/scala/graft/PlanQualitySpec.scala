@@ -94,32 +94,10 @@ class PlanQualitySpec extends SparkSpecBase {
     // This is the built-in scale path for top-k-per-key; these four queries
     // rely on it, so a pattern change that defeats the optimization (e.g.
     // a non-literal bound or an extra window expression) must fail loudly.
-    // r21: q52's top-1 window now lives inside its `nearest`
-    // localCheckpoint (the relation feeds two differently-pruned
-    // consumers, so no reuse path ever deduped the copies — see
-    // OPTIMIZATION_r21.md §4); the WindowGroupLimit still plans in the
-    // materialized subtree, which the spec pins via the UNCHECKPOINTED
-    // shape below (same window pattern q52 builds).
-    val q52Shape = {
-      import org.apache.spark.sql.expressions.Window
-      // repartition on a DIFFERENT key so the window forces an exchange —
-      // the partial/final WindowGroupLimit split only exists across one
-      // (in q52 itself the pre-join repartition(event_id) already
-      // co-locates, so its materialized window plans Final-only, which is
-      // the stronger property: zero shuffle at all)
-      val ap = spark.range(3).select(col("id").as("akey"),
-        (col("id") * 10.0).as("dist_mi"), col("id").as("event_id"))
-        .repartition(col("akey"))
-      ap.withColumn("rn", row_number().over(
-          Window.partitionBy(col("event_id"))
-            .orderBy(col("dist_mi"), col("akey"))))
-        .filter(col("rn") === 1)
-    }
     for ((n, df) <- Seq(
         "q08" -> JoinQueries.q08NearestMatch(spark, Sf001),
         "q11" -> JoinQueries.q11TopPerSegment(spark, Sf001),
         "q16" -> graft.ts.TimeSeries.q16DedupBest(spark, Sf001),
-        "q52_nearest_shape" -> q52Shape,
         "q76" -> graft.text.TextOps.q76CorpusFunnel(spark, Sf001),
         "q80" -> graft.cdc.Cdc.q80CdcUpsert(spark, Sf001),
         "q83" -> graft.prep.DataPrep.q83SourceQuota(spark, Sf001))) {
@@ -127,6 +105,21 @@ class PlanQualitySpec extends SparkSpecBase {
       assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
         s"$n lost partial+final WindowGroupLimit:\n${p.take(3000)}")
     }
+    // r22 (VERDICT r21 item 8): pin the REAL q52 pre-checkpoint `nearest`
+    // relation, not a synthetic twin — a second window expression or a
+    // non-literal bound added to q52 itself must fail here. Its pre-join
+    // repartition(event_id) already co-locates the window, so
+    // InferWindowGroupLimit plans a single Final WindowGroupLimit with NO
+    // exchange between the join and the window (the stronger property);
+    // the lone Exchange in the plan must be that explicit repartition.
+    val q52p = plan(graft.geo.Geo.q52Nearest(spark, Sf001))
+    assert("WindowGroupLimit".r.findAllIn(q52p).size >= 1,
+      s"q52 nearest lost its WindowGroupLimit:\n${q52p.take(3000)}")
+    // exactly one SHUFFLE exchange (the explicit event_id repartition);
+    // the airports broadcast is a BroadcastExchange and does not count
+    assert("Exchange hashpartitioning".r.findAllIn(q52p).size == 1,
+      s"q52 nearest should carry exactly the explicit event_id exchange:\n${
+        q52p.take(3000)}")
   }
 
   test("q82 chunking is shuffle-free up to the presentation sort") {

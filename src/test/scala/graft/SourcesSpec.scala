@@ -115,13 +115,19 @@ class SourcesSpec extends SparkSpecBase {
     e.select((col("k") + 2000000L).as("k"), col("value")).write.insertInto("bcomp_t")
     val before = Sources.countTableDataFiles(spark, "bcomp_t")
     assert(before > 8, s"appends should exceed one file per bucket, got $before")
-    val expectSum = spark.table("bcomp_t").agg(sum("k"), sum("value")).head()
+    // decimal sum digest (the CLAUDE.md sum rule, as in the partitioned
+    // twin below): a double sum is accumulation-order-dependent and both
+    // the r22 parallel bucketed write and the compaction rewrite
+    // legitimately reorder rows — events.value is exactly 2dp
+    def digest() = spark.table("bcomp_t")
+      .agg(sum("k"), sum(col("value").cast("decimal(20,2)"))).head()
+    val expectSum = digest()
     val stats = Sources.compactBucketed(spark, "bcomp_t", "k", 8)
     assert(stats.filesBefore === before)
     assert(stats.filesAfter <= 8 && stats.filesAfter < before,
       s"compaction must land at one file per non-empty bucket, got $stats")
     assert(stats.rows === 3 * n)
-    assert(spark.table("bcomp_t").agg(sum("k"), sum("value")).head() === expectSum)
+    assert(digest() === expectSum)
     // the rewritten table still bucket-prunes a literal key probe (a
     // BARE filter's bucketed scan is auto-disabled by the planner — the
     // serving shape that matters, filter-into-join, keeps it: the q148

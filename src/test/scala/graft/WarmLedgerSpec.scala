@@ -17,7 +17,8 @@ class WarmLedgerSpec extends SparkSpecBase {
     val dir = java.nio.file.Files.createTempDirectory("warmled").toString
     val out = WarmLedger.record(spark, Sf0001, "r98", dir,
       names = Seq("q01_overview"))
-    assert(out.columns.toSeq === profCols)
+    assert(out.columns.toSeq === profCols :+ "calib_ms")
+    assert(out.head().getAs[Long]("calib_ms") > 0L)
     // re-recording the same round replaces it, not duplicates it
     WarmLedger.record(spark, Sf0001, "r98", dir, names = Seq("q01_overview"))
     val led = WarmLedger.read(spark, dir)
@@ -71,6 +72,51 @@ class WarmLedgerSpec extends SparkSpecBase {
     assert(!out2("qa").getAs[Boolean]("regressed"))
     assert(out2("qb").getAs[Long]("warm_ratio_x100") === 210L)
     assert(out2("qb").getAs[Boolean]("regressed"))
+  }
+
+  test("regressions normalizes by the recording sessions' calibration " +
+      "before the >2x test; calibration-less rounds compare raw") {
+    val dir = java.nio.file.Files.createTempDirectory("warmled").toString
+    // r01 written WITHOUT calib_ms (the pre-r22 partition shape) — the
+    // mergeSchema read must surface r02's column with r01 reading null
+    Seq(("qa", 1000L), ("qb", 1000L)).toDF("query_id", "warm_ms")
+      .withColumn("cold_ms", col("warm_ms") * 2)
+      .withColumn("warmup_pct", lit(50L)).withColumn("codegen_pct", lit(80L))
+      .withColumn("n_ops", lit(10L)).withColumn("source", lit("test"))
+      .select(profCols.map(col): _*)
+      .write.parquet(s"$dir/round=r01")
+    Seq(("qa", 2500L, 1000L), ("qb", 1500L, 1000L))
+      .toDF("query_id", "warm_ms", "calib_ms")
+      .withColumn("cold_ms", col("warm_ms") * 2)
+      .withColumn("warmup_pct", lit(50L)).withColumn("codegen_pct", lit(80L))
+      .withColumn("n_ops", lit(10L)).withColumn("source", lit("test"))
+      .select((profCols :+ "calib_ms").map(col): _*)
+      .write.parquet(s"$dir/round=r02")
+    // prev round carries no calibration → raw comparison (old behavior):
+    // qa 1000→2500 reads 250 and flags; qb 1000→1500 reads 150
+    val raw = WarmLedger.regressions(spark, dir).collect()
+      .map(r => r.getAs[String]("query_id") -> r).toMap
+    assert(raw("qa").getAs[Long]("warm_ratio_x100") === 250L)
+    assert(raw("qa").getAs[Boolean]("regressed"))
+    assert(raw("qb").getAs[Long]("warm_ratio_x100") === 150L)
+    // r03: both rounds calibrated — the r03 session ran 2x slower than
+    // r02 (calib 1000→2000), so qa's raw 2500→6000 (240, a phantom
+    // regression) normalizes to 120, while qb's raw 1500→6300 stays a
+    // real >2x (420 raw → 210 normalized, still flagged)
+    Seq(("qa", 6000L, 2000L), ("qb", 6300L, 2000L))
+      .toDF("query_id", "warm_ms", "calib_ms")
+      .withColumn("cold_ms", col("warm_ms") * 2)
+      .withColumn("warmup_pct", lit(50L)).withColumn("codegen_pct", lit(80L))
+      .withColumn("n_ops", lit(10L)).withColumn("source", lit("test"))
+      .select((profCols :+ "calib_ms").map(col): _*)
+      .write.parquet(s"$dir/round=r03")
+    val norm = WarmLedger.regressions(spark, dir).collect()
+      .map(r => r.getAs[String]("query_id") -> r).toMap
+    assert(norm("qa").getAs[String]("cur_round") === "r03")
+    assert(norm("qa").getAs[Long]("warm_ratio_x100") === 120L)
+    assert(!norm("qa").getAs[Boolean]("regressed"))
+    assert(norm("qb").getAs[Long]("warm_ratio_x100") === 210L)
+    assert(norm("qb").getAs[Boolean]("regressed"))
   }
 
   test("anomalous readings (warm > cold, a clipped rep2) are excluded " +
