@@ -685,21 +685,36 @@ object Similarity {
       .join(tomb, Seq("sig", "vec_id"), "left_anti")
   }
 
-  def dedupGateBatch(spark: SparkSession, index: DataFrame, batch: DataFrame,
-                     planes: Int, tables: Int, theta: Double = 0.75): DataFrame = {
-    ensureRegistered(spark)
+  /** The gate's index tier BEFORE its localCheckpoint — the signed batch
+    * bucket-aligned-joined to the index, exact cosine, per-probe argmax.
+    * Extracted (r22) so the plan specs pin the REAL subtree's physical
+    * claims (Bucketed: true — the index side never shuffles), which the
+    * checkpoint hides from the final plan (the q52Nearest pattern). */
+  private[graft] def gateIndexTop1(index: DataFrame, batch: DataFrame,
+                                   planes: Int, tables: Int): DataFrame = {
     val idx = index.select(col("sig"), col("vec_id").as("cid"),
       col("embedding").as("ce"))
     val w1 = Window.partitionBy(col("qid")).orderBy(col("sim_raw").desc, col("cid"))
-    val top1 = indexedRelation(batch.select(col("vec_id"), col("embedding")),
+    indexedRelation(batch.select(col("vec_id"), col("embedding")),
         planes, tables)
       .select(col("sig"), col("vec_id").as("qid"), col("embedding").as("qe"))
       .join(idx, Seq("sig"))
       .select(col("qid"), col("cid"), cosine(col("qe"), col("ce")).as("sim_raw"))
       .distinct()
       .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+  }
+
+  def dedupGateBatch(spark: SparkSession, index: DataFrame, batch: DataFrame,
+                     planes: Int, tables: Int, theta: Double = 0.75): DataFrame = {
+    ensureRegistered(spark)
+    val top1 = gateIndexTop1(index, batch, planes, tables)
+    // r22: idxDup feeds BOTH the clean anti-join and the decision union,
+    // and per-branch pruning makes the copies canonically different (the
+    // r21 q52 lesson) — without this bounded cut (≤|batch| rows) the
+    // whole sign→index-join→window pipeline replayed per consumer
     val idxDup = top1.filter(col("sim_raw") >= lit(theta))
       .select(col("qid").as("vec_id"), col("cid").as("dup_of"), col("sim_raw"))
+      .localCheckpoint()
     val clean = batch.select(col("vec_id"), col("embedding"))
       .join(idxDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val w2 = Window.partitionBy(col("vec_id")).orderBy(col("cand_id"))
@@ -744,7 +759,11 @@ object Similarity {
   private[graft] def intraBatchDupCandidates(clean: DataFrame, planes: Int,
       tables: Int, theta: Double): DataFrame = {
     val wClass = Window.partitionBy(col("embedding"))
+    // r22: withRep feeds the reps filter AND the class fan-out join with
+    // different prunings — one bounded cut (|clean| rows) instead of two
+    // runs of the class window over the anti-joined batch
     val withRep = clean.withColumn("rep_id", min(col("vec_id")).over(wClass))
+      .localCheckpoint()
     val reps = withRep.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("embedding"))
     val signedReps = indexedRelation(reps, planes, tables)
@@ -790,7 +809,11 @@ object Similarity {
     * — so the gate's candidate-join decisions coincide with the
     * exhaustive decisions DuckDB recomputes, and every emitted (dup_of,
     * sim) is the full-precision argmax both engines agree on bitwise. */
-  def q150DedupGate(spark: SparkSession, dir: String): DataFrame = {
+  /** q150's gate inputs (index relation, planted batch, planes, tables) —
+    * exposed (r22) so the plan spec pins [[gateIndexTop1]] over the SAME
+    * inputs the query serves, not a synthetic twin. */
+  private[graft] def q150GateInputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Int, Int) = {
     val (idx, planes, tables) = ensureLshIndex(spark, dir)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val copies = e.filter(col("vec_id") % 7 === 0)
@@ -801,8 +824,13 @@ object Similarity {
     val novelDup = e.filter(col("vec_id") % 11 === 0)
       .select((col("vec_id") + 18000000L).as("vec_id"),
         reverse(col("embedding")).as("embedding"))
-    val batch = copies.unionByName(novel).unionByName(novelDup)
-    dedupGateBatch(spark, spark.table(idx), batch, planes, tables)
+    (spark.table(idx), copies.unionByName(novel).unionByName(novelDup),
+      planes, tables)
+  }
+
+  def q150DedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val (index, batch, planes, tables) = q150GateInputs(spark, dir)
+    dedupGateBatch(spark, index, batch, planes, tables)
       .orderBy(col("vec_id"))
   }
 

@@ -725,12 +725,24 @@ object TextOps {
     * unroll per row (plan-time constants, whole-stage codegen). Shared by
     * q105 and the persisted band index (q151); docs with fewer than 3
     * tokens have no shingles, hence no rows here, on every engine. */
-  def bandedSignatures(docs: DataFrame): DataFrame = {
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    explodeBandKeys(docSignatures(docs))
+
+  /** The per-doc half of [[bandedSignatures]]: ONE hash-aggregate
+    * computing all 16 minhashes + the set digest, one row per doc —
+    * extracted (r22) so the gate can materialize it once and derive both
+    * its band-exploded and per-doc views from the same rows. */
+  private[graft] def docSignatures(docs: DataFrame): DataFrame = {
     val sh = shingleRows(docs, 3)
     val minCols = (0 until 16).map(i => min(xxhash64(col("s"), lit(i))).as(s"m$i"))
     val aggCols = minCols :+
       md5(concat_ws("\u0001", array_sort(collect_set(col("s"))))).as("digest")
-    val sig = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** The band-key explode over a [[docSignatures]] relation (plan-time
+    * constant keys, whole-stage codegen). */
+  private[graft] def explodeBandKeys(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until 4).map(b =>
       xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*), lit(b)))
     sig.select(col("doc_id"), col("digest"),
@@ -772,20 +784,30 @@ object TextOps {
     * batches — the q150 rule). */
   def textGateBatch(spark: SparkSession, index: DataFrame,
                     batch: DataFrame): DataFrame = {
-    val idx = index.select(col("key"),
-      col("doc_id").as("base_id"), col("digest").as("base_digest"))
-    val bsig = bandedSignatures(batch)
-    val matches = bsig
-      .join(idx, Seq("key"))
-      .filter(col("digest") === col("base_digest"))
-      .groupBy(col("doc_id")).agg(min(col("base_id")).as("dup_of"))
+    // r22: materialize the per-doc signature aggregation ONCE. The gate
+    // consumes it through two differently-pruned views (band-exploded
+    // for the index join, (doc_id, digest) for the intra-batch tier),
+    // and — the r21 q52 lesson — per-branch column pruning makes the
+    // copies canonically different, so neither static ReuseExchange nor
+    // AQE stage reuse ever deduped them: the shingle explode + 16-minhash
+    // + digest aggregate over the batch ran FOUR times per gate call
+    // (stage-verified: four 3-task agg stages per run, TimeQ
+    // SPARK_GRAFT_JOBS=2; plans/r22/q153_before.txt). One bounded
+    // localCheckpoint (|batch| rows × 16 longs + digest) ends that.
+    val sig = docSignatures(batch).localCheckpoint()
+    // matches feeds both the decision union and the clean anti-join —
+    // without its own cut the whole index join would replay per consumer
+    // (bounded: ≤|batch| rows, two columns)
+    val matches = gateMatches(index, sig).localCheckpoint()
     // intra-batch tier: among index-clean docs, equal digests (⟺ equal
     // shingle sets) keep the smallest id — two batch copies of content
     // the index has never seen must still admit only one. Unlike the
     // vector gate's θ-band greedy rule this is EXACT equality, so it is
     // a true equivalence relation and min-id-per-class IS
     // sequential-accept semantics, not a conservative superset.
-    val clean = bsig.select(col("doc_id"), col("digest")).distinct()
+    // (sig is already one row per doc — the old band-exploded distinct
+    // collapsed 4 identical rows back to exactly this relation)
+    val clean = sig.select(col("doc_id"), col("digest"))
       .join(matches.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val wMin = Window.partitionBy(col("digest"))
     val batchDup = clean
@@ -799,6 +821,36 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("status"), lit("unique")).as("status"),
         col("dup_of"))
+  }
+
+  /** The gate's index tier BEFORE its localCheckpoint: the band-exploded
+    * signatures bucket-aligned-joined to the index, digest-confirmed,
+    * min base id per doc. `sig` is a [[docSignatures]] relation.
+    * Extracted (r22) so the plan specs pin the REAL subtree's physical
+    * claims (Bucketed: true — the index side never shuffles), which the
+    * checkpoint hides from the final plan (the q52Nearest pattern). */
+  private[graft] def gateMatches(index: DataFrame, sig: DataFrame): DataFrame = {
+    val idx = index.select(col("key"),
+      col("doc_id").as("base_id"), col("digest").as("base_digest"))
+    explodeBandKeys(sig)
+      .join(idx, Seq("key"))
+      .filter(col("digest") === col("base_digest"))
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("dup_of"))
+  }
+
+  /** q151's gate inputs (index table, planted batch) — exposed (r22) so
+    * the plan spec pins [[gateMatches]] over the SAME inputs the query
+    * serves, not a synthetic twin. */
+  private[graft] def q151GateInputs(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val idx = ensureBandIndex(spark, dir)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val novel = d.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    (spark.table(idx), copies.unionByName(novel))
   }
 
   /** The appendable band index's MERGE-ON-READ view: rows carried by the
@@ -873,15 +925,8 @@ object TextOps {
     * equality, which DuckDB recomputes exhaustively — exact for any
     * banding outcome, the q105 argument operationalized as a gate. */
   def q151TextGateIndex(spark: SparkSession, dir: String): DataFrame = {
-    val idx = ensureBandIndex(spark, dir)
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val copies = d.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-    val novel = d.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
-        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
-    textGateBatch(spark, spark.table(idx), copies.unionByName(novel))
-      .orderBy(col("doc_id"))
+    val (index, batch) = q151GateInputs(spark, dir)
+    textGateBatch(spark, index, batch).orderBy(col("doc_id"))
   }
 
   /** q153: the INGEST ADMISSION FUNNEL — what one gate tick admits and

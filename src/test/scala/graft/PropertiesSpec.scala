@@ -212,6 +212,54 @@ class PropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("Pct.relationSelect is BITWISE-equal to Pct.relation on keyed data " +
+      "with ties, nulls, constant keys and skew, at tiny bucket counts") {
+    import graft.ops.Pct
+    val caseGen = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        // heavy ties (small value domain) mixed with a wide tail, plus
+        // nulls; key "c" is made constant-valued below
+        d <- Gen.option(Gen.frequency(
+          3 -> Gen.choose(0, 6).map(_.toDouble),
+          2 -> Gen.choose(-1000000, 1000000).map(_ / 97.0)))
+      } yield (k, if (k == "c") Some(42.5) else d))
+    } yield rows
+    samples(caseGen, 12).zipWithIndex.foreach { case (rows, i) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2.map(Double.box).orNull)), 3),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DoubleType))))
+      val qs = Seq("p00" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+        "p95" -> 0.95, "p100" -> 1.0)
+      def toBits(r: org.apache.spark.sql.DataFrame) = r.collect().map { row =>
+        row.getAs[String]("k") -> qs.map { case (a, _) =>
+          Option(row.getAs[java.lang.Double](a))
+            .map(v => java.lang.Double.doubleToLongBits(v.doubleValue()))
+        }
+      }.toMap
+      // buckets = 3 forces multi-bin refinement with b regularly landing
+      // in a LATER bin than a; also exercise the default width
+      for (b <- Seq(3, 8192)) {
+        val sel = Pct.relationSelect(df, Seq("k"), "d", qs, buckets = b)
+        assert(toBits(sel) === toBits(Pct.relation(df, Seq("k"), "d", qs)),
+          s"case $i buckets=$b: $rows")
+      }
+      // the global (no-key) form: one row either way, compare raw bits
+      def gBits(r: org.apache.spark.sql.DataFrame) =
+        Option(r.head().getAs[java.lang.Double]("g50"))
+          .map(v => java.lang.Double.doubleToLongBits(v.doubleValue()))
+      assert(gBits(Pct.relationSelect(df, Nil, "d", Seq("g50" -> 0.5), 3)) ===
+        gBits(Pct.relation(df, Nil, "d", Seq("g50" -> 0.5))),
+        s"case $i global: $rows")
+    }
+  }
+
   test("q60 stratified sample: K per class, sample mean near population mean") {
     val rows = graft.prep.DataPrep.q60StratifiedSample(spark, Sf001).collect()
     rows.foreach { r =>

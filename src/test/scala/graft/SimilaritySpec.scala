@@ -428,8 +428,14 @@ class SimilaritySpec extends SparkSpecBase {
     }
     // the distributed gate never shuffles the index relation: its scans
     // come back bucket-aligned (would read "Bucketed: false (disabled by
-    // query planner)" if the join stopped requiring the distribution)
-    val p = df.queryExecution.executedPlan.toString
+    // query planner)" if the join stopped requiring the distribution) —
+    // pinned on the REAL pre-checkpoint index tier (r22: the gate now
+    // materializes idxDup, so the final plan no longer contains the
+    // index scan; gateIndexTop1 over the same q150 inputs IS the subtree
+    // the checkpoint executes)
+    val (index, batch, planes, tables) = Similarity.q150GateInputs(spark, Sf001)
+    val p = Similarity.gateIndexTop1(index, batch, planes, tables)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"), p.take(3000))
     assert(!p.contains("Bucketed: false"), p.take(3000))
   }

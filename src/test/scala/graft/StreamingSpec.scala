@@ -1303,7 +1303,13 @@ class StreamingSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     (0L until 3L).foreach(i => assert(d(7000L + i) === "accepted", d.toString))
     (3L until 8L).foreach(i => assert(d(7000L + i) === "dup_index", d.toString))
-    val p = gated.queryExecution.executedPlan.toString
+    // pinned on the REAL pre-checkpoint index tier (r22: dedupGateBatch
+    // materializes idxDup, so the gated plan no longer carries the index
+    // scan; gateIndexTop1 over the same live view IS that subtree)
+    val p = graft.sim.Similarity.gateIndexTop1(
+        graft.sim.Similarity.liveIndexRelation(spark.table(tbl)),
+        batch, planes, tables)
+      .queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"), p.take(3000))
     assert(!p.contains("Bucketed: false"), p.take(3000))
   }

@@ -66,8 +66,14 @@ class TextOpsSpec extends SparkSpecBase {
       assert(r.getAs[String]("status") === "unique", r)
       assert(r.isNullAt(r.fieldIndex("dup_of")), r)
     }
-    // the gate joins the persisted band index without shuffling it
-    val p = df.queryExecution.executedPlan.toString
+    // the gate joins the persisted band index without shuffling it —
+    // pinned on the REAL pre-checkpoint index tier (r22: the gate now
+    // materializes its signature agg and matches relation, so the final
+    // plan no longer contains the index scan; gateMatches over the same
+    // q151 inputs IS the subtree the checkpoint executes)
+    val (index, batch) = TextOps.q151GateInputs(spark, Sf001)
+    val p = TextOps.gateMatches(index, TextOps.docSignatures(batch))
+      .queryExecution.executedPlan.toString
     assert(p.contains("Bucketed: true"), p.take(3000))
     assert(!p.contains("Bucketed: false"), p.take(3000))
   }
