@@ -1559,18 +1559,17 @@ object TextOps {
         .filter(col("a") =!= col("b"))                 // u may BE the min's peer
         .distinct()
     }
+    // r22 REJECTED WITH NUMBERS (VERDICT r21 item 4, don't retry): running
+    // TWO contraction rounds per checkpoint + signature to halve the
+    // driver-paced actions measured SLOWER, not faster — same-session
+    // TimeQ q104 at sf0.1/32c: batched 31 jobs / 5.4-7.1 s warm vs
+    // per-round 25 jobs / 3.1-4.2 s. Convergence is only detectable at a
+    // pair boundary, so a fixpoint reached mid-pair costs a FULL extra
+    // pair (a graph converging at round k runs ~2·ceil((k+1)/2) rounds),
+    // and the deeper per-checkpoint lineage planned MORE AQE stage jobs,
+    // not fewer. The per-round check below stays.
     while (!converged && iter < maxIter) {
-      // r22: TWO contraction rounds per checkpoint + signature — at test
-      // scale each round's real cost is the driver-paced checkpoint job
-      // plus the signature action (~2 actions/round, the r21 q104
-      // finding), so pairing rounds halves them. Convergence is checked
-      // against the set from two rounds ago: the operators are
-      // deterministic functions of the edge set, so once any round hits
-      // the fixpoint the next round reproduces it and the pair check
-      // fires — the loop runs at most one extra round pair, over an
-      // already-contracted (tiny) set, and the final edge set is
-      // bit-identical to the per-round-checked loop's.
-      val small = round(round(edges)).localCheckpoint()
+      val small = round(edges).localCheckpoint()
       val sig2 = signature(small)
       converged = sig2 == sig
       edges = small
