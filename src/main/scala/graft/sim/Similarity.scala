@@ -1691,7 +1691,8 @@ object Similarity {
       // (repartitioned onto the bucket function — the writeBucketed r22
       // rule — so the delta's sign+write runs buckets-wide, not as the
       // source scan's single split, and still lands one file per bucket)
-      indexed(delta).repartition(buckets, col("sig")).write.insertInto(staging)
+      graft.sources.Sources.bucketRouted(indexed(delta), "sig", buckets)
+        .write.insertInto(staging)
     }
     val probes = eSlim.unionByName(delta).filter(col("vec_id") % 113 === 0)
       .select((col("vec_id") + offset).as("qid"), col("embedding"))
@@ -1745,10 +1746,12 @@ object Similarity {
       // bucket-file generation — the small-files decay compaction repairs
       // (bucket-function repartition per batch: parallel sign+write, same
       // one-file-per-(batch, bucket) generations the decay story needs)
-      indexed(delta.filter(col("vec_id") % 2 === 0))
-        .repartition(buckets, col("sig")).write.insertInto(staging)
-      indexed(delta.filter(col("vec_id") % 2 =!= 0))
-        .repartition(buckets, col("sig")).write.insertInto(staging)
+      graft.sources.Sources.bucketRouted(
+          indexed(delta.filter(col("vec_id") % 2 === 0)), "sig", buckets)
+        .write.insertInto(staging)
+      graft.sources.Sources.bucketRouted(
+          indexed(delta.filter(col("vec_id") % 2 =!= 0)), "sig", buckets)
+        .write.insertInto(staging)
       // compacting the staging name keeps the publish atomic: a crash
       // mid-compact leaves no live table, and the rebuild re-enters here
       graft.sources.Sources.compactBucketed(spark, staging, "sig", buckets)

@@ -47,11 +47,37 @@ object Sources {
     * shuffle-free. */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
                     key: String, buckets: Int): Unit =
-    df.repartition(buckets, col(key))
-      .write.mode("overwrite")
+    writeBucketedPrePartitioned(bucketRouted(df, key, buckets),
+      tableName, path, key, buckets)
+
+  /** [[writeBucketed]] WITHOUT the routing repartition — for inputs that
+    * are already bucket-aligned ([[compactBucketed]]'s rewrite, whose
+    * bucket-aligned scan + collapsing repartition keep it shuffle-free,
+    * the r13 rule; a bucket-ID routing expression would NOT collapse
+    * against the scan's key HashPartitioning and would re-shuffle the
+    * whole table). */
+  def writeBucketedPrePartitioned(df: DataFrame, tableName: String,
+                                  path: String, key: String,
+                                  buckets: Int): Unit =
+    df.write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(tableName)
+
+  /** Route rows onto whole buckets across `min(buckets, parallelism)`
+    * write tasks: the routing key is the bucket id itself
+    * (`pmod(hash(key), buckets)` — Murmur3 seed 42, exactly the
+    * bucket-placement expression), so every bucket lands wholly in one
+    * task and the write still produces ONE file per bucket, while the
+    * task count stays at the core count instead of the bucket count
+    * (r22: a full buckets-wide repartition put 64 near-empty write
+    * tasks × parquet-writer setup on every tiny-corpus write — q148's
+    * four writes regressed 1.5→3.8 s until the cap). */
+  def bucketRouted(df: DataFrame, key: String, buckets: Int): DataFrame = {
+    val n = math.max(1, math.min(buckets,
+      df.sparkSession.sparkContext.defaultParallelism))
+    df.repartition(n, pmod(hash(col(key)), lit(buckets)))
+  }
 
   /** S8: read only the newest hour partition of a partitioned dataset.
     * The max-partition probe aggregates partition columns only (no data
@@ -284,8 +310,8 @@ object Sources {
     val autoWas = spark.conf.get(autoKey)
     spark.conf.set(autoKey, "false")
     try
-      writeBucketed(src.repartition(buckets, col(key)), staging, s"$tmp/data",
-        key, buckets)
+      writeBucketedPrePartitioned(src.repartition(buckets, col(key)),
+        staging, s"$tmp/data", key, buckets)
     finally spark.conf.set(autoKey, autoWas)
     val outCount = spark.table(staging).count()
     require(outCount == inCount,

@@ -486,7 +486,8 @@ object Streaming {
       else {
         val signed = sign(batch).withColumn("batch_id", lit(batchId))
         val routed = bucketSpec.fold(signed)(bs =>
-          signed.repartition(bs.numBuckets, col(bs.bucketColumnNames.head)))
+          graft.sources.Sources.bucketRouted(signed,
+            bs.bucketColumnNames.head, bs.numBuckets))
         routed.write.mode("overwrite").insertInto(indexTable)
       }
     }
